@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query: the Spark-side builder plus (optionally) the equivalent
+  * ANSI SQL the driver runs in DuckDB 1.0.0 over the same parquet tables.
+  *
+  * Determinism discipline (SURVEY.md §2.2): every oracle-matched query ends
+  * in a total ORDER BY over its output columns; double aggregates go through
+  * exact DECIMAL arithmetic and are cast back to double only at the end, so
+  * Spark and DuckDB produce bit-identical doubles regardless of partial-agg
+  * ordering.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String]
+)(val build: (SparkSession, String) => DataFrame)
+
+trait QueryPack {
+  def all: Seq[Q]
+
+  final def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  final def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
+
+/** Shared helpers for exact, engine-agnostic arithmetic. */
+object QHelp {
+  /** Exact 2-decimal fixed-point view of a money/quantity double.
+    *
+    * The generated data carries exactly 2 decimal digits, so
+    * double -> DECIMAL(12,2) is lossless, and DECIMAL(12,2) products stay
+    * within DuckDB's 38-digit multiply limit ((12,2)x(12,2)x(12,2) fits).
+    * Summing decimals is exact in both engines; the final cast back to
+    * double is then deterministic.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** SQL-side twin of [[dec]]. */
+  def decSql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+
+  /** Exact sum of a 2-decimal double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  def dsumSql(e: String): String = s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
+}
