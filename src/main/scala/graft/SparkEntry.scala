@@ -12,7 +12,12 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
+    Scans,
+    Joins,
     Aggregates,
+    Windows,
+    SetOps,
+    Scalars,
     Cdc
   )
 

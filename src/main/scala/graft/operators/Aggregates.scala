@@ -50,5 +50,143 @@ object Aggregates extends QueryPack {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  override def all: Seq[Q] = Seq(qAggGroup)
+  /** Global (no grouping) aggregate — single partial+final exchange row. */
+  val qAggGlobal: Q = Q(
+    "q_agg_global",
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+  }
+
+  /** Distinct aggregation per group (exact; the approx twin is unit-tested
+    * against this, not oracle-matched — float sketch output is engine
+    * specific). */
+  val qAggDistinct: Q = Q(
+    "q_agg_distinct",
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  val qAggHaving: Q = Q(
+    "q_agg_having",
+    Some("""
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 500000
+      ORDER BY o_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("total_dec"),
+        count(lit(1)).as("n"))
+      .where(col("total_dec") > 500000)
+      .select(col("o_custkey"), col("total_dec").cast("double").as("total"), col("n"))
+      .orderBy("o_custkey")
+  }
+
+  /** ROLLUP grouping sets over the customer->nation dimension join. */
+  val qRollup: Q = Q(
+    "q_rollup",
+    Some("""
+      SELECT n_name, c_mktsegment,
+             GROUPING(n_name, c_mktsegment) AS gid,
+             COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, c_mktsegment)
+      ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_cust"))
+      .select("n_name", "c_mktsegment", "gid", "n_cust")
+      .orderBy(col("gid").asc, col("n_name").asc_nulls_first,
+               col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** CUBE grouping sets. */
+  val qCube: Q = Q(
+    "q_cube",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "total", "n")
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS via SQL. */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+  }
+
+  override def all: Seq[Q] = Seq(
+    qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
+    qRollup, qCube, qGroupingSets)
 }

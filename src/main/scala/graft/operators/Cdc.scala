@@ -53,5 +53,57 @@ object Cdc extends QueryPack {
       .orderBy(col("user_id"))
   }
 
-  override def all: Seq[Q] = Seq(qCdcSnapshot)
+  /** GTID reconstruction: mirrors `Row::gtid()` =
+    * `domain-server_id-sequence` (reference `cdc_connector.h:199-208`).
+    * The events table carries no replication metadata, so domain/server_id
+    * are fixed and event_id plays the sequence — same string shape the
+    * reference concatenates.
+    */
+  val qCdcGtid: Q = Q(
+    "q_cdc_gtid",
+    Some("""
+      SELECT event_id,
+             concat_ws('-', '0', '3000', CAST(event_id AS VARCHAR)) AS gtid,
+             event_type
+      FROM events
+      ORDER BY event_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        concat_ws("-", lit("0"), lit("3000"), col("event_id").cast("string"))
+          .as("gtid"),
+        col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** The reference's string-typed row discipline (`cdc_connector.cpp:80-115`):
+    * raw mode flattens every value to a string with JSON null -> "" (the
+    * reference conflates them); typed mode casts per the declared SQL type
+    * with null staying NULL (our documented improvement, SURVEY.md §1.2).
+    */
+  val qCdcTypedCast: Q = Q(
+    "q_cdc_typed_cast",
+    Some("""
+      SELECT event_id,
+             COALESCE(json_extract_string(props, '$.k'), '') AS raw_k,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS typed_k,
+             CAST(event_id AS VARCHAR) AS raw_event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS raw_value
+      FROM events
+      ORDER BY event_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("")).as("raw_k"),
+        get_json_object(col("props"), "$.k").cast("long").as("typed_k"),
+        col("event_id").cast("string").as("raw_event_id"),
+        col("value").cast("decimal(12,2)").cast("string").as("raw_value"))
+      .orderBy("event_id")
+  }
+
+  override def all: Seq[Q] = Seq(qCdcSnapshot, qCdcGtid, qCdcTypedCast)
 }

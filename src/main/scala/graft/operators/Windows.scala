@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.QHelp._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / analytic operators (SURVEY.md §2.2 q_win_*, q_topk_per_group,
+  * q_win_tumble_batch).
+  *
+  * Scale notes: every window here partitions by a real key (mktsegment,
+  * custkey, user_id) — one hash shuffle + per-partition sort, no global
+  * ordering until the final presentation ORDER BY. Running sums are
+  * computed over exact decimals so partial ordering can't perturb floats.
+  * The tumbling window is the built-in `window()` function — at 100 TB the
+  * same expression runs under Structured Streaming with a watermark
+  * (see graft.streaming).
+  */
+object Windows extends QueryPack {
+
+  val qWinRank: Q = Q(
+    "q_win_rank",
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+      ORDER BY c_mktsegment, rn
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Running (cumulative) revenue per customer, frame = rows unbounded
+    * preceding .. current. */
+  val qWinRunning: Q = Q(
+    "q_win_running",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWinLagLead: Q = Q(
+    "q_win_lag_lead",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice)  OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-3 orders per customer by price (deterministic tiebreak). */
+  val qTopkPerGroup: Q = Q(
+    "q_topk_per_group",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rn").cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Tumbling 1-minute windows over events (batch twin of s_win_tumble). */
+  val qWinTumbleBatch: Q = Q(
+    "q_win_tumble_batch",
+    Some("""
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  override def all: Seq[Q] = Seq(
+    qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch)
+}

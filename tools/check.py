@@ -28,6 +28,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            import datetime
+            nonnull = df[c].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.reset_index(drop=True)
 
 
