@@ -18,7 +18,9 @@ object SparkEntry {
     Windows,
     SetOps,
     Scalars,
-    Cdc
+    Cdc,
+    TextOps,
+    Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over the embeddings table (64-dim float).
+  *
+  * Scale notes: the brute-force paths broadcast the small side (query set /
+  * centroids) so the big side streams through a BroadcastNestedLoopJoin —
+  * at 100 TB that is one pass over the data with no shuffle. The ANN paths
+  * (IVF cells, hyperplane-LSH bands) shrink the candidate set so the
+  * expensive exact re-rank touches a fraction of the corpus; both partition
+  * by cell/band key, which is exactly how you shard an ANN index across
+  * 1000 executors. Dot products use codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs.
+  */
+object VectorOps {
+  /** Deterministic left-to-right dot product of two numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
+
+object Similarity extends QueryPack {
+  import VectorOps._
+
+  private val NQueries = 8
+  private val TopK     = 5
+
+  /** Exact brute-force cosine top-k for a small query set (the baseline
+    * every ANN variant is measured against). Output is int-only — ranks
+    * are stable because random 64-dim cosines are never within float
+    * noise of each other; the oracle recomputes with DuckDB's
+    * list_cosine_similarity. */
+  val qSimTopk: Q = Q(
+    "q_sim_topk",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(qv, e.embedding) AS cos
+        FROM q, e WHERE e.vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) => bruteForceTopK(Tables.embeddings(s, dir)) }
+
+  /** Brute-force top-k of `queries` (vec_id < NQueries) over all vectors. */
+  def bruteForceTopK(e: DataFrame, k: Int = TopK): DataFrame = {
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All-pairs near-duplicate detection by cosine (exact). Int-only output;
+    * the 0.5 threshold sits far from any pair's float noise. */
+  val qEmbedNeardup: Q = Q(
+    "q_embed_neardup",
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.5
+      ORDER BY vec_a, vec_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .where(cosine(col("ea"), col("eb")) > 0.5)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  private val NCells  = 16
+  private val NProbe  = 4
+
+  /** IVF-style ANN: coarse-quantize with NCells seed centroids (vec_id <
+    * NCells — deterministic "training"), assign every vector to its
+    * nearest cell, probe the NProbe closest cells per query, exact
+    * re-rank inside. The scale path: centroids broadcast, data sharded by
+    * cell. No oracle (approximate by construction) — recall vs
+    * brute-force is asserted in SimilaritySpec. */
+  val qSimIvf: Q = Q("q_sim_ivf", None) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val cents = e.where(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    // assignment: nearest centroid per vector
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // queries probe their NProbe nearest cells
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    // exact re-rank within probed cells
+    val cand = probes.join(assigned, "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  private val NPlanes = 16
+  /** Deterministic ±1 hyperplanes (xorshift-mixed), 16 x 64. */
+  private[operators] val planes: Array[Array[Double]] =
+    Array.tabulate(NPlanes, 64) { (j, i) =>
+      var x = (j.toLong << 32) ^ (i.toLong * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH ANN: 16-bit signature,
+    * 4 bands x 4 bits; candidates share a band, exact re-rank inside.
+    * No oracle — recall asserted in SimilaritySpec. */
+  val qSimLsh: Q = Q("q_sim_lsh", None) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val sigd = withSignature(e)
+    val bands = sigd.select(col("vec_id"), col("embedding"),
+        explode(expr("transform(sequence(0,3), b -> named_struct('band', b, 'key', shiftright(sig, 4*b) & 15))")).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val qb = bands.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("band"), col("key"))
+    val cand = qb.join(bands, Seq("band", "key"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Attach the 16-bit hyperplane signature as column `sig`. */
+  def withSignature(e: DataFrame): DataFrame = {
+    val sigBits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("embedding"), planeCol) > 0, lit(1L << j)).otherwise(0L)
+    }
+    e.withColumn("sig", sigBits.reduce(_ + _))
+  }
+
+  override def all: Seq[Q] = Seq(qSimTopk, qEmbedNeardup, qSimIvf, qSimLsh)
+}

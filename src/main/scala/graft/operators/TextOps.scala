@@ -1,0 +1,382 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard) and text analysis (stats, token counting,
+  * language-ID heuristic, quality scoring, fingerprinting).
+  *
+  * Everything here is oracle-checked: all hashing is built on md5 (identical
+  * in Spark and DuckDB), reduced to 60-bit ints via hex → decimal
+  * conversion, so even the MinHash signatures hash-match across engines.
+  *
+  * Scale notes (the whole point of these ops is 100 TB corpora):
+  *  - Dedup families never materialize all-pairs: MinHash/SimHash go
+  *    shingle→signature→band→bucket-join, so the shuffle is bounded by
+  *    (docs x bands) and candidate pairs, not docs².
+  *  - n-gram Jaccard uses the inverted-index join (pairs sharing ≥1
+  *    shingle), the standard linear-ish approach; a hot shingle would be
+  *    the skew point, handled by dropping ultra-frequent shingles the same
+  *    way stop-shingles are dropped in production pipelines (cap not needed
+  *    at test scale, noted for 100 TB).
+  *  - All per-doc work (tokenize, shingle, hash) is narrow projections over
+  *    codegen'd built-ins — no UDFs, no driver collection.
+  */
+object TextOps extends QueryPack {
+
+  private val P = 1000000007L
+
+  /** Portable 60-bit hash: md5 hex prefix → bigint, mod P.
+    * Spark `conv(hex,16,10)` == DuckDB `CAST('0x'||hex AS BIGINT)`. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT) % $P"
+
+  /** Word 3-shingles of the space-split tokens (guarded for <3 tokens). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(toks) >= 3
+           THEN transform(sequence(1, size(toks)-2),
+                          i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))
+           ELSE array('') END"""))).as("sh"))
+      .where(col("sh") =!= "")
+  private val shingleSqlCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(l)-1, 1)),
+      |                        i -> concat_ws(' ', l[i], l[i+1], l[i+2])))) AS sh
+      |       FROM toks WHERE len(l) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    Some("""
+      SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY keep_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  // Fixed hash-family coefficients (a*h + b) mod P, all < P.
+  private val A = Seq(387420489L, 472882027L, 268435399L, 179424673L,
+    198491317L, 295075147L, 373587883L, 413158511L, 533000389L, 613651349L,
+    694847533L, 756065159L, 817504243L, 882377563L, 920419813L, 982451653L)
+  private val B = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L, 160481183L, 179424673L, 198491317L,
+    217645177L, 236887691L, 256203161L, 275604541L, 295075147L)
+  private val Bands = 4
+  private val Rows  = 4 // 4 bands x 4 rows = 16 minhashes
+
+  /** MinHash signatures (doc_id, m0..m15) — shared by dedup + tests. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingled(Tables.documents(s, dir))
+      .select(col("doc_id"), h60(col("sh")).as("h"))
+    hashed.groupBy("doc_id").agg(
+      min((col("h") * A(0) + B(0)) % P).as("m0"),
+      (1 until 16).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j")): _*)
+  }
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs.
+    * 16 minhashes, 4 bands x 4 rows — P(candidate) ≈ 1-(1-j^4)^4, so the
+    * planted j≈0.99 pairs are found with probability ≈ 1. */
+  val qMinhashDedup: Q = Q(
+    "q_minhash_dedup",
+    Some {
+      val mins = (0 until 16).map(j =>
+        s"min((h*${A(j)} + ${B(j)}) % $P) AS m$j").mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"m${b * Rows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingleSqlCte,
+         |hashed AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (s, dir) =>
+    val sig = minhashSignatures(s, dir)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => col(s"m${b * Rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash: 32-bit fingerprint from token hashes; LSH = 4 bands of 8
+    * bits; pairs within hamming distance 6. */
+  val qSimhashDedup: Q = Q(
+    "q_simhash_dedup",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM toks),
+      bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+               FROM th, range(0, 32) t(b) GROUP BY doc_id, b),
+      fp AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+             FROM bits GROUP BY doc_id),
+      bands AS (SELECT doc_id, fp, b AS band, (fp >> (8*b)) & 255 AS key FROM fp, range(0, 4) t(b))
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.fp, y.fp)) <= 6
+      ORDER BY doc_a, doc_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val fp = simhashFingerprints(s, dir)
+    val bands = fp.select(col("doc_id"), col("fp"),
+        explode(expr("transform(sequence(0,3), b -> named_struct('band', b, 'key', shiftright(fp, 8*b) & 255))")).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+             bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 6)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash fingerprints (doc_id, fp): per bit, the balance of
+    * token-hash bits (duplicates weighted by frequency), sign → bit. */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    th.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).as("bal"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("fp"))
+  }
+
+  // ----------------------------------------------------------- ngram jaccard
+
+  /** Exact n-gram (3-shingle) Jaccard over the inverted-index join:
+    * only pairs sharing ≥1 shingle are scored; report pairs ≥ 0.5. */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    Some(s"""
+      WITH $shingleSqlCte,
+      ds AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(round(CAST(i AS DECIMAL(18,9)) / (x.n + y.n - i), 6) AS DOUBLE) AS jaccard
+      FROM inter JOIN ds x ON da = x.doc_id JOIN ds y ON db = y.doc_id
+      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+      ORDER BY doc_a, doc_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val sh = shingled(Tables.documents(s, dir))
+    val ds = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(ds.as("x"), col("da") === col("x.doc_id"))
+      .join(ds.as("y"), col("db") === col("y.doc_id"))
+      .where(col("i").cast("double") / (col("x.n") + col("y.n") - col("i")) >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("i").cast("decimal(18,9)") / (col("x.n") + col("y.n") - col("i")), 6)
+          .cast("double").as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  val qTextStats: Q = Q(
+    "q_text_stats",
+    Some("""
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Whitespace + BPE-ish regex token counting. */
+  val qTokenCount: Q = Q(
+    "q_token_count",
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+      FROM documents
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("re_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"))
+      .orderBy("doc_id")
+  }
+
+  // Small fixed lexicons for the n-gram/stopword language heuristic. The
+  // synthetic corpus shares one vocabulary across langs, so this checks the
+  // computation (deterministically), not real-world accuracy.
+  private val lexicons = Seq(
+    "de" -> Seq("table", "key", "value"),
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("order", "group", "sort"),
+    "zh" -> Seq("join", "merge", "window"))
+
+  /** Heuristic language-ID: argmax of lexicon-hit counts, alphabetical
+    * tiebreak; reported as a (actual, predicted) confusion matrix. */
+  val qLangId: Q = Q(
+    "q_lang_id",
+    Some {
+      val scores = lexicons.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text,' '), t -> t IN ($set))) AS s_$l"
+      }.mkString(", ")
+      val m = s"greatest(${lexicons.map("s_" + _._1).mkString(", ")})"
+      val pred = lexicons.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT lang, $pred AS pred_lang, COUNT(*) AS n
+         |FROM scored
+         |GROUP BY 1, 2
+         |ORDER BY lang, pred_lang""".stripMargin
+    }
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val scored = lexicons.foldLeft(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), toks.as("toks"))) {
+      case (df, (l, ws)) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($set)))"))
+    }
+    val m = greatest(lexicons.map(l => col(s"s_${l._1}")): _*)
+    val pred = lexicons.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+      c.when(col(s"s_$l") === m, l)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Quality scoring: token stats, type-token ratio, stopword ratio,
+    * banded composite. */
+  val qQualityScore: Q = Q(
+    "q_quality_score",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents),
+      m AS (
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop
+        FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_span,
+             CASE WHEN len_band = 0 THEN 'short' WHEN len_band = 1 THEN 'medium' ELSE 'long' END AS length_band,
+             CASE WHEN CAST(n_distinct AS DOUBLE)/n_tokens >= 0.7 AND n_tokens >= 20 THEN 'high'
+                  WHEN CAST(n_distinct AS DOUBLE)/n_tokens >= 0.4 THEN 'mid'
+                  ELSE 'low' END AS quality
+      FROM (SELECT *, CASE WHEN n_tokens < 20 THEN 0 WHEN n_tokens < 60 THEN 1 ELSE 2 END AS len_band FROM m)
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("n_chars"))
+    val m = t.select(
+      col("doc_id"), col("n_chars"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+      expr("size(filter(toks, x -> x IN ('the','a','and','of','to')))")
+        .cast("long").as("n_stop"))
+    m.select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_span"),
+        when(col("n_tokens") < 20, "short")
+          .when(col("n_tokens") < 60, "medium")
+          .otherwise("long").as("length_band"),
+        when(col("n_distinct").cast("double") / col("n_tokens") >= 0.7 &&
+             col("n_tokens") >= 20, "high")
+          .when(col("n_distinct").cast("double") / col("n_tokens") >= 0.4, "mid")
+          .otherwise("low").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-sensitive rolling fingerprint + content hash per document. */
+  val qDocFingerprint: Q = Q(
+    "q_doc_fingerprint",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      pt AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t)
+      SELECT doc_id,
+             CAST(SUM(pos * (CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) % 1000003)) % $P AS BIGINT) AS rolling_fp
+      FROM pt
+      GROUP BY doc_id
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 1000003L).as("th"))
+      .groupBy("doc_id")
+      .agg(((sum(col("pos") * col("th"))) % P).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(
+    qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
+    qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recallVsBruteForce(annName: String): Double = {
+    val bf  = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries(annName)(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    bf.intersect(ann).size.toDouble / bf.size
+  }
+
+  test("IVF ANN recall@5 vs brute force is useful") {
+    val r = recallVsBruteForce("q_sim_ivf")
+    info(s"IVF recall@5 = $r")
+    assert(r >= 0.3, s"IVF recall collapsed: $r")
+  }
+
+  test("LSH ANN recall@5 vs brute force is useful") {
+    val r = recallVsBruteForce("q_sim_lsh")
+    info(s"LSH recall@5 = $r")
+    assert(r >= 0.3, s"LSH recall collapsed: $r")
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
+    val df = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
+    val perQuery = df.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQuery.where(col("n") =!= 5 || col("mx") =!= 5 || col("mn") =!= 1).count() == 0)
+    assert(df.where(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("cosine: self-similarity 1, symmetry, range [-1,1]") {
+    import VectorOps._
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") <= col("ib"))
+      .select(col("ia"), col("ib"),
+        cosine(col("ea"), col("eb")).as("ab"),
+        cosine(col("eb"), col("ea")).as("ba"))
+    val bad = pairs.where(
+      abs(col("ab") - col("ba")) > 1e-12 ||
+      col("ab") > 1 + 1e-9 || col("ab") < -1 - 1e-9 ||
+      (col("ia") === col("ib") && abs(col("ab") - 1) > 1e-9))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs (high jaccard)") {
+    val cand = SparkEntry.queries("q_minhash_dedup")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every j>=0.5 pair must be an LSH candidate (P(miss) ~ (1-j^4)^4 < 1e-4)
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("exact dedup is idempotent and partitions all docs") {
+    val d = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    assert(d.select("keep_id").distinct().count() == d.count())
+  }
+
+  test("simhash: near-dup pairs have close fingerprints, fp is 32-bit") {
+    val fp = TextOps.simhashFingerprints(spark, sf)
+    assert(fp.where(col("fp") < 0 || col("fp") > (1L << 32) - 1).count() == 0)
+    val pairs = SparkEntry.queries("q_simhash_dedup")(spark, sf)
+    assert(pairs.where(col("hamming") > 6).count() == 0)
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val docs = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("perm_docs")
+    // same tokens, different order -> different fingerprint
+    val fps = spark.sql("""
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM perm_docs)
+      """)
+      .select(col("doc_id"), ((col("pos") + 1) *
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 1000003L)).as("t"))
+      .groupBy("doc_id").agg((sum("t") % 1000000007L).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) != fps(2L))
+  }
+}
