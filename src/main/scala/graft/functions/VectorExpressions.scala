@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product of two float/double array columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b, _*_), ...)`)
+  * allocates an intermediate array per row and, when it appears inside a
+  * join condition (BroadcastNestedLoopJoin), is evaluated through the
+  * interpreted path per candidate pair — that made the all-pairs
+  * `q_embed_neardup` scan ~50µs/pair. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen: no allocation, no boxing,
+  * ~100ns/pair for 64 dims.
+  *
+  * Accumulation order is a strict left-to-right fold, identical to the
+  * `aggregate` formulation, so swapping implementations is bit-stable.
+  *
+  * Null semantics: a null array yields null (standard binary-expression
+  * null propagation); null *elements* contribute 0, matching how the
+  * engine's vectors are produced (never null-elemented in practice).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!(x.isNullAt(i) || y.isNullAt(i))) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA =
+        if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
+        else s"$a.getDouble(i)"
+      val getB =
+        if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
+        else s"$b.getDouble(i)"
+      val nullGuard =
+        if (containsNull(left) || containsNull(right))
+          s"if ($a.isNullAt(i) || $b.isNullAt(i)) continue;"
+        else ""
+      s"""
+         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double graftAcc = 0.0;
+         |for (int i = 0; i < graftN; i++) {
+         |  $nullGuard
+         |  graftAcc += $getA * $getB;
+         |}
+         |${ev.value} = graftAcc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level dot product backed by [[DotProduct]]. */
+  def dotp(a: Column, b: Column): Column =
+    ColumnShim.column(
+      DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -17,16 +17,26 @@ import org.apache.spark.sql.functions._
   * (`zip_with` + `aggregate`) — no UDFs.
   */
 object VectorOps {
-  /** Deterministic left-to-right dot product of two numeric arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  import graft.functions.VectorFunctions.dotp
+
+  /** Deterministic left-to-right dot product of two numeric arrays —
+    * a codegen'd Catalyst expression (graft.functions.DotProduct), not a
+    * higher-order function, so it stays inside whole-stage codegen even
+    * when used as a join condition. */
+  def dot(a: Column, b: Column): Column = dotp(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Project `(vec_id, nv)` where nv = embedding scaled to unit length
+    * (double). Normalizing ONCE turns every downstream cosine into a
+    * single dot product — at all-pairs scale that is the difference
+    * between 1 and 3 vector ops per candidate pair. */
+  def normalized(e: DataFrame): DataFrame =
+    e.withColumn("_nrm", norm(col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("_nrm")).as("nv"))
 }
 
 object Similarity extends QueryPack {
@@ -86,11 +96,15 @@ object Similarity extends QueryPack {
       ORDER BY vec_a, vec_b
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // Precompute each vector's norm ONCE (one pass), then the per-pair
+    // predicate is a single codegen'd dot product — bit-identical
+    // arithmetic to cosine(a,b) since norm(x)=sqrt(dot(x,x)) either way.
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .where(cosine(col("ea"), col("eb")) > 0.5)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    a.join(b, col("vec_a") < col("vec_b") &&
+        dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
