@@ -1,0 +1,289 @@
+package graft.sources.cdc
+
+import java.io.{BufferedInputStream, IOException, InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Error raised for protocol-level failures (auth rejected, `ERR` replies,
+  * malformed JSON, missing row keys). Mirrors the reference's `m_error`
+  * string channel (cdc_connector.h:103-106) — except we throw, the
+  * documented improvement over silent empty-row returns.
+  */
+final class CdcProtocolException(msg: String) extends IOException(msg)
+
+/** One decoded message off the wire. */
+sealed trait CdcMessage
+/** In-band schema push (reference `is_schema`/`process_schema`,
+  * cdc_connector.cpp:237-286). `fields` carry the resolved SQL type string
+  * (real_type preferred, Avro type fallback, length suffix applied). */
+final case class CdcSchemaMsg(fields: Seq[CdcField], rawJson: String) extends CdcMessage
+/** One change-event row decoded against the current schema
+  * (reference `process_row`, cdc_connector.cpp:288-319). `values(i)` is the
+  * stringified scalar for schema key i; `nulls(i)` marks JSON null — kept
+  * distinct so typed mode can emit SQL NULL while raw mode reproduces the
+  * reference's null→"" conflation (cdc_connector.cpp:106-107). */
+final case class CdcRowMsg(values: Array[String], nulls: Array[Boolean]) extends CdcMessage
+/** Poll timeout with no buffered payload — end of micro-batch, not failure
+  * (reference cdc_connector.cpp:487-491). */
+case object CdcTimeout extends CdcMessage
+/** Orderly remote close. */
+case object CdcClosed extends CdcMessage
+
+final case class CdcField(name: String, sqlType: String)
+
+object CdcClient {
+  /** Connector identity sent at registration. Plays the role of the
+    * reference's `CDC_CONNECTOR_VERSION` UUID (cdc_connector.cpp:37,45)
+    * with this engine's own name. */
+  val ConnectorUuid = "GRAFT-CDC-CONNECTOR-1.0.0"
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Lowercase hex, reference `bin2hex` (cdc_connector.cpp:51-63). */
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append(HexDigits((b >> 4) & 0xf)).append(HexDigits(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** Auth payload: hex(user + ":") concatenated with hex(SHA1(password)),
+    * all lowercase (reference `generateAuthString`, cdc_connector.cpp:65-77).
+    */
+  def authMessage(user: String, password: String): String = {
+    val sha1 = MessageDigest.getInstance("SHA-1").digest(password.getBytes(UTF_8))
+    hex((user + ":").getBytes(UTF_8)) + hex(sha1)
+  }
+
+  /** A message is a schema iff it has a non-empty `fields` array whose
+    * first element carries a `name` (reference `is_schema`,
+    * cdc_connector.cpp:237-248). */
+  def isSchema(node: JsonNode): Boolean = {
+    val f = node.get("fields")
+    f != null && f.isArray && f.size() > 0 && f.get(0).has("name")
+  }
+
+  /** Field extraction per reference `process_schema`
+    * (cdc_connector.cpp:250-286): prefer `real_type` (original SQL type)
+    * over the Avro `type` (generated-column fallback); a non-textual type
+    * value degrades to varchar(50); missing type → "undefined"; a positive
+    * `length` is appended as "(N)". */
+  def parseSchemaFields(node: JsonNode): Seq[CdcField] = {
+    val out = ArrayBuffer.empty[CdcField]
+    val it = node.get("fields").elements()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.get("name").asText()
+      val typeNode = if (f.has("real_type")) f.get("real_type") else f.get("type")
+      var tpe =
+        if (typeNode == null) "undefined"
+        else if (typeNode.isTextual) typeNode.asText()
+        else "varchar(50)"
+      val lenNode = f.get("length")
+      if (lenNode != null && lenNode.isIntegralNumber && lenNode.asLong() > 0)
+        tpe = s"$tpe(${lenNode.asLong()})"
+      out += CdcField(name, tpe)
+    }
+    out.toSeq
+  }
+
+  /** JSON scalar → string, reference `json_to_string`
+    * (cdc_connector.cpp:80-115). Divergence, documented: reals use Java's
+    * shortest round-trip representation instead of C++ stringstream's
+    * 6-significant-digit truncation — lossless beats faithful-lossy here.
+    * Returns null for JSON null (caller decides ""-vs-NULL per mode);
+    * arrays/objects degrade to "" like the reference's default branch. */
+  def scalarToString(v: JsonNode): String =
+    if (v.isTextual) v.asText()
+    else if (v.isIntegralNumber) v.asLong().toString
+    else if (v.isFloatingPointNumber) {
+      val d = v.asDouble()
+      if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    }
+    else if (v.isBoolean) { if (v.asBoolean()) "true" else "false" }
+    else if (v.isNull) null
+    else ""
+}
+
+/** Blocking MaxScale-CDC wire client: the Spark-side twin of the
+  * reference's `CDC::Connection` (cdc_connector.h:40-153). One instance ==
+  * one TCP session; not thread-safe (the reference is single-threaded too,
+  * SURVEY.md §3.2).
+  *
+  * Lifecycle: `connect()` (TCP + auth + register, reference
+  * cdc_connector.cpp:147-223) → `requestData(table, gtid)` →
+  * `readMessage()` loop → `close()` (sends CLOSE, reference
+  * cdc_connector.cpp:225-235).
+  */
+final class CdcClient(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    timeoutMs: Int) extends AutoCloseable {
+
+  import CdcClient._
+
+  private val mapper = new ObjectMapper()
+  private var socket: Socket = _
+  private var in: InputStream = _
+  private var out: OutputStream = _
+  /** Current schema keys, swapped on every in-band schema message
+    * (reference cdc_connector.cpp:339-344). */
+  private var schemaFields: Seq[CdcField] = Nil
+  /** Carry-over bytes between reads (reference's buffer compaction,
+    * cdc_connector.cpp:459-518, via BufferedInputStream + line assembly). */
+  private val lineBuf = new ArrayBuffer[Byte](8192)
+
+  def currentFields: Seq[CdcField] = schemaFields
+
+  def connect(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
+    socket.setTcpNoDelay(true)
+    in = new BufferedInputStream(socket.getInputStream, 32 * 1024)
+    out = socket.getOutputStream
+    // A2 auth (cdc_connector.cpp:366-403)
+    send(authMessage(user, password))
+    expectOk("authentication")
+    // A3 registration (cdc_connector.cpp:405-443)
+    send(s"REGISTER UUID=$ConnectorUuid, TYPE=JSON")
+    expectOk("registration")
+  }
+
+  /** A4 request-data (cdc_connector.cpp:199-213): server starts streaming;
+    * no OK ack — the first reply is the schema or an ERR payload. */
+  def requestData(table: String, gtid: Option[String]): Unit = {
+    val cmd = gtid.filter(_.nonEmpty)
+      .map(g => s"REQUEST-DATA $table $g")
+      .getOrElse(s"REQUEST-DATA $table")
+    send(cmd)
+  }
+
+  /** Read one framed message. Newline-delimited JSON; schema messages are
+    * decoded and adopted (and surfaced to the caller — unlike the
+    * reference's silent recursion, so the source can fail fast on
+    * mid-stream re-schema, SURVEY.md §1.3). */
+  def readMessage(): CdcMessage = readLine() match {
+    case None => if (lineBuf.nonEmpty && looksLikeErr(lineBuf)) {
+        // MaxScale quirk: ERR payloads may lack the trailing newline
+        // (reference is_error workaround, cdc_connector.cpp:445-457).
+        val err = new String(lineBuf.toArray, UTF_8)
+        lineBuf.clear()
+        throw new CdcProtocolException(err)
+      } else CdcTimeout
+    case Some(null) => CdcClosed
+    case Some(line) =>
+      if (line.isEmpty) readMessage()
+      else if (looksLikeErr(line.getBytes(UTF_8)))
+        throw new CdcProtocolException(line)
+      else {
+        val node =
+          try mapper.readTree(line)
+          catch { case e: Exception =>
+            throw new CdcProtocolException(s"malformed JSON event: ${e.getMessage}")
+          }
+        if (isSchema(node)) {
+          schemaFields = parseSchemaFields(node)
+          CdcSchemaMsg(schemaFields, line)
+        } else decodeRow(node)
+      }
+  }
+
+  /** A10 row decode (reference `process_row`, cdc_connector.cpp:288-319):
+    * project the JSON object onto the current schema keys, in order; a
+    * missing key is an error. */
+  private def decodeRow(node: JsonNode): CdcRowMsg = {
+    if (schemaFields.isEmpty)
+      throw new CdcProtocolException("data row received before any schema message")
+    val n = schemaFields.length
+    val values = new Array[String](n)
+    val nulls = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val key = schemaFields(i).name
+      val v = node.get(key)
+      if (v == null)
+        throw new CdcProtocolException(s"No value for key found: $key")
+      val s = scalarToString(v)
+      if (s == null) { nulls(i) = true; values(i) = "" } else values(i) = s
+      i += 1
+    }
+    CdcRowMsg(values, nulls)
+  }
+
+  /** Sends CLOSE then closes the socket; idempotent (reference
+    * cdc_connector.cpp:225-235). */
+  override def close(): Unit = if (socket != null) {
+    try send("CLOSE") catch { case _: IOException => () }
+    try socket.close() catch { case _: IOException => () }
+    socket = null
+  }
+
+  // ---------------------------------------------------------------- wire
+
+  private def send(msg: String): Unit = {
+    out.write(msg.getBytes(UTF_8))
+    out.flush()
+  }
+
+  private def expectOk(phase: String): Unit = readLine() match {
+    case Some(l) if l != null && l.trim == "OK" => ()
+    case Some(null) => throw new CdcProtocolException(s"connection closed during $phase")
+    case Some(l) => throw new CdcProtocolException(s"$phase failed: $l")
+    case None =>
+      // handshake replies may also arrive ERR-without-newline
+      if (lineBuf.nonEmpty) {
+        val err = new String(lineBuf.toArray, UTF_8)
+        lineBuf.clear()
+        throw new CdcProtocolException(s"$phase failed: $err")
+      } else throw new CdcProtocolException(s"$phase timed out")
+  }
+
+  private def looksLikeErr(bytes: collection.Seq[Byte]): Boolean =
+    bytes.length >= 3 &&
+      (bytes(0) == 'E' || bytes(0) == 'e') &&
+      (bytes(1) == 'R' || bytes(1) == 'r') &&
+      (bytes(2) == 'R' || bytes(2) == 'r')
+
+  /** One '\n'-framed line. None = timeout (partial bytes stay buffered for
+    * the next call — the reference's buffer compaction); Some(null) = EOF. */
+  private def readLine(): Option[String] = {
+    val start = System.nanoTime()
+    while (true) {
+      var i = 0
+      while (i < lineBuf.length) {
+        if (lineBuf(i) == '\n') {
+          val line = new String(lineBuf.slice(0, i).toArray, UTF_8)
+          lineBuf.remove(0, i + 1)
+          return Some(line)
+        }
+        i += 1
+      }
+      val remainMs = timeoutMs - (System.nanoTime() - start) / 1000000
+      if (remainMs <= 0) return None
+      socket.setSoTimeout(math.max(1, remainMs.toInt))
+      val b =
+        try in.read()
+        catch { case _: SocketTimeoutException => return None }
+      if (b < 0) return if (lineBuf.isEmpty) Some(null) else None
+      lineBuf += b.toByte
+      // drain whatever else is already buffered without blocking
+      var avail = in.available()
+      while (avail > 0) {
+        val chunk = new Array[Byte](avail)
+        val got = in.read(chunk)
+        if (got > 0) lineBuf ++= chunk.take(got)
+        avail = if (got > 0) in.available() else 0
+      }
+    }
+    None // unreachable
+  }
+}

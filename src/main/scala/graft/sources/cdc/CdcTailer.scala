@@ -1,0 +1,129 @@
+package graft.sources.cdc
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One buffered change event with its stream position. */
+final case class CdcEvent(gtid: Gtid, values: Array[String], nulls: Array[Boolean])
+
+/** Driver-side stream tailer for the micro-batch source.
+  *
+  * The CDC protocol is a single push socket per table (SURVEY.md §3.4):
+  * there is no "query latest offset" RPC, so — like Spark's own socket
+  * source — the driver owns the connection and buffers decoded events
+  * between `latestOffset` and `commit`. Memory is bounded by
+  * `maxEventsPerBatch` admission control plus commit-time trimming; the
+  * durable position is always the GTID, so a driver restart replays from
+  * the checkpoint via `REQUEST-DATA table gtid` exactly like the
+  * reference's `connect(table, gtid)` resume (cdc_connector.cpp:199-206).
+  *
+  * The server replays from the requested GTID *inclusive*; events at or
+  * before `resumeAfter` are skipped here, which is what makes micro-batch
+  * replay exactly-once downstream (SURVEY.md §7 hard-part 2).
+  */
+final class CdcTailer(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    table: String,
+    expectedFields: Seq[CdcField],
+    resumeAfter: Option[Gtid],
+    timeoutMs: Int) extends Thread(s"graft-cdc-tailer-$table") {
+
+  setDaemon(true)
+
+  private val lock = new Object
+  private val buffer = ArrayBuffer.empty[CdcEvent]
+  @volatile private var fatal: Throwable = _
+  @volatile private var running = true
+  @volatile private var lastGtid: Option[Gtid] = resumeAfter
+
+  private val gtidIdx: Option[(Int, Int, Int)] = {
+    val names = expectedFields.map(_.name)
+    val d = names.indexOf("domain")
+    val s = names.indexOf("server_id")
+    val q = names.indexOf("sequence")
+    if (d >= 0 && s >= 0 && q >= 0) Some((d, s, q)) else None
+  }
+  /** Without GTID metadata columns the stream still works, but offsets are
+    * synthetic positions valid only within this run (documented: resume
+    * requires the server's domain/server_id/sequence fields). */
+  private var syntheticSeq: Long = resumeAfter.map(_.sequence).getOrElse(0L)
+
+  override def run(): Unit = {
+    val client = new CdcClient(host, port, user, password, timeoutMs)
+    try {
+      client.connect()
+      client.requestData(table, resumeAfter.map(_.toString))
+      var sawSchema = false
+      while (running) {
+        client.readMessage() match {
+          case CdcSchemaMsg(fields, _) =>
+            if (!sawSchema) {
+              sawSchema = true
+              if (fields != expectedFields)
+                throw new CdcProtocolException(
+                  s"schema drift between planning and stream start: expected " +
+                    s"$expectedFields, server sent $fields — restart the query")
+            } else if (fields != expectedFields)
+              // Mid-stream DDL re-schema: Spark plans have a fixed schema, so
+              // the controlled answer is fail-and-restart (SURVEY.md §1.3).
+              throw new CdcProtocolException(
+                "mid-stream schema change detected; restart the query to adopt " +
+                  s"the new schema (was $expectedFields, now $fields)")
+          case CdcRowMsg(values, nulls) =>
+            val g = eventGtid(values)
+            // inclusive-replay dedupe on resume
+            if (resumeAfter.forall(g > _)) lock.synchronized {
+              buffer += CdcEvent(g, values, nulls)
+              lastGtid = Some(g)
+            }
+          case CdcTimeout => () // quiet stream; keep polling
+          case CdcClosed =>
+            if (running) throw new CdcProtocolException("server closed the stream")
+        }
+      }
+    } catch {
+      case t: Throwable if running => fatal = t
+      case _: Throwable => () // shutdown race: socket closed under us
+    } finally client.close()
+  }
+
+  private def eventGtid(values: Array[String]): Gtid = gtidIdx match {
+    case Some((d, s, q)) =>
+      Gtid(values(d).toLong, values(s).toLong, values(q).toLong)
+    case None =>
+      syntheticSeq += 1
+      Gtid(0, 0, syntheticSeq)
+  }
+
+  def checkFatal(): Unit = if (fatal != null) throw fatal
+
+  /** Highest buffered position, or the resume point if nothing new. */
+  def latest: Option[Gtid] = lastGtid
+
+  /** Position of at most `max` events after `after` — admission control. */
+  def cappedEnd(after: Option[Gtid], max: Int): Option[Gtid] = lock.synchronized {
+    val pending = buffer.iterator.filter(e => after.forall(e.gtid > _)).take(max).toSeq
+    pending.lastOption.map(_.gtid)
+  }
+
+  /** Events in (start, end] — the micro-batch replay contract. */
+  def slice(start: Option[Gtid], end: Gtid): Array[CdcEvent] = lock.synchronized {
+    buffer.iterator
+      .filter(e => start.forall(e.gtid > _) && e.gtid <= end)
+      .toArray
+  }
+
+  /** Drop events at or below the committed position. */
+  def trimTo(committed: Gtid): Unit = lock.synchronized {
+    val keep = buffer.filter(_.gtid > committed)
+    buffer.clear()
+    buffer ++= keep
+  }
+
+  def shutdown(): Unit = {
+    running = false
+    interrupt()
+  }
+}

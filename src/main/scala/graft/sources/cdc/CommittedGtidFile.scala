@@ -1,0 +1,48 @@
+package graft.sources.cdc
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The source's committed-GTID watermark, persisted under the query
+  * checkpoint so a restarted driver resumes the tailer from the last
+  * committed batch end — the furthest-back position any re-planned
+  * uncommitted batch can need as its start.
+  *
+  * Written via temp-file + rename (the same atomicity discipline Spark's
+  * own HDFSMetadataLog uses); Hadoop FileSystem API so any checkpoint
+  * scheme (file://, hdfs://, s3a://) works.
+  */
+object CommittedGtidFile {
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def path(checkpoint: String): Path =
+    new Path(checkpoint, "graft-cdc-committed-gtid")
+
+  def read(checkpoint: String): Option[Gtid] = {
+    val p = path(checkpoint)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        if (n <= 0) None
+        else GtidOffset.fromJson(new String(bytes, 0, n, UTF_8).trim).gtid
+      } finally in.close()
+    }
+  }
+
+  def write(checkpoint: String, gtid: Gtid): Unit = {
+    val p = path(checkpoint)
+    val f = fs(p)
+    val tmp = new Path(checkpoint, s".graft-cdc-committed-gtid.tmp")
+    val out = f.create(tmp, true)
+    try out.write(gtid.toString.getBytes(UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.connector.read.streaming.Offset
+
+/** GTID `domain-server_id-sequence` (reference `Row::gtid()`,
+  * cdc_connector.h:197-208) — the replication position that
+  * `REQUEST-DATA db.table [gtid]` resumes from (cdc_connector.cpp:199-206).
+  *
+  * Ordering is by `sequence`: one CDC stream is a single server's binlog
+  * for one table, so sequences are monotone within it (domain/server_id
+  * are stream identity, not order).
+  */
+final case class Gtid(domain: Long, serverId: Long, sequence: Long)
+    extends Ordered[Gtid] {
+  override def compare(that: Gtid): Int = java.lang.Long.compare(sequence, that.sequence)
+  override def toString: String = s"$domain-$serverId-$sequence"
+}
+
+object Gtid {
+  def parse(s: String): Gtid = s.split("-") match {
+    case Array(d, sv, sq) => Gtid(d.toLong, sv.toLong, sq.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"malformed GTID '$s' (expected domain-server_id-sequence)")
+  }
+}
+
+/** Structured Streaming offset = GTID string, exactly the resume token the
+  * reference's `connect(table, gtid)` takes (SURVEY.md §3.4). `None` means
+  * "from stream start" (the reference's default gtid="", cdc_connector.h:69).
+  */
+final case class GtidOffset(gtid: Option[Gtid]) extends Offset {
+  /** Spark's OffsetSeqLog stores each source offset as one line; an empty
+    * line would deserialize as "0 sources", so stream-start serializes to
+    * an explicit sentinel instead of "". */
+  override def json(): String = gtid.map(_.toString).getOrElse(GtidOffset.StartJson)
+}
+
+object GtidOffset {
+  val StartJson = "-"
+  val Start: GtidOffset = GtidOffset(None)
+  def fromJson(s: String): GtidOffset =
+    if (s == null || s.isEmpty || s == StartJson) Start
+    else GtidOffset(Some(Gtid.parse(s)))
+}

@@ -1,0 +1,244 @@
+package graft.sources.cdc
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Source options — names mirror the reference's `Connection` ctor and
+  * `connect` arguments (cdc_connector.h:54-69). */
+final case class CdcOptions(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    table: String,
+    startingGtid: Option[String],
+    timeoutSeconds: Int,
+    typed: Boolean,
+    maxEventsPerBatch: Int) {
+  def timeoutMs: Int = timeoutSeconds * 1000
+}
+
+object CdcOptions {
+  def apply(m: CaseInsensitiveStringMap): CdcOptions = {
+    def req(k: String): String = {
+      val v = m.get(k)
+      require(v != null && v.nonEmpty, s"maxscale-cdc: option '$k' is required")
+      v
+    }
+    CdcOptions(
+      host = req("host"),
+      port = m.getInt("port", 4001),
+      user = m.getOrDefault("user", ""),
+      password = m.getOrDefault("password", ""),
+      table = req("table"),
+      startingGtid = Option(m.get("startingGtid")).filter(_.nonEmpty),
+      // reference default timeout: 10 s (cdc_connector.h:52-58)
+      timeoutSeconds = m.getInt("timeoutSeconds", 10),
+      // raw = reference-faithful all-strings with null→"" (SURVEY.md §1.2);
+      // typed = declared-SQL-type casting, the documented improvement.
+      typed = m.getOrDefault("mode", "typed") match {
+        case "typed" => true
+        case "raw"   => false
+        case other => throw new IllegalArgumentException(
+          s"maxscale-cdc: mode must be 'raw' or 'typed', got '$other'")
+      },
+      maxEventsPerBatch = m.getInt("maxEventsPerBatch", 100000))
+  }
+}
+
+/** `spark.readStream.format("maxscale-cdc")` — DataSource V2 provider.
+  *
+  * Schema discovery opens a probe connection and reads the server's
+  * in-band schema message (the reference's connect-time pre-read,
+  * cdc_connector.cpp:214-218, which likewise forces the schema to arrive
+  * before the first row).
+  */
+class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "maxscale-cdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val o = CdcOptions(options)
+    val client = new CdcClient(o.host, o.port, o.user, o.password, o.timeoutMs)
+    try {
+      client.connect()
+      client.requestData(o.table, o.startingGtid)
+      var fields: Seq[CdcField] = null
+      var tries = 0
+      while (fields == null) {
+        client.readMessage() match {
+          case CdcSchemaMsg(f, _) => fields = f
+          case CdcTimeout =>
+            tries += 1
+            if (tries >= 2) throw new CdcProtocolException(
+              s"no schema message from ${o.host}:${o.port} for ${o.table} " +
+                s"within ${2 * o.timeoutSeconds}s")
+          case CdcClosed => throw new CdcProtocolException(
+            "server closed the connection before sending a schema")
+          case _: CdcRowMsg => // impossible: rows precede no schema
+            throw new CdcProtocolException("data row received before schema")
+        }
+      }
+      SqlTypes.toStructType(fields, o.typed)
+    } finally client.close()
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MaxScaleCdcTable(schema,
+      CdcOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"maxscale-cdc:${opts.table}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CdcMicroBatchStream(schema, opts, checkpointLocation)
+      }
+    }
+}
+
+/** Micro-batch planner over the driver-side [[CdcTailer]].
+  *
+  * Offsets are GTIDs (SURVEY.md §3.4): `initialOffset` is the
+  * `startingGtid` option (reference `connect(table, gtid)` semantics).
+  *
+  * Recovery contract: after a restart Spark may re-plan the last
+  * UNcommitted batch with its logged (start, end] range, so the tailer
+  * must resume from the last *committed* position — never later. That
+  * position is persisted under the checkpoint dir on every `commit()`
+  * (written after Spark's own commit log, so a crash between the two only
+  * ever replays extra events, which batch GTID ranges then exclude —
+  * the safe direction). The server replays from the requested GTID and
+  * the tailer's inclusive-skip dedupes, giving each batch exactly its
+  * range (SURVEY.md §7 hard-part 2).
+  */
+class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocation: String)
+    extends MicroBatchStream {
+
+  private val fields: Seq[CdcField] =
+    schema.fields.toSeq.map { f =>
+      val t = if (f.metadata.contains("cdc.sqlType"))
+        f.metadata.getString("cdc.sqlType") else f.dataType.simpleString
+      CdcField(f.name, t)
+    }
+
+  private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
+  /** Last committed position (checkpoint-persisted) — the tailer's resume
+    * point. Always >= startingGtid, never past an uncommitted batch. */
+  @volatile private var resumeHint: Option[Gtid] = {
+    val committed = CommittedGtidFile.read(checkpointLocation)
+    (startGtid.toSeq ++ committed.toSeq)
+      .reduceOption((a: Gtid, b: Gtid) => if (a >= b) a else b)
+  }
+  @volatile private var tailer: CdcTailer = _
+
+  private def ensureTailer(): CdcTailer = synchronized {
+    if (tailer == null) {
+      tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
+        opts.table, fields, resumeHint, opts.timeoutMs)
+      tailer.start()
+    }
+    tailer
+  }
+
+  override def initialOffset(): Offset = GtidOffset(startGtid)
+
+  override def deserializeOffset(json: String): Offset = GtidOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val t = ensureTailer()
+    t.checkFatal()
+    val after = resumeHint
+    GtidOffset(t.cappedEnd(after, opts.maxEventsPerBatch).orElse(after))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GtidOffset].gtid
+    val e = end.asInstanceOf[GtidOffset].gtid
+    val t = ensureTailer()
+    t.checkFatal()
+    e match {
+      case None => Array.empty
+      case Some(endG) =>
+        val events = t.slice(s, endG)
+        if (events.isEmpty) Array.empty
+        else Array(CdcInputPartition(
+          events.map(_.values), events.map(_.nulls)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcPartitionReaderFactory(schema, opts.typed)
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GtidOffset].gtid
+    e.foreach { g =>
+      CommittedGtidFile.write(checkpointLocation, g)
+      resumeHint = Some(g)
+      if (tailer != null) tailer.trimTo(g)
+    }
+  }
+
+  override def stop(): Unit = synchronized {
+    if (tailer != null) tailer.shutdown()
+  }
+}
+
+/** The decoded slice of the single-socket stream. One partition per batch:
+  * a CDC changelog for one table is totally ordered by GTID, so batch
+  * ingest is single-partition by nature; parallelism belongs to the
+  * downstream shuffle (repartition on key), not the wire read.
+  */
+final case class CdcInputPartition(
+    values: Array[Array[String]],
+    nulls: Array[Array[Boolean]]) extends InputPartition
+
+class CdcPartitionReaderFactory(schema: StructType, typed: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    val dts = schema.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.values.length }
+      override def get(): InternalRow = {
+        val vs = p.values(i)
+        val ns = p.nulls(i)
+        val out = new Array[Any](vs.length)
+        var j = 0
+        while (j < vs.length) {
+          out(j) =
+            if (typed) SqlTypes.cast(vs(j), ns(j), dts(j))
+            // raw mode: null→"" exactly like the reference's
+            // json_to_string (cdc_connector.cpp:106-107)
+            else UTF8String.fromString(vs(j))
+          j += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sources.cdc._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure protocol-layer units: auth string format (A2), schema parsing (A9),
+  * value stringification (§1.2), SQL-type mapping (§1.3), GTID (§1.4). */
+class CdcProtocolSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  test("auth message is hex(user:) + hex(sha1(password)), lowercase") {
+    // golden: hex("" + ":") = "3a"; sha1("") = da39a3ee... (public constant)
+    assert(CdcClient.authMessage("", "") ==
+      "3a" + "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+    val m = CdcClient.authMessage("cdcuser", "cdcpass")
+    assert(m.startsWith("636463757365723a")) // hex("cdcuser:")
+    assert(m.length == "cdcuser:".length * 2 + 40)
+    assert(m == m.toLowerCase)
+  }
+
+  test("schema detection requires non-empty fields with a name") {
+    assert(CdcClient.isSchema(mapper.readTree("""{"fields":[{"name":"a"}]}""")))
+    assert(!CdcClient.isSchema(mapper.readTree("""{"fields":[]}""")))
+    assert(!CdcClient.isSchema(mapper.readTree("""{"fields":[{"type":"int"}]}""")))
+    assert(!CdcClient.isSchema(mapper.readTree("""{"id":1,"name":"x"}""")))
+  }
+
+  test("schema fields prefer real_type, degrade non-string types, append length") {
+    val fields = CdcClient.parseSchemaFields(mapper.readTree(
+      """{"fields":[
+        {"name":"a","type":"string","real_type":"varchar","length":255},
+        {"name":"b","type":"int"},
+        {"name":"c","type":["null","string"]},
+        {"name":"d"},
+        {"name":"e","type":"string","real_type":"decimal","length":10}
+      ]}"""))
+    assert(fields == Seq(
+      CdcField("a", "varchar(255)"),
+      CdcField("b", "int"),
+      CdcField("c", "varchar(50)"), // non-textual type degrades (cpp:270)
+      CdcField("d", "undefined"),
+      CdcField("e", "decimal(10)")))
+  }
+
+  test("scalar stringification: null distinct, bools lowered, containers empty") {
+    def s(j: String) = CdcClient.scalarToString(mapper.readTree(j))
+    assert(s(""""x"""") == "x")
+    assert(s("42") == "42")
+    assert(s("true") == "true" && s("false") == "false")
+    assert(s("null") == null)
+    assert(s("""[1,2]""") == "")
+    assert(s("""{"k":1}""") == "")
+    assert(s("1.5") == "1.5")
+  }
+
+  test("SQL type mapping handles MariaDB-isms") {
+    assert(SqlTypes.toSpark("int(11)") == IntegerType)
+    assert(SqlTypes.toSpark("bigint(20)") == LongType)
+    assert(SqlTypes.toSpark("bigint unsigned") == DecimalType(20, 0))
+    assert(SqlTypes.toSpark("varchar(255)") == StringType)
+    assert(SqlTypes.toSpark("decimal(10,2)") == DecimalType(10, 2))
+    assert(SqlTypes.toSpark("datetime") == TimestampType)
+    assert(SqlTypes.toSpark("date") == DateType)
+    assert(SqlTypes.toSpark("tinyint(1)") == ByteType)
+    assert(SqlTypes.toSpark("double") == DoubleType)
+    assert(SqlTypes.toSpark("longblob") == BinaryType)
+    assert(SqlTypes.toSpark("undefined") == StringType)
+    assert(SqlTypes.toSpark("enum('a','b')") == StringType)
+  }
+
+  test("typed cast: numerics, timestamps, null, garbage → null") {
+    assert(SqlTypes.cast("7", isNull = false, IntegerType) == 7)
+    assert(SqlTypes.cast("", isNull = true, IntegerType) == null)
+    assert(SqlTypes.cast("zzz", isNull = false, IntegerType) == null)
+    val micros = SqlTypes.cast("2024-01-02 03:04:05", isNull = false, TimestampType)
+    assert(micros == 1704164645000000L)
+    assert(SqlTypes.cast("2024-01-02", isNull = false, DateType) == 19724)
+  }
+
+  test("GTID parse, order, offset json round-trip") {
+    val g = Gtid.parse("0-1-42")
+    assert(g == Gtid(0, 1, 42))
+    assert(Gtid.parse("0-1-42") < Gtid.parse("0-1-43"))
+    assert(GtidOffset(Some(g)).json() == "0-1-42")
+    assert(GtidOffset.fromJson("0-1-42").gtid.contains(g))
+    assert(GtidOffset.fromJson("").gtid.isEmpty)
+    intercept[IllegalArgumentException](Gtid.parse("bogus"))
+  }
+}

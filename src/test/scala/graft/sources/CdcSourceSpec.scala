@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.cdc.CdcProtocolException
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types._
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+import org.scalatest.time.{Seconds, Span}
+
+import MockMaxScaleServer.{Schema, event}
+import scala.jdk.CollectionConverters._
+
+object CdcSourceSpec {
+  /** Cross-restart sink for the foreachBatch resume test, keyed by batchId:
+    * foreachBatch is at-least-once per batch, so a re-delivered batch
+    * overwrites its slot — exactly the idempotence contract Spark asks of
+    * sinks. Exactly-once then means: batch slices are disjoint and their
+    * union is the full stream. */
+  val collected = new scala.collection.concurrent.TrieMap[Long, Seq[Int]]()
+}
+
+/** End-to-end `readStream.format("maxscale-cdc")` against the mock server:
+  * typed/raw modes, offset progression, checkpointed GTID resume with no
+  * duplicates, mid-stream re-schema failure (SURVEY.md §5 item 4). */
+class CdcSourceSpec extends SparkSpec {
+
+  private def reader(srv: MockMaxScaleServer, mode: String = "typed",
+      gtid: Option[String] = None): DataFrame = {
+    var r = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", srv.port)
+      .option("user", "u").option("password", "p")
+      .option("table", "db.t")
+      .option("timeoutSeconds", 1)
+      .option("mode", mode)
+    gtid.foreach(g => r = r.option("startingGtid", g))
+    r.load()
+  }
+
+  test("typed mode: inferred schema maps declared SQL types") {
+    val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 1, "a")))
+    try {
+      val df = reader(srv)
+      assert(df.schema("id").dataType == IntegerType)
+      assert(df.schema("name").dataType == StringType)
+      assert(df.schema("sequence").dataType == IntegerType)
+      assert(df.schema("name").metadata.getString("cdc.sqlType") == "varchar(64)")
+    } finally srv.close()
+  }
+
+  test("end-to-end micro-batch delivery, then live pushes") {
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 10, "alice"), event(2, "insert", 11, "bob")))
+    try {
+      val q = reader(srv).writeStream.format("memory")
+        .queryName("cdc_e2e").outputMode("append").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_e2e").count() == 2)
+        }
+        srv.push(event(3, "update", 10, "alice2"))
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_e2e").count() == 3)
+        }
+        val rows = spark.table("cdc_e2e").orderBy("sequence").collect()
+        assert(rows.map(_.getAs[Int]("id")).toSeq == Seq(10, 11, 10))
+        assert(rows.last.getAs[String]("event_type") == "update")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("raw mode keeps strings and conflates null with empty, like the reference") {
+    val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 7, null)))
+    try {
+      val df = reader(srv, mode = "raw")
+      assert(df.schema.fields.forall(_.dataType == StringType))
+      val q = df.writeStream.format("memory")
+        .queryName("cdc_raw").outputMode("append").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_raw").count() == 1)
+        }
+        val r = spark.table("cdc_raw").head()
+        assert(r.getAs[String]("id") == "7")
+        assert(r.getAs[String]("name") == "") // null→"" (cpp:106-107)
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("typed mode: JSON null becomes SQL NULL (documented improvement)") {
+    val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 7, null)))
+    try {
+      val q = reader(srv).writeStream.format("memory")
+        .queryName("cdc_null").outputMode("append").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_null").count() == 1)
+        }
+        assert(spark.table("cdc_null").head().isNullAt(
+          spark.table("cdc_null").schema.fieldIndex("name")))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("checkpointed GTID resume: restart continues with no duplicates") {
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 3L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      def start() = reader(srv).writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          CdcSourceSpec.collected(bid) =
+            df.select("sequence").collect().map(_.getInt(0)).toSeq
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+      def delivered: Seq[Int] =
+        CdcSourceSpec.collected.values.flatten.toSeq.sorted
+
+      CdcSourceSpec.collected.clear()
+      val q1 = start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q1.processAllAvailable()
+          assert(delivered == Seq(1, 2, 3))
+        }
+      } finally q1.stop()
+
+      // new events arrive while the query is down
+      srv.push(event(4, "insert", 4, "n4"))
+      srv.push(event(5, "insert", 5, "n5"))
+
+      val q2 = start()
+      try {
+        // the server replays 1-5 inclusively from the checkpoint GTID;
+        // batch GTID ranges must cover 4,5 exactly once and never
+        // re-assign 1-3 to a NEW batch (a re-delivered batchId overwrites
+        // its slot above, which is the sink idempotence Spark contracts)
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q2.processAllAvailable()
+          assert(delivered == Seq(1, 2, 3, 4, 5))
+        }
+      } finally q2.stop()
+    } finally srv.close()
+  }
+
+  test("startingGtid option starts mid-stream") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 4L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      // REQUEST-DATA replays from 0-1-2 inclusive; startingGtid is the
+      // "already processed" position, so delivery begins AFTER it.
+      val q = reader(srv, gtid = Some("0-1-2")).writeStream.format("memory")
+        .queryName("cdc_gtid").outputMode("append").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_gtid").count() == 2)
+        }
+        val seqs = spark.table("cdc_gtid").orderBy("sequence")
+          .collect().map(_.getAs[Int]("sequence")).toSeq
+        assert(seqs == Seq(3, 4))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("mid-stream re-schema fails the query with a restart instruction") {
+    val schema2 = Schema.replace("\"length\":64", "\"length\":128")
+    val srv = new MockMaxScaleServer(Schema,
+      Seq(event(1, "insert", 1, "a"), event(2, "insert", 2, "b")),
+      midStreamSchemaAfter = Some((1, schema2)))
+    try {
+      val q = reader(srv).writeStream.format("memory")
+        .queryName("cdc_reschema").outputMode("append").start()
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(c => c.isInstanceOf[CdcProtocolException] &&
+        c.getMessage.contains("schema change")))
+    } finally srv.close()
+  }
+}

@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.io.{InputStream, OutputStream}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.CopyOnWriteArrayList
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import scala.jdk.CollectionConverters._
+
+/** In-JVM mock of MaxScale's CDC protocol endpoint (loopback only, no
+  * external network): auth → OK, REGISTER → OK, REQUEST-DATA →
+  * schema + newline-JSON events, with GTID-inclusive replay — the
+  * server-side counterpart of the behavior catalogued in SURVEY.md §2.1.
+  *
+  * Knobs simulate every failure mode the reference handles: auth
+  * rejection, ERR-without-newline after REQUEST-DATA, quiet streams
+  * (timeout), mid-stream re-schema, abrupt close.
+  */
+final class MockMaxScaleServer(
+    schemaJson: String,
+    initialEvents: Seq[String] = Nil,
+    rejectAuth: Boolean = false,
+    expectedAuth: Option[String] = None,
+    errOnRequest: Option[String] = None,
+    midStreamSchemaAfter: Option[(Int, String)] = None,
+    closeAfterEvents: Option[Int] = None) extends AutoCloseable {
+
+  private val mapper = new ObjectMapper()
+  private val events = new CopyOnWriteArrayList[String]()
+  initialEvents.foreach(events.add)
+
+  @volatile private var schema = schemaJson
+  @volatile private var running = true
+  @volatile var lastRequestData: String = _
+  @volatile var lastAuth: String = _
+
+  private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  /** Append a live event (visible to connected + future clients). */
+  def push(eventJson: String): Unit = events.add(eventJson)
+
+  private val acceptor = new Thread("mock-maxscale-acceptor") {
+    setDaemon(true)
+    override def run(): Unit =
+      while (running) {
+        try {
+          val s = server.accept()
+          val h = new Thread(() => handle(s))
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Exception => () }
+      }
+  }
+  acceptor.start()
+
+  private def seqOf(json: String): Long = {
+    val n = mapper.readTree(json).get("sequence")
+    if (n == null) Long.MinValue else n.asLong()
+  }
+
+  private def handle(s: Socket): Unit = {
+    try {
+      s.setSoTimeout(200)
+      val in = s.getInputStream
+      val out = s.getOutputStream
+
+      // --- auth: one hex chunk
+      lastAuth = readChunk(in)
+      if (rejectAuth || expectedAuth.exists(_ != lastAuth)) {
+        write(out, "ERR: authentication failed\n"); return
+      }
+      write(out, "OK\n")
+
+      // --- registration
+      val reg = readChunk(in)
+      if (!reg.startsWith("REGISTER UUID=") || !reg.contains("TYPE=JSON")) {
+        write(out, s"ERR: bad registration '$reg'\n"); return
+      }
+      write(out, "OK\n")
+
+      // --- request-data
+      val req = readChunk(in)
+      if (req.startsWith("CLOSE")) return
+      lastRequestData = req
+      errOnRequest.foreach { e => write(out, e); return } // note: no newline
+      if (errOnRequest.isDefined) return
+      val parts = req.split("\\s+")
+      require(parts(0) == "REQUEST-DATA", s"unexpected command '$req'")
+      // GTID replay is INCLUSIVE of the requested position, like the real
+      // server replaying binlog from a GTID.
+      val fromSeq: Long =
+        if (parts.length >= 3) parts(2).split("-")(2).toLong else Long.MinValue
+
+      write(out, schema + "\n")
+      var sent = 0
+      var idx = 0
+      var schemaSwapped = false
+      while (running && !s.isClosed) {
+        // pick up new events as they are pushed
+        val snapshot = events.asScala.toVector
+        while (idx < snapshot.length) {
+          val ev = snapshot(idx)
+          idx += 1
+          if (seqOf(ev) >= fromSeq || seqOf(ev) == Long.MinValue) {
+            midStreamSchemaAfter.foreach { case (n, s2) =>
+              if (sent == n && !schemaSwapped) { write(out, s2 + "\n"); schemaSwapped = true }
+            }
+            closeAfterEvents.foreach { n => if (sent >= n) { s.close(); return } }
+            write(out, ev + "\n")
+            sent += 1
+          }
+        }
+        // poll for CLOSE from the client without busy-waiting
+        try {
+          val cmd = readChunk(in)
+          if (cmd.startsWith("CLOSE")) { s.close(); return }
+        } catch { case _: SocketTimeoutException => () }
+      }
+    } catch {
+      case _: Exception => ()
+    } finally { try s.close() catch { case _: Exception => () } }
+  }
+
+  private def readChunk(in: InputStream): String = {
+    val buf = new Array[Byte](4096)
+    val n = in.read(buf)
+    if (n < 0) throw new SocketTimeoutException("closed")
+    new String(buf, 0, n, UTF_8)
+  }
+
+  private def write(out: OutputStream, s: String): Unit = {
+    out.write(s.getBytes(UTF_8)); out.flush()
+  }
+
+  override def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => () }
+  }
+}
+
+object MockMaxScaleServer {
+  /** Schema for a tiny `db.t` table with the standard CDC metadata columns
+    * (domain/server_id/sequence/event_number/timestamp/event_type) plus two
+    * user columns — the shape MaxScale's avro schema takes. */
+  val Schema: String =
+    """{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","fields":[
+      |{"name":"domain","type":"int","real_type":"int","length":-1},
+      |{"name":"server_id","type":"int","real_type":"int","length":-1},
+      |{"name":"sequence","type":"int","real_type":"int","length":-1},
+      |{"name":"event_number","type":"int","real_type":"int","length":-1},
+      |{"name":"timestamp","type":"int","real_type":"int","length":-1},
+      |{"name":"event_type","type":"string","real_type":"varchar","length":32},
+      |{"name":"id","type":"int","real_type":"int","length":-1},
+      |{"name":"name","type":"string","real_type":"varchar","length":64}
+      |]}""".stripMargin.replace("\n", "")
+
+  def event(seq: Long, eventType: String, id: Int, name: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+      s""""timestamp":${1700000000 + seq},"event_type":"$eventType","id":$id,""" +
+      (if (name == null) s""""name":null}""" else s""""name":"$name"}""")
+}
