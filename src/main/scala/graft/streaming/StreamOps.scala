@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.2 `s_*` rows) — the
+  * streaming twins of the batch contract queries, built on watermarks and
+  * `flatMapGroupsWithState`. Each transform is sink-agnostic: it maps a
+  * streaming DataFrame to a streaming DataFrame, so callers compose with
+  * the maxscale-cdc source and any sink.
+  *
+  * Scale notes: every stateful op below shuffles once on its grouping key
+  * and keeps per-key state in the state store — at 1000 executors state is
+  * hash-partitioned by key, and the watermark bounds its size for the
+  * windowed/dedup ops. `latestState*` keeps exactly one row per key, the
+  * same footprint as the batch `q_cdc_snapshot` result it mirrors.
+  */
+object StreamOps {
+
+  /** `s_win_tumble`: per-`event_type` counts in tumbling windows, late data
+    * bounded by the watermark. Batch twin: `q_win_tumble_batch` (oracle ✓). */
+  def tumblingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLength: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
+    * watermark instead of growing forever — the scale-safe variant of
+    * plain `dropDuplicates`. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String = "ts",
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** `s_latest_state`, typed form: running latest-event-per-key — the
+    * streaming `q_cdc_snapshot`. Emits the new latest row for every key
+    * touched in a micro-batch (Update output mode). */
+  def latestState[K: Encoder, T](
+      ds: Dataset[T],
+      key: T => K,
+      isNewer: (T, T) => Boolean)(implicit te: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, T](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          var latest = state.getOption
+          rows.foreach { r =>
+            if (latest.forall(isNewer(r, _))) latest = Some(r)
+          }
+          latest match {
+            case Some(l) => state.update(l); Iterator.single(l)
+            case None    => Iterator.empty
+          }
+      }
+
+  /** `s_latest_state` over an untyped changelog (e.g. the maxscale-cdc
+    * source in raw or typed mode): latest row per `keyCol` ordered by a
+    * monotone `seqCol` — for CDC streams that is the GTID `sequence`, so
+    * this materializes the table's current state from its change stream.
+    */
+  def latestStateRows(df: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] = Encoders.row(df.schema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val seqIdx = df.schema.fieldIndex(seqCol)
+    def seqOf(r: org.apache.spark.sql.Row): Long =
+      r.get(seqIdx) match {
+        case n: Number => n.longValue()
+        case s: String => s.toLong
+        case other     => throw new IllegalArgumentException(
+          s"sequence column $seqCol must be numeric, got $other")
+      }
+    latestState[String, org.apache.spark.sql.Row](
+      df,
+      r => String.valueOf(r.get(keyIdx)),
+      (a, b) => seqOf(a) > seqOf(b))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.sources.MockMaxScaleServer
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+import org.scalatest.time.{Seconds, Span}
+
+case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+
+/** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
+  * item 4) plus the CDC-source → latest-state integration — the full
+  * "changelog in, materialized table out" pipeline. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("s_win_tumble: tumbling counts per event_type, late data dropped by watermark") {
+    val in = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingCounts(in.toDF(), watermark = "2 minutes")
+      .writeStream.format("memory").queryName("s_tumble").outputMode("update").start()
+    try {
+      in.addData(
+        Ev(1, 1, ts(0, 10), "click"), Ev(2, 1, ts(0, 40), "click"),
+        Ev(3, 2, ts(1, 5), "view"))
+      q.processAllAvailable()
+      val t1 = spark.table("s_tumble").as[(Timestamp, String, Long)].collect().toSet
+      assert(t1.contains((ts(0), "click", 2L)))
+      assert(t1.contains((ts(1), "view", 1L)))
+
+      // advance event time far ahead → watermark passes 10:00 windows
+      in.addData(Ev(4, 3, ts(9), "click"))
+      q.processAllAvailable()
+      // this event is > 2 min behind the watermark (09:09 - 2min > 00:30): dropped
+      in.addData(Ev(5, 1, ts(0, 30), "click"))
+      q.processAllAvailable()
+      val counts = spark.table("s_tumble").as[(Timestamp, String, Long)]
+        .collect().groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max)
+      assert(counts((ts(0), "click")) == 2L) // still 2 — late row discarded
+    } finally q.stop()
+  }
+
+  test("s_dedup_stream: duplicate event_ids collapse across micro-batches") {
+    val in = MemoryStream[Ev](spark)
+    val q = StreamOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    try {
+      in.addData(Ev(1, 1, ts(0), "click"), Ev(1, 1, ts(0), "click"), Ev(2, 1, ts(1), "view"))
+      q.processAllAvailable()
+      in.addData(Ev(1, 1, ts(0, 30), "click"), Ev(3, 2, ts(1, 30), "purchase"))
+      q.processAllAvailable()
+      val ids = spark.table("s_dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("s_latest_state: running latest row per user (streaming q_cdc_snapshot)") {
+    val in = MemoryStream[Ev](spark)
+    val latest = StreamOps.latestState[Long, Ev](
+      in.toDS(), _.user_id,
+      (a, b) => Ordering[(Long, Long)].gt(
+        (a.ts.getTime, a.event_id), (b.ts.getTime, b.event_id)))
+    val q = latest.writeStream.format("memory")
+      .queryName("s_latest").outputMode("update").start()
+    try {
+      in.addData(Ev(1, 1, ts(0), "signup"), Ev(2, 1, ts(1), "click"), Ev(3, 2, ts(0), "signup"))
+      q.processAllAvailable()
+      in.addData(Ev(4, 2, ts(2), "purchase"), Ev(5, 1, ts(1, 30), "view"))
+      q.processAllAvailable()
+      // last update emitted per user must be the true latest
+      val byUser = spark.table("s_latest").as[Ev].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(e => (e.ts.getTime, e.event_id))).toMap
+      assert(byUser(1L).event_id == 5 && byUser(1L).event_type == "view")
+      assert(byUser(2L).event_id == 4 && byUser(2L).event_type == "purchase")
+    } finally q.stop()
+  }
+
+  test("cdc source -> latestStateRows materializes current table state") {
+    import MockMaxScaleServer.{Schema, event}
+    // changelog: insert id=1, insert id=2, update id=1 — current state has
+    // id=1 at name v2
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 1, "v1"),
+      event(2, "insert", 2, "w1"),
+      event(3, "update_after", 1, "v2")))
+    try {
+      val cdc = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .load()
+      val q = StreamOps.latestStateRows(cdc, keyCol = "id", seqCol = "sequence")
+        .writeStream.format("memory").queryName("s_cdc_latest")
+        .outputMode("update").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          val state = spark.table("s_cdc_latest")
+            .collect().groupBy(_.getAs[Int]("id"))
+            .view.mapValues(_.maxBy(_.getAs[Int]("sequence"))).toMap
+          assert(state.keySet == Set(1, 2))
+          assert(state(1).getAs[String]("name") == "v2")
+          assert(state(1).getAs[String]("event_type") == "update_after")
+          assert(state(2).getAs[String]("name") == "w1")
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
