@@ -20,7 +20,8 @@ object SparkEntry {
     Scalars,
     Cdc,
     TextOps,
-    Similarity
+    Similarity,
+    Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` + typed
+  * metadata, with decode / feature-extract / resize / frame-sample as
+  * partition-mapped transforms — the JVM analog of `mapInPandas`: each
+  * partition is processed in bounded batches ([[Multimodal.BatchSize]]
+  * rows), so a real decoder would amortize codec/model init per batch
+  * exactly like an Arrow batch UDF.
+  *
+  * The decode kernels are STUBS — deterministic fakes, clearly marked:
+  * this container has no image/audio libraries, so the fakes stand in
+  * where ImageIO/ffmpeg/soundfile calls would go. Everything around them
+  * (schemas, Encoders, batch shape, partitioning, explode cardinality,
+  * downstream aggregation) is real and oracle-/property-tested.
+  *
+  * Scale notes: decode parallelism == partition count of the binary
+  * column's source; callers repartition before heavy decode so a
+  * 1000-executor cluster fans out evenly. Nothing here collects to the
+  * driver; frame-sampling is a flatMap (no shuffle), metadata extraction
+  * is a map, and only the per-media aggregation shuffles (by media_id).
+  */
+object Multimodal extends QueryPack {
+
+  /** One media object: id + modality tag + opaque payload. */
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  final case class MediaMeta(media_id: Long, n_bytes: Long, width: Int, height: Int)
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** mapInPandas-style batch size: a real decoder initializes its codec
+    * once per batch, not once per row. */
+  val BatchSize = 64
+  val FrameBytes = 256
+  val SampleEvery = 4
+  val FeatureDim = 16
+
+  /** The `documents` table as a media table: UTF-8 payload bytes standing
+    * in for encoded images (the driver testdata ships no binary modality;
+    * deriving bytes deterministically keeps the DuckDB oracle viable). */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+
+  // ------------------------------------------------------------- kernels
+
+  /** STUB image decode — deterministic fake of "parse header, return
+    * dimensions": width from payload size, height from the first byte.
+    * A real implementation replaces ONLY this function body with e.g.
+    * `javax.imageio.ImageIO.read(new ByteArrayInputStream(content))`. */
+  def decodeDimsStub(content: Array[Byte]): (Int, Int) = {
+    val w = 1 + (content.length % 640)
+    val h = 1 + ((if (content.nonEmpty) content(0) & 0xff else 0) % 480)
+    (w, h)
+  }
+
+  /** STUB resize — fake pixel buffer of exactly width*height bytes filled
+    * from the source payload (a real impl would decode, scale, re-encode).
+    * Output size is the contract a real resize must also satisfy. */
+  def resizeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    if (content.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = content(i % content.length); i += 1 }
+    }
+    out
+  }
+
+  /** STUB feature extraction — deterministic per-dimension rolling hash in
+    * [0,1), standing in for an embedding model forward pass. Dimension and
+    * determinism are the tested contract. */
+  def featuresStub(content: Array[Byte]): Array[Float] =
+    Array.tabulate(FeatureDim) { d =>
+      var h = 1125899906842597L + d * 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < content.length) {
+        h = h * 1000003L + (content(i) & 0xff) + d
+        i += 1
+      }
+      (java.lang.Math.floorMod(h, 100000L)) / 100000.0f
+    }
+
+  // --------------------------------------------------------- transforms
+
+  /** Decode metadata for every media object — batched mapPartitions, the
+    * mapInPandas shape (iterator of batches in, iterator of batches out). */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // real decoders init their codec here, once per batch
+        batch.map { m =>
+          val (w, h) = decodeDimsStub(m.content)
+          MediaMeta(m.media_id, m.content.length.toLong, w, h)
+        }
+      }
+    }
+  }
+
+  /** Sample every [[SampleEvery]]-th fixed-size frame from a payload —
+    * the video frame-sampling shape: one row in, 0..n frame rows out
+    * (flatMap; no shuffle). */
+  def frameSample(media: Dataset[MediaRow]): Dataset[MediaFrame] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFrame]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          val nChunks = (m.content.length + FrameBytes - 1) / FrameBytes
+          Iterator.range(0, nChunks, SampleEvery).map { ci =>
+            val from = ci * FrameBytes
+            val until = math.min(from + FrameBytes, m.content.length)
+            MediaFrame(m.media_id, ci, java.util.Arrays.copyOfRange(m.content, from, until))
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-media feature vectors (embedding-model stand-in). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(m =>
+        MediaFeatures(m.media_id, featuresStub(m.content))))
+    }
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** Binary decode metadata, oracle-checked: the stub's arithmetic is
+    * reproducible in SQL from the text the payload was derived from. */
+  val qMediaMeta: Q = Q(
+    "q_media_meta",
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+             CAST(1 + ascii(substr(text, 1, 1)) % 480 AS INT) AS height
+      FROM documents
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    decodeMeta(mediaFromDocuments(s, dir))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling, oracle-checked via the explode cardinality and byte
+    * accounting (DuckDB generate_series reproduces the chunk walk). */
+  val qMediaFrames: Q = Q(
+    "q_media_frames",
+    Some(s"""
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      g AS (SELECT i FROM generate_series(0, 1048576, $SampleEvery) AS t(i)),
+      f AS (
+        SELECT m.doc_id, g.i,
+               LEAST($FrameBytes, m.n - g.i * $FrameBytes) AS frame_bytes
+        FROM m JOIN g ON g.i * $FrameBytes < m.n)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(frame_bytes) AS BIGINT) AS n_frame_bytes
+      FROM f GROUP BY doc_id
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    frameSample(mediaFromDocuments(s, dir))
+      .toDF()
+      .groupBy(col("media_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame"))).cast("long").as("n_frame_bytes"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames)
+}
