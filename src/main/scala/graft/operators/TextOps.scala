@@ -113,6 +113,12 @@ object TextOps extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (s, dir) =>
+    // Bands self-join with a shuffle-hash hint: both sides are the same
+    // subplan, so forcing a shuffle join (instead of broadcast) lets
+    // ReusedExchange compute the shingle+signature pipeline ONCE and
+    // shuffle it once — broadcast would plan it twice. (An intra-bucket
+    // pair-expansion variant was measured slower: Spark's higher-order
+    // lambdas evaluate interpreted, pairs via join stay in codegen.)
     val sig = minhashSignatures(s, dir)
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until Rows).map(r => col(s"m${b * Rows + r}"))
@@ -120,7 +126,7 @@ object TextOps extends QueryPack {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -149,11 +155,13 @@ object TextOps extends QueryPack {
       ORDER BY doc_a, doc_b
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // Self-join on (band, key) with a shuffle-hash hint so ReusedExchange
+    // computes the fingerprint pass once (see q_minhash_dedup note).
     val fp = simhashFingerprints(s, dir)
     val bands = fp.select(col("doc_id"), col("fp"),
         explode(expr("transform(sequence(0,3), b -> named_struct('band', b, 'key', shiftright(fp, 8*b) & 255))")).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id") &&
              bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 6)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -163,19 +171,25 @@ object TextOps extends QueryPack {
   }
 
   /** 32-bit SimHash fingerprints (doc_id, fp): per bit, the balance of
-    * token-hash bits (duplicates weighted by frequency), sign → bit. */
+    * token-hash bits (duplicates weighted by frequency), sign → bit.
+    *
+    * One hash-aggregate with 32 conditional sums per doc — NOT a 32-way
+    * bit explode (which would multiply the shuffle by 32; at corpus scale
+    * that is the difference between one pass and a 32x wider one).
+    * bal_b > 0 ⇔ 2*popcount_b > n_tokens, so this is bit-identical to the
+    * balance formulation the DuckDB oracle uses. */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    th.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).as("bal"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("fp"))
+    val bitCounts = (0 until 32).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+    val fpBits = (0 until 32).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+    th.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+      .select(col("doc_id"), fpBits.reduce(_ + _).as("fp"))
   }
 
   // ----------------------------------------------------------- ngram jaccard
@@ -186,9 +200,10 @@ object TextOps extends QueryPack {
     "q_ngram_jaccard",
     Some(s"""
       WITH $shingleSqlCte,
-      ds AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      hs AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
+      ds AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT da AS doc_a, db AS doc_b,
              CAST(round(CAST(i AS DECIMAL(18,9)) / (x.n + y.n - i), 6) AS DOUBLE) AS jaccard
@@ -197,10 +212,22 @@ object TextOps extends QueryPack {
       ORDER BY doc_a, doc_b
       """.stripMargin.trim)
   ) { (s, dir) =>
-    val sh = shingled(Tables.documents(s, dir))
-    val ds = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // Inverted-index self-join on the 60-bit shingle hash (8-byte key, not
+    // the 3-word string; both engines hash identically so even a collision
+    // is mirrored). shuffle_hash hint → ReusedExchange computes the
+    // shingle+md5 pass once; per-doc shingle counts come straight off the
+    // token arrays — no second explode.
+    val docs = Tables.documents(s, dir)
+    val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
+    val ds = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN size(array_distinct(transform(sequence(1, size(toks)-2),
+          |     i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))))
+          |ELSE 0 END""".stripMargin).cast("long").as("n"))
+    val inter = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
     inter
