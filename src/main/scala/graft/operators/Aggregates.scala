@@ -186,7 +186,34 @@ object Aggregates extends QueryPack {
       """)
   }
 
-  override def all: Seq[Q] = Seq(
+  /** Exact percentiles (type-7 linear interpolation in both engines);
+    * the exact form is the oracle for any approx-sketch variant. */
+  val qPercentile: Q = Q(
+    "q_percentile",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.5)  AS p50,
+             quantile_cont(l_extendedprice, 0.9)  AS p90,
+             quantile_cont(l_extendedprice, 0.99) AS p99,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  override def all: Seq[Q] = Seq(qPercentile,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

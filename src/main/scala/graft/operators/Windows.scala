@@ -133,6 +133,44 @@ object Windows extends QueryPack {
       .orderBy("window_start", "event_type")
   }
 
+  /** Per-user session windows (5-minute inactivity gap) over the events
+    * stream table — `session_window` in batch mode; the streaming twin is
+    * the same expression under a watermark. Timestamps are truncated to
+    * seconds first so Spark-µs vs DuckDB-ns precision can't move a
+    * boundary; a gap of exactly 5 min starts a NEW session in both
+    * formulations (Spark session intervals are [start, end)). */
+  val qSessionWindow: Q = Q(
+    "q_session_window",
+    Some("""
+      WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+      x AS (SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      y AS (SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 5 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM y GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   override def all: Seq[Q] = Seq(
-    qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch)
+    qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch,
+    qSessionWindow)
 }

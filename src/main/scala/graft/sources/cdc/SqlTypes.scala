@@ -33,7 +33,10 @@ object SqlTypes {
         case "float"                       => FloatType
         case "double" | "real" | "double precision" => DoubleType
         case "decimal" | "numeric" | "fixed" =>
-          DecimalType(prec.getOrElse(10), scale.getOrElse(0))
+          // MariaDB allows decimal(65,38); Spark caps precision at 38 —
+          // clamp (documented narrowing; raw mode remains lossless).
+          val p = math.min(prec.getOrElse(10), DecimalType.MAX_PRECISION)
+          DecimalType(p, math.min(scale.getOrElse(0), p))
         case "date"                        => DateType
         case "datetime" | "timestamp"      => TimestampType
         case "year"                        => IntegerType

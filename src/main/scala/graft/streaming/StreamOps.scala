@@ -64,6 +64,51 @@ object StreamOps {
           }
       }
 
+  /** Full CDC apply: like [[latestStateRows]] but honoring delete events —
+    * a delete clears the key's state and emits the delete row itself as a
+    * tombstone (the output is the *changelog of the materialized table*,
+    * which is what a retraction-capable sink consumes; a later insert for
+    * the same key resurrects it). `update_before` events are skipped: the
+    * paired `update_after` carries the new image (MaxScale's event_type
+    * vocabulary: insert / update_before / update_after / delete).
+    */
+  def applyChangelogRows(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String = "event_type",
+      deleteOp: String = "delete",
+      skipOps: Set[String] = Set("update_before")): DataFrame = {
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] = Encoders.row(df.schema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val seqIdx = df.schema.fieldIndex(seqCol)
+    val opIdx = df.schema.fieldIndex(opCol)
+    def seqOf(r: org.apache.spark.sql.Row): Long =
+      r.get(seqIdx).asInstanceOf[Number].longValue()
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .flatMapGroupsWithState[org.apache.spark.sql.Row, org.apache.spark.sql.Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          // newest event in GTID order decides the key's fate
+          var latest = state.getOption
+          var changed = false
+          rows.foreach { r =>
+            val op = String.valueOf(r.get(opIdx))
+            if (!skipOps.contains(op) && latest.forall(l => seqOf(r) > seqOf(l))) {
+              latest = Some(r); changed = true
+            }
+          }
+          latest match {
+            case Some(l) if changed =>
+              if (String.valueOf(l.get(opIdx)) == deleteOp) state.remove()
+              else state.update(l)
+              Iterator.single(l)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   /** `s_latest_state` over an untyped changelog (e.g. the maxscale-cdc
     * source in raw or typed mode): latest row per `keyCol` ordered by a
     * monotone `seqCol` — for CDC streams that is the GTID `sequence`, so

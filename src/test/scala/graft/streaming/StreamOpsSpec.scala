@@ -9,6 +9,7 @@ import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
 import org.scalatest.time.{Seconds, Span}
 
 case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+case class Cdc(sequence: Long, event_type: String, id: Long, name: String)
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -76,6 +77,33 @@ class StreamOpsSpec extends SparkSpec {
         .groupBy(_.user_id).view.mapValues(_.maxBy(e => (e.ts.getTime, e.event_id))).toMap
       assert(byUser(1L).event_id == 5 && byUser(1L).event_type == "view")
       assert(byUser(2L).event_id == 4 && byUser(2L).event_type == "purchase")
+    } finally q.stop()
+  }
+
+  test("applyChangelogRows: deletes tombstone, update_before skipped, insert resurrects") {
+    val in = MemoryStream[Cdc](spark)
+    val q = StreamOps.applyChangelogRows(in.toDF(), keyCol = "id", seqCol = "sequence")
+      .writeStream.format("memory").queryName("s_apply").outputMode("update").start()
+    try {
+      in.addData(
+        Cdc(1, "insert", 1, "a1"),
+        Cdc(2, "insert", 2, "b1"),
+        Cdc(3, "update_before", 1, "a1"), // old image — must not win
+        Cdc(4, "update_after", 1, "a2"))
+      q.processAllAvailable()
+      in.addData(Cdc(5, "delete", 2, "b1"))
+      q.processAllAvailable()
+      in.addData(Cdc(6, "insert", 2, "b2")) // resurrection after delete
+      q.processAllAvailable()
+
+      val out = spark.table("s_apply").as[Cdc].collect()
+      val lastById = out.groupBy(_.id).view.mapValues(_.maxBy(_.sequence)).toMap
+      assert(lastById(1).event_type == "update_after" && lastById(1).name == "a2")
+      assert(lastById(2).event_type == "insert" && lastById(2).name == "b2")
+      // the delete tombstone for id=2 was emitted before the resurrection
+      assert(out.exists(r => r.id == 2 && r.event_type == "delete"))
+      // update_before never emitted as a state image
+      assert(!out.exists(_.event_type == "update_before"))
     } finally q.stop()
   }
 
