@@ -213,7 +213,35 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
-  override def all: Seq[Q] = Seq(qPercentile,
+  /** Pivot: order counts + exact revenue by status across priorities —
+    * `.pivot()` compiles to the same conditional aggregation the oracle
+    * spells out, so results align column-for-column. */
+  val qPivot: Q = Q(
+    "q_pivot",
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_F,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_O,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_P,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_F
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("rev"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_cnt"), lit(0L)).as("cnt_F"),
+        coalesce(col("O_cnt"), lit(0L)).as("cnt_O"),
+        coalesce(col("P_cnt"), lit(0L)).as("cnt_P"),
+        col("F_rev").cast("double").as("rev_F"))
+      .orderBy("o_orderpriority")
+  }
+
+  override def all: Seq[Q] = Seq(qPercentile, qPivot,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

@@ -194,9 +194,72 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Right outer join — null-extended customers with no orders. */
+  val qJoinRight: Q = Q(
+    "q_join_right",
+    Some("""
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+      ORDER BY c.c_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir).as("o")
+      .join(Tables.customer(s, dir).as("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "right_outer")
+      .groupBy(col("c.c_custkey"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join — per-nation customer vs supplier counts with both
+    * sides null-extendable. */
+  val qJoinFull: Q = Q(
+    "q_join_full",
+    Some("""
+      WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT coalesce(c.nk, s.nk) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nationkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.as("c").join(su.as("s"), col("c.nk") === col("s.nk"), "full_outer")
+      .select(coalesce(col("c.nk"), col("s.nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Salted skew join (Skew.saltedJoin): identical semantics to the plain
+    * inner join — the oracle IS the unsalted SQL — with the hot-key rows
+    * spread across 8 sub-keys. */
+  val qJoinSalted: Q = Q(
+    "q_join_salted",
+    Some("""
+      SELECT o.o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey
+      ORDER BY o.o_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Skew.saltedJoin(Tables.orders(s, dir), Tables.customer(s, dir),
+        "o_custkey", "c_custkey", salts = 8)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      .orderBy("o_custkey")
+  }
+
   override def all: Seq[Q] = Seq(
-    qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinMulti,
-    qJoinBroadcast, qJoinTheta, qJoinAsof)
+    qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinMulti, qJoinBroadcast, qJoinTheta, qJoinAsof, qJoinSalted)
 }
 
 /** Generic as-of join via the union + carry-forward technique.

@@ -403,7 +403,28 @@ object TextOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** The canonical corpus op: global token frequencies, top 50 with a
+    * total tiebreak — explode + hash agg + TakeOrderedAndProject. */
+  val qWordcount: Q = Q(
+    "q_wordcount",
+    Some("""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 50
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
-    qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint)
+    qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
+    qWordcount)
 }

@@ -170,7 +170,55 @@ object Windows extends QueryPack {
       .orderBy("user_id", "session_start")
   }
 
+  /** RANGE frame: 30-day trailing revenue per customer — a value-based
+    * frame (vs q_win_running's row-based one), ordered on a day number so
+    * both engines frame identically. */
+  val qWinRange: Q = Q(
+    "q_win_range",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val dayNo = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNo)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distribution analytics: ntile / percent_rank / cume_dist per market
+    * segment (ratios of ranks — deterministic doubles). */
+  val qWinNtile: Q = Q(
+    "q_win_ntile",
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, c_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   override def all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch,
-    qSessionWindow)
+    qSessionWindow, qWinRange, qWinNtile)
 }

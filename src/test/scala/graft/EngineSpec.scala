@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Engine plumbing: SQL registration of native expressions and the salted
+  * skew-join equivalence. */
+class EngineSpec extends SparkSpec {
+
+  test("graft_dot is usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 32.0)
+    // float arrays too (the embeddings column type)
+    val f = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(f == 3.0)
+  }
+
+  test("GraftExtensions injects graft_dot into a function registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graft.GraftExtensions().apply(ext)
+    // the imperative seam registers the same builder; both paths share it
+    val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    GraftFunctions.registerInto(registry)
+    assert(registry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "o_custkey")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
