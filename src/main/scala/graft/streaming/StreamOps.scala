@@ -32,6 +32,25 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
 
+  /** Streaming session windows: per-key event counts in
+    * inactivity-gap sessions (batch twin: `q_session_window`, oracle ✓).
+    * Session state merges under the watermark and finalizes (Append mode)
+    * once the watermark passes a session's close. */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
     * watermark instead of growing forever — the scale-safe variant of
     * plain `dropDuplicates`. */

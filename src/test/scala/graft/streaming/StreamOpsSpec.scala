@@ -45,6 +45,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_session: gap-merged sessions finalize when the watermark passes") {
+    val in = MemoryStream[Ev](spark)
+    val q = StreamOps.sessionCounts(in.toDF(), keyCol = "user_id",
+        gap = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("s_session").outputMode("append").start()
+    try {
+      // user 1: two events 2min apart (one session); user 2: one event
+      in.addData(Ev(1, 1, ts(0), "click"), Ev(2, 1, ts(2), "view"),
+        Ev(3, 2, ts(1), "click"))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past every session above
+      in.addData(Ev(4, 3, ts(59), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("s_session")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows.contains((1L, ts(0), ts(7), 2L)))  // end = last event + gap
+      assert(rows.contains((2L, ts(1), ts(6), 1L)))
+    } finally q.stop()
+  }
+
   test("s_dedup_stream: duplicate event_ids collapse across micro-batches") {
     val in = MemoryStream[Ev](spark)
     val q = StreamOps.dedupWithinWatermark(in.toDF())
