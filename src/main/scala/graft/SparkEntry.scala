@@ -21,7 +21,8 @@ object SparkEntry {
     Cdc,
     TextOps,
     Similarity,
-    Multimodal
+    Multimodal,
+    Subqueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

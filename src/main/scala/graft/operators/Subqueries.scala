@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+
+/** SQL-surface operators where the Spark text IS the oracle text: the
+  * query runs verbatim through `spark.sql` over temp views and through
+  * DuckDB over the same parquet — one string, two engines. Exercises the
+  * Catalyst paths the Column-API packs don't: correlated/uncorrelated
+  * scalar subqueries (`RewriteCorrelatedScalarSubquery`), IN / NOT IN
+  * (`RewritePredicateSubquery` → left-semi / null-aware anti join), and a
+  * six-table star-flake join (join reordering + broadcast of the dim
+  * chain).
+  *
+  * Determinism: averages via exact DECIMAL sums / COUNT, totals ordered.
+  */
+object Subqueries extends QueryPack {
+
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, Some(sql)) { (s, dir) => Tables.registerAll(s, dir); s.sql(sql) }
+
+  /** TPC-H Q5 shape: revenue by nation for one region-year. */
+  val qJoinStarflake: Q = sqlQ(
+    "q_join_starflake",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """.stripMargin.trim)
+
+  /** Uncorrelated scalar subquery: parts priced 1.5x over the global
+    * (exactly computed) mean. */
+  val qSubqueryScalar: Q = sqlQ(
+    "q_subquery_scalar",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice >
+      (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+       FROM part) * 1.5
+    ORDER BY p_partkey
+    """.stripMargin.trim)
+
+  /** Correlated scalar subquery: parts above their own brand's mean. */
+  val qSubqueryCorr: Q = sqlQ(
+    "q_subquery_corr",
+    """
+    SELECT p.p_partkey
+    FROM part p
+    WHERE p.p_retailprice >
+      (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+       FROM part p2 WHERE p2.p_brand = p.p_brand)
+    ORDER BY p.p_partkey
+    """.stripMargin.trim)
+
+  /** IN + NOT IN predicate subqueries (left-semi and null-aware anti
+    * join after Catalyst's rewrite). */
+  val qSubqueryIn: Q = sqlQ(
+    "q_subquery_in",
+    """
+    SELECT c_custkey
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """.stripMargin.trim)
+
+  override def all: Seq[Q] = Seq(
+    qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn)
+}
