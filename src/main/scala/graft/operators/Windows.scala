@@ -101,11 +101,15 @@ object Windows extends QueryPack {
       ORDER BY o_custkey, rn
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // the custom bounded-heap operator (graft.plans.TopKPerGroup) does the
+    // heavy lifting — O(n log k), no full per-group sort; ranking the k
+    // survivors afterwards is k rows per group, so the window is cheap
+    val orders = Tables.orders(s, dir)
+    val top = graft.plans.TopK.perGroup(orders, 3, Seq("o_custkey"),
+      Seq(orders("o_totalprice").desc, orders("o_orderkey").asc))
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
+    top.withColumn("rn", row_number().over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
               col("rn").cast("long").as("rn"))
       .orderBy("o_custkey", "rn")

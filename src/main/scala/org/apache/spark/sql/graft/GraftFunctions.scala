@@ -39,6 +39,8 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerGroup operator must agree with the stock
+  * window-function formulation on every group, including ties and groups
+  * smaller than k. */
+class TopKSpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  test("matches the window row_number formulation exactly") {
+    val orders = Tables.orders(spark, sf)
+    for (k <- Seq(1, 3, 10)) {
+      val custom = TopK.perGroup(orders, k, Seq("o_custkey"),
+          Seq(orders("o_totalprice").desc, orders("o_orderkey").asc))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val stock = windowTopK(k)
+      assert(custom.count() == stock.count(), s"k=$k count")
+      assert(custom.exceptAll(stock).isEmpty && stock.exceptAll(custom).isEmpty,
+        s"k=$k rows differ")
+    }
+  }
+
+  test("groups smaller than k are emitted whole, in order") {
+    val orders = Tables.orders(spark, sf)
+    val big = TopK.perGroup(orders, 1000000, Seq("o_custkey"),
+      Seq(orders("o_orderkey").asc))
+    assert(big.count() == orders.count())
+  }
+
+  test("physical plan uses TopKPerGroupExec with a single clustering exchange") {
+    val orders = Tables.orders(spark, sf)
+    val df = TopK.perGroup(orders, 3, Seq("o_custkey"),
+      Seq(orders("o_totalprice").desc))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+  }
+}
