@@ -130,7 +130,11 @@ final class CdcClient(
 
   import CdcClient._
 
-  private val mapper = new ObjectMapper()
+  /** JSON_ALLOW_NUL parity (reference cdc_connector.cpp:335): the server
+    * may embed raw control chars / NULs inside string values. */
+  private val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+    .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS)
+    .build()
   private var socket: Socket = _
   private var in: InputStream = _
   private var out: OutputStream = _

@@ -89,6 +89,37 @@ class CdcClientSpec extends AnyFunSuite {
     }
   }
 
+  test("values with embedded NUL / control chars decode (JSON_ALLOW_NUL parity)") {
+    val nulName = "a\u0000b\u0001c" // raw NUL + SOH inside the JSON string value
+    val withNul = s"""{"domain":0,"server_id":1,"sequence":1,"event_number":1,""" +
+      s""""timestamp":1700000001,"event_type":"insert","id":1,"name":"$nulName"}"""
+    val srv = new MockMaxScaleServer(Schema, Seq(withNul))
+    withServer(srv) { srv =>
+      connected(srv) { c =>
+        c.requestData("db.t", None)
+        assert(c.readMessage().isInstanceOf[CdcSchemaMsg])
+        val r = c.readMessage().asInstanceOf[CdcRowMsg]
+        assert(r.values(7) == nulName)
+      }
+    }
+  }
+
+  test("rows far larger than the read buffer are framed correctly") {
+    val big = "x" * 300000 // ≫ the 32 KiB socket buffer
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 1, big), event(2, "insert", 2, "small")))
+    withServer(srv) { srv =>
+      connected(srv, timeoutMs = 3000) { c =>
+        c.requestData("db.t", None)
+        assert(c.readMessage().isInstanceOf[CdcSchemaMsg])
+        val r1 = c.readMessage().asInstanceOf[CdcRowMsg]
+        assert(r1.values(7).length == 300000 && r1.values(7) == big)
+        val r2 = c.readMessage().asInstanceOf[CdcRowMsg]
+        assert(r2.values(7) == "small") // buffer compacted, framing intact
+      }
+    }
+  }
+
   test("mid-stream re-schema is surfaced as a schema message") {
     val schema2 = Schema.replace(""""name":"name","type":"string","real_type":"varchar","length":64""",
       """"name":"name","type":"string","real_type":"varchar","length":128""")

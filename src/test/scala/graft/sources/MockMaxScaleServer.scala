@@ -27,7 +27,9 @@ final class MockMaxScaleServer(
     midStreamSchemaAfter: Option[(Int, String)] = None,
     closeAfterEvents: Option[Int] = None) extends AutoCloseable {
 
-  private val mapper = new ObjectMapper()
+  private val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+    .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS)
+    .build()
   private val events = new CopyOnWriteArrayList[String]()
   initialEvents.foreach(events.add)
 
