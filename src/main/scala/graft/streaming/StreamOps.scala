@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.2 `s_*` rows) — the
   * streaming twins of the batch contract queries, built on watermarks and
@@ -82,6 +82,54 @@ object StreamOps {
             case None    => Iterator.empty
           }
       }
+
+  /** Stream-stream interval join: rows of `left` matched with `right`
+    * rows of the same key whose event time falls in
+    * `[leftTs - before, leftTs + after]`. Watermarks on BOTH sides bound
+    * the join state (Spark buffers each side only until the other side's
+    * watermark passes the interval). Column names must be disjoint. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String = "10 minutes",
+      after: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTs >= $leftTs - INTERVAL $before AND
+                 $rightTs <= $leftTs + INTERVAL $after"""))
+
+  /** [[latestState]] on the Spark 4 `transformWithState` API (RocksDB
+    * state store): same semantics, the forward path for stateful ops.
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. */
+  def latestStateTws[K: Encoder, T](
+      ds: Dataset[T],
+      key: T => K,
+      isNewer: (T, T) => Boolean)(implicit te: Encoder[T]): Dataset[T] = {
+    val processor = new StatefulProcessor[K, T, T] {
+      @transient private var latest: ValueState[T] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        latest = getHandle.getValueState[T]("latest", te, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[T],
+          timers: TimerValues): Iterator[T] = {
+        var cur = Option(latest.get())
+        var changed = false
+        rows.foreach { r =>
+          if (cur.forall(isNewer(r, _))) { cur = Some(r); changed = true }
+        }
+        cur match {
+          case Some(l) if changed => latest.update(l); Iterator.single(l)
+          case _ => Iterator.empty
+        }
+      }
+    }
+    ds.groupByKey(key)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Full CDC apply: like [[latestStateRows]] but honoring delete events —
     * a delete clears the key's state and emits the delete row itself as a

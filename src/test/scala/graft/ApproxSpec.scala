@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate/sketch operators — the 100 TB substitutes for exact
+  * distinct/percentile/membership. Each is bounded against its exact twin
+  * (the exact forms are the oracle-checked queries q_agg_distinct /
+  * q_percentile). */
+class ApproxSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("approx_percentile lands within rank tolerance of the exact percentile") {
+    val exact = li.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    val approx = li.select(expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+      .head.getDouble(0)
+    // accuracy 10000 → rank error ≤ n/10000; translate to a value check by
+    // rank rather than magnitude
+    val n = li.count()
+    val rankOfApprox = li.where(col("l_extendedprice") <= approx).count()
+    assert(math.abs(rankOfApprox - n / 2.0) <= n / 10000.0 + 1,
+      s"approx=$approx exact=$exact rank=$rankOfApprox n=$n")
+  }
+
+  test("HLL approx_count_distinct within stated relative error") {
+    val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val keys = li.select(col("l_orderkey")).distinct()
+    val n = keys.count()
+    val bloom = keys.stat.bloomFilter("l_orderkey", n, 0.03)
+    // every present key hits
+    assert(keys.collect().forall(r => bloom.mightContain(r.getLong(0))))
+    // absent keys mostly miss (allow generous slack over the 3% target)
+    val absentHits = (1 to 2000).count(i => bloom.mightContain(-i.toLong))
+    assert(absentHits < 2000 * 0.10, s"fpp too high: $absentHits/2000")
+  }
+
+  test("count-min sketch overestimates but stays within eps * n") {
+    val cms = li.stat.countMinSketch(col("l_returnflag"), eps = 0.01,
+      confidence = 0.95, seed = 42)
+    val exact = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, cnt) =>
+      val est = cms.estimateCount(k)
+      assert(est >= cnt, s"CMS must never undercount: $k $est < $cnt")
+      assert(est <= cnt + 0.01 * n, s"CMS overshoot beyond eps*n for $k")
+    }
+  }
+}

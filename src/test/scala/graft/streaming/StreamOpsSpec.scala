@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.sources.MockMaxScaleServer
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
 import org.scalatest.time.{Seconds, Span}
 
@@ -98,6 +99,60 @@ class StreamOpsSpec extends SparkSpec {
       assert(byUser(1L).event_id == 5 && byUser(1L).event_type == "view")
       assert(byUser(2L).event_id == 4 && byUser(2L).event_type == "purchase")
     } finally q.stop()
+  }
+
+  test("stream-stream interval join matches key within the time bound") {
+    val clicks = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id")),
+      buys.toDF().select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id")),
+      "c_user", "b_user", "c_ts", "b_ts",
+      before = "0 minutes", after = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("s_ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, 1, ts(0), "click"), Ev(2, 2, ts(0), "click"))
+      buys.addData(
+        Ev(10, 1, ts(5), "purchase"),   // within 10 min after user 1's click
+        Ev(11, 2, ts(30), "purchase"),  // too late for user 2's click
+        Ev(12, 3, ts(5), "purchase"))   // no matching click
+      q.processAllAvailable()
+      val rows = spark.table("s_ssjoin").select("c_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("latestStateTws (transformWithState/RocksDB) matches flatMapGroupsWithState semantics") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev](spark)
+    val latest = StreamOps.latestStateTws[Long, Ev](
+      in.toDS(), _.user_id,
+      (a, b) => Ordering[(Long, Long)].gt(
+        (a.ts.getTime, a.event_id), (b.ts.getTime, b.event_id)))
+    val q = latest.writeStream.format("memory")
+      .queryName("s_tws").outputMode("update").start()
+    try {
+      in.addData(Ev(1, 1, ts(0), "signup"), Ev(2, 2, ts(0), "signup"))
+      q.processAllAvailable()
+      in.addData(Ev(3, 1, ts(2), "purchase"), Ev(4, 1, ts(1), "click")) // 4 older than 3
+      q.processAllAvailable()
+      val byUser = spark.table("s_tws").as[Ev].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(e => (e.ts.getTime, e.event_id))).toMap
+      assert(byUser(1L).event_id == 3 && byUser(1L).event_type == "purchase")
+      assert(byUser(2L).event_id == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("applyChangelogRows: deletes tombstone, update_before skipped, insert resurrects") {
