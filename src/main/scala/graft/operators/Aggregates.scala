@@ -241,7 +241,32 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
-  override def all: Seq[Q] = Seq(qPercentile, qPivot,
+  /** Several DISTINCT aggregates over different columns in one query —
+    * Catalyst's Expand-based multi-distinct rewrite. */
+  val qMultiDistinct: Q = Q(
+    "q_multi_distinct",
+    Some("""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey)  AS n_cust,
+             COUNT(DISTINCT o_orderpriority) AS n_prio,
+             COUNT(DISTINCT year(o_orderdate)) AS n_years,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

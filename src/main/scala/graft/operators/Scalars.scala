@@ -163,6 +163,96 @@ object Scalars extends QueryPack {
       .orderBy("label")
   }
 
+  /** Generator with outer semantics: explode_outer keeps rows whose array
+    * is empty (docs with < 3 tokens produce no 2-shingles) — the
+    * LATERAL VIEW OUTER path. */
+  val qExplodeOuter: Q = Q(
+    "q_explode_outer",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      e AS (
+        SELECT doc_id, CASE WHEN len(toks) >= 500 THEN unnest(toks) ELSE NULL END AS tok
+        FROM t WHERE len(toks) >= 500
+        UNION ALL
+        SELECT doc_id, NULL AS tok FROM t WHERE len(toks) < 500)
+      SELECT doc_id, COUNT(tok) AS n_toks
+      FROM e GROUP BY doc_id
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    // arrays emptied below a length threshold; explode_outer must keep
+    // those doc_ids with a NULL element (count(tok) then ignores them)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= 500, split(col("text"), " "))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(col("tok")).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  /** Null-safe equality (<=>): join events on a nullable extracted key —
+    * NULL <=> NULL matches, unlike plain =. */
+  val qNullSafe: Q = Q(
+    "q_null_safe",
+    Some("""
+      WITH e AS (SELECT event_id,
+                        CASE WHEN event_type IN ('click','view') THEN event_type END AS k
+                 FROM events),
+      d AS (SELECT DISTINCT CASE WHEN event_type IN ('click','view') THEN event_type END AS k
+            FROM events)
+      SELECT d.k, COUNT(*) AS n
+      FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+      GROUP BY d.k
+      ORDER BY d.k NULLS FIRST
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("event_id"),
+      when(col("event_type").isin("click", "view"), col("event_type")).as("k"))
+    val d = e.select("k").distinct().withColumnRenamed("k", "dk")
+    e.join(d, col("k") <=> col("dk"))
+      .groupBy(col("dk").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  /** Ordered string aggregation (listagg/string_agg equivalent). */
+  val qStringAgg: Q = Q(
+    "q_string_agg",
+    Some("""
+      SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.region(s, dir).as("r")
+      .join(Tables.nation(s, dir).as("n"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+  }
+
+  /** Regex group extraction over part names. */
+  val qRegexExtract: Q = Q(
+    "q_regex_extract",
+    Some("""
+      SELECT p_partkey,
+             regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+      FROM part
+      ORDER BY p_partkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast("long").as("n_vowels"))
+      .orderBy("p_partkey")
+  }
+
   override def all: Seq[Q] = Seq(
-    qStrFuncs, qDateFuncs, qMathFuncs, qCaseExpr, qJsonGet, qArrayOps)
+    qStrFuncs, qDateFuncs, qMathFuncs, qCaseExpr, qJsonGet, qArrayOps,
+    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract)
 }

@@ -78,5 +78,38 @@ object SetOps extends QueryPack {
       .orderBy("o_custkey", "o_orderstatus")
   }
 
-  override def all: Seq[Q] = Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept)
+  /** Bag semantics: INTERSECT ALL keeps min(multiplicity). */
+  val qIntersectAll: Q = Q(
+    "q_intersect_all",
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderstatus") === "O").select("o_custkey")
+      .intersectAll(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Bag semantics: EXCEPT ALL subtracts multiplicities. */
+  val qExceptAll: Q = Q(
+    "q_except_all",
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  override def all: Seq[Q] = Seq(qUnionAll, qUnionDistinct, qIntersect, qExcept,
+    qIntersectAll, qExceptAll)
 }
