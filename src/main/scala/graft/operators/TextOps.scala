@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline text operators: deduplication (exact, MinHash+LSH,
@@ -216,7 +217,10 @@ object TextOps extends QueryPack {
     // the 3-word string; both engines hash identically so even a collision
     // is mirrored). shuffle_hash hint → ReusedExchange computes the
     // shingle+md5 pass once; per-doc shingle counts come straight off the
-    // token arrays — no second explode.
+    // token arrays — no second explode. For corpora where common shingles
+    // blow the candidate count up, [[ppJoinJaccard]] is the prefix-filtered
+    // scale path (measured SLOWER here — this corpus's shingle document
+    // frequencies are near 1, so candidates are already minimal).
     val docs = Tables.documents(s, dir)
     val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
     val ds = docs
@@ -238,6 +242,45 @@ object TextOps extends QueryPack {
         round(col("i").cast("decimal(18,9)") / (col("x.n") + col("y.n") - col("i")), 6)
           .cast("double").as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** AllPairs/PPJoin-style exact Jaccard join (Bayardo et al., WWW'07
+    * "Scaling Up All Pairs Similarity Search"): order each doc's shingle
+    * hashes rare-first by global document frequency, index only the
+    * prefix (n - ceil(t*n) + 1 shingles) — any pair with J >= t must
+    * collide inside both prefixes, so the filter is lossless — then
+    * verify candidates exactly by sorted-array intersection.
+    *
+    * This is the shape for corpora with heavy-hitter shingles (boilerplate,
+    * templates), where the naive inverted-index join's candidate count
+    * explodes quadratically in each posting list. On THIS synthetic corpus
+    * shingle df ≈ 1, so the naive join wins (measured); both are exact and
+    * NgramJaccardSpec pins their equivalence.
+    */
+  def ppJoinJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
+    val docsh = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
+      .join(docsh.select("doc_id", "n"), "doc_id")
+      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "h")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(docsh.as("x"), col("da") === col("x.doc_id"))
+      .join(docsh.as("y"), col("db") === col("y.doc_id"))
+      .withColumn("i", size(array_intersect(col("x.hs"), col("y.hs"))).cast("long"))
+      .where(col("i").cast("double") / (col("x.n") + col("y.n") - col("i")) >= t)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("i").cast("decimal(18,9)") / (col("x.n") + col("y.n") - col("i")), 6)
+          .cast("double").as("jaccard"))
   }
 
   // ------------------------------------------------------------ text analysis
