@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.api.CdcConnection
+import graft.sources.cdc._
+import org.scalatest.funsuite.AnyFunSuite
+
+import MockMaxScaleServer.{Schema, event}
+
+/** Wire throughput of the protocol client and the facade loop — the
+  * reference's only performance surface is rows/s through the socket
+  * (BASELINE.md: no published numbers; this records ours). Floors are
+  * deliberately conservative (shared box) — the test's value is catching
+  * an accidental 100x regression (per-byte reads, quadratic buffering),
+  * not micro-benchmarking. */
+class CdcThroughputSpec extends AnyFunSuite {
+
+  private val N = 50000
+
+  test(s"client decodes $N events at production rate") {
+    val events = (1L to N).map(i => event(i, "insert", (i % 1000).toInt, s"name_$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val c = new CdcClient("127.0.0.1", srv.port, "u", "p", 5000)
+      c.connect()
+      c.requestData("db.t", None)
+      assert(c.readMessage().isInstanceOf[CdcSchemaMsg])
+      val t0 = System.nanoTime()
+      var n = 0
+      var last = 0L
+      while (n < N) {
+        c.readMessage() match {
+          case r: CdcRowMsg => n += 1; last = r.values(2).toLong
+          case CdcTimeout   => ()
+          case other        => fail(s"unexpected $other")
+        }
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = N / secs
+      info(f"client rate: $rate%.0f rows/s over $N rows")
+      assert(last == N)
+      assert(rate > 5000, f"suspiciously slow wire decode: $rate%.0f rows/s")
+      c.close()
+    } finally srv.close()
+  }
+
+  test("facade consumer loop sustains the same order of magnitude") {
+    val M = 20000
+    val events = (1L to M.toLong).map(i => event(i, "insert", (i % 100).toInt, s"n$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val c = new CdcConnection("127.0.0.1", srv.port, "u", "p", 5)
+      assert(c.connect("db.t"))
+      val t0 = System.nanoTime()
+      var n = 0
+      var r = c.read()
+      while (r.isDefined && n < M) { n += 1; if (n < M) r = c.read() }
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      info(f"facade rate: $rate%.0f rows/s over $n rows")
+      assert(n == M)
+      assert(rate > 2000, f"suspiciously slow facade loop: $rate%.0f rows/s")
+      c.close()
+    } finally srv.close()
+  }
+}
