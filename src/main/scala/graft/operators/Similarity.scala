@@ -28,15 +28,6 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Project `(vec_id, nv)` where nv = embedding scaled to unit length
-    * (double). Normalizing ONCE turns every downstream cosine into a
-    * single dot product — at all-pairs scale that is the difference
-    * between 1 and 3 vector ops per candidate pair. */
-  def normalized(e: DataFrame): DataFrame =
-    e.withColumn("_nrm", norm(col("embedding")))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("_nrm")).as("nv"))
 }
 
 object Similarity extends QueryPack {

@@ -222,14 +222,14 @@ object TextOps extends QueryPack {
     // scale path (measured SLOWER here — this corpus's shingle document
     // frequencies are near 1, so candidates are already minimal).
     val docs = Tables.documents(s, dir)
+    // The shingle->hash projection feeds three consumers (both join sides
+    // and the per-doc counts); localCheckpoint materializes it ONCE —
+    // the derived table is docs x shingles x 16 bytes, i.e. ~1/50th of
+    // the corpus, the standard "materialize the signature table" step of
+    // production similarity pipelines.
     val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
-    val ds = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3
-          |THEN size(array_distinct(transform(sequence(1, size(toks)-2),
-          |     i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))))
-          |ELSE 0 END""".stripMargin).cast("long").as("n"))
+      .localCheckpoint(eager = false)
+    val ds = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
