@@ -50,43 +50,70 @@ final class CdcTailer(
     * requires the server's domain/server_id/sequence fields). */
   private var syntheticSeq: Long = resumeAfter.map(_.sequence).getOrElse(0L)
 
+  /** Consecutive dropped-connection reconnect budget. A drop mid-stream is
+    * routine for a long-lived CDC session (MaxScale restart, network blip);
+    * the GTID makes resume loss-free, so the tailer reconnects from the
+    * last delivered position instead of failing the query. Protocol errors
+    * (auth, ERR replies, schema drift) stay fatal. */
+  private val MaxReconnects = 3
+
   override def run(): Unit = {
-    val client = new CdcClient(host, port, user, password, timeoutMs)
-    try {
-      client.connect()
-      client.requestData(table, resumeAfter.map(_.toString))
-      var sawSchema = false
-      while (running) {
-        client.readMessage() match {
-          case CdcSchemaMsg(fields, _) =>
-            if (!sawSchema) {
-              sawSchema = true
-              if (fields != expectedFields)
+    var reconnects = 0
+    var sawSchema = false
+    while (running) {
+      val client = new CdcClient(host, port, user, password, timeoutMs)
+      try {
+        // resume from the furthest delivered position (dedupe below makes
+        // the server's inclusive replay idempotent)
+        val from = lastGtid
+        client.connect()
+        client.requestData(table, from.map(_.toString))
+        var connectionLive = true
+        while (running && connectionLive) {
+          client.readMessage() match {
+            case CdcSchemaMsg(fields, _) =>
+              if (!sawSchema || reconnects > 0) {
+                sawSchema = true
+                if (fields != expectedFields)
+                  throw new CdcProtocolException(
+                    s"schema drift between planning and stream start: expected " +
+                      s"$expectedFields, server sent $fields — restart the query")
+              } else if (fields != expectedFields)
+                // Mid-stream DDL re-schema: Spark plans have a fixed schema,
+                // so the controlled answer is fail-and-restart (SURVEY.md §1.3).
                 throw new CdcProtocolException(
-                  s"schema drift between planning and stream start: expected " +
-                    s"$expectedFields, server sent $fields — restart the query")
-            } else if (fields != expectedFields)
-              // Mid-stream DDL re-schema: Spark plans have a fixed schema, so
-              // the controlled answer is fail-and-restart (SURVEY.md §1.3).
-              throw new CdcProtocolException(
-                "mid-stream schema change detected; restart the query to adopt " +
-                  s"the new schema (was $expectedFields, now $fields)")
-          case CdcRowMsg(values, nulls) =>
-            val g = eventGtid(values)
-            // inclusive-replay dedupe on resume
-            if (resumeAfter.forall(g > _)) lock.synchronized {
-              buffer += CdcEvent(g, values, nulls)
-              lastGtid = Some(g)
-            }
-          case CdcTimeout => () // quiet stream; keep polling
-          case CdcClosed =>
-            if (running) throw new CdcProtocolException("server closed the stream")
+                  "mid-stream schema change detected; restart the query to adopt " +
+                    s"the new schema (was $expectedFields, now $fields)")
+            case CdcRowMsg(values, nulls) =>
+              val g = eventGtid(values)
+              // inclusive-replay dedupe on resume/reconnect
+              if (from.orElse(resumeAfter).forall(g > _)) lock.synchronized {
+                buffer += CdcEvent(g, values, nulls)
+                lastGtid = Some(g)
+              }
+              reconnects = 0 // healthy stream resets the budget
+            case CdcTimeout => () // quiet stream; keep polling
+            case CdcClosed =>
+              if (running) {
+                if (gtidIdx.isEmpty)
+                  // without the GTID metadata columns there is no loss-free
+                  // resume position — fail instead of silently duplicating
+                  throw new CdcProtocolException(
+                    "server closed the stream and the schema has no " +
+                      "domain/server_id/sequence columns to resume from")
+                reconnects += 1
+                if (reconnects > MaxReconnects)
+                  throw new CdcProtocolException(
+                    s"server closed the stream $reconnects times in a row")
+                connectionLive = false // drop to the outer loop → reconnect
+              }
+          }
         }
-      }
-    } catch {
-      case t: Throwable if running => fatal = t
-      case _: Throwable => () // shutdown race: socket closed under us
-    } finally client.close()
+      } catch {
+        case t: Throwable if running => fatal = t; running = false
+        case _: Throwable => running = false // shutdown race
+      } finally client.close()
+    }
   }
 
   private def eventGtid(values: Array[String]): Gtid = gtidIdx match {

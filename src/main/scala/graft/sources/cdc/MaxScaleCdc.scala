@@ -167,11 +167,19 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
 
   override def deserializeOffset(json: String): Offset = GtidOffset.fromJson(json)
 
+  /** End of the last batch this stream PLANNED (offsets advance ahead of
+    * commits — capping against the committed position would stall the
+    * stream at one batch per commit round-trip). */
+  @volatile private var lastPlannedEnd: Option[Gtid] = None
+
   override def latestOffset(): Offset = {
     val t = ensureTailer()
     t.checkFatal()
-    val after = resumeHint
-    GtidOffset(t.cappedEnd(after, opts.maxEventsPerBatch).orElse(after))
+    val after = (resumeHint.toSeq ++ lastPlannedEnd.toSeq)
+      .reduceOption((a: Gtid, b: Gtid) => if (a >= b) a else b)
+    val end = t.cappedEnd(after, opts.maxEventsPerBatch).orElse(after)
+    lastPlannedEnd = end
+    GtidOffset(end)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

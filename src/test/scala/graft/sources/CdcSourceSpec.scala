@@ -173,6 +173,56 @@ class CdcSourceSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("maxEventsPerBatch admission control splits the backlog into capped batches") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 10L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("maxEventsPerBatch", 3)
+        .load()
+        .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+          val n = df.count().toInt
+          if (n > 0) batchSizes.add(n)
+          ()
+        }.start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(batchSizes.asScala.map(_.toInt).sum == 10)
+        }
+        assert(batchSizes.asScala.forall(_ <= 3),
+          s"a batch exceeded the cap: $batchSizes")
+        assert(batchSizes.size >= 4) // 10 events / cap 3 → at least 4 batches
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("tailer reconnects from the last GTID when the server drops the stream") {
+    // server closes the connection after every 2 events; the tailer must
+    // reconnect with REQUEST-DATA from the last GTID and dedupe the
+    // inclusive replay — delivering 1..6 exactly once
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 6L).map(i => event(i, "insert", i.toInt, s"n$i")),
+      closeAfterEvents = Some(2))
+    try {
+      val q = reader(srv).writeStream.format("memory")
+        .queryName("cdc_reconnect").outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_reconnect").count() == 6)
+        }
+        val seqs = spark.table("cdc_reconnect").orderBy("sequence")
+          .collect().map(_.getAs[Int]("sequence")).toSeq
+        assert(seqs == (1 to 6))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("mid-stream re-schema fails the query with a restart instruction") {
     val schema2 = Schema.replace("\"length\":64", "\"length\":128")
     val srv = new MockMaxScaleServer(Schema,
