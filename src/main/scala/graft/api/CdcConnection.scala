@@ -87,7 +87,9 @@ final class CdcConnection(
       while (pre.isEmpty && spin < 2) {
         readInternal() match {
           case Some(r) => pre = Some(r)
-          case None if err.nonEmpty && err != CDC.Timeout => return false
+          case None if err.nonEmpty && err != CDC.Timeout =>
+            client.close(); client = null // no socket leak on failed connect
+            return false
           case None => spin += 1
         }
       }

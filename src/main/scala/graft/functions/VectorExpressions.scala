@@ -69,24 +69,31 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed identifiers: with non-nullable children the
+      // generated block lands un-braced at method scope, and two dot
+      // products in one stage would redeclare the same locals (Janino
+      // error → silent fallback to interpreted evaluation)
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("i")
       val getA =
-        if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
+        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
       val getB =
-        if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       val nullGuard =
         if (containsNull(left) || containsNull(right))
-          s"if ($a.isNullAt(i) || $b.isNullAt(i)) continue;"
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) continue;"
         else ""
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftAcc = 0.0;
-         |for (int i = 0; i < graftN; i++) {
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
-         |  graftAcc += $getA * $getB;
+         |  $acc += $getA * $getB;
          |}
-         |${ev.value} = graftAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

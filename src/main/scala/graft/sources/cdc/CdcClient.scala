@@ -151,6 +151,9 @@ final class CdcClient(
   private var bufEnd = 0
   /** Absolute position up to which we already scanned for '\n'. */
   private var scanPos = 0
+  /** Remote EOF observed — distinguishes "no data yet" (timeout) from
+    * "the server is gone" when a partial line is still buffered. */
+  private var eofSeen = false
 
   def currentFields: Seq[CdcField] = schemaFields
 
@@ -189,7 +192,8 @@ final class CdcClient(
         val err = new String(pending, UTF_8)
         clearPending()
         throw new CdcProtocolException(err)
-      } else CdcTimeout
+      } else if (eofSeen) CdcClosed // dead connection + partial line ≠ quiet stream
+      else CdcTimeout
     case Some(null) => CdcClosed
     case Some(line) =>
       if (line.isEmpty) readMessage()
@@ -308,7 +312,10 @@ final class CdcClient(
       val got =
         try in.read(buf, bufEnd, buf.length - bufEnd)
         catch { case _: SocketTimeoutException => return None }
-      if (got < 0) return if (bufEnd == bufStart) Some(null) else None
+      if (got < 0) {
+        eofSeen = true
+        return if (bufEnd == bufStart) Some(null) else None
+      }
       bufEnd += got
     }
     None // unreachable

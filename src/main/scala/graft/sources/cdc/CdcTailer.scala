@@ -28,7 +28,8 @@ final class CdcTailer(
     table: String,
     expectedFields: Seq[CdcField],
     resumeAfter: Option[Gtid],
-    timeoutMs: Int) extends Thread(s"graft-cdc-tailer-$table") {
+    timeoutMs: Int,
+    maxBuffered: Int = 1 << 20) extends Thread(s"graft-cdc-tailer-$table") {
 
   setDaemon(true)
 
@@ -70,6 +71,12 @@ final class CdcTailer(
         client.requestData(table, from.map(_.toString))
         var connectionLive = true
         while (running && connectionLive) {
+          // backpressure: stop pulling off the socket when the uncommitted
+          // backlog exceeds the cap — TCP flow control then holds the
+          // server, bounding driver memory (commit-time trims drain this)
+          while (running && lock.synchronized(buffer.length) >= maxBuffered)
+            Thread.sleep(10)
+          if (!running) throw new InterruptedException
           client.readMessage() match {
             case CdcSchemaMsg(fields, _) =>
               if (!sawSchema || reconnects > 0) {
@@ -128,6 +135,25 @@ final class CdcTailer(
 
   /** Highest buffered position, or the resume point if nothing new. */
   def latest: Option[Gtid] = lastGtid
+
+  /** Block until the stream has delivered at least up to `target` — the
+    * recovery contract: a restart re-plans the last uncommitted batch with
+    * its logged (start, end] range, and the batch must not run until the
+    * server's replay has repopulated that range (otherwise it would
+    * silently execute over an empty buffer and the commit would discard
+    * the events forever). */
+  def awaitDelivered(target: Gtid, waitMs: Long): Unit = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (lastGtid.forall(_ < target)) {
+      checkFatal()
+      if (System.nanoTime() > deadline)
+        throw new CdcProtocolException(
+          s"tailer did not catch up to $target within ${waitMs}ms " +
+            s"(at ${lastGtid.getOrElse("start")}); cannot serve the " +
+            "re-planned batch without losing data")
+      Thread.sleep(25)
+    }
+  }
 
   /** Position of at most `max` events after `after` — admission control. */
   def cappedEnd(after: Option[Gtid], max: Int): Option[Gtid] = lock.synchronized {

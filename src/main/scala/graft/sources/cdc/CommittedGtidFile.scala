@@ -28,10 +28,14 @@ object CommittedGtidFile {
     else {
       val in = f.open(p)
       try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        if (n <= 0) None
-        else GtidOffset.fromJson(new String(bytes, 0, n, UTF_8).trim).gtid
+        // drain fully — a single read() may return a prefix on some
+        // filesystems, and a truncated GTID would silently resume early
+        val out = new java.io.ByteArrayOutputStream(64)
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { out.write(tmp, 0, n); n = in.read(tmp) }
+        val s = out.toString(UTF_8).trim
+        if (s.isEmpty) None else GtidOffset.fromJson(s).gtid
       } finally in.close()
     }
   }

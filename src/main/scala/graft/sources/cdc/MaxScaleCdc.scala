@@ -157,7 +157,8 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
   private def ensureTailer(): CdcTailer = synchronized {
     if (tailer == null) {
       tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
-        opts.table, fields, resumeHint, opts.timeoutMs)
+        opts.table, fields, resumeHint, opts.timeoutMs,
+        maxBuffered = math.max(2 * opts.maxEventsPerBatch, 10000))
       tailer.start()
     }
     tailer
@@ -190,6 +191,12 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
     e match {
       case None => Array.empty
       case Some(endG) =>
+        // Recovery: a re-planned uncommitted batch arrives before the
+        // reconnected tailer has replayed its range — block until the
+        // stream caught up to `end` (instant no-op for live batches, which
+        // are planned FROM the buffer). Failing loudly beats serving an
+        // empty batch whose commit would discard the range forever.
+        t.awaitDelivered(endG, waitMs = math.max(60000, 4L * opts.timeoutMs))
         val events = t.slice(s, endG)
         if (events.isEmpty) Array.empty
         else Array(CdcInputPartition(

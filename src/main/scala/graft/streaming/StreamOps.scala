@@ -74,12 +74,15 @@ object StreamOps {
       .flatMapGroupsWithState[T, T](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: K, rows: Iterator[T], state: GroupState[T]) =>
           var latest = state.getOption
+          var changed = false
           rows.foreach { r =>
-            if (latest.forall(isNewer(r, _))) latest = Some(r)
+            if (latest.forall(isNewer(r, _))) { latest = Some(r); changed = true }
           }
           latest match {
-            case Some(l) => state.update(l); Iterator.single(l)
-            case None    => Iterator.empty
+            // emit only on change — a batch of exclusively-older rows must
+            // not re-emit the stored value (matches latestStateTws)
+            case Some(l) if changed => state.update(l); Iterator.single(l)
+            case _                  => Iterator.empty
           }
       }
 
@@ -151,8 +154,15 @@ object StreamOps {
     val keyIdx = df.schema.fieldIndex(keyCol)
     val seqIdx = df.schema.fieldIndex(seqCol)
     val opIdx = df.schema.fieldIndex(opCol)
+    // raw-mode CDC streams carry the sequence as a string — same coercion
+    // as latestStateRows
     def seqOf(r: org.apache.spark.sql.Row): Long =
-      r.get(seqIdx).asInstanceOf[Number].longValue()
+      r.get(seqIdx) match {
+        case n: Number => n.longValue()
+        case s: String => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"sequence column $seqCol must be numeric, got $other")
+      }
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))
       .flatMapGroupsWithState[org.apache.spark.sql.Row, org.apache.spark.sql.Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
