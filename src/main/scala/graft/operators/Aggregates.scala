@@ -266,7 +266,37 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
-  override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct,
+  /** Unpivot (melt): wide per-status aggregates back to long form. */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    Some("""
+      WITH w AS (
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'f_cnt' AS status, f_cnt AS n FROM w
+        UNION ALL SELECT o_orderpriority, 'o_cnt', o_cnt FROM w
+        UNION ALL SELECT o_orderpriority, 'p_cnt', p_cnt FROM w)
+      ORDER BY o_orderpriority, status
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
+  override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

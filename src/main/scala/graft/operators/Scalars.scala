@@ -252,7 +252,31 @@ object Scalars extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  /** Interval arithmetic: add_months / months_between / date offsets. */
+  val qDateArith: Q = Q(
+    "q_date_arith",
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_date,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS followup,
+             CAST(datediff('month', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS months_to_y2k
+      FROM orders
+      ORDER BY o_orderkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    // DuckDB datediff('month') counts month-boundary crossings; Spark's
+    // months_between measures fractional elapsed months — floor of the
+    // boundary count is reproduced with 12*dy + dm on truncated dates.
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("due_date"),
+        date_add(col("o_orderdate").cast("date"), 30).as("followup"),
+        ((lit(2000) - year(col("o_orderdate"))) * 12 -
+          month(col("o_orderdate")) + 1).cast("long").as("months_to_y2k"))
+      .orderBy("o_orderkey")
+  }
+
   override def all: Seq[Q] = Seq(
     qStrFuncs, qDateFuncs, qMathFuncs, qCaseExpr, qJsonGet, qArrayOps,
-    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract)
+    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract, qDateArith)
 }

@@ -222,7 +222,32 @@ object Windows extends QueryPack {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** first_value / last_value / nth_value over a running frame. */
+  val qWinFirstLast: Q = Q(
+    "q_win_first_last",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_ord,
+             last_value(o_orderkey)  OVER w AS last_ord,
+             nth_value(o_orderkey, 2) OVER w AS second_ord
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ord"),
+        last(col("o_orderkey")).over(w).as("last_ord"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ord"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   override def all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch,
-    qSessionWindow, qWinRange, qWinNtile)
+    qSessionWindow, qWinRange, qWinNtile, qWinFirstLast)
 }
