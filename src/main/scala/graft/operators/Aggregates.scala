@@ -296,7 +296,69 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderpriority", "status")
   }
 
+  /** Histogram via width_bucket (Spark) == closed-form bucket arithmetic
+    * (oracle) — fixed [0, 100000) domain, 20 buckets, integer outputs. */
+  val qHistogram: Q = Q(
+    "q_histogram",
+    Some("""
+      SELECT CAST(1 + floor(o_totalprice / 5000.0) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_totalprice >= 0 AND o_totalprice < 100000
+      GROUP BY 1
+      ORDER BY bucket
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .where(col("o_totalprice") >= 0 && col("o_totalprice") < 100000)
+      .select(width_bucket(col("o_totalprice"), lit(0), lit(100000), lit(20))
+        .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Pearson correlation written as the closed-form over EXACT decimal
+    * sums — deterministic across engines where the built-in `corr`'s
+    * online float accumulation is not. */
+  val qCorrExact: Q = Q(
+    "q_corr_exact",
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+      FROM s
+      ORDER BY l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+    val st = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+    st.select(col("l_returnflag"),
+      round((col("n") * col("sxy").cast("double") -
+             col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+         sqrt(col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6).as("r"))
+      .orderBy("l_returnflag")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
+    qHistogram, qCorrExact,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

@@ -276,7 +276,34 @@ object Scalars extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** Array higher-order functions (filter/exists/forall/transform) over
+    * the embedding vectors — integer/boolean outputs only (float
+    * comparisons of identically-stored values are engine-stable; float
+    * arithmetic would not be). */
+  val qArrayHof: Q = Q(
+    "q_array_hof",
+    Some("""
+      SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+             CAST(len(list_filter(embedding, x -> abs(x) > 0.25)) AS INT) AS n_large,
+             len(list_filter(embedding, x -> x > 0.45)) > 0 AS has_extreme,
+             CAST(len(list_filter(list_transform(embedding, x -> x * x),
+                                  x -> x > 0.04)) AS INT) AS n_sq_large
+      FROM embeddings
+      ORDER BY vec_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        size(filter(col("embedding"), x => abs(x) > 0.25f)).as("n_large"),
+        exists(col("embedding"), x => x > 0.45f).as("has_extreme"),
+        size(filter(transform(col("embedding"), x => x * x), x => x > 0.04f))
+          .as("n_sq_large"))
+      .orderBy("vec_id")
+  }
+
   override def all: Seq[Q] = Seq(
     qStrFuncs, qDateFuncs, qMathFuncs, qCaseExpr, qJsonGet, qArrayOps,
-    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract, qDateArith)
+    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract, qDateArith, qArrayHof)
 }
