@@ -73,6 +73,51 @@ object Subqueries extends QueryPack {
     ORDER BY c_custkey
     """.stripMargin.trim)
 
+  /** TPC-H Q21 shape: correlated EXISTS + NOT EXISTS in one predicate —
+    * suppliers in multi-supplier orders where THEY alone shipped late
+    * ("late" = after the cutoff; the reduced schema has no receipt/commit
+    * dates). */
+  val qExistsMulti: Q = sqlQ(
+    "q_exists_multi",
+    """
+    SELECT l1.l_suppkey, COUNT(*) AS numwait
+    FROM lineitem l1, orders o
+    WHERE o.o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, l1.l_suppkey
+    """.stripMargin.trim)
+
+  /** LIKE / NOT LIKE / regex predicates (regex spelled per engine:
+    * Spark `rlike`, DuckDB `regexp_matches` — same RE2-ish pattern). */
+  val qLikePatterns: Q = Q(
+    "q_like_patterns",
+    Some("""
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE p_name LIKE '%iv%'
+        AND p_name NOT LIKE 'w%'
+        AND regexp_matches(p_name, '[aeiou][aeiou]')
+      ORDER BY p_partkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.functions.col
+    graft.Tables.part(s, dir)
+      .where(col("p_name").like("%iv%") &&
+        !col("p_name").like("w%") &&
+        col("p_name").rlike("[aeiou][aeiou]"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
   override def all: Seq[Q] = Seq(
-    qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn)
+    qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn,
+    qExistsMulti, qLikePatterns)
 }
