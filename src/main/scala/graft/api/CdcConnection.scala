@@ -93,6 +93,14 @@ final class CdcConnection(
           case None => spin += 1
         }
       }
+      if (pre.isEmpty) {
+        // reference: connect succeeds only if the pre-read yields a row
+        // (cdc_connector.cpp:214-218) — a dead/quiet stream fails connect
+        // with the timeout error rather than reporting a live connection
+        if (err.isEmpty) err = CDC.Timeout
+        client.close(); client = null
+        return false
+      }
       firstRow = pre
       connected = true
       true

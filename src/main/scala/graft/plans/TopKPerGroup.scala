@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 import scala.collection.mutable
@@ -41,9 +41,12 @@ case class TopKPerGroupExec(
   override def output: Seq[Attribute] = child.output
 
   /** Co-locate each group on one partition; Spark inserts the hash
-    * exchange (or reuses an existing partitioning) to satisfy this. */
+    * exchange (or reuses an existing partitioning) to satisfy this.
+    * Empty `groupExprs` = global top-k: `ClusteredDistribution(Nil)` fails
+    * Spark's internal require, so demand AllTuples (single partition)
+    * instead — the k-heap then runs once over the whole input. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    (if (groupExprs.isEmpty) AllTuples else ClusteredDistribution(groupExprs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     // locals only — codegen'd projection/ordering must be built per

@@ -123,9 +123,24 @@ final class CdcTailer(
     }
   }
 
+  /** Domain pinned by the resume position or the first event; GTID order is
+    * only total within one domain (see [[Gtid]]), so a domain switch makes
+    * resume/dedupe meaningless — fail fast rather than mis-order. */
+  @volatile private var streamDomain: Option[Long] = resumeAfter.map(_.domain)
+
   private def eventGtid(values: Array[String]): Gtid = gtidIdx match {
     case Some((d, s, q)) =>
-      Gtid(values(d).toLong, values(s).toLong, values(q).toLong)
+      val g = Gtid(values(d).toLong, values(s).toLong, values(q).toLong)
+      streamDomain match {
+        case Some(dom) if dom != g.domain =>
+          throw new CdcProtocolException(
+            s"multi-domain stream: event domain ${g.domain} != stream domain $dom " +
+              "— GTID order is only defined within one replication domain; " +
+              "start one query per domain")
+        case None => streamDomain = Some(g.domain)
+        case _ => ()
+      }
+      g
     case None =>
       syntheticSeq += 1
       Gtid(0, 0, syntheticSeq)

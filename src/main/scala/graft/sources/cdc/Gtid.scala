@@ -6,13 +6,22 @@ import org.apache.spark.sql.connector.read.streaming.Offset
   * cdc_connector.h:197-208) — the replication position that
   * `REQUEST-DATA db.table [gtid]` resumes from (cdc_connector.cpp:199-206).
   *
-  * Ordering is by `sequence`: one CDC stream is a single server's binlog
-  * for one table, so sequences are monotone within it (domain/server_id
-  * are stream identity, not order).
+  * Ordering is `(domain, sequence, serverId)`: within a MariaDB
+  * replication domain the sequence number is monotone across failovers
+  * (the new primary continues the domain's seqno with its own server_id),
+  * so sequence — not server_id — carries temporal order. Comparing all
+  * three fields keeps `compare == 0` consistent with case-class equality
+  * (the `Ordered` contract). Multi-domain streams have no total order;
+  * [[CdcTailer]] fails fast if the stream's domain changes mid-flight.
   */
 final case class Gtid(domain: Long, serverId: Long, sequence: Long)
     extends Ordered[Gtid] {
-  override def compare(that: Gtid): Int = java.lang.Long.compare(sequence, that.sequence)
+  override def compare(that: Gtid): Int = {
+    val d = java.lang.Long.compare(domain, that.domain)
+    if (d != 0) return d
+    val s = java.lang.Long.compare(sequence, that.sequence)
+    if (s != 0) s else java.lang.Long.compare(serverId, that.serverId)
+  }
   override def toString: String = s"$domain-$serverId-$sequence"
 }
 

@@ -1,6 +1,5 @@
 package graft.sources.cdc
 
-import java.time.format.DateTimeFormatter
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.types._
@@ -58,7 +57,23 @@ object SqlTypes {
         metadata = new MetadataBuilder().putString("cdc.sqlType", f.sqlType).build())
     })
 
-  private val DateTimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss[.SSSSSS]]")
+  /** MariaDB datetime/timestamp wire text: optional time part, 0-6
+    * fractional digits (datetime(0)..datetime(6) all occur — a fixed
+    * `.SSSSSS` pattern would reject e.g. '… 10:00:00.123' from a
+    * timestamp(3) column and silently null it in typed mode). */
+  private val DateTimeFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd")
+    .optionalStart()
+    .appendLiteral(' ')
+    .appendPattern("HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 6, true)
+    .optionalEnd()
+    .optionalEnd()
+    .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+    .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+    .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+    .toFormatter
 
   /** Wire string → Catalyst value for one field. Returns null on JSON null
     * (typed mode's NULL, vs the reference's "" conflation,

@@ -63,6 +63,18 @@ class CdcConnectionSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("quiet stream: connect fails with Timeout, like the reference pre-read") {
+    // reference connect() succeeds only if read() yields a row
+    // (cdc_connector.cpp:214-218); a stream with no events must fail
+    val srv = new MockMaxScaleServer(Schema, Nil)
+    try {
+      val c = new CdcConnection("127.0.0.1", srv.port, "u", "p", 1)
+      assert(!c.connect("db.t"))
+      assert(c.error == CDC.Timeout)
+      assert(c.read().isEmpty) // not connected
+    } finally srv.close()
+  }
+
   test("null column arrives as empty string (reference raw semantics)") {
     val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 7, null)))
     try {

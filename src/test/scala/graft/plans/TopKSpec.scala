@@ -39,6 +39,17 @@ class TopKSpec extends SparkSpec {
     assert(big.count() == orders.count())
   }
 
+  test("empty group list = global top-k over a single partition (AllTuples)") {
+    val orders = Tables.orders(spark, sf)
+    val global = TopK.perGroup(orders, 5, Seq.empty,
+        Seq(orders("o_totalprice").desc, orders("o_orderkey").asc))
+      .select("o_orderkey", "o_totalprice")
+    val stock = orders.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5).select("o_orderkey", "o_totalprice")
+    assert(global.collect().toSeq.sortBy(_.get(0).toString) ==
+      stock.collect().toSeq.sortBy(_.get(0).toString))
+  }
+
   test("physical plan uses TopKPerGroupExec with a single clustering exchange") {
     val orders = Tables.orders(spark, sf)
     val df = TopK.perGroup(orders, 3, Seq("o_custkey"),

@@ -79,6 +79,22 @@ class CdcProtocolSpec extends AnyFunSuite {
     assert(SqlTypes.cast("2024-01-02", isNull = false, DateType) == 19724)
   }
 
+  test("typed cast: timestamps accept 0-6 fractional digits (datetime(1..6))") {
+    val base = 1704164645000000L
+    // timestamp(3)-style value — a fixed .SSSSSS pattern would null this
+    assert(SqlTypes.cast("2024-01-02 03:04:05.123", isNull = false, TimestampType)
+      == base + 123000L)
+    assert(SqlTypes.cast("2024-01-02 03:04:05.1", isNull = false, TimestampType)
+      == base + 100000L)
+    assert(SqlTypes.cast("2024-01-02 03:04:05.123456", isNull = false, TimestampType)
+      == base + 123456L)
+    // date-only datetime text parses to midnight, not null
+    assert(SqlTypes.cast("2024-01-02", isNull = false, TimestampType)
+      == 1704153600000000L)
+    assert(SqlTypes.cast("2024-01-02 03:04:05.1234567", isNull = false, TimestampType)
+      == null) // 7 digits exceeds MariaDB's max precision → unparseable
+  }
+
   test("GTID parse, order, offset json round-trip") {
     val g = Gtid.parse("0-1-42")
     assert(g == Gtid(0, 1, 42))
@@ -87,5 +103,17 @@ class CdcProtocolSpec extends AnyFunSuite {
     assert(GtidOffset.fromJson("0-1-42").gtid.contains(g))
     assert(GtidOffset.fromJson("").gtid.isEmpty)
     intercept[IllegalArgumentException](Gtid.parse("bogus"))
+  }
+
+  test("GTID order is (domain, sequence, serverId) — Ordered consistent with equals") {
+    // failover: new primary (server_id 2) continues the domain's sequence —
+    // temporal order follows sequence, not server_id
+    assert(Gtid(0, 1, 100) < Gtid(0, 2, 101))
+    assert(Gtid(0, 2, 100) < Gtid(0, 1, 101))
+    // compare == 0 only when all three fields match (Ordered contract)
+    assert(Gtid(0, 1, 100).compare(Gtid(0, 2, 100)) != 0)
+    assert(Gtid(0, 1, 100).compare(Gtid(0, 1, 100)) == 0)
+    // domains are parallel streams; ordering across them is lexicographic
+    assert(Gtid(1, 1, 1) > Gtid(0, 9, 999))
   }
 }
