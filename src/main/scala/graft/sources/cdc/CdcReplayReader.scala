@@ -1,0 +1,147 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side replay descriptor: a batch (or batch slice) is identified
+  * by its `(startExclusive, endInclusive]` GTID range plus the connection
+  * coordinates — NO row data travels driver→executor. The reader re-reads
+  * its range straight from the server; `REQUEST-DATA table gtid` replays
+  * from any position (reference resume semantics, cdc_connector.cpp:199-213),
+  * which makes the re-read loss-free and the task binary O(1) instead of
+  * O(batch rows). At 100 TB this is the difference between ingest bounded
+  * by driver serialization bandwidth and ingest bounded by the aggregate
+  * executor network.
+  */
+final case class CdcReplayPartition(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    table: String,
+    expected: Seq[CdcField],
+    startExclusive: Option[String],
+    endInclusive: String,
+    timeoutMs: Int) extends InputPartition
+
+/** Shared wire-string → Catalyst row conversion (raw vs typed modes,
+  * SURVEY.md §1.2). */
+private[cdc] object CdcRowCodec {
+  def toInternalRow(
+      values: Array[String],
+      nulls: Array[Boolean],
+      dts: Array[DataType],
+      typed: Boolean): InternalRow = {
+    val out = new Array[Any](values.length)
+    var j = 0
+    while (j < values.length) {
+      out(j) =
+        if (typed) SqlTypes.cast(values(j), nulls(j), dts(j))
+        // raw mode: null→"" exactly like the reference's
+        // json_to_string (cdc_connector.cpp:106-107)
+        else UTF8String.fromString(values(j))
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** Replays one GTID range from the server on the executor. Protocol
+  * behavior mirrors the driver tailer: inclusive-replay dedupe below the
+  * range start, schema-message validation against the planned schema, and
+  * bounded reconnects from the last emitted position on dropped
+  * connections. Reads stop as soon as the range end is emitted.
+  */
+final class CdcReplayReader(
+    p: CdcReplayPartition,
+    dts: Array[DataType],
+    typed: Boolean) extends PartitionReader[InternalRow] {
+
+  private val start: Option[Gtid] = p.startExclusive.map(Gtid.parse)
+  private val end: Gtid = Gtid.parse(p.endInclusive)
+
+  private val gtidIdx: (Int, Int, Int) = {
+    val names = p.expected.map(_.name)
+    (names.indexOf("domain"), names.indexOf("server_id"), names.indexOf("sequence"))
+  }
+  require(gtidIdx._1 >= 0 && gtidIdx._2 >= 0 && gtidIdx._3 >= 0,
+    "executor-side replay requires the domain/server_id/sequence columns")
+
+  /** The range's events are known to exist (the driver observed `end`
+    * before planning), so a stall is a server/network fault, not an empty
+    * stream — bounded patience, then fail the task (Spark retries it). */
+  private val deadlineNanos =
+    System.nanoTime() + math.max(60000L, 8L * p.timeoutMs) * 1000000L
+
+  private var client: CdcClient = _
+  private var lastEmitted: Option[Gtid] = start
+  private var current: InternalRow = _
+  private var done = false
+  private var reconnects = 0
+  private val MaxReconnects = 3
+
+  private def connectFrom(g: Option[Gtid]): Unit = {
+    client = new CdcClient(p.host, p.port, p.user, p.password, p.timeoutMs)
+    client.connect()
+    client.requestData(p.table, g.map(_.toString))
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    if (client == null) connectFrom(start)
+    while (true) {
+      val msg =
+        try client.readMessage()
+        catch {
+          case e: CdcProtocolException => throw e
+          case e: java.io.IOException => // mid-read drop → reconnect path
+            reconnectOrFail(e.toString); CdcTimeout
+        }
+      msg match {
+        case CdcSchemaMsg(fields, _) =>
+          if (fields != p.expected)
+            throw new CdcProtocolException(
+              s"schema drift during replay: expected ${p.expected}, " +
+                s"server sent $fields — restart the query")
+        case CdcRowMsg(values, nulls) =>
+          val g = Gtid(values(gtidIdx._1).toLong, values(gtidIdx._2).toLong,
+            values(gtidIdx._3).toLong)
+          // skip the server's inclusive replay of the range start and any
+          // re-delivery below the last emitted position after a reconnect
+          if (lastEmitted.forall(g > _)) {
+            if (g > end) { done = true; return false } // past range: defensive
+            current = CdcRowCodec.toInternalRow(values, nulls, dts, typed)
+            lastEmitted = Some(g)
+            reconnects = 0 // forward progress resets the budget (like the tailer)
+            if (g == end) done = true // emit this row, then stop
+            return true
+          }
+        case CdcTimeout =>
+          if (System.nanoTime() > deadlineNanos)
+            throw new CdcProtocolException(
+              s"replay of range (${start.getOrElse("start")}, $end] stalled at " +
+                s"${lastEmitted.getOrElse("start")} — server stopped replaying " +
+                "events the driver already observed")
+        case CdcClosed => reconnectOrFail("server closed the connection")
+      }
+    }
+    false // unreachable
+  }
+
+  private def reconnectOrFail(why: String): Unit = {
+    reconnects += 1
+    if (reconnects > MaxReconnects)
+      throw new CdcProtocolException(
+        s"replay of range (${start.getOrElse("start")}, $end] failed " +
+          s"$reconnects times: $why")
+    try if (client != null) client.close() catch { case _: Exception => () }
+    connectFrom(lastEmitted)
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (client != null) client.close()
+}

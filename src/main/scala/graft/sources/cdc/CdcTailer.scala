@@ -9,12 +9,16 @@ final case class CdcEvent(gtid: Gtid, values: Array[String], nulls: Array[Boolea
   *
   * The CDC protocol is a single push socket per table (SURVEY.md §3.4):
   * there is no "query latest offset" RPC, so — like Spark's own socket
-  * source — the driver owns the connection and buffers decoded events
-  * between `latestOffset` and `commit`. Memory is bounded by
-  * `maxEventsPerBatch` admission control plus commit-time trimming; the
-  * durable position is always the GTID, so a driver restart replays from
-  * the checkpoint via `REQUEST-DATA table gtid` exactly like the
-  * reference's `connect(table, gtid)` resume (cdc_connector.cpp:199-206).
+  * source — the driver owns a connection and watches the stream to learn
+  * offsets. The DATA PLANE does not pass through here: when the schema
+  * carries the GTID metadata columns, the tailer retains only the GTID
+  * positions (24 bytes/event, bounded by admission control + commit-time
+  * trimming) and each batch's rows are re-read executor-side by
+  * [[CdcReplayReader]] replaying `REQUEST-DATA table gtid` for its range —
+  * the reference's own resume semantics (cdc_connector.cpp:199-213) make
+  * that replay loss-free. Only schemas WITHOUT domain/server_id/sequence
+  * (no server-side resume token) fall back to buffering decoded rows on
+  * the driver.
   *
   * The server replays from the requested GTID *inclusive*; events at or
   * before `resumeAfter` are skipped here, which is what makes micro-batch
@@ -34,7 +38,11 @@ final class CdcTailer(
   setDaemon(true)
 
   private val lock = new Object
-  private val buffer = ArrayBuffer.empty[CdcEvent]
+  /** GTID positions seen, in stream order — the offset-discovery state. */
+  private val positions = ArrayBuffer.empty[Gtid]
+  /** Full decoded rows — retained ONLY in synthetic-offset mode (no GTID
+    * columns), where executor-side replay is impossible. */
+  private val rows = ArrayBuffer.empty[CdcEvent]
   @volatile private var fatal: Throwable = _
   @volatile private var running = true
   @volatile private var lastGtid: Option[Gtid] = resumeAfter
@@ -46,6 +54,11 @@ final class CdcTailer(
     val q = names.indexOf("sequence")
     if (d >= 0 && s >= 0 && q >= 0) Some((d, s, q)) else None
   }
+
+  /** True when the stream carries a server-side resume token, i.e. batches
+    * can be replayed executor-side and the driver keeps positions only. */
+  val hasGtidColumns: Boolean = gtidIdx.isDefined
+
   /** Without GTID metadata columns the stream still works, but offsets are
     * synthetic positions valid only within this run (documented: resume
     * requires the server's domain/server_id/sequence fields). */
@@ -74,7 +87,7 @@ final class CdcTailer(
           // backpressure: stop pulling off the socket when the uncommitted
           // backlog exceeds the cap — TCP flow control then holds the
           // server, bounding driver memory (commit-time trims drain this)
-          while (running && lock.synchronized(buffer.length) >= maxBuffered)
+          while (running && lock.synchronized(positions.length) >= maxBuffered)
             Thread.sleep(10)
           if (!running) throw new InterruptedException
           client.readMessage() match {
@@ -87,7 +100,8 @@ final class CdcTailer(
                       s"$expectedFields, server sent $fields — restart the query")
               } else if (fields != expectedFields)
                 // Mid-stream DDL re-schema: Spark plans have a fixed schema,
-                // so the controlled answer is fail-and-restart (SURVEY.md §1.3).
+                // so the controlled answer is fail-and-restart (SURVEY.md §1.3;
+                // graft.streaming.CdcAutoRestart automates the restart).
                 throw new CdcProtocolException(
                   "mid-stream schema change detected; restart the query to adopt " +
                     s"the new schema (was $expectedFields, now $fields)")
@@ -95,7 +109,8 @@ final class CdcTailer(
               val g = eventGtid(values)
               // inclusive-replay dedupe on resume/reconnect
               if (from.orElse(resumeAfter).forall(g > _)) lock.synchronized {
-                buffer += CdcEvent(g, values, nulls)
+                positions += g
+                if (!hasGtidColumns) rows += CdcEvent(g, values, nulls)
                 lastGtid = Some(g)
               }
               reconnects = 0 // healthy stream resets the budget
@@ -148,15 +163,15 @@ final class CdcTailer(
 
   def checkFatal(): Unit = if (fatal != null) throw fatal
 
-  /** Highest buffered position, or the resume point if nothing new. */
+  /** Highest delivered position, or the resume point if nothing new. */
   def latest: Option[Gtid] = lastGtid
 
   /** Block until the stream has delivered at least up to `target` — the
-    * recovery contract: a restart re-plans the last uncommitted batch with
-    * its logged (start, end] range, and the batch must not run until the
-    * server's replay has repopulated that range (otherwise it would
-    * silently execute over an empty buffer and the commit would discard
-    * the events forever). */
+    * synthetic-mode recovery contract: a restart re-plans the last
+    * uncommitted batch with its logged (start, end] range, and the batch
+    * must not run until the server's replay has repopulated that range.
+    * (In replay mode the executor re-reads from the server instead, so
+    * planning never waits on the tailer.) */
   def awaitDelivered(target: Gtid, waitMs: Long): Unit = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     while (lastGtid.forall(_ < target)) {
@@ -172,22 +187,47 @@ final class CdcTailer(
 
   /** Position of at most `max` events after `after` — admission control. */
   def cappedEnd(after: Option[Gtid], max: Int): Option[Gtid] = lock.synchronized {
-    val pending = buffer.iterator.filter(e => after.forall(e.gtid > _)).take(max).toSeq
-    pending.lastOption.map(_.gtid)
+    val pending = positions.iterator.filter(g => after.forall(g > _)).take(max).toSeq
+    pending.lastOption
   }
 
-  /** Events in (start, end] — the micro-batch replay contract. */
+  /** Split the events of (start, end] into up to `n` contiguous GTID
+    * subranges for parallel executor-side replay. Falls back to the whole
+    * range as one chunk when the positions buffer no longer covers it
+    * (recovery re-plan after restart — the executor replays from the
+    * server, so coverage here is an optimization, not a correctness need). */
+  def splitRanges(start: Option[Gtid], end: Gtid, n: Int): Seq[(Option[Gtid], Gtid)] =
+    lock.synchronized {
+      val inRange = positions.iterator
+        .filter(g => start.forall(g > _) && g <= end).toArray
+      if (n <= 1 || inRange.length < 2 * n || inRange.lastOption.forall(_ != end))
+        Seq((start, end))
+      else {
+        val per = math.ceil(inRange.length.toDouble / n).toInt
+        val bounds = inRange.grouped(per).map(_.last).toSeq
+        var lo = start
+        bounds.map { hi => val r = (lo, hi); lo = Some(hi); r }
+      }
+    }
+
+  /** Events in (start, end] — synthetic-offset mode only (the data plane;
+    * in replay mode rows are never buffered here). */
   def slice(start: Option[Gtid], end: Gtid): Array[CdcEvent] = lock.synchronized {
-    buffer.iterator
+    rows.iterator
       .filter(e => start.forall(e.gtid > _) && e.gtid <= end)
       .toArray
   }
 
-  /** Drop events at or below the committed position. */
+  /** Drop state at or below the committed position. */
   def trimTo(committed: Gtid): Unit = lock.synchronized {
-    val keep = buffer.filter(_.gtid > committed)
-    buffer.clear()
-    buffer ++= keep
+    val keepPos = positions.filter(_ > committed)
+    positions.clear()
+    positions ++= keepPos
+    if (!hasGtidColumns) {
+      val keep = rows.filter(_.gtid > committed)
+      rows.clear()
+      rows ++= keep
+    }
   }
 
   def shutdown(): Unit = {

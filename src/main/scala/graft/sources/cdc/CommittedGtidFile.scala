@@ -40,7 +40,12 @@ object CommittedGtidFile {
     }
   }
 
-  def write(checkpoint: String, gtid: Gtid): Unit = {
+  /** Monotone write: the watermark only ever advances. A commit of a stale
+    * end (re-delivered batch after restart) must not move the file
+    * backwards — a regressed watermark makes the next restart re-replay
+    * events already committed downstream (duplicate delivery). */
+  def advance(checkpoint: String, gtid: Gtid): Unit = {
+    if (read(checkpoint).exists(_ >= gtid)) return
     val p = path(checkpoint)
     val f = fs(p)
     val tmp = new Path(checkpoint, s".graft-cdc-committed-gtid.tmp")

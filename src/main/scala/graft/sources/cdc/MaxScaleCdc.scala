@@ -3,15 +3,13 @@ package graft.sources.cdc
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import scala.jdk.CollectionConverters._
 
@@ -26,7 +24,8 @@ final case class CdcOptions(
     startingGtid: Option[String],
     timeoutSeconds: Int,
     typed: Boolean,
-    maxEventsPerBatch: Int) {
+    maxEventsPerBatch: Int,
+    replayPartitions: Int) {
   def timeoutMs: Int = timeoutSeconds * 1000
 }
 
@@ -54,7 +53,12 @@ object CdcOptions {
         case other => throw new IllegalArgumentException(
           s"maxscale-cdc: mode must be 'raw' or 'typed', got '$other'")
       },
-      maxEventsPerBatch = m.getInt("maxEventsPerBatch", 100000))
+      maxEventsPerBatch = m.getInt("maxEventsPerBatch", 100000),
+      // parallel executor-side replay connections per batch. Default 1
+      // preserves the changelog's total order within the batch partition;
+      // raise it when downstream reshuffles anyway (agg/join on key) and
+      // ingest should scale with executors, not one socket.
+      replayPartitions = m.getInt("replayPartitions", 1))
   }
 }
 
@@ -135,7 +139,7 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   * range (SURVEY.md §7 hard-part 2).
   */
 class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocation: String)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val fields: Seq[CdcField] =
     schema.fields.toSeq.map { f =>
@@ -173,15 +177,32 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
     * stream at one batch per commit round-trip). */
   @volatile private var lastPlannedEnd: Option[Gtid] = None
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(opts.maxEventsPerBatch)
+
+  /** Admission-controlled offset advance. The planned end is floored at
+    * Spark's OWN start offset for the next batch: after a crash between
+    * Spark's commit-log write and our committed-GTID file write, the local
+    * `resumeHint`/`lastPlannedEnd` can lag Spark's durable position, and an
+    * end planned behind the start would produce a backwards batch whose
+    * commit regresses the watermark file (duplicates on the next restart).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startG = start.asInstanceOf[GtidOffset].gtid
     val t = ensureTailer()
     t.checkFatal()
-    val after = (resumeHint.toSeq ++ lastPlannedEnd.toSeq)
+    val max = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue).toInt
+      case _ => opts.maxEventsPerBatch
+    }
+    val after = (resumeHint.toSeq ++ lastPlannedEnd.toSeq ++ startG.toSeq)
       .reduceOption((a: Gtid, b: Gtid) => if (a >= b) a else b)
-    val end = t.cappedEnd(after, opts.maxEventsPerBatch).orElse(after)
+    val end = t.cappedEnd(after, max).orElse(after)
     lastPlannedEnd = end
     GtidOffset(end)
   }
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GtidOffset].gtid
@@ -190,12 +211,24 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
     t.checkFatal()
     e match {
       case None => Array.empty
+      case Some(endG) if s.exists(_ >= endG) => Array.empty
+      case Some(endG) if t.hasGtidColumns =>
+        // Data plane stays off the driver: emit O(1) replay descriptors;
+        // each executor re-reads its GTID subrange from the server
+        // (reference resume semantics, cdc_connector.cpp:199-213). Works
+        // identically for live batches and recovery re-plans — the range
+        // is served by the server, not the tailer's buffer.
+        t.splitRanges(s, endG, opts.replayPartitions).map { case (rs, re) =>
+          CdcReplayPartition(opts.host, opts.port, opts.user, opts.password,
+            opts.table, fields, rs.map(_.toString), re.toString,
+            opts.timeoutMs): InputPartition
+        }.toArray
       case Some(endG) =>
-        // Recovery: a re-planned uncommitted batch arrives before the
-        // reconnected tailer has replayed its range — block until the
-        // stream caught up to `end` (instant no-op for live batches, which
-        // are planned FROM the buffer). Failing loudly beats serving an
-        // empty batch whose commit would discard the range forever.
+        // Synthetic offsets (no GTID columns): no server-side resume token
+        // exists, so rows must flow through the driver. Recovery: block
+        // until the reconnected tailer has replayed the range — failing
+        // loudly beats serving an empty batch whose commit would discard
+        // the range forever.
         t.awaitDelivered(endG, waitMs = math.max(60000, 4L * opts.timeoutMs))
         val events = t.slice(s, endG)
         if (events.isEmpty) Array.empty
@@ -207,11 +240,16 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcPartitionReaderFactory(schema, opts.typed)
 
+  /** Monotone commit: both the in-memory resume hint and the durable
+    * watermark file only ever advance. A stale end offset (re-delivered
+    * after restart, or a backwards batch from a planner race) must not
+    * regress the committed position — regression means re-replay and
+    * duplicate delivery downstream. */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[GtidOffset].gtid
     e.foreach { g =>
-      CommittedGtidFile.write(checkpointLocation, g)
-      resumeHint = Some(g)
+      CommittedGtidFile.advance(checkpointLocation, g)
+      if (resumeHint.forall(g > _)) resumeHint = Some(g)
       if (tailer != null) tailer.trimTo(g)
     }
   }
@@ -221,10 +259,10 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
   }
 }
 
-/** The decoded slice of the single-socket stream. One partition per batch:
-  * a CDC changelog for one table is totally ordered by GTID, so batch
-  * ingest is single-partition by nature; parallelism belongs to the
-  * downstream shuffle (repartition on key), not the wire read.
+/** Driver-decoded slice — the SYNTHETIC-OFFSET fallback only (schemas
+  * without domain/server_id/sequence have no server-side resume token, so
+  * executor replay is impossible). Streams with real GTIDs plan
+  * [[CdcReplayPartition]]s instead and never serialize rows through here.
   */
 final case class CdcInputPartition(
     values: Array[Array[String]],
@@ -233,27 +271,18 @@ final case class CdcInputPartition(
 class CdcPartitionReaderFactory(schema: StructType, typed: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CdcInputPartition]
     val dts = schema.fields.map(_.dataType)
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.values.length }
-      override def get(): InternalRow = {
-        val vs = p.values(i)
-        val ns = p.nulls(i)
-        val out = new Array[Any](vs.length)
-        var j = 0
-        while (j < vs.length) {
-          out(j) =
-            if (typed) SqlTypes.cast(vs(j), ns(j), dts(j))
-            // raw mode: null→"" exactly like the reference's
-            // json_to_string (cdc_connector.cpp:106-107)
-            else UTF8String.fromString(vs(j))
-          j += 1
-        }
-        new GenericInternalRow(out)
+    partition match {
+      case rp: CdcReplayPartition => new CdcReplayReader(rp, dts, typed)
+      case p: CdcInputPartition => new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < p.values.length }
+        override def get(): InternalRow =
+          CdcRowCodec.toInternalRow(p.values(i), p.nulls(i), dts, typed)
+        override def close(): Unit = ()
       }
-      override def close(): Unit = ()
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass}")
     }
   }
 }

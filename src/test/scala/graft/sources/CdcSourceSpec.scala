@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import graft.SparkSpec
-import graft.sources.cdc.CdcProtocolException
+import graft.sources.cdc.{CdcMicroBatchStream, CdcOptions, CdcProtocolException, CdcReplayPartition, CdcPartitionReaderFactory, GtidOffset, MaxScaleCdcTableProvider}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
 import org.apache.spark.sql.types._
@@ -219,6 +219,110 @@ class CdcSourceSpec extends SparkSpec {
         val seqs = spark.table("cdc_reconnect").orderBy("sequence")
           .collect().map(_.getAs[Int]("sequence")).toSeq
         assert(seqs == (1 to 6))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  private def javaSerializedSize(o: AnyRef): Int = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(o); oos.close()
+    bos.size()
+  }
+
+  private def streamFor(srv: MockMaxScaleServer, extra: Map[String, String] = Map.empty)
+      : (CdcMicroBatchStream, String) = {
+    val m = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      (Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
+        "user" -> "u", "password" -> "p", "table" -> "db.t",
+        "timeoutSeconds" -> "1") ++ extra).asJava)
+    val schema = new MaxScaleCdcTableProvider().inferSchema(m)
+    val ckpt = Files.createTempDirectory("cdc_unit_ckpt").toString
+    (new CdcMicroBatchStream(schema, CdcOptions(m), ckpt), ckpt)
+  }
+
+  test("data plane stays off the driver: partitions are O(1) replay descriptors") {
+    val n = 5000
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to n.toLong).map(i => event(i, "insert", i.toInt, s"name_$i")))
+    try {
+      val (stream, _) = streamFor(srv)
+      try {
+        var end = stream.latestOffset(GtidOffset.Start, stream.getDefaultReadLimit)
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          end = stream.latestOffset(GtidOffset.Start, stream.getDefaultReadLimit)
+          assert(end.asInstanceOf[GtidOffset].gtid.exists(_.sequence == n))
+        }
+        val parts = stream.planInputPartitions(GtidOffset.Start, end)
+        assert(parts.nonEmpty && parts.forall(_.isInstanceOf[CdcReplayPartition]))
+        // the task binary must not scale with batch rows: a 5000-event
+        // batch serializes to the same few hundred bytes as an empty one
+        assert(parts.map(javaSerializedSize(_)).sum < 4096,
+          s"replay descriptors too large: ${parts.map(javaSerializedSize(_)).toSeq}")
+
+        // executor-side replay: a fresh reader re-reads the range from the
+        // server and yields every event exactly once
+        val schema = new MaxScaleCdcTableProvider().inferSchema(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
+              "user" -> "u", "password" -> "p", "table" -> "db.t",
+              "timeoutSeconds" -> "1").asJava))
+        val factory = new CdcPartitionReaderFactory(schema, typed = true)
+        val seqs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        parts.foreach { p =>
+          val r = factory.createReader(p)
+          try while (r.next()) seqs += r.get().getInt(2) // sequence column
+          finally r.close()
+        }
+        assert(seqs.sorted == (1 to n))
+      } finally stream.stop()
+    } finally srv.close()
+  }
+
+  test("replayPartitions=3 splits a batch into disjoint contiguous GTID ranges") {
+    val n = 90
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to n.toLong).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val (stream, _) = streamFor(srv, Map("replayPartitions" -> "3"))
+      try {
+        var end = stream.latestOffset(GtidOffset.Start, stream.getDefaultReadLimit)
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          end = stream.latestOffset(GtidOffset.Start, stream.getDefaultReadLimit)
+          assert(end.asInstanceOf[GtidOffset].gtid.exists(_.sequence == n))
+        }
+        val parts = stream.planInputPartitions(GtidOffset.Start, end)
+          .map(_.asInstanceOf[CdcReplayPartition])
+        assert(parts.length == 3, parts.toSeq)
+        // contiguous: each chunk starts where the previous ended
+        assert(parts.head.startExclusive.isEmpty)
+        parts.sliding(2).foreach { case Array(a, b) =>
+          assert(b.startExclusive.contains(a.endInclusive)) }
+        assert(parts.last.endInclusive == s"0-1-$n")
+      } finally stream.stop()
+    } finally srv.close()
+  }
+
+  test("e2e with replayPartitions=2: all events exactly once") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 40L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("replayPartitions", 2)
+        .load()
+        .writeStream.format("memory").queryName("cdc_par")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_par").count() == 40)
+        }
+        val seqs = spark.table("cdc_par").orderBy("sequence")
+          .collect().map(_.getAs[Int]("sequence")).toSeq
+        assert(seqs == (1 to 40))
       } finally q.stop()
     } finally srv.close()
   }

@@ -43,6 +43,30 @@ class CdcThroughputSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test(s"executor replay reader sustains wire rate over a $N-event range") {
+    // ingest is no longer bounded by driver serialization: the reader
+    // pulls its GTID range straight off the server socket
+    val events = (1L to N).map(i => event(i, "insert", (i % 1000).toInt, s"name_$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fields = CdcClient.parseSchemaFields(mapper.readTree(Schema))
+      val dts = SqlTypes.toStructType(fields, typed = true).fields.map(_.dataType)
+      val part = CdcReplayPartition("127.0.0.1", srv.port, "u", "p", "db.t",
+        fields, startExclusive = None, endInclusive = s"0-1-$N", timeoutMs = 5000)
+      val r = new CdcReplayReader(part, dts, typed = true)
+      val t0 = System.nanoTime()
+      var n = 0
+      var lastSeq = 0
+      try while (r.next()) { n += 1; lastSeq = r.get().getInt(2) }
+      finally r.close()
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      info(f"replay reader rate: $rate%.0f rows/s over $n rows")
+      assert(n == N && lastSeq == N)
+      assert(rate > 5000, f"suspiciously slow replay ingest: $rate%.0f rows/s")
+    } finally srv.close()
+  }
+
   test("facade consumer loop sustains the same order of magnitude") {
     val M = 20000
     val events = (1L to M.toLong).map(i => event(i, "insert", (i % 100).toInt, s"n$i"))
