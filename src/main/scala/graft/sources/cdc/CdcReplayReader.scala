@@ -83,6 +83,16 @@ final class CdcReplayReader(
   private var reconnects = 0
   private val MaxReconnects = 3
 
+  /** Column permutation from the server's CURRENT in-band schema to the
+    * planned schema, or null when they coincide. A real GTID replay
+    * interleaves historical schema versions with the events they governed
+    * (the avro log records DDL in-band, reference cdc_connector.cpp:339-344),
+    * so an intermediate version that still CONTAINS every planned column —
+    * reordered, renamed-type, or with extra columns — stays readable by
+    * name; only a version missing a planned column is unrecoverable here
+    * and demands a query restart (graft.streaming.CdcAutoRestart). */
+  private var remap: Array[Int] = _
+
   private def connectFrom(g: Option[Gtid]): Unit = {
     client = new CdcClient(p.host, p.port, p.user, p.password, p.timeoutMs)
     client.connect()
@@ -102,11 +112,28 @@ final class CdcReplayReader(
         }
       msg match {
         case CdcSchemaMsg(fields, _) =>
-          if (fields != p.expected)
-            throw new CdcProtocolException(
-              s"schema drift during replay: expected ${p.expected}, " +
-                s"server sent $fields — restart the query")
-        case CdcRowMsg(values, nulls) =>
+          if (fields == p.expected) remap = null
+          else {
+            val names = fields.map(_.name)
+            val idx = p.expected.map(f => names.indexOf(f.name))
+            if (idx.exists(_ < 0))
+              throw new CdcProtocolException(
+                s"schema drift during replay: expected ${p.expected}, " +
+                  s"server sent $fields — restart the query")
+            remap = idx.toArray
+          }
+        case CdcRowMsg(values0, nulls0) =>
+          val (values, nulls) =
+            if (remap == null) (values0, nulls0)
+            else {
+              val v = new Array[String](remap.length)
+              val nu = new Array[Boolean](remap.length)
+              var i = 0
+              while (i < remap.length) {
+                v(i) = values0(remap(i)); nu(i) = nulls0(remap(i)); i += 1
+              }
+              (v, nu)
+            }
           val g = Gtid(values(gtidIdx._1).toLong, values(gtidIdx._2).toLong,
             values(gtidIdx._3).toLong)
           // skip the server's inclusive replay of the range start and any

@@ -341,8 +341,13 @@ class CdcSourceSpec extends SparkSpec {
       }
       def chain(t: Throwable): Seq[Throwable] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      // depending on which connection triggers the mock's DDL swap first,
+      // the change is detected mid-stream ("schema change") or between
+      // planning and stream start ("schema drift") — both demand a restart
+      // and both are recognized by graft.streaming.CdcAutoRestart
       assert(chain(e).exists(c => c.isInstanceOf[CdcProtocolException] &&
-        c.getMessage.contains("schema change")))
+        (c.getMessage.contains("schema change") ||
+          c.getMessage.contains("schema drift"))))
     } finally srv.close()
   }
 }

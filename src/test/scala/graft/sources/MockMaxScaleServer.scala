@@ -108,7 +108,12 @@ final class MockMaxScaleServer(
           idx += 1
           if (seqOf(ev) >= fromSeq || seqOf(ev) == Long.MinValue) {
             midStreamSchemaAfter.foreach { case (n, s2) =>
-              if (sent == n && !schemaSwapped) { write(out, s2 + "\n"); schemaSwapped = true }
+              if (sent == n && !schemaSwapped) {
+                write(out, s2 + "\n"); schemaSwapped = true
+                // the DDL changed the table: future connections (schema
+                // probes, reconnects, replays) see the new schema up front
+                schema = s2
+              }
             }
             closeAfterEvents.foreach { n => if (sent >= n) { s.close(); return } }
             write(out, ev + "\n")
