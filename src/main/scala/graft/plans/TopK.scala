@@ -17,7 +17,8 @@ import org.apache.spark.sql.graft.ColumnShim
   */
 object TopK {
   def perGroup(df: DataFrame, k: Int, groupCols: Seq[String],
-      orderCols: Seq[Column]): DataFrame = {
+      orderCols: Seq[Column],
+      spillThreshold: Int = TopKPerGroup.DefaultSpillThreshold): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -31,6 +32,7 @@ object TopK {
         throw new IllegalArgumentException(
           s"group column '$n' not in ${child.output.map(_.name).mkString(", ")}"))
     }
-    ColumnShim.ofRows(spark, TopKPerGroup(k, groupExprs, sorted.order, child))
+    ColumnShim.ofRows(spark,
+      TopKPerGroup(k, groupExprs, sorted.order, child, spillThreshold))
   }
 }

@@ -50,6 +50,32 @@ class TopKSpec extends SparkSpec {
       stock.collect().toSeq.sortBy(_.get(0).toString))
   }
 
+  test("spill path: high-cardinality groups with a tiny threshold match exactly") {
+    // ~1000 distinct custkeys per partition vs a 64-row retained cap →
+    // dozens of spill runs per partition, exercising the k-way merge
+    val orders = Tables.orders(spark, sf)
+    for (k <- Seq(1, 3)) {
+      val spilled = TopK.perGroup(orders, k, Seq("o_custkey"),
+          Seq(orders("o_totalprice").desc, orders("o_orderkey").asc),
+          spillThreshold = 64)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val stock = windowTopK(k)
+      assert(spilled.count() == stock.count(), s"k=$k count")
+      assert(spilled.exceptAll(stock).isEmpty && stock.exceptAll(spilled).isEmpty,
+        s"k=$k spilled rows differ")
+    }
+  }
+
+  test("spill path agrees with the in-memory path on ties and small groups") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 997, i % 7, i)).toDF("g", "v", "id")
+    val inMem = TopK.perGroup(df, 2, Seq("g"), Seq(df("v").desc, df("id").asc))
+    val spilled = TopK.perGroup(df, 2, Seq("g"), Seq(df("v").desc, df("id").asc),
+      spillThreshold = 32)
+    assert(inMem.count() == spilled.count())
+    assert(spilled.exceptAll(inMem).isEmpty && inMem.exceptAll(spilled).isEmpty)
+  }
+
   test("physical plan uses TopKPerGroupExec with a single clustering exchange") {
     val orders = Tables.orders(spark, sf)
     val df = TopK.perGroup(orders, 3, Seq("o_custkey"),
