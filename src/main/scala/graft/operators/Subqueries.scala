@@ -95,6 +95,90 @@ object Subqueries extends QueryPack {
     ORDER BY numwait DESC, l1.l_suppkey
     """.stripMargin.trim)
 
+  /** NOT IN with an `IS NOT NULL` guard on the subquery side — the
+    * 100-TB-safe twin of `q_subquery_in`'s NOT IN. Unguarded NOT IN needs
+    * Catalyst's null-aware anti join, which requires broadcasting the
+    * subquery side and degrades to BroadcastNestedLoopJoin past the
+    * threshold; the guard lets it plan as a plain left-anti shuffle join
+    * at any scale (plan-asserted in SubqueryPlanSpec). */
+  val qSubqueryInNotnull: Q = sqlQ(
+    "q_subquery_in_notnull",
+    """
+    SELECT c_custkey
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """.stripMargin.trim)
+
+  /** TPC-H Q2 shape: correlated MIN — each part's cheapest lineitems.
+    * Exercises RewriteCorrelatedScalarSubquery into a per-key aggregate
+    * join (MIN over doubles is order-independent, so the equality
+    * predicate is exact in both engines). */
+  val qCorrMin: Q = sqlQ(
+    "q_corr_min",
+    """
+    SELECT p.p_partkey, l.l_suppkey, CAST(l.l_extendedprice AS DOUBLE) AS min_price
+    FROM part p, lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey, l.l_suppkey, min_price
+    """.stripMargin.trim)
+
+  /** TPC-H Q11 shape: group value vs a global-aggregate threshold
+    * (nations holding > 1/25 of total supplier revenue). The comparison
+    * is multiplied through (`sum * 25 > total`) so both sides stay exact
+    * DECIMAL — dividing the total instead would hit engine-specific
+    * decimal-division rounding at the boundary. */
+  val qGroupShare: Q = sqlQ(
+    "q_group_share",
+    """
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM lineitem, supplier
+    WHERE l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 25 >
+      (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+       FROM lineitem, supplier WHERE l_suppkey = s_suppkey)
+    ORDER BY total_value DESC, s_nationkey
+    """.stripMargin.trim)
+
+  /** TPC-H Q17 shape: avg-per-key decorrelation — revenue of small-order
+    * lineitems ("small" = under 20% of the part's own average quantity).
+    * Quantities are small exact integers in doubles, so AVG and the 0.2
+    * multiply are bit-identical across engines. */
+  val qAvgDecorrelate: Q = sqlQ(
+    "q_avg_decorrelate",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    ORDER BY avg_yearly
+    """.stripMargin.trim)
+
+  /** TPC-H Q20 shape: nested IN chains (supplier ← lineitem ← part),
+    * rewritten by Catalyst into stacked left-semi joins. */
+  val qNestedIn: Q = sqlQ(
+    "q_nested_in",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+    ORDER BY s_suppkey
+    """.stripMargin.trim)
+
   /** LIKE / NOT LIKE / regex predicates (regex spelled per engine:
     * Spark `rlike`, DuckDB `regexp_matches` — same RE2-ish pattern). */
   val qLikePatterns: Q = Q(
@@ -119,5 +203,6 @@ object Subqueries extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn,
+    qSubqueryInNotnull, qCorrMin, qGroupShare, qAvgDecorrelate, qNestedIn,
     qExistsMulti, qLikePatterns)
 }
