@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.expr
+import java.lang.management.ManagementFactory
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +13,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val os = ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = os.getSystemLoadAverage
     // Untimed JVM warm-up: compiles the codegen/shuffle/parquet paths once
     // so the first measured query isn't charged for JIT + classloading.
     try {
@@ -20,19 +24,26 @@ object Bench {
     } catch { case _: Throwable => () }
     // deterministic order → per-query timings comparable across rounds;
     // best-of-2 per query damps the shared-box scheduling noise (±35%
-    // single-run variance observed) without hiding real cost
+    // single-run variance observed) without hiding real cost. All raw runs
+    // are emitted too, so a later reader can separate noise (one slow run,
+    // one normal) from regression (both runs slow) without a re-run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = os.getSystemLoadAverage
+    def f(d: Double) = "%.4f".format(d)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

