@@ -88,7 +88,10 @@ case class TopKPerGroupExec(
       // its current top-k rows. Merging later is then a streaming k-way
       // merge over group-sorted runs: memory O(runs + k x runs) per group.
       def spill(): Unit = {
-        val file = File.createTempFile("graft-topk-spill", ".bin")
+        // spills land under spark.local.dir (the executor's provisioned
+        // scratch volume), not java.io.tmpdir, and count toward the task's
+        // diskBytesSpilled so the UI shows them
+        val file = org.apache.spark.graft.SpillShim.createSpillFile("graft-topk-spill")
         val out = new DataOutputStream(
           new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
         try {
@@ -111,6 +114,7 @@ case class TopKPerGroupExec(
             }
           }
         } finally out.close()
+        org.apache.spark.graft.SpillShim.incDiskBytesSpilled(file.length())
         spills += file
         heaps.clear()
         retained = 0

@@ -25,7 +25,14 @@ final case class CdcReplayPartition(
     expected: Seq[CdcField],
     startExclusive: Option[String],
     endInclusive: String,
-    timeoutMs: Int) extends InputPartition
+    timeoutMs: Int) extends InputPartition {
+
+  /** Task descriptors get rendered into logs and the Spark UI; the default
+    * case-class toString would leak the password there. */
+  override def toString: String =
+    s"CdcReplayPartition($host,$port,$user,${CdcRedact.Mask},$table,$expected," +
+      s"$startExclusive,$endInclusive,$timeoutMs)"
+}
 
 /** Shared wire-string → Catalyst row conversion (raw vs typed modes,
   * SURVEY.md §1.2). */

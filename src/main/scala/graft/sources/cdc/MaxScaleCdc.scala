@@ -27,7 +27,15 @@ final case class CdcOptions(
     maxEventsPerBatch: Int,
     replayPartitions: Int) {
   def timeoutMs: Int = timeoutSeconds * 1000
+
+  /** Case-class toString would print the password into any log line that
+    * renders the options (stream progress, plan dumps) — mask it. */
+  override def toString: String =
+    s"CdcOptions($host,$port,$user,${CdcRedact.Mask},$table,$startingGtid," +
+      s"$timeoutSeconds,$typed,$maxEventsPerBatch,$replayPartitions)"
 }
+
+private[cdc] object CdcRedact { val Mask = "*****" }
 
 object CdcOptions {
   def apply(m: CaseInsensitiveStringMap): CdcOptions = {

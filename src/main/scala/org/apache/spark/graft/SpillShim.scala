@@ -1,0 +1,35 @@
+package org.apache.spark.graft
+
+import java.io.File
+
+import org.apache.spark.{SparkEnv, TaskContext}
+import org.apache.spark.util.Utils
+
+/** Bridge to Spark's spill plumbing, both `private[spark]`:
+  *
+  *  - `Utils.getLocalDir` resolves `spark.local.dir` / YARN/K8s local dirs —
+  *    the big scratch volumes an executor is provisioned with. Spilling to
+  *    `java.io.tmpdir` instead would land on the (often tiny) root
+  *    partition of a cluster node and turn a memory spill into ENOSPC.
+  *  - `TaskMetrics.incDiskBytesSpilled` is how spills become visible in the
+  *    Spark UI / event log, which is where a 100 TB job's skew diagnosis
+  *    starts.
+  *
+  * No Spark internals are modified; this only re-exports two calls.
+  */
+object SpillShim {
+
+  /** A fresh spill file under Spark's configured local dirs (falls back to
+    * `java.io.tmpdir` outside a SparkEnv, e.g. in bare unit tests). */
+  def createSpillFile(prefix: String): File = {
+    val dir = Option(SparkEnv.get) match {
+      case Some(env) => new File(Utils.getLocalDir(env.conf))
+      case None => new File(System.getProperty("java.io.tmpdir"))
+    }
+    File.createTempFile(prefix, ".bin", dir)
+  }
+
+  /** Record spilled bytes in the running task's metrics (no-op off-task). */
+  def incDiskBytesSpilled(bytes: Long): Unit =
+    Option(TaskContext.get()).foreach(_.taskMetrics().incDiskBytesSpilled(bytes))
+}

@@ -18,5 +18,14 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.local.dir", localDir.getAbsolutePath)
     .getOrCreate()
+
+  /** Dedicated scratch root so specs can assert spills honor
+    * `spark.local.dir` (TopKSpec) rather than leaking into java.io.tmpdir. */
+  lazy val localDir: java.io.File = {
+    val d = new java.io.File("target/spark-local-test")
+    d.mkdirs()
+    d
+  }
 }

@@ -76,6 +76,16 @@ class TopKSpec extends SparkSpec {
     assert(spilled.exceptAll(inMem).isEmpty && inMem.exceptAll(spilled).isEmpty)
   }
 
+  test("spill files honor spark.local.dir, not java.io.tmpdir") {
+    spark.sparkContext.setLogLevel("WARN") // touch the context so SparkEnv exists
+    val f = org.apache.spark.graft.SpillShim.createSpillFile("graft-topk-spilltest")
+    try {
+      val root = graft.SparkSpec.localDir.getCanonicalPath
+      assert(f.getCanonicalPath.startsWith(root),
+        s"spill file ${f.getCanonicalPath} not under configured spark.local.dir $root")
+    } finally f.delete()
+  }
+
   test("physical plan uses TopKPerGroupExec with a single clustering exchange") {
     val orders = Tables.orders(spark, sf)
     val df = TopK.perGroup(orders, 3, Seq("o_custkey"),

@@ -116,4 +116,20 @@ class CdcProtocolSpec extends AnyFunSuite {
     // domains are parallel streams; ordering across them is lexicographic
     assert(Gtid(1, 1, 1) > Gtid(0, 9, 999))
   }
+
+  test("credentials never appear in rendered options or task descriptors") {
+    val secret = "s3cr3t-hunter2"
+    val opts = CdcOptions("h", 4001, "u", secret, "db.t", None, 10,
+      typed = true, maxEventsPerBatch = 1000, replayPartitions = 1)
+    assert(!opts.toString.contains(secret))
+    assert(opts.toString.contains("u")) // user stays visible for debugging
+    // replay partitions are serialized into task descriptors and rendered
+    // by Spark's UI/logs — the password must be masked there too
+    val part = CdcReplayPartition("h", 4001, "u", secret, "db.t",
+      Seq(CdcField("id", "int")), Some("0-1-1"), "0-1-9", 10000)
+    assert(!part.toString.contains(secret))
+    assert(part.toString.contains("0-1-9"))
+    // equality/copy semantics of the case classes are unaffected
+    assert(part.copy().password == secret)
+  }
 }
