@@ -350,4 +350,38 @@ class CdcSourceSpec extends SparkSpec {
           c.getMessage.contains("schema drift"))))
     } finally srv.close()
   }
+
+  test("PySpark surface pin: short name, option keys/defaults, offset JSON") {
+    // python/README.md documents this exact surface for PySpark users —
+    // if any assertion here changes, the doc (and the SWIG-parity facade's
+    // gtid interchange) must change with it.
+    import org.apache.spark.sql.execution.datasources.DataSource
+    val cls = DataSource.lookupDataSource("maxscale-cdc", spark.sessionState.conf)
+    assert(cls == classOf[MaxScaleCdcTableProvider],
+      s"short name resolved to $cls")
+
+    // option keys are case-insensitive; defaults per README
+    val m = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("HOST" -> "h", "Table" -> "db.t").asJava)
+    val opts = CdcOptions(m)
+    assert(opts.host == "h" && opts.table == "db.t")
+    assert(opts.port == 4001)
+    assert(opts.timeoutSeconds == 10)           // reference default
+    assert(opts.typed)                          // mode=typed is the default
+    assert(opts.maxEventsPerBatch == 100000)
+    assert(opts.replayPartitions == 1)
+    assert(opts.startingGtid.isEmpty)
+    val missing = intercept[IllegalArgumentException] {
+      CdcOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("host" -> "h").asJava))
+    }
+    assert(missing.getMessage.contains("'table'"))
+
+    // checkpoint offsets are human-auditable GTID strings, interchangeable
+    // with startingGtid and the Python facade's connect(table, gtid=...)
+    assert(GtidOffset.fromJson("0-1-42").json() == "0-1-42")
+    assert(GtidOffset.Start.json() == "-")      // stream-start sentinel
+    assert(GtidOffset.fromJson("-") == GtidOffset.Start)
+    assert(GtidOffset.fromJson("").json() == "-")
+  }
 }
