@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * rows), so a real decoder would amortize codec/model init per batch
   * exactly like an Arrow batch UDF.
   *
-  * The decode kernels are STUBS — deterministic fakes, clearly marked:
-  * this container has no image/audio libraries, so the fakes stand in
-  * where ImageIO/ffmpeg/soundfile calls would go. Everything around them
-  * (schemas, Encoders, batch shape, partitioning, explode cardinality,
-  * downstream aggregation) is real and oracle-/property-tested.
+  * The IMAGE path is real end-to-end: payloads are genuine PNGs
+  * ([[Multimodal.encodePng]], javax.imageio) and metadata extraction
+  * runs a real PNG decode ([[Multimodal.decodeImage]]). Only the
+  * audio/video kernels remain deterministic stubs (no codec libraries
+  * in this container): [[Multimodal.decodeDimsStub]] feeds the
+  * frame-sampling byte walk and [[Multimodal.featuresStub]] stands in
+  * for an embedding forward pass. Everything around them (schemas,
+  * Encoders, batch shape, partitioning, explode cardinality, downstream
+  * aggregation) is real and oracle-/property-tested.
   *
   * Scale notes: decode parallelism == partition count of the binary
   * column's source; callers repartition before heavy decode so a
@@ -27,7 +31,8 @@ object Multimodal extends QueryPack {
 
   /** One media object: id + modality tag + opaque payload. */
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
-  final case class MediaMeta(media_id: Long, n_bytes: Long, width: Int, height: Int)
+  final case class MediaMeta(
+      media_id: Long, n_bytes: Long, width: Int, height: Int, p00: Int)
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
@@ -49,12 +54,81 @@ object Multimodal extends QueryPack {
       .as[MediaRow]
   }
 
+  /** The `documents` table as genuine encoded images: each payload is a
+    * REAL PNG (written by ImageIO) whose dimensions and corner pixel are
+    * deterministic functions of doc_id and whose body pixels come from
+    * the text bytes — so the decode side must run a real PNG decoder,
+    * while the DuckDB oracle can still predict what it will find.
+    * Synthesis is batched mapPartitions like every other kernel here;
+    * at scale this stage is the "encode/transcode" half of a media
+    * pipeline and parallelizes with the partition count. */
+  def mediaPngFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (docId, text) =>
+            MediaRow(docId, "image/png",
+              encodePng(pngWidth(docId), pngHeight(docId), (docId % 256).toInt, text))
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic-image geometry: known to the oracle, opaque
+    * to the decoder (which must parse the PNG to recover it). */
+  def pngWidth(docId: Long): Int = 1 + (docId % 64).toInt
+  def pngHeight(docId: Long): Int = 1 + ((docId * 7) % 48).toInt
+
   // ------------------------------------------------------------- kernels
+
+  /** Encode a real grayscale PNG: `corner` becomes pixel (0,0), the rest
+    * of the raster cycles through `body`. Pure JDK (javax.imageio). */
+  def encodePng(width: Int, height: Int, corner: Int, body: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory, no /tmp scratch
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        val v =
+          if (i == 0) corner
+          else if (body.nonEmpty) body(i % body.length) & 0xff
+          else 0
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode via javax.imageio: parses the PNG (any ImageIO
+    * format, in fact) and returns (width, height, pixel(0,0) gray).
+    * Throws on undecodable payloads — at 100 TB you want corrupt media
+    * quarantined loudly (wrap with a try + side output), not zeroed. */
+  def decodeImage(content: Array[Byte]): (Int, Int, Int) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${content.length} bytes)")
+    (img.getWidth, img.getHeight, img.getRaster.getSample(0, 0, 0))
+  }
 
   /** STUB image decode — deterministic fake of "parse header, return
     * dimensions": width from payload size, height from the first byte.
-    * A real implementation replaces ONLY this function body with e.g.
-    * `javax.imageio.ImageIO.read(new ByteArrayInputStream(content))`. */
+    * Kept ONLY for the frame-sampling path over non-image payloads
+    * (q_media_frames walks raw bytes); the metadata path uses the real
+    * [[decodeImage]] kernel. */
   def decodeDimsStub(content: Array[Byte]): (Int, Int) = {
     val w = 1 + (content.length % 640)
     val h = 1 + ((if (content.nonEmpty) content(0) & 0xff else 0) % 480)
@@ -90,15 +164,18 @@ object Multimodal extends QueryPack {
   // --------------------------------------------------------- transforms
 
   /** Decode metadata for every media object — batched mapPartitions, the
-    * mapInPandas shape (iterator of batches in, iterator of batches out). */
+    * mapInPandas shape (iterator of batches in, iterator of batches out).
+    * The kernel is the REAL [[decodeImage]]: every payload goes through
+    * javax.imageio's PNG decoder; n_bytes is the encoded size, the rest
+    * comes from the decoded raster. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // real decoders init their codec here, once per batch
         batch.map { m =>
-          val (w, h) = decodeDimsStub(m.content)
-          MediaMeta(m.media_id, m.content.length.toLong, w, h)
+          val (w, h, p00) = decodeImage(m.content)
+          MediaMeta(m.media_id, m.content.length.toLong, w, h, p00)
         }
       }
     }
@@ -134,22 +211,30 @@ object Multimodal extends QueryPack {
 
   // ------------------------------------------------------------ queries
 
-  /** Binary decode metadata, oracle-checked: the stub's arithmetic is
-    * reproducible in SQL from the text the payload was derived from. */
+  /** Binary decode metadata with a REAL codec: payloads are genuine PNGs
+    * (ImageIO-encoded), the kernel is a genuine PNG decode
+    * ([[decodeImage]]), and the oracle predicts what the decoder must
+    * recover because the synthesis geometry is a pure function of doc_id:
+    * width = 1 + doc_id % 64, height = 1 + (doc_id*7) % 48, corner pixel
+    * = doc_id % 256. If the decode were fake (or dropped the raster),
+    * width/height/p00 would not hash-match. */
   val qMediaMeta: Q = Q(
     "q_media_meta",
     Some("""
       SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
-             CAST(1 + ascii(substr(text, 1, 1)) % 480 AS INT) AS height
+             CAST(1 + doc_id % 64 AS INT) AS width,
+             CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+             CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_pixels,
+             CAST(doc_id % 256 AS INT) AS p00
       FROM documents
       ORDER BY doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    decodeMeta(mediaFromDocuments(s, dir))
+    decodeMeta(mediaPngFromDocuments(s, dir))
       .toDF()
-      .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        (col("width").cast("long") * col("height").cast("long")).as("n_pixels"),
+        col("p00"))
       .orderBy("doc_id")
   }
 

@@ -13,12 +13,31 @@ class MultimodalSpec extends SparkSpec {
 
   private def media = mediaFromDocuments(spark, sf).cache()
 
-  test("decodeMeta: one row per media, dims within decode bounds") {
-    val metas = decodeMeta(media).collect()
+  test("encodePng writes genuine PNG bytes; decodeImage recovers the raster") {
+    val png = encodePng(17, 5, corner = 200, body = "hello".getBytes)
+    // real PNG container: 8-byte signature 89 'P' 'N' 'G' \r \n 1A \n
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val (w, h, p00) = decodeImage(png)
+    assert((w, h, p00) == (17, 5, 200))
+    // body pixels cycle through the payload bytes ('e' at raster index 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getRaster.getSample(1, 0, 0) == 'e'.toInt)
+  }
+
+  test("decodeImage rejects payloads that are not decodable images") {
+    intercept[Exception] { decodeImage("not a png at all".getBytes) }
+  }
+
+  test("decodeMeta runs a real PNG decode: dims/corner match the synthesis geometry") {
+    val metas = decodeMeta(mediaPngFromDocuments(spark, sf)).collect()
     assert(metas.length == media.count())
-    assert(metas.forall(m => m.width >= 1 && m.width <= 640))
-    assert(metas.forall(m => m.height >= 1 && m.height <= 480))
-    assert(metas.forall(m => m.n_bytes > 0))
+    metas.foreach { m =>
+      assert(m.width == pngWidth(m.media_id), s"media ${m.media_id} width")
+      assert(m.height == pngHeight(m.media_id), s"media ${m.media_id} height")
+      assert(m.p00 == (m.media_id % 256).toInt, s"media ${m.media_id} corner pixel")
+      assert(m.n_bytes > 8) // encoded PNG, not a raw raster
+    }
   }
 
   test("frameSample: cardinality and byte accounting match the chunk walk") {
