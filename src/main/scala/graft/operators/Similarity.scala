@@ -204,24 +204,18 @@ object Similarity extends QueryPack {
 
   // ------------------------------------------------------------------ LSH
 
-  private val NPlanes = 16
-  /** Deterministic ±1 hyperplanes (xorshift-mixed), 16 x 64. */
-  private[operators] val planes: Array[Array[Double]] =
-    Array.tabulate(NPlanes, 64) { (j, i) =>
-      var x = (j.toLong << 32) ^ (i.toLong * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL
-      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-      if ((x & 1L) == 0L) 1.0 else -1.0
-    }
+  private val LshBands = 4
+  private val LshBits  = 4
 
-  /** Random-hyperplane (SimHash-for-vectors) LSH ANN: 16-bit signature,
+  /** Random-hyperplane (SimHash-for-vectors) LSH ANN: 16-bit signature as
     * 4 bands x 4 bits; candidates share a band, exact re-rank inside.
-    * No oracle — recall asserted in SimilaritySpec. */
+    * Banding uses the same splitmix64 [[graft.functions.HyperplaneBands]]
+    * family as the near-dup gate — one plane generator in the codebase
+    * (the earlier xorshift family degenerated past ~100 planes).
+    * No oracle — recall asserted in LlmOpsSpec. */
   val qSimLsh: Q = Q("q_sim_lsh", None) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
-    val sigd = withSignature(e)
-    val bands = sigd.select(col("vec_id"), col("embedding"),
-        explode(expr("transform(sequence(0,3), b -> named_struct('band', b, 'key', shiftright(sig, 4*b) & 15))")).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = withBandKeys(e)
     val qb = bands.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               col("band"), col("key"))
@@ -238,13 +232,14 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** Attach the 16-bit hyperplane signature as column `sig`. */
-  def withSignature(e: DataFrame): DataFrame = {
-    val sigBits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(col("embedding"), planeCol) > 0, lit(1L << j)).otherwise(0L)
-    }
-    e.withColumn("sig", sigBits.reduce(_ + _))
+  /** Explode each vector into its (band, key) LSH bucket rows, backed by
+    * the codegen'd [[graft.functions.HyperplaneBands]] expression. */
+  def withBandKeys(e: DataFrame): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    e.select(col("vec_id"), col("embedding"),
+        posexplode(bandKeys(col("embedding"), LshBands, LshBits)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
   }
 
   override def all: Seq[Q] =
