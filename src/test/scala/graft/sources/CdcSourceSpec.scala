@@ -351,6 +351,98 @@ class CdcSourceSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("crash matrix: commit-log/GTID-file orderings neither duplicate nor lose events") {
+    // Spark's per-batch sequence is offsetLog.add -> run batch ->
+    // commitLog.add -> source.commit (our CommittedGtidFile.advance).
+    // A kill can land in either window:
+    //   A) after commitLog.add, before source.commit  -> the GTID file is
+    //      BEHIND Spark's durable start on restart;
+    //   B) after offsetLog.add, before commitLog.add  -> Spark re-plans the
+    //      logged batch range on restart (file behind the planned end).
+    // Both must yield disjoint, gap-free batch ranges downstream.
+    spark.sparkContext // CommittedGtidFile resolves fs() off the active session
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 10L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    val ckpt = Files.createTempDirectory("cdc-crash-matrix").toString
+    try {
+      val opts = CdcOptions("127.0.0.1", srv.port, "u", "p", "db.t", None,
+        timeoutSeconds = 1, typed = true, maxEventsPerBatch = 1000,
+        replayPartitions = 1)
+      val schema = new MaxScaleCdcTableProvider().inferSchema(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map(
+          "host" -> "127.0.0.1", "port" -> srv.port.toString,
+          "user" -> "u", "password" -> "p", "table" -> "db.t",
+          "timeoutSeconds" -> "1").asJava))
+      import graft.sources.cdc.{CommittedGtidFile, Gtid}
+
+      def readBatch(s: CdcMicroBatchStream, start: GtidOffset, end: GtidOffset): Seq[Int] = {
+        val factory = s.createReaderFactory()
+        s.planInputPartitions(start, end).toSeq.flatMap { p =>
+          val r = factory.createReader(p)
+          val out = Seq.newBuilder[Int]
+          try while (r.next()) out += r.get().getInt(2) // sequence column
+          finally r.close()
+          out.result()
+        }
+      }
+      def gtidOf(o: org.apache.spark.sql.connector.read.streaming.Offset): GtidOffset =
+        o.asInstanceOf[GtidOffset]
+
+      // ---- epoch 1: plan + read 1..10; crash in window A (no source.commit)
+      val s1 = new CdcMicroBatchStream(schema, opts, ckpt)
+      try {
+        val start1 = gtidOf(s1.initialOffset())
+        val end1 = eventually(timeout(Span(20, Seconds)), interval(Span(100, org.scalatest.time.Milliseconds))) {
+          val e = gtidOf(s1.latestOffset(start1, s1.getDefaultReadLimit))
+          assert(e.gtid.exists(_.sequence == 10)); e
+        }
+        assert(readBatch(s1, start1, end1) == (1 to 10))
+        // CRASH A: commitLog.add happened (end1 is Spark's durable start),
+        // source.commit did not -> the GTID file never advanced
+        assert(CommittedGtidFile.read(ckpt).isEmpty)
+
+        // ---- restart: Spark hands start = end1; stale local state must not
+        // plan a backwards batch or resurrect 1..10
+        val s2 = new CdcMicroBatchStream(schema, opts, ckpt)
+        try {
+          val idle = gtidOf(s2.latestOffset(end1, s2.getDefaultReadLimit))
+          assert(idle.gtid.exists(_ >= end1.gtid.get),
+            s"planned end $idle regressed behind start $end1")
+          assert(readBatch(s2, end1, idle).isEmpty, "empty idle batch expected")
+          (11L to 15L).foreach(i => srv.push(event(i, "insert", i.toInt, s"n$i")))
+          val end2 = eventually(timeout(Span(20, Seconds))) {
+            val e = gtidOf(s2.latestOffset(end1, s2.getDefaultReadLimit))
+            assert(e.gtid.exists(_.sequence == 15)); e
+          }
+          assert(readBatch(s2, end1, end2) == (11 to 15), "window-A restart duplicated or lost")
+          s2.commit(end2)
+          assert(CommittedGtidFile.read(ckpt).contains(Gtid(0, 1, 15)))
+          // a stale commit re-delivered after restart must not regress the file
+          s2.commit(end1)
+          assert(CommittedGtidFile.read(ckpt).contains(Gtid(0, 1, 15)),
+            "stale commit regressed the committed-GTID watermark")
+        } finally s2.stop()
+      } finally s1.stop()
+
+      // ---- window B: offsetLog recorded (end1, end2]; commitLog didn't.
+      // A restarted stream must re-deliver EXACTLY that range from the
+      // server (recovery re-plan), byte-for-byte the same slice.
+      val s3 = new CdcMicroBatchStream(schema, opts, ckpt)
+      try {
+        val e1 = GtidOffset(Some(Gtid(0, 1, 10)))
+        val e2 = GtidOffset(Some(Gtid(0, 1, 15)))
+        assert(readBatch(s3, e1, e2) == (11 to 15), "window-B re-plan drifted")
+        // and the stream continues past the re-plan with no gap
+        (16L to 18L).foreach(i => srv.push(event(i, "insert", i.toInt, s"n$i")))
+        val end3 = eventually(timeout(Span(20, Seconds))) {
+          val e = gtidOf(s3.latestOffset(e2, s3.getDefaultReadLimit))
+          assert(e.gtid.exists(_.sequence == 18)); e
+        }
+        assert(readBatch(s3, e2, end3) == (16 to 18))
+      } finally s3.stop()
+    } finally srv.close()
+  }
+
   test("PySpark surface pin: short name, option keys/defaults, offset JSON") {
     // python/README.md documents this exact surface for PySpark users —
     // if any assertion here changes, the doc (and the SWIG-parity facade's

@@ -67,6 +67,52 @@ class CdcThroughputSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test(s"2-partition parallel replay: aggregate ingest at >=1.5x the single floor") {
+    // replayPartitions > 1 shards a batch into disjoint contiguous GTID
+    // subranges, one server connection per task. Ordering semantics: rows
+    // WITHIN a partition are strictly GTID-ordered (asserted below);
+    // across partitions order is unspecified — callers needing the total
+    // changelog order keep replayPartitions=1 or sort downstream.
+    val events = (1L to N).map(i => event(i, "insert", (i % 1000).toInt, s"name_$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fields = CdcClient.parseSchemaFields(mapper.readTree(Schema))
+      val dts = SqlTypes.toStructType(fields, typed = true).fields.map(_.dataType)
+      val mid = N / 2
+      val parts = Seq(
+        CdcReplayPartition("127.0.0.1", srv.port, "u", "p", "db.t",
+          fields, startExclusive = None, endInclusive = s"0-1-$mid", timeoutMs = 5000),
+        CdcReplayPartition("127.0.0.1", srv.port, "u", "p", "db.t",
+          fields, startExclusive = Some(s"0-1-$mid"), endInclusive = s"0-1-$N",
+          timeoutMs = 5000))
+      val results = parts.map(_ => new java.util.concurrent.atomic.AtomicReference[Seq[Int]])
+      val t0 = System.nanoTime()
+      val threads = parts.zip(results).map { case (p, slot) =>
+        val th = new Thread(() => {
+          val r = new CdcReplayReader(p, dts, typed = true)
+          val seqs = Seq.newBuilder[Int]
+          try while (r.next()) seqs += r.get().getInt(2)
+          finally r.close()
+          slot.set(seqs.result())
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(120000))
+      val wallSecs = (System.nanoTime() - t0) / 1e9
+      val halves = results.map(_.get())
+      assert(halves.forall(_ != null), "a replay thread did not finish")
+      // per-partition total GTID order, disjoint coverage, nothing lost
+      halves.foreach(h => assert(h == h.sorted, "partition rows out of GTID order"))
+      assert(halves(0) == (1 to mid) && halves(1) == (mid + 1 to N))
+      val aggregate = N / wallSecs
+      info(f"2-partition aggregate replay rate: $aggregate%.0f rows/s over $N rows")
+      // the single-reader test floors at 5000 rows/s; parallel subranges
+      // must beat 1.5x that floor or sharding isn't buying throughput
+      assert(aggregate > 7500, f"parallel replay not scaling: $aggregate%.0f rows/s")
+    } finally srv.close()
+  }
+
   test("facade consumer loop sustains the same order of magnitude") {
     val M = 20000
     val events = (1L to M.toLong).map(i => event(i, "insert", (i % 100).toInt, s"n$i"))

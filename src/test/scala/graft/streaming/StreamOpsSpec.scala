@@ -182,6 +182,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc source -> session windows: watermark-finalized sessions over the changelog") {
+    import MockMaxScaleServer.Schema
+    // Layer A/Layer B composition on a second stateful op (the first is
+    // latestStateRows below): the CDC changelog drives event-time session
+    // windows, finalized in Append mode once the watermark passes.
+    val t0 = 1700000000L
+    def ev(seq: Long, id: Int, tsOff: Long): String =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${t0 + tsOff},"event_type":"insert","id":$id,"name":"n$seq"}"""
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      ev(1, 1, 0), ev(2, 1, 2), ev(3, 1, 3),   // user 1: one 3-event session
+      ev(4, 2, 4),                              // user 2: singleton session
+      ev(5, 1, 100),                            // user 1: later second session
+      ev(6, 9, 1000)))                          // watermark pusher (stays open)
+    try {
+      val cdc = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .load()
+      val sessions = StreamOps.sessionCounts(
+        cdc.select(col("id").as("user_id"),
+          org.apache.spark.sql.functions.timestamp_seconds(col("timestamp")).as("ts")),
+        keyCol = "user_id", gap = "5 seconds", watermark = "10 seconds")
+      val q = sessions.writeStream.format("memory").queryName("s_cdc_sessions")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          val rows = spark.table("s_cdc_sessions").collect().map { r =>
+            (r.getAs[Int]("user_id"),
+              r.getAs[Timestamp]("session_start").getTime / 1000 - t0,
+              r.getAs[Timestamp]("session_end").getTime / 1000 - t0,
+              r.getAs[Long]("n_events"))
+          }.toSet
+          // inactivity gap merges 0,2,3 into one session ending at 3+5;
+          // the far-future event finalizes everything before its watermark
+          assert(rows == Set(
+            (1, 0L, 8L, 3L),      // 3 events, gap-merged
+            (2, 4L, 9L, 1L),      // singleton
+            (1, 100L, 105L, 1L))) // second session for the same key
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("cdc source -> latestStateRows materializes current table state") {
     import MockMaxScaleServer.{Schema, event}
     // changelog: insert id=1, insert id=2, update id=1 — current state has
