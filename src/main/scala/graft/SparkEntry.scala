@@ -22,7 +22,8 @@ object SparkEntry {
     TextOps,
     Similarity,
     Multimodal,
-    Subqueries
+    Subqueries,
+    TrainPrep
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

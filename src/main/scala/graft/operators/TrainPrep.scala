@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators — the curation stages an LLM data
+  * pipeline runs between raw corpus and tokenizer, beyond dedup/similarity
+  * (TextOps/Similarity): deterministic sampling, split assignment,
+  * length bucketing, PII masking, benchmark decontamination, hash
+  * sharding, and domain mixture weights.
+  *
+  * Determinism discipline: every stochastic-looking choice (sample, split,
+  * shard) is a pure function of a content-stable md5 key, so reruns —
+  * and the DuckDB oracle — reproduce it bit-for-bit. That is also the
+  * 100 TB shape: hash-gated membership is a narrow projection + filter
+  * with NO shuffle and no RNG state to coordinate across 1000 executors,
+  * unlike `sample()`/`rand()` whose seeds are per-partition-dependent.
+  */
+object TrainPrep extends QueryPack {
+
+  /** Content-stable uniform [0,1)-ish key: lowercase md5 hex of the id.
+    * Lexicographic comparison against a hex prefix is a uniform threshold
+    * test in both engines (identical md5, identical collation for
+    * [0-9a-f]). */
+  private def hkey(c: org.apache.spark.sql.Column) = md5(c.cast("string"))
+  private val hkeySql = "md5(CAST(doc_id AS VARCHAR))"
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic corpus sampling: md5(doc_id) < '2' keeps 2/16 = 12.5%.
+    * Scale shape: a codegen'd filter directly over the scan — no shuffle,
+    * no seed coordination, stable across reruns and engines. */
+  val qSampleHash: Q = Q(
+    "q_sample_hash",
+    Some(s"""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE $hkeySql < '2'
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(hkey(col("doc_id")) < "2")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Train/val/test assignment from the same stable key: '0d' ≈ 5.1%,
+    * '1a' ≈ 10.2% cumulative — so ≈5% test, ≈5% val, ≈90% train, with a
+    * doc's split immutable under corpus growth (the property shuffled
+    * splits lose). Aggregated per split for the oracle. */
+  val qSplitAssign: Q = Q(
+    "q_split_assign",
+    Some(s"""
+      WITH h AS (SELECT n_chars, $hkeySql AS h FROM documents),
+      s AS (SELECT CASE WHEN h < '0d' THEN 'test'
+                        WHEN h < '1a' THEN 'val'
+                        ELSE 'train' END AS split, n_chars FROM h)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY split
+      ORDER BY split
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .select(col("n_chars"), hkey(col("doc_id")).as("h"))
+    h.select(
+        when(col("h") < "0d", "test")
+          .when(col("h") < "1a", "val")
+          .otherwise("train").as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
+  // ----------------------------------------------------------- bucketing
+
+  /** Sequence-length bucketing (64-char buckets): the histogram a packing/
+    * batching stage sizes its token budgets from. One hash-agg over a
+    * narrow projection; whitespace token counts ride along. */
+  val qLengthBuckets: Q = Q(
+    "q_length_buckets",
+    Some("""
+      WITH b AS (SELECT CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket,
+                        n_chars, len(string_split(text, ' ')) AS toks
+                 FROM documents)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket
+      ORDER BY bucket
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(floor(col("n_chars") / 64.0).cast("long").as("bucket"),
+        col("n_chars"), size(split(col("text"), " ")).as("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("toks").cast("long").as("total_tokens"))
+      .orderBy("bucket")
+  }
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** PII masking over customer identifiers: digit runs → '#', with a
+    * per-row redaction count. Pure codegen'd regexp projection — the
+    * flat-map shape of every scrubbing pass (emails, phones, SSNs, keys);
+    * the pattern is the variable, the plan is not. */
+  val qPiiScrub: Q = Q(
+    "q_pii_scrub",
+    Some("""
+      SELECT c_custkey,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             CAST(length(c_name)
+                  - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT) AS n_digits
+      FROM customer
+      ORDER BY c_custkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        (length(col("c_name"))
+          - length(regexp_replace(col("c_name"), "[0-9]", ""))).cast("int")
+          .as("n_digits"))
+      .orderBy("c_custkey")
+  }
+
+  // ----------------------------------------- benchmark decontamination
+
+  /** Decontamination: which training docs share a 7-word shingle with the
+    * held-out benchmark set (doc_id % 50 = 0)? The standard n-gram-overlap
+    * contamination check run before training. Scale shape: shingles are
+    * 60-bit hashes (narrow keys), the benchmark side is tiny and
+    * broadcast — one pass over the corpus, no all-pairs, no wide-string
+    * shuffle. */
+  val qContamination: Q = Q(
+    "q_contamination",
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(l)-5, 1)),
+                 i -> substr(md5(concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3],
+                                           l[i+4], l[i+5], l[i+6])), 1, 15)))) AS h
+             FROM toks WHERE len(l) >= 7),
+      bench AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 = 0),
+      train AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+      SELECT t.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_hits
+      FROM train t JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 7)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(l)-7),
+          |  i -> substr(md5(concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3],
+          |                            l[i+4], l[i+5], l[i+6])), 1, 15))"""
+          .stripMargin))).as("h"))
+    val bench = sh.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val train = sh.where(col("doc_id") % 50 =!= 0)
+    train.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ sharding
+
+  /** Deterministic output sharding: first md5 hex char → 16 shards. The
+    * write-side layout op for a training corpus (stable shard membership,
+    * uniform sizes); min/max hash per shard double as split points. */
+  val qShuffleShard: Q = Q(
+    "q_shuffle_shard",
+    Some(s"""
+      WITH h AS (SELECT substr($hkeySql, 1, 1) AS shard, $hkeySql AS h
+                 FROM documents)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             min(h) AS first_hash, max(h) AS last_hash
+      FROM h GROUP BY shard
+      ORDER BY shard
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(substring(hkey(col("doc_id")), 1, 1).as("shard"),
+        hkey(col("doc_id")).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("h").as("first_hash"), max("h").as("last_hash"))
+      .orderBy("shard")
+  }
+
+  // ------------------------------------------------------- domain mixing
+
+  /** Domain (language) mixture weights for a uniform target mix: weight =
+    * (total/k)/n_lang — the multiplier a sampler applies per domain.
+    * Exact decimal arithmetic end-to-end (same discipline as the jaccard
+    * oracle); the totals row is broadcast, the per-domain agg is one
+    * shuffle on lang. */
+  val qDomainMix: Q = Q(
+    "q_domain_mix",
+    Some("""
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM c)
+      SELECT c.lang, c.n AS n_docs,
+             CAST(round(CAST(t.total AS DECIMAL(18,9)) / (t.k * c.n), 6) AS DOUBLE) AS weight
+      FROM c, t
+      ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("total"), count(lit(1)).as("k"))
+    c.crossJoin(broadcast(t))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("total").cast("decimal(18,9)") / (col("k") * col("n")), 6)
+          .cast("double").as("weight"))
+      .orderBy("lang")
+  }
+
+  override def all: Seq[Q] = Seq(
+    qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
+    qContamination, qShuffleShard, qDomainMix)
+}
