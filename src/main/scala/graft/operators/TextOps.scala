@@ -174,12 +174,23 @@ object TextOps extends QueryPack {
   /** 32-bit SimHash fingerprints (doc_id, fp): per bit, the balance of
     * token-hash bits (duplicates weighted by frequency), sign → bit.
     *
-    * One hash-aggregate with 32 conditional sums per doc — NOT a 32-way
-    * bit explode (which would multiply the shuffle by 32; at corpus scale
-    * that is the difference between one pass and a 32x wider one).
-    * bal_b > 0 ⇔ 2*popcount_b > n_tokens, so this is bit-identical to the
-    * balance formulation the DuckDB oracle uses. */
+    * One codegen'd expression pass ([[graft.functions.SimHash32]]) — a
+    * narrow map-only projection, NO explode and NO shuffle before the
+    * banding join. Bit-identical to the balance formulation the DuckDB
+    * oracle uses (md5-hex-prefix token hash, bal_b > 0 ⇔ 2*popcount_b >
+    * n_tokens); [[simhashFingerprintsAgg]] keeps the aggregate twin for
+    * the equivalence spec. */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimHash32.simhash32
+    Tables.documents(s, dir)
+      .select(col("doc_id"), simhash32(split(col("text"), " ")).as("fp"))
+  }
+
+  /** The explode + 32-conditional-sum aggregate formulation of
+    * [[simhashFingerprints]] — shuffles docs x tokens rows, kept as the
+    * independently-derived twin the equivalence spec checks the
+    * expression against. */
+  def simhashFingerprintsAgg(s: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),

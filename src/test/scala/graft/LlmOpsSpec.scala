@@ -110,6 +110,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.where(col("hamming") > 6).count() == 0)
   }
 
+  test("one-pass SimHash32 expression equals the explode+aggregate twin, shuffle-free") {
+    val expr = TextOps.simhashFingerprints(spark, sf)
+    val agg = TextOps.simhashFingerprintsAgg(spark, sf)
+    assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
+    // the expression form must plan as a pure projection — no exchange
+    expr.collect()
+    val p = expr.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"one-pass simhash plan shuffles:\n$p")
+    assert(p.contains("graft_simhash32"), p)
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val docs = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     docs.createOrReplaceTempView("perm_docs")
