@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryPack {
 
-  private val P = 1000000007L
+  private val P = graft.functions.MinHashSig.P
 
   /** Portable 60-bit hash: md5 hex prefix → bigint, mod P.
     * Spark `conv(hex,16,10)` == DuckDB `CAST('0x'||hex AS BIGINT)`. */
@@ -73,18 +73,34 @@ object TextOps extends QueryPack {
 
   // -------------------------------------------------------------- minhash
 
-  // Fixed hash-family coefficients (a*h + b) mod P, all < P.
-  private val A = Seq(387420489L, 472882027L, 268435399L, 179424673L,
-    198491317L, 295075147L, 373587883L, 413158511L, 533000389L, 613651349L,
-    694847533L, 756065159L, 817504243L, 882377563L, 920419813L, 982451653L)
-  private val B = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
-    104395301L, 122949823L, 141650939L, 160481183L, 179424673L, 198491317L,
-    217645177L, 236887691L, 256203161L, 275604541L, 295075147L)
+  // Fixed hash-family coefficients (a*h + b) mod P, all < P — the single
+  // source of truth lives in graft.functions.MinHashSig (the one-pass
+  // expression must match the SQL oracle hash-for-hash).
+  private val A = graft.functions.MinHashSig.A.toSeq
+  private val B = graft.functions.MinHashSig.B.toSeq
   private val Bands = 4
   private val Rows  = 4 // 4 bands x 4 rows = 16 minhashes
 
-  /** MinHash signatures (doc_id, m0..m15) — shared by dedup + tests. */
+  /** MinHash signatures (doc_id, m0..m15) — shared by dedup + tests.
+    * One codegen'd expression pass ([[graft.functions.MinHashSig]]):
+    * shingle + hash + 16 permutation-mins per document in a narrow
+    * projection, NO explode/shuffle before the banding join. Hash-for-hash
+    * equal to the SQL formulation (and to [[minhashSignaturesAgg]], the
+    * exploded twin the equivalence spec checks against). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig.minhashSig
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), minhashSig(col("toks")).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until 16).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+  }
+
+  /** The explode + groupBy(16 mins) formulation of [[minhashSignatures]] —
+    * shuffles docs x shingles rows; kept as the independently-derived twin
+    * for the equivalence spec. */
+  def minhashSignaturesAgg(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingled(Tables.documents(s, dir))
       .select(col("doc_id"), h60(col("sh")).as("h"))
     hashed.groupBy("doc_id").agg(

@@ -110,6 +110,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.where(col("hamming") > 6).count() == 0)
   }
 
+  test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
+    val expr = TextOps.minhashSignatures(spark, sf)
+    val agg = TextOps.minhashSignaturesAgg(spark, sf)
+    assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
+    expr.collect()
+    val p = expr.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"one-pass minhash plan shuffles:\n$p")
+    assert(p.contains("graft_minhash_sig"), p)
+  }
+
   test("one-pass SimHash32 expression equals the explode+aggregate twin, shuffle-free") {
     val expr = TextOps.simhashFingerprints(spark, sf)
     val agg = TextOps.simhashFingerprintsAgg(spark, sf)
