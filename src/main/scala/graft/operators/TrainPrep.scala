@@ -224,7 +224,90 @@ object TrainPrep extends QueryPack {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------- curation pipeline
+
+  /** The composed curation pipeline — the stages above chained the way a
+    * real corpus build runs them: English docs, in a length band, not an
+    * exact duplicate (keep the smallest doc_id of each content group),
+    * then hash-sampled at 50%. Output: per-source survivor counts and
+    * volume. Every stage is a filter/agg over the previous one — Catalyst
+    * collapses the chain into one scan + one dedup shuffle + one agg. */
+  val qCuratePipeline: Q = Q(
+    "q_curate_pipeline",
+    Some(s"""
+      WITH survivors AS (
+        SELECT min(doc_id) AS doc_id, min(source) AS source,
+               min(n_chars) AS n_chars
+        FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 64 AND 4096
+        GROUP BY md5(text)),
+      sampled AS (
+        SELECT * FROM survivors
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM sampled GROUP BY source
+      ORDER BY source
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val survivors = Tables.documents(s, dir)
+      .where(col("lang") === "en" && col("n_chars").between(64, 4096))
+      .groupBy(md5(col("text")))
+      .agg(min("doc_id").as("doc_id"), min("source").as("source"),
+        min("n_chars").as("n_chars"))
+    survivors
+      .where(hkey(col("doc_id")) < "8")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------- tf-idf
+
+  /** TF-IDF-style salient terms: top-3 tokens per doc by tf * (N/df),
+    * computed in EXACT decimal arithmetic (no log, no float sums — the
+    * rank order under N/df equals the order under log-idf for equal tf).
+    * Scale shape: one token explode, df by token (shuffle on token), then
+    * a broadcast of nothing — the doc-side window is partitioned by
+    * doc_id, the natural key. Deterministic tiebreak on token. */
+  val qTfidfTopterms: Q = Q(
+    "q_tfidf_topterms",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+      df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(round(CAST(tf.tf * n.n AS DECIMAL(18,9)) / df.df, 6) AS DOUBLE) AS score
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, tok, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        FROM scored)
+      SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round((col("tf") * col("n")).cast("decimal(18,9)") / col("df"), 6)
+          .cast("double").as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
-    qContamination, qShuffleShard, qDomainMix)
+    qContamination, qShuffleShard, qDomainMix, qCuratePipeline, qTfidfTopterms)
 }
