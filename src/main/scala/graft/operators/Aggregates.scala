@@ -357,8 +357,53 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** Distributed moments with deterministic floats: mean / population
+    * variance / stddev per group, derived from exact DECIMAL power sums
+    * (n, Σx, Σx²) instead of Spark's built-in `stddev` (whose streaming
+    * Welford merge is partial-aggregation-order-dependent, so its last
+    * bits differ run to run and engine to engine). The only float ops are
+    * the final fixed expression tree over three exact scalars — identical
+    * in both engines — rounded to 6 places like q_corr_exact.
+    *
+    * Scale: one map-side-combined hash agg; the shuffle carries 3 numbers
+    * per (group × partition). This is also the incremental-maintenance
+    * form: power sums merge associatively across deltas, Welford state
+    * does too but not bit-reproducibly. */
+  val qAggStats: Q = Q(
+    "q_agg_stats",
+    Some(s"""
+      WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(${decSql("l_quantity")}) AS DOUBLE) AS s1,
+               CAST(SUM(${decSql("l_quantity")} * ${decSql("l_quantity")})
+                    AS DOUBLE) AS s2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             ROUND(s1 / n, 6) AS mean_qty,
+             ROUND((s2 - s1 * s1 / n) / n, 6) AS var_pop,
+             ROUND(sqrt((s2 - s1 * s1 / n) / n), 6) AS stddev_pop
+      FROM s ORDER BY l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val st = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("s1"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+          .cast("double").as("s2"))
+    st.select(col("l_returnflag"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean_qty"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 6)
+          .as("var_pop"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")), 6)
+          .as("stddev_pop"))
+      .orderBy("l_returnflag")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
-    qHistogram, qCorrExact,
+    qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets)
 }

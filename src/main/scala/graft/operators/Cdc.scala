@@ -105,5 +105,109 @@ object Cdc extends QueryPack {
       .orderBy("event_id")
   }
 
-  override def all: Seq[Q] = Seq(qCdcSnapshot, qCdcGtid, qCdcTypedCast)
+  /** SCD Type-2 history from the changelog: each event becomes a
+    * versioned row with a validity interval [valid_from, valid_to), open
+    * (NULL) for the current version — the other canonical CDC
+    * materialization besides latest-state (reference consumers build this
+    * downstream of `read()` exactly like the snapshot).
+    *
+    * Validity bounds are emitted as epoch-µs BIGINTs: Spark reads the ns
+    * parquet clock at µs (Tables.events), DuckDB at ns — both floor to µs
+    * (`unix_micros` / `epoch_us(CAST ts)`), so the hashes agree.
+    *
+    * Scale: one hash shuffle on user_id + per-key sort (same shape as
+    * q_cdc_snapshot); `lead` is a single-pass frame, no self-join — the
+    * naive interval self-join alternative would be O(n²) per key.
+    */
+  val qScd2: Q = Q(
+    "q_scd2",
+    Some("""
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+             epoch_us(CAST(lead(ts) OVER w AS TIMESTAMP)) AS valid_to_us,
+             CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id)
+      ORDER BY user_id, event_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
+        when(lead(col("ts"), 1).over(w).isNull, 1).otherwise(0)
+          .as("is_current"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Incremental snapshot maintenance: compact the old half of the
+    * changelog into a base snapshot, compact the new half into a delta,
+    * then merge with delta-wins coalesce — the incremental-view-
+    * maintenance shape that turns "recompact 100 TB nightly" into
+    * "compact today's delta and merge".
+    *
+    * Scale: both compactions are the q_cdc_snapshot window (hash shuffle
+    * on user_id); the merge is a full-outer join on the same key, so with
+    * the base stored bucketed by user_id (StorageSpec shape) the merge
+    * needs no extra shuffle of the big side. The cutoff scalar is a
+    * 1-row broadcast, not a driver collect.
+    */
+  val qCdcMerge: Q = Q(
+    "q_cdc_merge",
+    Some("""
+      WITH c AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS cut
+                 FROM events),
+      base AS (SELECT user_id, event_id, value FROM (
+          SELECT e.user_id, e.event_id, e.value,
+                 row_number() OVER (PARTITION BY e.user_id
+                   ORDER BY date_trunc('microseconds', e.ts) DESC,
+                            e.event_id DESC) AS rn
+          FROM events e, c WHERE e.event_id <= c.cut) WHERE rn = 1),
+      delta AS (SELECT user_id, event_id, value FROM (
+          SELECT e.user_id, e.event_id, e.value,
+                 row_number() OVER (PARTITION BY e.user_id
+                   ORDER BY date_trunc('microseconds', e.ts) DESC,
+                            e.event_id DESC) AS rn
+          FROM events e, c WHERE e.event_id > c.cut) WHERE rn = 1)
+      SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+             COALESCE(d.event_id, b.event_id) AS last_event_id,
+             COALESCE(d.value, b.value) AS last_value,
+             CASE WHEN d.event_id IS NOT NULL THEN 'delta' ELSE 'base'
+             END AS src
+      FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+      ORDER BY user_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val ev  = Tables.events(s, dir)
+    val cut = ev.agg(floor(max(col("event_id")) / 2.0).cast("long").as("cut"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("value"))
+    val evc   = ev.crossJoin(broadcast(cut))
+    val base  = compact(evc.filter(col("event_id") <= col("cut")))
+    val delta = compact(evc.filter(col("event_id") > col("cut")))
+    base.select(col("user_id"), col("event_id").as("b_event_id"),
+        col("value").as("b_value"))
+      .join(
+        delta.select(col("user_id"), col("event_id").as("d_event_id"),
+          col("value").as("d_value")),
+        Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("d_event_id"), col("b_event_id")).as("last_event_id"),
+        coalesce(col("d_value"), col("b_value")).as("last_value"),
+        when(col("d_event_id").isNotNull, "delta").otherwise("base")
+          .as("src"))
+      .orderBy("user_id")
+  }
+
+  override def all: Seq[Q] =
+    Seq(qCdcSnapshot, qCdcGtid, qCdcTypedCast, qScd2, qCdcMerge)
 }

@@ -307,7 +307,39 @@ object TrainPrep extends QueryPack {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Stratified downsampling: per-language keep rates from the same
+    * content-stable md5 key — the "downweight the over-represented
+    * language" rebalancing every multilingual corpus runs ('en' keeps
+    * 2/16 = 12.5%, everything else 8/16 = 50%).
+    *
+    * Scale: still a pure codegen'd filter over the scan — the stratum
+    * only picks the threshold constant, so there is no per-stratum
+    * shuffle, no count-then-sample second pass, and no RNG state; the
+    * final per-lang agg is a map-side-combined hash agg over the
+    * surviving rows. */
+  val qSampleStratified: Q = Q(
+    "q_sample_stratified",
+    Some(s"""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE CASE WHEN lang = 'en' THEN $hkeySql < '2'
+                 ELSE $hkeySql < '8' END
+      GROUP BY lang
+      ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val h = hkey(col("doc_id"))
+    Tables.documents(s, dir)
+      .where(when(col("lang") === "en", h < "2").otherwise(h < "8"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
-    qContamination, qShuffleShard, qDomainMix, qCuratePipeline, qTfidfTopterms)
+    qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
+    qTfidfTopterms, qSampleStratified)
 }

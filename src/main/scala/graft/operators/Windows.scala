@@ -247,7 +247,32 @@ object Windows extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Relative-position analytics: percent_rank + cume_dist per nation
+    * over supplier balances. The s_suppkey tiebreak makes the frame
+    * total, so both functions are exact small-integer ratios — the same
+    * IEEE division in both engines, rounded to 6 like the other float
+    * outputs. Scale: one shuffle on the partition key + per-key sort. */
+  val qWinCume: Q = Q(
+    "q_win_cume",
+    Some("""
+      SELECT s_nationkey, s_suppkey,
+             ROUND(percent_rank() OVER w, 6) AS pr,
+             ROUND(cume_dist() OVER w, 6) AS cd
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      ORDER BY s_nationkey, s_suppkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(s, dir)
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
   override def all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch,
-    qSessionWindow, qWinRange, qWinNtile, qWinFirstLast)
+    qSessionWindow, qWinRange, qWinNtile, qWinFirstLast, qWinCume)
 }
