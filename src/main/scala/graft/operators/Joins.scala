@@ -257,9 +257,36 @@ object Joins extends QueryPack {
       .orderBy("o_custkey")
   }
 
+  /** q_join_theta's scale-safe twin: the same band predicate
+    * (`p_size > 2*s_suppkey AND p_size - s_suppkey < 12`, i.e. p_size in
+    * the integer interval [2s+1, s+11]) executed as a binned range join
+    * (see [[RangeJoin]]) — a hash equi-join on bin ids instead of the
+    * broadcast nested-loop plan the raw theta predicate gets. Same kind
+    * of exact/scalable pairing as q_embed_neardup / _lsh. */
+  val qJoinRangeBinned: Q = Q(
+    "q_join_range_binned",
+    Some("""
+      SELECT p_partkey, s_suppkey
+      FROM part, supplier
+      WHERE p_size BETWEEN s_suppkey * 2 + 1 AND s_suppkey + 11
+      ORDER BY p_partkey, s_suppkey
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val p  = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    RangeJoin.pointInInterval(
+        p.select("p_partkey", "p_size"), col("p_size"),
+        su.select("s_suppkey"),
+        col("s_suppkey") * 2 + 1, col("s_suppkey") + 11,
+        binWidth = 8)
+      .select("p_partkey", "s_suppkey")
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   override def all: Seq[Q] = Seq(
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinMulti, qJoinBroadcast, qJoinTheta, qJoinAsof, qJoinSalted)
+    qJoinMulti, qJoinBroadcast, qJoinTheta, qJoinAsof, qJoinSalted,
+    qJoinRangeBinned)
 }
 
 /** Generic as-of join via the union + carry-forward technique.

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, RangeJoin}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join equals the raw theta-join result") {
+    val theta  = Joins.qJoinTheta.build(spark, sf)
+    val binned = Joins.qJoinRangeBinned.build(spark, sf)
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
+    assert(binned.count() > 0)
+  }
+
+  test("binned plan is an equi-join — no nested-loop, no cartesian") {
+    val binned = Joins.qJoinRangeBinned.build(spark, sf)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // while the raw theta twin IS the nested-loop shape it replaces
+    val theta = Joins.qJoinTheta.build(spark, sf)
+    val thetaPlan = theta.queryExecution.executedPlan.toString
+    assert(thetaPlan.contains("BroadcastNestedLoopJoin") ||
+      thetaPlan.contains("CartesianProduct"), thetaPlan)
+  }
+
+  test("no duplicate pairs: a point lands in exactly one bin") {
+    val out = Joins.qJoinRangeBinned.build(spark, sf)
+    assert(out.count() == out.distinct().count())
+  }
+
+  test("negative values and bin-edge points bin by floor, not truncation") {
+    val points = Seq(-9L, -8L, -1L, 0L, 7L, 8L).toDF("v")
+    val ivals  = Seq((-8L, -1L), (0L, 7L)).toDF("lo", "hi")
+    val got = RangeJoin.pointInInterval(
+        points, col("v"), ivals, col("lo"), col("hi"), binWidth = 8)
+      .select("v", "lo").as[(Long, Long)].collect().toSet
+    // -9 and 8 fall outside both intervals; truncation-division binning
+    // would fold v=-1 into bin 0 and miss the (-8,-1) interval entirely.
+    assert(got == Set((-8L, -8L), (-1L, -8L), (0L, 0L), (7L, 0L)))
+  }
+
+  test("empty intervals (lo > hi) match nothing instead of counting down") {
+    val points = Seq(1L, 2L, 3L).toDF("v")
+    val ivals  = Seq((3L, 1L)).toDF("lo", "hi")
+    val out = RangeJoin.pointInInterval(
+      points, col("v"), ivals, col("lo"), col("hi"), binWidth = 2)
+    assert(out.count() == 0)
+  }
+}
