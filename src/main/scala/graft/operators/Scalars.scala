@@ -303,7 +303,34 @@ object Scalars extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Morton z-values from the native codegen'd [[graft.functions.ZOrderLong]]
+    * expression (6 bits per dimension here: p_size in [1,50] and
+    * p_partkey mod 64 both fit). The oracle unrolls the identical bit
+    * interleave as integer arithmetic, so the custom expression is held
+    * to the same byte-exact gate as the built-ins. The write-side use is
+    * [[ZOrderLayout]]; ZOrderSpec proves the skipping effect. */
+  val qZorder: Q = {
+    val terms = (0 until 6).flatMap(i => Seq(
+      s"(((p_size >> $i) & 1) << ${2 * i})",
+      s"((((p_partkey % 64) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    Q(
+      "q_zorder",
+      Some(s"""
+        SELECT p_partkey, CAST($terms AS BIGINT) AS z
+        FROM part
+        ORDER BY p_partkey
+        """.stripMargin.trim)
+    ) { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          graft.functions.ZOrder.zorder(6,
+            col("p_size"), pmod(col("p_partkey"), lit(64))).as("z"))
+        .orderBy("p_partkey")
+    }
+  }
+
   override def all: Seq[Q] = Seq(
     qStrFuncs, qDateFuncs, qMathFuncs, qCaseExpr, qJsonGet, qArrayOps,
-    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract, qDateArith, qArrayHof)
+    qExplodeOuter, qNullSafe, qStringAgg, qRegexExtract, qDateArith, qArrayHof,
+    qZorder)
 }

@@ -22,25 +22,51 @@ object GraftFunctions {
     DotProduct(exprs(0), exprs(1))
   }
 
+  /** `graft_zorder(a, b, bits)` — bits must be a foldable int literal. */
+  private def zorderBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_zorder takes 3 arguments (a, b, bits), got ${exprs.length}")
+    val bits = exprs(2) match {
+      case lit if lit.foldable => lit.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_zorder bits must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_zorder bits must be a literal")
+    }
+    graft.functions.ZOrderLong(exprs(0), exprs(1), bits)
+  }
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       builder)
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  val zorderDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderLong].getName, "graft_zorder"),
+      zorderBuilder)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+    registerInto(reg)
+  }
 
   /** Apply registrations to an arbitrary registry (the `private[sql]`
     * registry types are why this lives in the shim package). */
-  def registerInto(registry: FunctionRegistry): Unit =
+  def registerInto(registry: FunctionRegistry): Unit = {
     registry.createOrReplaceTempFunction("graft_dot", builder, "built-in")
+    registry.createOrReplaceTempFunction("graft_zorder", zorderBuilder, "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
+    ext.injectFunction(GraftFunctions.zorderDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -29,6 +29,19 @@ class EngineSpec extends SparkSpec {
     GraftFunctions.registerInto(registry)
     assert(registry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+    assert(registry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder")))
+  }
+
+  test("graft_zorder is usable from SQL; bits must be a literal") {
+    GraftFunctions.register(spark)
+    // x=0b11 in even lanes, y=0b01 in odd lanes -> 0b0111 = 7
+    val z = spark.sql("SELECT graft_zorder(3L, 1L, 8) AS z").head().getLong(0)
+    assert(z == 7L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_zorder(3L, 1L, id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
   }
 
   test("saltedJoin returns exactly the plain join's rows") {
