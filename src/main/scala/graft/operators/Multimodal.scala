@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path is real end-to-end: payloads are genuine PNGs
   * ([[Multimodal.encodePng]], javax.imageio) and metadata extraction
-  * runs a real PNG decode ([[Multimodal.decodeImage]]). Only the
-  * audio/video kernels remain deterministic stubs (no codec libraries
-  * in this container): [[Multimodal.decodeDimsStub]] feeds the
-  * frame-sampling byte walk and [[Multimodal.featuresStub]] stands in
-  * for an embedding forward pass. Everything around them (schemas,
-  * Encoders, batch shape, partitioning, explode cardinality, downstream
-  * aggregation) is real and oracle-/property-tested.
+  * runs a real PNG decode ([[Multimodal.decodeImage]]). The AUDIO path
+  * is real too: genuine RIFF/WAVE containers ([[Multimodal.encodeWav]],
+  * javax.sound.sampled) parsed back by [[Multimodal.decodeAudio]]
+  * (header + PCM data-chunk scan). Only the VIDEO kernels remain
+  * deterministic stubs (the JDK ships no video codec):
+  * [[Multimodal.featuresStub]] stands in for an embedding forward pass
+  * and the frame-sampling walk chunks container bytes rather than
+  * decoded frames. Everything around them (schemas, Encoders, batch
+  * shape, partitioning, explode cardinality, downstream aggregation) is
+  * real and oracle-/property-tested.
   *
   * Scale notes: decode parallelism == partition count of the binary
   * column's source; callers repartition before heavy decode so a
@@ -34,6 +37,8 @@ object Multimodal extends QueryPack {
   final case class MediaMeta(
       media_id: Long, n_bytes: Long, width: Int, height: Int, p00: Int)
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  final case class AudioMeta(
+      media_id: Long, sample_rate: Int, n_samples: Long, peak: Int)
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
   /** mapInPandas-style batch size: a real decoder initializes its codec
@@ -122,6 +127,75 @@ object Multimodal extends QueryPack {
       throw new IllegalArgumentException(
         s"undecodable image payload (${content.length} bytes)")
     (img.getWidth, img.getHeight, img.getRaster.getSample(0, 0, 0))
+  }
+
+  // ------------------------------------------------------- audio kernels
+
+  /** Deterministic synthetic-audio parameters: known to the oracle,
+    * opaque to the decoder (which must parse the WAV container and read
+    * the PCM data chunk to recover them). */
+  def audioSampleRate(docId: Long): Float = if (docId % 2 == 0) 8000f else 16000f
+  def audioNSamples(docId: Long): Int = 64 + (docId % 192).toInt
+  def audioSample(docId: Long, i: Int): Int = ((docId * 31 + i * 7) % 251).toInt
+
+  /** Encode a real RIFF/WAVE container: 8-bit unsigned mono PCM through
+    * javax.sound.sampled (pure JDK, headless-safe — container IO only,
+    * no audio device). */
+  def encodeWav(sampleRate: Float, samples: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate, 8, 1, 1, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream(samples.length + 64)
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via javax.sound.sampled: parses the WAV header
+    * (sample rate, frame count) and streams the PCM data chunk for the
+    * peak amplitude — a fake parse can reproduce none of the three.
+    * Throws on undecodable payloads (same quarantine-loudly stance as
+    * [[decodeImage]]). */
+  def decodeAudio(content: Array[Byte]): (Int, Long, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val rate = ais.getFormat.getSampleRate.toInt
+    val frames = ais.getFrameLength
+    var peak = 0
+    val buf = new Array[Byte](4096)
+    var n = ais.read(buf)
+    while (n > 0) {
+      var i = 0
+      while (i < n) {
+        val v = buf(i) & 0xff
+        if (v > peak) peak = v
+        i += 1
+      }
+      n = ais.read(buf)
+    }
+    (rate, frames, peak)
+  }
+
+  /** The `documents` table as genuine WAV audio: per-doc sample rate,
+    * duration, and PCM content are pure functions of doc_id (so the
+    * DuckDB oracle can predict them) but reach the reader only through a
+    * real RIFF/WAVE container. */
+  def mediaWavFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { docId =>
+            val samples = Array.tabulate(audioNSamples(docId))(i =>
+              audioSample(docId, i).toByte)
+            MediaRow(docId, "audio/wav",
+              encodeWav(audioSampleRate(docId), samples))
+          }
+        }
+      }
   }
 
   /** STUB image decode — deterministic fake of "parse header, return
@@ -264,5 +338,43 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames)
+  /** Audio decode metadata with a REAL codec: payloads are genuine WAV
+    * containers (javax.sound-encoded), the kernel is a genuine WAV parse
+    * + PCM scan ([[decodeAudio]]). The oracle predicts the header fields
+    * AND the data-chunk peak (max over the deterministic PCM function),
+    * so a decoder that skipped the container or the data chunk cannot
+    * hash-match. */
+  val qMediaAudio: Q = Q(
+    "q_media_audio",
+    Some("""
+      WITH g AS (SELECT i FROM generate_series(0, 254) AS t(i)),
+      p AS (SELECT d.doc_id,
+                   CAST(MAX((d.doc_id * 31 + g.i * 7) % 251) AS INT) AS peak
+            FROM documents d JOIN g ON g.i < 64 + d.doc_id % 192
+            GROUP BY d.doc_id)
+      SELECT d.doc_id,
+             CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT)
+               AS sample_rate,
+             CAST(64 + d.doc_id % 192 AS BIGINT) AS n_samples,
+             p.peak
+      FROM documents d JOIN p USING (doc_id)
+      ORDER BY d.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioMeta]
+    val meta = mediaWavFromDocuments(s, dir).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (rate, frames, peak) = decodeAudio(m.content)
+          AudioMeta(m.media_id, rate, frames, peak)
+        }
+      }
+    }
+    meta.toDF()
+      .select(col("media_id").as("doc_id"),
+        col("sample_rate"), col("n_samples"), col("peak"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaAudio)
 }

@@ -13,6 +13,35 @@ class MultimodalSpec extends SparkSpec {
 
   private def media = mediaFromDocuments(spark, sf).cache()
 
+  test("encodeWav writes a genuine RIFF/WAVE container; decodeAudio recovers header + PCM") {
+    val samples = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
+    val wav = encodeWav(8000f, samples)
+    // RIFF....WAVE magic
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, frames, peak) = decodeAudio(wav)
+    assert(rate == 8000 && frames == 100L)
+    assert(peak == samples.map(_ & 0xff).max)
+  }
+
+  test("decodeAudio rejects payloads that are not WAV containers") {
+    intercept[Exception] { decodeAudio("not audio at all".getBytes) }
+  }
+
+  test("mediaWavFromDocuments round-trips through a real decode per doc") {
+    val metas = mediaWavFromDocuments(spark, sf).collect().map { m =>
+      val (rate, frames, peak) = decodeAudio(m.content)
+      (m.media_id, rate, frames, peak)
+    }
+    assert(metas.nonEmpty)
+    metas.foreach { case (id, rate, frames, peak) =>
+      assert(rate == audioSampleRate(id).toInt)
+      assert(frames == audioNSamples(id).toLong)
+      assert(peak ==
+        (0 until audioNSamples(id)).map(audioSample(id, _)).max)
+    }
+  }
+
   test("encodePng writes genuine PNG bytes; decodeImage recovers the raster") {
     val png = encodePng(17, 5, corner = 200, body = "hello".getBytes)
     // real PNG container: 8-byte signature 89 'P' 'N' 'G' \r \n 1A \n
