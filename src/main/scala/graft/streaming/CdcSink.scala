@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The sink half of the CDC story: maintain a materialized latest-state
+  * table from a changelog stream (the downstream a reference consumer
+  * builds by hand around `read()`, reference `examples/main.cpp:29-43` —
+  * here it's `writeStream.foreachBatch(CdcSink.applyChangelog(...))`).
+  *
+  * Merge semantics: union the stored state with the micro-batch, keep the
+  * row with the greatest `(orderCols)` per key — the same compaction
+  * window as `q_cdc_snapshot`/`q_cdc_merge`. Because "greatest version
+  * wins" is a join-free property of the union, the merge is IDEMPOTENT:
+  * re-applying a batch after a foreachBatch retry, or replaying an older
+  * batch out of order, cannot regress the table (CdcSinkSpec pins both).
+  *
+  * Scale shape: per batch, one shuffle of (stored ∪ delta) on the key.
+  * At 100 TB the stored side dominates, so production deployments bucket
+  * the stored table by the key and merge per-partition (StorageSpec's
+  * bucketed-join shape), or delegate the swap to a transactional table
+  * format; the atomic-directory-swap here is the single-writer stand-in
+  * for that commit protocol — the MERGE computation is identical.
+  */
+object CdcSink {
+
+  /** One micro-batch application: merge `batch` (a static DataFrame, as
+    * foreachBatch hands it over) into the parquet table at `tableDir`.
+    *
+    * The write goes to a fresh `<tableDir>.next-<nanos>` directory and is
+    * swapped in with two renames, so a reader never observes a
+    * half-written table and a crash mid-swap leaves either the old or
+    * the new table, both complete. */
+  def applyChangelog(
+      batch: DataFrame,
+      tableDir: String,
+      keyCol: String,
+      orderCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val current = existingState(spark, tableDir, batch)
+    val merged = current.unionByName(batch.select(current.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+    val dir  = java.nio.file.Paths.get(tableDir)
+    val next = java.nio.file.Paths.get(
+      tableDir + ".next-" + System.nanoTime())
+    val old  = java.nio.file.Paths.get(
+      tableDir + ".old-" + System.nanoTime())
+    merged.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(next, dir)
+    if (java.nio.file.Files.exists(old))
+      deleteRecursively(old)
+  }
+
+  /** foreachBatch adapter: `stream.writeStream.foreachBatch(
+    * CdcSink.writer(dir, "user_id", Seq("ts", "event_id"))).start()`. */
+  def writer(tableDir: String, keyCol: String, orderCols: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch, _) => applyChangelog(batch, tableDir, keyCol, orderCols)
+
+  /** Current materialized state, or an empty frame with the batch's
+    * schema on the very first batch. */
+  def readState(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+
+  private def existingState(
+      spark: SparkSession, tableDir: String, batch: DataFrame): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir)))
+      spark.read.schema(batch.schema).parquet(tableDir)
+    else batch.limit(0)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
