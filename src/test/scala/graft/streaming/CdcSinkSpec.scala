@@ -66,6 +66,38 @@ class CdcSinkSpec extends SparkSpec {
     assert(after3(1L) == 10L, s"older replay regressed user 1: $after3")
   }
 
+  test("wire to table: maxscale-cdc source -> CdcSink materializes state") {
+    import graft.sources.MockMaxScaleServer
+    import MockMaxScaleServer.{Schema, event}
+    val dir = freshDir()
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 1, "v1"),
+      event(2, "insert", 2, "w1"),
+      event(3, "update_after", 1, "v2")))
+    try {
+      val cdc = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .load()
+      val q = cdc.writeStream
+        .foreachBatch(CdcSink.writer(dir, "id", Seq("sequence")))
+        .start()
+      try {
+        org.scalatest.concurrent.Eventually.eventually(
+          org.scalatest.concurrent.Eventually.timeout(
+            org.scalatest.time.Span(20, org.scalatest.time.Seconds))) {
+          q.processAllAvailable()
+          val state = CdcSink.readState(spark, dir)
+            .select("id", "name", "event_type")
+            .as[(Int, String, String)].collect().toSet
+          assert(state == Set(
+            (1, "v2", "update_after"), (2, "w1", "insert")))
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("swap is atomic-ish: a table always exists after the first batch") {
     val dir = freshDir()
     CdcSink.applyChangelog(
