@@ -208,4 +208,49 @@ object StreamOps {
       r => String.valueOf(r.get(keyIdx)),
       (a, b) => seqOf(a) > seqOf(b))
   }
+
+  /** `s_scd2`: streaming SCD Type-2 history — whenever a key's current
+    * version is superseded, emit the CLOSED version as
+    * `(row, valid_to)` where `valid_to` is the successor's version stamp
+    * (the row's own stamp is its valid_from). The open version lives in
+    * per-key state (its latest-state view is [[latestState]]); closed
+    * rows are append-only, so this composes with any append sink. Batch
+    * twin: `q_scd2`'s `is_current = 0` rows (oracle ✓, equivalence
+    * spec-pinned).
+    *
+    * Ordering: CDC streams are per-key ordered by GTID, and within a
+    * batch rows are sorted by `version` here; a row at-or-before the
+    * stored version stamp is LATE — it is dropped rather than rewriting
+    * already-emitted history (retroactive inserts need a batch restate
+    * over the log, which q_scd2 is).
+    *
+    * Scale: one shuffle on the key; state = one open row per key, the
+    * same footprint as latest-state. */
+  def scd2History[K: Encoder, T](
+      ds: Dataset[T],
+      key: T => K,
+      version: T => Long)(implicit te: Encoder[T]): Dataset[(T, Long)] = {
+    implicit val outEnc: Encoder[(T, Long)] =
+      Encoders.tuple(te, Encoders.scalaLong)
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, (T, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          val sorted = rows.toSeq.sortBy(version)
+          val closed = Seq.newBuilder[(T, Long)]
+          var open = state.getOption
+          sorted.foreach { r =>
+            open match {
+              case Some(o) if version(r) <= version(o) => () // late: drop
+              case Some(o) =>
+                closed += ((o, version(r)))
+                open = Some(r)
+              case None =>
+                open = Some(r)
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }
