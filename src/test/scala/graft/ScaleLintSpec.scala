@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+/** Scale lint over the ENTIRE declared query surface: no plan may contain
+  * an unbounded nested-loop or cartesian join — the two shapes that turn
+  * a 100 TB input into |left| x |right| work — except
+  *  - the two queries that are all-pairs ON PURPOSE (exact ground-truth
+  *    baselines whose scale-safe twins ship alongside), and
+  *  - nested-loop joins whose broadcast side is a global (group-less)
+  *    aggregate: that side is ≤ 1 row by construction (a scalar like
+  *    max/count/total used as a cross-join constant), so the "loop" is a
+  *    single pass.
+  * New queries are linted automatically the moment they join
+  * SparkEntry.queries — a future regression to a quadratic plan fails CI
+  * here, not in a 3 a.m. production incident at 1000 executors. */
+class ScaleLintSpec extends SparkSpec {
+
+  private val allPairsByDesign = Set(
+    "q_join_theta",    // raw band predicate kept as the declared non-equi
+                       // op; scale twin: q_join_range_binned (RangeJoinSpec
+                       // pins result equality + equi-join-only plan)
+    "q_embed_neardup"  // exact O(n²) near-dup ground truth; scale twin:
+                       // q_embed_neardup_lsh under the same oracle
+  )
+
+  /** Nested-loop joins whose broadcast side is a CONSTANT-bounded set, so
+    * the "loop" is a single linear pass over the stream side:
+    *  - q_sim_topk: brute-force cosine baseline — corpus x fixed query
+    *    set (SURVEY §2.2 declares brute force as the baseline; the scale
+    *    paths are q_sim_ivf/q_sim_lsh re-rank stages)
+    *  - q_sim_ivf: the two assign steps score every vector against the K
+    *    centroids — n x K with K a constant; the candidate join itself is
+    *    an equi-join on cell_id (asserted below) */
+  private val boundedBroadcastByDesign = Set("q_sim_topk", "q_sim_ivf")
+
+  private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = if (j.buildSide == BuildLeft) j.left else j.right
+    def hasGlobalAgg(p: SparkPlan): Boolean = p.find {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      // a reused broadcast is a leaf; look through to the original
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        hasGlobalAgg(r.child)
+      case _ => false
+    }.isDefined
+    hasGlobalAgg(build)
+  }
+
+  test("no unbounded nested-loop/cartesian join in any declared query plan") {
+    // static plans: AQE's wrapper hides children from collect until
+    // execution, and the lint is about the shape Catalyst commits to
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exempt = allPairsByDesign ++ boundedBroadcastByDesign
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) if !exempt(name) =>
+          val plan: SparkPlan =
+            fn(spark, sf).queryExecution.executedPlan
+          val bad = plan.collectWithSubqueries {
+            case c: CartesianProductExec                          => c
+            case j: BroadcastNestedLoopJoinExec if !scalarBuild(j) => j
+          }
+          if (bad.nonEmpty) Some(s"$name -> ${bad.map(_.nodeName).mkString(", ")}")
+          else None
+        case _ => None
+      }
+      assert(offenders.isEmpty,
+        s"quadratic join shapes found:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("the exemption lists are exact: members really use nested loops") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      (allPairsByDesign ++ boundedBroadcastByDesign).foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val quadratic = plan.collectWithSubqueries {
+          case c: CartesianProductExec       => c
+          case j: BroadcastNestedLoopJoinExec => j
+        }
+        assert(quadratic.nonEmpty,
+          s"$name no longer needs its exemption — remove it")
+      }
+      // q_sim_ivf's BNLJs must be confined to centroid assignment: the
+      // candidate join itself is an equi-join (that's the IVF point)
+      val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf)
+        .queryExecution.executedPlan
+      val equiJoins = ivf.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(equiJoins.nonEmpty, "q_sim_ivf candidate join lost its equi form")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
