@@ -70,6 +70,71 @@ object CdcSink {
   def readState(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
 
+  // ------------------------------------------------------ bucketed state
+
+  /** Hash-bucketed incremental merge: the stored table is laid out as
+    * `__bucket=<pmod(xxhash64(key), n)>/` partition directories, and each
+    * micro-batch rewrites ONLY the buckets its keys hash into — per-batch
+    * cost is O(touched buckets), not O(table). [[applyChangelog]]'s
+    * whole-table rewrite is the simple, fully-atomic variant; this is
+    * what you run when the table is 100 TB and a batch touches 0.1% of
+    * keys: untouched bucket directories are left byte-identical
+    * (spec-asserted) and reads prune to the buckets they filter on.
+    *
+    * Visibility is per-bucket (Spark's dynamic partition overwrite swaps
+    * each partition dir independently); a reader can observe bucket A
+    * merged before bucket B. CDC consumers tolerate that the same way
+    * they tolerate reading mid-batch state from any non-transactional
+    * store; at production scale the same merge drives a transactional
+    * table format's partition-level commit instead. */
+  def applyChangelogBucketed(
+      batch: DataFrame,
+      tableDir: String,
+      keyCol: String,
+      orderCols: Seq[String],
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = batch.sparkSession
+    val withBucket = batch.withColumn(
+      "__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+    // bounded by numBuckets (a constant), not by batch or table size
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+
+    val dir = java.nio.file.Paths.get(tableDir)
+    val stored =
+      if (java.nio.file.Files.exists(dir))
+        spark.read.schema(withBucket.schema).parquet(tableDir)
+          .where(col("__bucket").isin(touched: _*)) // partition-pruned scan
+      else withBucket.limit(0)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val merged = stored
+      .unionByName(withBucket.select(stored.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // replace touched only
+      .partitionBy("__bucket")
+      .parquet(tableDir)
+  }
+
+  /** foreachBatch adapter for the bucketed variant. */
+  def bucketedWriter(
+      tableDir: String, keyCol: String, orderCols: Seq[String],
+      numBuckets: Int = 64): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      applyChangelogBucketed(batch, tableDir, keyCol, orderCols, numBuckets)
+
+  /** Read the bucketed state without the layout column. */
+  def readBucketedState(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop("__bucket")
+
   private def existingState(
       spark: SparkSession, tableDir: String, batch: DataFrame): DataFrame =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir)))

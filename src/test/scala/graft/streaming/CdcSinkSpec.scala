@@ -166,6 +166,59 @@ class CdcSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed merge rewrites only touched buckets, leaves the rest byte-identical") {
+    val dir = freshDir()
+    val n = 4
+    // batch 1: enough keys to populate several buckets
+    val b1 = (1L to 40L).map(k => Ev(k, k, ts(0), "insert")).toDF()
+    CdcSink.applyChangelogBucketed(b1, dir, "user_id", Seq("ts", "event_id"), n)
+
+    import scala.jdk.CollectionConverters._
+    def bucketFiles(): Map[String, Set[(String, Long)]] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString,
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        }.toMap
+    val before = bucketFiles()
+    assert(before.size > 1, s"want >1 bucket dirs, got ${before.keySet}")
+
+    // batch 2: a single key -> exactly one bucket touched
+    val b2 = Seq(Ev(100L, 7L, ts(5), "update")).toDF()
+    CdcSink.applyChangelogBucketed(b2, dir, "user_id", Seq("ts", "event_id"), n)
+    val after = bucketFiles()
+
+    val touched = before.keySet.filter(k => before(k) != after.getOrElse(k, Set()))
+    assert(touched.size == 1, s"expected 1 rewritten bucket, got $touched")
+
+    // state is still exactly the latest row per key
+    val state = CdcSink.readBucketedState(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(state(7L) == 100L)
+    assert(state.size == 40)
+    assert((1L to 40L).filter(_ != 7L).forall(k => state(k) == k))
+  }
+
+  test("bucketed and whole-table merges agree") {
+    val dirA = freshDir(); val dirB = freshDir()
+    val batches = Seq(
+      (1L to 20L).map(k => Ev(k, k % 7, ts(k.toInt % 50), "e")).toDF(),
+      (21L to 30L).map(k => Ev(k, k % 5, ts((k.toInt % 40) + 5), "e")).toDF())
+    batches.foreach { b =>
+      CdcSink.applyChangelog(b, dirA, "user_id", Seq("ts", "event_id"))
+      CdcSink.applyChangelogBucketed(b, dirB, "user_id", Seq("ts", "event_id"), 4)
+    }
+    val a = CdcSink.readState(spark, dirA)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val b = CdcSink.readBucketedState(spark, dirB)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("swap is atomic-ish: a table always exists after the first batch") {
     val dir = freshDir()
     CdcSink.applyChangelog(
