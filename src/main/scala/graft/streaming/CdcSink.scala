@@ -36,15 +36,30 @@ object CdcSink {
       batch: DataFrame,
       tableDir: String,
       keyCol: String,
-      orderCols: Seq[String]): Unit = {
+      orderCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
     val spark = batch.sparkSession
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col(_).desc): _*)
-    val current = existingState(spark, tableDir, batch)
-    val merged = current.unionByName(batch.select(current.columns.map(col): _*))
+    val b = tombstoned(batch, deleteWhen)
+    val current = existingState(spark, tableDir, b)
+    val merged0 = current.unionByName(b.select(current.columns.map(col): _*))
+      // legacy tables written before delete support lack the column;
+      // reading them through the new schema yields nulls — normalize
+      .withColumn("__tombstone", coalesce(col("__tombstone"), lit(false)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // A delete event WINS the merge (beating the stored row) and is then
+    // RETAINED as a tombstone row (`__tombstone = true`, hidden by
+    // readState) rather than dropped: if it were dropped, a replayed
+    // OLDER insert would find no stored row to lose against and
+    // resurrect the key. purgeTombstones() reclaims the space once the
+    // source's committed-GTID watermark guarantees no replay can reach
+    // back past the delete. MaxScale's update_before images should be
+    // pre-filtered by the caller (the paired update_after is newer and
+    // carries the new row).
+    val merged = merged0
 
     val dir  = java.nio.file.Paths.get(tableDir)
     val next = java.nio.file.Paths.get(
@@ -61,14 +76,45 @@ object CdcSink {
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(
     * CdcSink.writer(dir, "user_id", Seq("ts", "event_id"))).start()`. */
-  def writer(tableDir: String, keyCol: String, orderCols: Seq[String])
+  def writer(tableDir: String, keyCol: String, orderCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None)
       : (DataFrame, Long) => Unit =
-    (batch, _) => applyChangelog(batch, tableDir, keyCol, orderCols)
+    (batch, _) =>
+      applyChangelog(batch, tableDir, keyCol, orderCols, deleteWhen)
 
-  /** Current materialized state, or an empty frame with the batch's
-    * schema on the very first batch. */
-  def readState(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir)
+  /** Current materialized state: tombstoned keys are invisible. */
+  def readState(spark: SparkSession, tableDir: String): DataFrame = {
+    val df = spark.read.parquet(tableDir)
+    if (df.columns.contains("__tombstone"))
+      df.where(!col("__tombstone")).drop("__tombstone")
+    else df
+  }
+
+  /** Drop retained tombstone rows — run once the source's committed-GTID
+    * watermark guarantees no replay can deliver events older than the
+    * deletes (until then a tombstone is what stops a replayed older
+    * insert from resurrecting its key). */
+  def purgeTombstones(spark: SparkSession, tableDir: String): Unit = {
+    val df = spark.read.parquet(tableDir)
+    if (df.columns.contains("__tombstone")) {
+      val live = df.where(!col("__tombstone"))
+      val dir  = java.nio.file.Paths.get(tableDir)
+      val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
+      val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
+      live.write.mode(SaveMode.Overwrite).parquet(next.toString)
+      java.nio.file.Files.move(dir, old)
+      java.nio.file.Files.move(next, dir)
+      deleteRecursively(old)
+    }
+  }
+
+  /** Batch rows flagged with their tombstone status (always present so
+    * stored and incoming schemas line up once a sink uses deletes). */
+  private def tombstoned(
+      batch: DataFrame,
+      deleteWhen: Option[org.apache.spark.sql.Column]): DataFrame =
+    batch.withColumn("__tombstone",
+      deleteWhen.getOrElse(lit(false)))
 
   // ------------------------------------------------------ bucketed state
 
@@ -92,10 +138,11 @@ object CdcSink {
       tableDir: String,
       keyCol: String,
       orderCols: Seq[String],
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val spark = batch.sparkSession
-    val withBucket = batch.withColumn(
+    val withBucket = tombstoned(batch, deleteWhen).withColumn(
       "__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
     // bounded by numBuckets (a constant), not by batch or table size
     val touched = withBucket.select("__bucket").distinct()
@@ -113,6 +160,7 @@ object CdcSink {
       .orderBy(orderCols.map(col(_).desc): _*)
     val merged = stored
       .unionByName(withBucket.select(stored.columns.map(col): _*))
+      .withColumn("__tombstone", coalesce(col("__tombstone"), lit(false)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -131,9 +179,14 @@ object CdcSink {
     (batch, _) =>
       applyChangelogBucketed(batch, tableDir, keyCol, orderCols, numBuckets)
 
-  /** Read the bucketed state without the layout column. */
-  def readBucketedState(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir).drop("__bucket")
+  /** Read the bucketed state without the layout column; tombstoned keys
+    * are invisible. */
+  def readBucketedState(spark: SparkSession, tableDir: String): DataFrame = {
+    val df = spark.read.parquet(tableDir).drop("__bucket")
+    if (df.columns.contains("__tombstone"))
+      df.where(!col("__tombstone")).drop("__tombstone")
+    else df
+  }
 
   private def existingState(
       spark: SparkSession, tableDir: String, batch: DataFrame): DataFrame =

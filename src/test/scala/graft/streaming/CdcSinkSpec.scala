@@ -166,6 +166,57 @@ class CdcSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delete events tombstone their key; an older delete cannot resurrect") {
+    val dir = freshDir()
+    val del = Some(col("event_type") === "delete")
+    CdcSink.applyChangelog(
+      Seq(Ev(1, 1, ts(0), "insert"), Ev(2, 2, ts(1), "insert")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    // delete user 1, then re-insert user 1 later; replay an OLD delete last
+    CdcSink.applyChangelog(
+      Seq(Ev(3, 1, ts(2), "delete"), Ev(4, 2, ts(3), "update")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    val afterDelete = CdcSink.readState(spark, dir)
+      .select("user_id").as[Long].collect().toSet
+    assert(afterDelete == Set(2L), "deleted key still present")
+
+    // replayed OLDER insert must NOT resurrect the deleted key — the
+    // retained tombstone is what it loses against
+    CdcSink.applyChangelog(
+      Seq(Ev(1, 1, ts(0), "insert")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    assert(CdcSink.readState(spark, dir)
+      .select("user_id").as[Long].collect().toSet == Set(2L),
+      "replayed old insert resurrected a deleted key")
+
+    CdcSink.applyChangelog(
+      Seq(Ev(5, 1, ts(5), "insert")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    // old delete (before the re-insert) replayed: must NOT kill user 1
+    CdcSink.applyChangelog(
+      Seq(Ev(3, 1, ts(2), "delete")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    val state = CdcSink.readState(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(state == Map(1L -> 5L, 2L -> 4L))
+  }
+
+  test("purgeTombstones reclaims deleted keys; visible state unchanged") {
+    val dir = freshDir()
+    val del = Some(col("event_type") === "delete")
+    CdcSink.applyChangelog(
+      Seq(Ev(1, 1, ts(0), "insert"), Ev(2, 2, ts(1), "insert"),
+        Ev(3, 1, ts(2), "delete")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), del)
+    // tombstone physically present, invisible to readers
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(CdcSink.readState(spark, dir).count() == 1)
+    CdcSink.purgeTombstones(spark, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    assert(CdcSink.readState(spark, dir)
+      .select("user_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("bucketed merge rewrites only touched buckets, leaves the rest byte-identical") {
     val dir = freshDir()
     val n = 4
