@@ -493,8 +493,54 @@ object TextOps extends QueryPack {
       .limit(50)
   }
 
+  /** Intra-document repetition (the Gopher-family quality rule the
+    * length/TTR/stopword bands of q_quality_score don't cover): fraction
+    * of duplicate word 3-grams per doc — boilerplate and looping text
+    * score high and get flagged. Both engines build the same 3-gram list
+    * (Spark 0-indexed transform, DuckDB 1-indexed list_transform, same
+    * windows); the only float op is one fixed division, rounded like the
+    * other ratio outputs.
+    *
+    * Scale: a pure per-row projection over the scan — no explode (the
+    * shingle list lives inside one array expression), no shuffle, no
+    * join; the flag is a codegen'd comparison. */
+  val qRepetition: Q = Q(
+    "q_repetition",
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (SELECT doc_id,
+               len(l) - 2 AS n_sh,
+               len(list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+                     i -> concat_ws(' ', l[i], l[i+1], l[i+2])))) AS n_uniq
+             FROM toks WHERE len(l) >= 3)
+      SELECT doc_id,
+             CAST(n_sh AS BIGINT) AS n_shingles,
+             CAST(n_uniq AS BIGINT) AS n_unique,
+             ROUND(CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_sh, 6)
+               AS rep_ratio,
+             CASE WHEN CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_sh > 0.2
+                  THEN 1 ELSE 0 END AS flag_repetitive
+      FROM sh ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        (size(col("l")) - 2).cast("long").as("n_shingles"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(l)-3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))")))
+          .cast("long").as("n_unique"))
+    val ratio = lit(1).cast("double") -
+      col("n_unique").cast("double") / col("n_shingles")
+    sh.select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(ratio, 6).as("rep_ratio"),
+        when(ratio > 0.2, 1).otherwise(0).as("flag_repetitive"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
-    qWordcount)
+    qWordcount, qRepetition)
 }
