@@ -57,4 +57,37 @@ object RangeJoin {
       .where(v.cast("long").between(lo.cast("long"), hi.cast("long")))
       .drop("__bin")
   }
+
+  /** Rows of `left` paired with rows of `right` whose inclusive integral
+    * intervals overlap (`lhi >= rlo AND rhi >= llo`).
+    *
+    * Both sides explode to the bins they touch and hash-join on the bin
+    * id. A pair of overlapping intervals can share SEVERAL bins; emitting
+    * in only the FIRST bin both intervals occupy — `greatest(bin(llo),
+    * bin(rlo))`, a codegen'd comparison — keeps the join duplicate-free
+    * without a distinct shuffle. Column name sets must be disjoint.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      llo: Column, lhi: Column,
+      right: DataFrame,
+      rlo: Column, rhi: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val w = lit(binWidth)
+    def bin(c: Column) = {
+      val cl = c.cast("long")
+      call_function("div", cl - pmod(cl, w), w)
+    }
+    def explodeBins(df: DataFrame, lo: Column, hi: Column): DataFrame = df
+      .where(lo.cast("long") <= hi.cast("long"))
+      .withColumn("__bin", explode(sequence(bin(lo), bin(hi))))
+    val l = explodeBins(left, llo, lhi)
+    val r = explodeBins(right, rlo, rhi)
+    l.join(r, Seq("__bin"))
+      .where(lhi.cast("long") >= rlo.cast("long") &&
+        rhi.cast("long") >= llo.cast("long"))
+      .where(col("__bin") === greatest(bin(llo), bin(rlo)))
+      .drop("__bin")
+  }
 }

@@ -41,6 +41,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((-8L, -8L), (-1L, -8L), (0L, 0L), (7L, 0L)))
   }
 
+  test("intervalOverlap equals the naive cross-join filter, duplicate-free") {
+    val rnd = new scala.util.Random(11)
+    val lhs = (1 to 60).map { i =>
+      val a = rnd.nextInt(200) - 50; (i.toLong, a.toLong, (a + rnd.nextInt(40)).toLong)
+    }.toDF("lid", "llo", "lhi")
+    val rhs = (1 to 60).map { i =>
+      val a = rnd.nextInt(200) - 50; (i.toLong, a.toLong, (a + rnd.nextInt(40)).toLong)
+    }.toDF("rid", "rlo", "rhi")
+    val naive = lhs.crossJoin(rhs)
+      .where(col("lhi") >= col("rlo") && col("rhi") >= col("llo"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    for (bw <- Seq(1L, 8L, 64L)) {
+      val got = RangeJoin.intervalOverlap(
+          lhs, col("llo"), col("lhi"), rhs, col("rlo"), col("rhi"), bw)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"bw=$bw: duplicate pairs emitted")
+      assert(got.toSet == naive, s"bw=$bw: result mismatch")
+    }
+  }
+
   test("empty intervals (lo > hi) match nothing instead of counting down") {
     val points = Seq(1L, 2L, 3L).toDF("v")
     val ivals  = Seq((3L, 1L)).toDF("lo", "hi")
