@@ -73,6 +73,27 @@ class CdcAggViewSpec extends SparkSpec {
         r.getDecimal(3).toPlainString)).toSet)
   }
 
+  test("writer adapter maintains state + view through a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = freshDir(); val ag = freshDir()
+    val in = MemoryStream[EvV](spark)
+    val q = in.toDF().writeStream
+      .foreachBatch(CdcAggView.writer(
+        st, ag, "user_id", Seq("ts", "event_id"), "grp", "value"))
+      .start()
+    try {
+      in.addData(EvV(1, 1, ts(0), "a", 2.00), EvV(2, 2, ts(1), "b", 3.00))
+      q.processAllAvailable()
+      in.addData(EvV(3, 1, ts(4), "b", 6.00))
+      q.processAllAvailable()
+      val view = CdcAggView.read(spark, ag).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue))
+        .toMap
+      assert(view == Map("b" -> ((2L, 9.0))))
+      assert(CdcSink.readState(spark, st).count() == 2)
+    } finally q.stop()
+  }
+
   test("replaying an already-merged batch under a NEW id is a natural no-op") {
     // diffs are computed against current state; a row equal to its stored
     // version wins nothing, so even without the marker the view is safe
