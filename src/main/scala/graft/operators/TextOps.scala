@@ -108,28 +108,29 @@ object TextOps extends QueryPack {
       (1 until 16).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j")): _*)
   }
 
-  /** MinHash + LSH banding: near-duplicate candidate pairs.
-    * 16 minhashes, 4 bands x 4 rows — P(candidate) ≈ 1-(1-j^4)^4, so the
-    * planted j≈0.99 pairs are found with probability ≈ 1. */
-  val qMinhashDedup: Q = Q(
-    "q_minhash_dedup",
-    Some {
-      val mins = (0 until 16).map(j =>
-        s"min((h*${A(j)} + ${B(j)}) % $P) AS m$j").mkString(", ")
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (0 until Rows).map(r => s"m${b * Rows + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shingleSqlCte,
-         |hashed AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
-         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }
-  ) { (s, dir) =>
+  /** The MinHash candidate-pair CTE chain (shingles → 60-bit hashes →
+    * 16 minhashes → 4-band keys → distinct same-band pairs), shared by
+    * the q_minhash_dedup oracle and the pruning stage built on it. */
+  private val minhashPairsSqlWith: String = {
+    val mins = (0 until 16).map(j =>
+      s"min((h*${A(j)} + ${B(j)}) % $P) AS m$j").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => s"m${b * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleSqlCte,
+       |hashed AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.key = y.key
+       |           AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b), Spark side of
+    * [[minhashPairsSqlWith]]. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Bands self-join with a shuffle-hash hint: both sides are the same
     // subplan, so forcing a shuffle join (instead of broadcast) lets
     // ReusedExchange compute the shingle+signature pipeline ONCE and
@@ -147,7 +148,61 @@ object TextOps extends QueryPack {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs.
+    * 16 minhashes, 4 bands x 4 rows — P(candidate) ≈ 1-(1-j^4)^4, so the
+    * planted j≈0.99 pairs are found with probability ≈ 1. */
+  val qMinhashDedup: Q = Q(
+    "q_minhash_dedup",
+    Some(
+      s"""$minhashPairsSqlWith
+         |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  ) { (s, dir) =>
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup PRUNING: turn detected candidate pairs into a keep/drop
+    * decision — per pair the shorter doc loses (tie: the larger doc_id),
+    * and a doc that loses any pair is dropped. This greedy dominance
+    * rule is deterministic and one join deep; it approximates
+    * connected-component dedup without the iterative closure (which
+    * needs an iterative framework at scale — documented trade).
+    *
+    * Scale: pairs are bounded by the banding (docs x bands, not n²);
+    * loser derivation is two equi-joins against a narrow (doc_id,
+    * n_chars) projection; survivors via LEFT ANTI join; final hash agg.
+    */
+  val qNeardupPrune: Q = Q(
+    "q_neardup_prune",
+    Some(
+      s"""$minhashPairsSqlWith,
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN da.n_chars >= db.n_chars THEN p.doc_b
+         |                       ELSE p.doc_a END AS doc_id
+         |  FROM pairs p
+         |  JOIN documents da ON p.doc_a = da.doc_id
+         |  JOIN documents db ON p.doc_b = db.doc_id)
+         |SELECT d.lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin)
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val losers = minhashPairs(s, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("n_chars").as("ca")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("n_chars").as("cb")), "doc_b")
+      .select(when(col("ca") >= col("cb"), col("doc_b"))
+        .otherwise(col("doc_a")).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
   }
 
   // -------------------------------------------------------------- simhash
@@ -542,5 +597,5 @@ object TextOps extends QueryPack {
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
-    qWordcount, qRepetition)
+    qWordcount, qRepetition, qNeardupPrune)
 }

@@ -338,8 +338,43 @@ object TrainPrep extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Importance (quality-weighted) sampling: each doc keeps with
+    * probability proportional to its quality proxy (here min(1,
+    * n_chars/1500)) — longer docs kept more often, the standard
+    * upweight-good-data move. The uniform draw is a multiplicative hash
+    * of doc_id expressed in plain integer arithmetic (identical in both
+    * engines; md5-hex can't be compared against a per-row numeric
+    * threshold lexicographically), so membership is still deterministic,
+    * shuffle-free, and stable under corpus growth. */
+  val qSampleWeighted: Q = Q(
+    "q_sample_weighted",
+    Some("""
+      WITH k AS (SELECT lang, n_chars,
+                   CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576
+                     AS u,
+                   LEAST(CAST(1 AS DOUBLE),
+                         CAST(n_chars AS DOUBLE) / 1500) AS w
+                 FROM documents)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM k WHERE u < w
+      GROUP BY lang
+      ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val u = pmod(col("doc_id") * 2654435761L, lit(1048576L)).cast("double") /
+      1048576d
+    val w = least(lit(1).cast("double"), col("n_chars").cast("double") / 1500d)
+    Tables.documents(s, dir)
+      .where(u < w)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
-    qTfidfTopterms, qSampleStratified)
+    qTfidfTopterms, qSampleStratified, qSampleWeighted)
 }
