@@ -201,8 +201,31 @@ object Subqueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  /** TPC-H Q15 shape: argmax over a derived aggregate view — the view is
+    * computed once, its max selected by an uncorrelated scalar subquery,
+    * and rows equal to it joined back to the dimension. Equality against
+    * the max is safe because the revenue totals are exact decimals;
+    * doubles surface only in the output cast. */
+  val qArgmaxView: Q = sqlQ(
+    "q_argmax_view",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - l_discount AS DECIMAL(12,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier, rev
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """.stripMargin.trim)
+
   override def all: Seq[Q] = Seq(
     qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn,
     qSubqueryInNotnull, qCorrMin, qGroupShare, qAvgDecorrelate, qNestedIn,
-    qExistsMulti, qLikePatterns)
+    qExistsMulti, qLikePatterns, qArgmaxView)
 }
