@@ -224,8 +224,25 @@ object Subqueries extends QueryPack {
     ORDER BY s_suppkey
     """.stripMargin.trim)
 
+  /** TPC-H Q13 shape: distribution of customers by order count — the
+    * left join keeps zero-order customers (COUNT of a nullable column
+    * counts only matches), then a second aggregation counts the counts.
+    * Exercises outer-join + double aggregation, which none of the other
+    * agg queries compose. */
+  val qCustdist: Q = sqlQ(
+    "q_custdist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """.stripMargin.trim)
+
   override def all: Seq[Q] = Seq(
     qJoinStarflake, qSubqueryScalar, qSubqueryCorr, qSubqueryIn,
     qSubqueryInNotnull, qCorrMin, qGroupShare, qAvgDecorrelate, qNestedIn,
-    qExistsMulti, qLikePatterns, qArgmaxView)
+    qExistsMulti, qLikePatterns, qArgmaxView, qCustdist)
 }
