@@ -90,6 +90,41 @@ object CdcSink {
     else df
   }
 
+  /** Bin-pack the state table into ~`targetFileBytes` files — the
+    * maintenance job that counters per-batch small-file accumulation
+    * (every micro-batch write adds files; a month of 1-minute batches is
+    * 43k of them, and at 100 TB the NameNode/listing cost and the
+    * per-file scan overhead both hurt). Content is unchanged, tombstones
+    * are preserved (they are still guarding against replays), and the
+    * atomic swap keeps readers consistent. Run it from a maintenance
+    * schedule, not the hot foreachBatch path. */
+  def compact(
+      spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir)
+    if (!java.nio.file.Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val totalBytes = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    val raw = spark.read.parquet(tableDir)
+    // preserve the hash-bucket layout (and its pruning) when present:
+    // repartition ON the bucket so each bucket compacts to few files
+    val bucketed = raw.columns.contains("__bucket")
+    val df =
+      if (bucketed) raw.repartition(nFiles, col("__bucket"))
+      else raw.repartition(nFiles)
+    val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
+    val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (bucketed) w.partitionBy("__bucket") else w).parquet(next.toString)
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(next, dir)
+    deleteRecursively(old)
+  }
+
   /** Drop retained tombstone rows — run once the source's committed-GTID
     * watermark guarantees no replay can deliver events older than the
     * deletes (until then a tombstone is what stops a replayed older

@@ -201,6 +201,30 @@ class CdcSinkSpec extends SparkSpec {
     assert(state == Map(1L -> 5L, 2L -> 4L))
   }
 
+  test("compact bin-packs many small files; content and tombstones preserved") {
+    val dir = freshDir()
+    // a fragmented table (e.g. merge parallelism x many bucket rewrites)
+    // with one tombstoned key
+    (1 to 6).map(i => Ev(i.toLong, i.toLong, ts(i), "insert")).toDF()
+      .withColumn("__tombstone", col("user_id") === 3)
+      .repartition(6)
+      .write.parquet(dir)
+    val before = CdcSink.readState(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(before.size == 5) // tombstoned key hidden
+    import scala.jdk.CollectionConverters._
+    def nParquet() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    assert(nParquet() > 1)
+
+    CdcSink.compact(spark, dir) // tiny table -> one target file
+    assert(nParquet() == 1, s"expected 1 file after compaction, got ${nParquet()}")
+    assert(CdcSink.readState(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet == before)
+    // the tombstone survived compaction (still guards replays)
+    assert(spark.read.parquet(dir).where(col("__tombstone")).count() == 1)
+  }
+
   test("purgeTombstones reclaims deleted keys; visible state unchanged") {
     val dir = freshDir()
     val del = Some(col("event_type") === "delete")
