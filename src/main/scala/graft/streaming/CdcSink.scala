@@ -136,7 +136,10 @@ object CdcSink {
       val dir  = java.nio.file.Paths.get(tableDir)
       val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
       val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
-      live.write.mode(SaveMode.Overwrite).parquet(next.toString)
+      val w = live.write.mode(SaveMode.Overwrite)
+      // keep the hash-bucket layout (and its pruning) when present
+      (if (live.columns.contains("__bucket")) w.partitionBy("__bucket") else w)
+        .parquet(next.toString)
       java.nio.file.Files.move(dir, old)
       java.nio.file.Files.move(next, dir)
       deleteRecursively(old)

@@ -294,6 +294,32 @@ class CdcSinkSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compact and purge preserve the hash-bucket layout") {
+    val dir = freshDir()
+    val del = Some(col("event_type") === "delete")
+    CdcSink.applyChangelogBucketed(
+      (1L to 20L).map(k => Ev(k, k, ts(0), "insert")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), 4, del)
+    CdcSink.applyChangelogBucketed(
+      Seq(Ev(21, 5, ts(3), "delete")).toDF(),
+      dir, "user_id", Seq("ts", "event_id"), 4, del)
+    import scala.jdk.CollectionConverters._
+    def bucketDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("__bucket=")).toSet
+    val layout = bucketDirs()
+    assert(layout.nonEmpty)
+
+    CdcSink.compact(spark, dir)
+    assert(bucketDirs() == layout, "compaction flattened the bucket layout")
+    assert(CdcSink.readBucketedState(spark, dir).count() == 19)
+
+    CdcSink.purgeTombstones(spark, dir)
+    assert(bucketDirs().subsetOf(layout), "purge flattened the bucket layout")
+    assert(CdcSink.readBucketedState(spark, dir).count() == 19)
+    assert(spark.read.parquet(dir).count() == 19) // tombstone physically gone
+  }
+
   test("swap is atomic-ish: a table always exists after the first batch") {
     val dir = freshDir()
     CdcSink.applyChangelog(
