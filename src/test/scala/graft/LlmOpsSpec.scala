@@ -96,6 +96,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("near-dup pruning: every candidate pair loses at least one member") {
+    val pairs = TextOps.minhashPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val docs = Tables.documents(spark, sf).count()
+    // survivors from the same rule the query aggregates over
+    val survivors = {
+      val d = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      val losers = TextOps.minhashPairs(spark, sf)
+        .join(d.select(col("doc_id").as("doc_a"), col("n_chars").as("ca")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("n_chars").as("cb")), "doc_b")
+        .select(when(col("ca") >= col("cb"), col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_id")).distinct()
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)),
+        s"candidate pair ($a,$b) kept both members")
+    }
+    // pruning only ever removes; the kept count matches the query's total
+    val kept = TextOps.qNeardupPrune.build(spark, sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(kept == survivors.size.toLong && kept < docs)
+  }
+
   test("exact dedup is idempotent and partitions all docs") {
     val d = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
