@@ -23,6 +23,7 @@ object SparkEntry {
     Similarity,
     Multimodal,
     Subqueries,
+    Tpch,
     TrainPrep
   )
 
