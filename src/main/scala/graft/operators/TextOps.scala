@@ -594,8 +594,79 @@ object TextOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- connected-component dedup
+
+  /** The recursive-CTE oracle prefix shared by the clustering queries:
+    * candidate pairs → symmetric edges → min-label transitive closure →
+    * per-doc component minimum. DuckDB's UNION-deduped recursion
+    * terminates because the reachable (node, label) set is finite; the
+    * Spark side computes the identical labels with star-contraction
+    * ([[ConnectedComponents]]) — O(log n) rounds vs the CTE's
+    * O(diameter), same fixpoint. */
+  private val ccLabelsSqlWith: String =
+    s"""${minhashPairsSqlWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc AS (SELECT doc_id AS node, doc_id AS label FROM documents
+       |       UNION
+       |       SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+       |labels AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+       |           FROM cc GROUP BY node)""".stripMargin
+
+  /** Spark-side component labels over the MinHash candidate pairs:
+    * (doc_id, cluster_id = component-minimum doc_id). */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.labels(
+      Tables.documents(s, dir).select(col("doc_id").as("id")),
+      minhashPairs(s, dir))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** Duplicate CLUSTERING: the transitive closure q_neardup_prune
+    * deliberately skips — every doc labeled with its connected
+    * component's minimum doc_id over the near-dup candidate graph.
+    * Unlike pairwise pruning, chained duplicates (A~B, B~C, A̸~C) land in
+    * ONE cluster, which is what corpus dedup actually requires. */
+  val qDedupCluster: Q = Q(
+    "q_dedup_cluster",
+    Some(
+      s"""$ccLabelsSqlWith
+         |SELECT doc_id, cluster_id FROM labels
+         |ORDER BY doc_id""".stripMargin)
+  ) { (s, dir) =>
+    clusterLabels(s, dir).orderBy("doc_id")
+  }
+
+  /** Cluster REPRESENTATIVE selection: per duplicate cluster keep the
+    * longest doc (tie: smallest doc_id), then summarize what survives by
+    * language — the canonical "dedup then keep best" corpus pass. One
+    * window over the (bounded) labeled set; everything else is hash aggs. */
+  val qClusterRep: Q = Q(
+    "q_cluster_rep",
+    Some(
+      s"""$ccLabelsSqlWith,
+         |ranked AS (
+         |  SELECT d.lang, d.n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY lb.cluster_id
+         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN labels lb ON d.doc_id = lb.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM ranked WHERE rn = 1
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin)
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val ranked = docs.join(clusterLabels(s, dir), "doc_id")
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+    ranked.where(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
-    qWordcount, qRepetition, qNeardupPrune)
+    qWordcount, qRepetition, qNeardupPrune, qDedupCluster, qClusterRep)
 }
