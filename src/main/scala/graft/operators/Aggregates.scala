@@ -402,8 +402,53 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** KMV approximate distinct count, ORACLE-MATCHED: the Spark side runs
+    * the mergeable [[graft.functions.KmvSketch]] aggregator (map-side
+    * partials, ≤k doubles shuffled per group); the oracle reproduces the
+    * identical estimate in pure SQL (k-th smallest distinct hash via a
+    * window) — deterministic md5 hashing is what makes an *approximate*
+    * sketch hash-comparable across engines. Exact COUNT(DISTINCT) rides
+    * along as the accuracy exhibit: at 100 TB the sketch shuffles ≤64
+    * doubles per group where COUNT(DISTINCT) reshuffles every value. */
+  val qDistinctKmv: Q = Q(
+    "q_distinct_kmv",
+    Some("""
+      WITH hashed AS (
+        SELECT o_orderpriority, o_custkey,
+               CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT)
+                    AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM orders),
+      h AS (SELECT DISTINCT o_orderpriority, u FROM hashed),
+      r AS (SELECT o_orderpriority, u,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY u) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS nd
+            FROM h),
+      exact AS (SELECT o_orderpriority,
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+                FROM hashed GROUP BY o_orderpriority)
+      SELECT r.o_orderpriority,
+             CAST(CASE WHEN r.nd < 64 THEN CAST(r.nd AS DOUBLE)
+                       ELSE 63.0 / r.u END AS DOUBLE) AS approx_distinct,
+             e.exact_distinct
+      FROM r JOIN exact e ON r.o_orderpriority = e.o_orderpriority
+      WHERE r.rn = CASE WHEN r.nd < 64 THEN r.nd ELSE 64 END
+      ORDER BY r.o_orderpriority
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val kmv = udaf(new graft.functions.KmvSketch(64))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(1.152921504606846976e18)).as("u"))
+      .groupBy("o_orderpriority")
+      .agg(
+        kmv(col("u")).as("approx_distinct"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .orderBy("o_orderpriority")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
     qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
-    qRollup, qCube, qGroupingSets)
+    qRollup, qCube, qGroupingSets, qDistinctKmv)
 }

@@ -40,6 +40,34 @@ class ApproxSpec extends SparkSpec {
     assert(absentHits < 2000 * 0.10, s"fpp too high: $absentHits/2000")
   }
 
+  test("KMV estimate is partition-invariant (mergeable) and within error bound") {
+    import graft.functions.KmvSketch
+    val kmv = udaf(new KmvSketch(64))
+    val hashed = li.select(
+      (conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606846976e18)).as("u"),
+      col("l_partkey"))
+    // merge associativity/commutativity: same estimate at any parallelism
+    val ests = Seq(1, 3, 7).map { p =>
+      hashed.repartition(p).agg(kmv(col("u"))).head.getDouble(0)
+    }
+    assert(ests.distinct.size == 1, s"partition-dependent estimates: $ests")
+    val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
+    // RSE ~ 1/sqrt(k-2) ≈ 13% at k=64; assert a generous 4-sigma band
+    assert(math.abs(ests.head - exact) / exact < 0.52,
+      s"kmv=${ests.head} exact=$exact")
+  }
+
+  test("KMV below k distinct values is exact") {
+    import graft.functions.KmvSketch
+    val kmv = udaf(new KmvSketch(64))
+    val small = li.limit(500).select(
+      (conv(substring(md5(col("l_returnflag")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606846976e18)).as("u"))
+    val est = small.agg(kmv(col("u"))).head.getDouble(0)
+    assert(est == 3.0, s"3 distinct flags must estimate exactly, got $est")
+  }
+
   test("count-min sketch overestimates but stays within eps * n") {
     val cms = li.stat.countMinSketch(col("l_returnflag"), eps = 0.01,
       confidence = 0.95, seed = 42)
