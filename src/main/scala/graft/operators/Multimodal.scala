@@ -16,13 +16,18 @@ import org.apache.spark.sql.functions._
   * runs a real PNG decode ([[Multimodal.decodeImage]]). The AUDIO path
   * is real too: genuine RIFF/WAVE containers ([[Multimodal.encodeWav]],
   * javax.sound.sampled) parsed back by [[Multimodal.decodeAudio]]
-  * (header + PCM data-chunk scan). Only the VIDEO kernels remain
-  * deterministic stubs (the JDK ships no video codec):
-  * [[Multimodal.featuresStub]] stands in for an embedding forward pass
-  * and the frame-sampling walk chunks container bytes rather than
-  * decoded frames. Everything around them (schemas, Encoders, batch
-  * shape, partitioning, explode cardinality, downstream aggregation) is
-  * real and oracle-/property-tested.
+  * (header + PCM data-chunk scan). The VIDEO path is now real as well:
+  * multi-frame animated GIFs ([[Multimodal.encodeGif]] — the one
+  * multi-frame container the JDK can both write and read) decoded
+  * frame-by-frame through ImageIO's LZW decoder
+  * ([[Multimodal.decodeVideo]]), with frame SAMPLING applied to decoded
+  * frames (q_media_video). Remaining stubs: [[Multimodal.featuresStub]]
+  * (an embedding-model forward pass — no model in the JDK) and
+  * [[Multimodal.resizeStub]] / the byte-chunk walk in q_media_frames
+  * (kept as the container-agnostic sampling shape). Everything around
+  * them (schemas, Encoders, batch shape, partitioning, explode
+  * cardinality, downstream aggregation) is real and oracle-/property-
+  * tested.
   *
   * Scale notes: decode parallelism == partition count of the binary
   * column's source; callers repartition before heavy decode so a
@@ -193,6 +198,101 @@ object Multimodal extends QueryPack {
               audioSample(docId, i).toByte)
             MediaRow(docId, "audio/wav",
               encodeWav(audioSampleRate(docId), samples))
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------- video kernels
+
+  /** Deterministic synthetic-video parameters: known to the oracle,
+    * opaque to the decoder (which must parse the GIF container and
+    * LZW-decode every frame raster to recover them). */
+  def videoNFrames(docId: Long): Int = 2 + (docId % 7).toInt
+  def videoWidth(docId: Long): Int = 1 + (docId % 32).toInt
+  def videoHeight(docId: Long): Int = 1 + ((docId * 5) % 24).toInt
+  def videoFramePixel(docId: Long, f: Int): Int = ((docId * 7 + f * 13) % 256).toInt
+
+  /** Every-other-frame sampling for the decoded-video path. */
+  val FrameSampleEvery = 2
+
+  /** Encode a real multi-frame animated GIF (pure JDK: ImageIO's GIF
+    * sequence writer). Each frame is a grayscale raster whose (0,0)
+    * pixel carries the frame's value and whose body cycles a fixed
+    * pattern; the JDK round-trips 8-bit gray exactly through the GIF
+    * palette, so decoded pixels are bit-comparable. */
+  def encodeGif(width: Int, height: Int, framePixels: Seq[Int]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      framePixels.foreach { v =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              if (x == 0 && y == 0) v else (x + y * 31) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
+  /** REAL video decode via ImageIO's GIF reader: parses the container,
+    * LZW-decodes every frame, returns (frame_idx, width, height,
+    * pixel(0,0) gray) per frame. Throws on undecodable payloads (same
+    * quarantine-loudly stance as [[decodeImage]]). */
+  def decodeVideo(content: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"undecodable video payload (${content.length} bytes)")
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        (i, img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xff)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** The `documents` table as genuine animated-GIF video: frame count,
+    * geometry, and per-frame pixels are pure functions of doc_id (so the
+    * DuckDB oracle can predict them) but reach the reader only through a
+    * real multi-frame GIF container. */
+  def mediaGifFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { docId =>
+            val pixels = (0 until videoNFrames(docId))
+              .map(f => videoFramePixel(docId, f))
+            MediaRow(docId, "video/gif",
+              encodeGif(videoWidth(docId), videoHeight(docId), pixels))
           }
         }
       }
@@ -376,5 +476,58 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaAudio)
+  final case class VideoFrameMeta(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, p00: Int,
+      n_frames: Int)
+
+  /** Video decode + frame sampling with a REAL container: payloads are
+    * genuine multi-frame animated GIFs, the kernel LZW-decodes every
+    * frame ([[decodeVideo]]), and every 2nd decoded frame is sampled and
+    * aggregated. The oracle predicts frame count, geometry, and the
+    * sampled frames' corner pixels because synthesis is a pure function
+    * of doc_id — a decoder that skipped the container, miscounted
+    * frames, or dropped rasters cannot hash-match. */
+  val qMediaVideo: Q = Q(
+    "q_media_video",
+    Some(s"""
+      WITH g AS (SELECT i FROM generate_series(0, 8) AS t(i)),
+      f AS (SELECT d.doc_id, g.i, (d.doc_id * 7 + g.i * 13) % 256 AS p
+            FROM documents d
+            JOIN g ON g.i < 2 + d.doc_id % 7 AND g.i % $FrameSampleEvery = 0)
+      SELECT doc_id,
+             CAST(2 + doc_id % 7 AS INT) AS n_frames,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(COUNT(*) * (1 + doc_id % 32) * (1 + (doc_id * 5) % 24) AS BIGINT)
+               AS n_pixels,
+             CAST(SUM(p) AS BIGINT) AS sum_p00,
+             CAST(MAX(p) AS INT) AS max_p00
+      FROM f GROUP BY doc_id
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[VideoFrameMeta]
+    val frames = mediaGifFromDocuments(s, dir).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          val decoded = decodeVideo(m.content)
+          decoded.map { case (idx, w, h, p00) =>
+            VideoFrameMeta(m.media_id, idx, w, h, p00, decoded.length)
+          }
+        }
+      }
+    }
+    frames.toDF()
+      .where(col("frame_idx") % FrameSampleEvery === 0)
+      .groupBy(col("media_id").as("doc_id"))
+      .agg(
+        max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        (count(lit(1)) * max(col("width")).cast("long") *
+          max(col("height")).cast("long")).as("n_pixels"),
+        sum(col("p00")).as("sum_p00"),
+        max(col("p00")).as("max_p00"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo)
 }

@@ -99,4 +99,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 32 * 16)
     assert(resizeStub(Array.empty[Byte], 8, 8).length == 64)
   }
+
+  test("encodeGif writes a genuine multi-frame GIF; decodeVideo recovers every raster") {
+    val bytes = encodeGif(17, 9, Seq(7, 20, 33, 46, 59))
+    // GIF89a magic — a real container, not a fake header
+    assert(bytes.take(6).map(_.toChar).mkString == "GIF89a")
+    val frames = decodeVideo(bytes)
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(frames.forall { case (_, w, h, _) => w == 17 && h == 9 })
+    assert(frames.map(_._4) == Seq(7, 20, 33, 46, 59))
+  }
+
+  test("decodeVideo decodes full rasters, not just headers") {
+    val bytes = encodeGif(8, 6, Seq(100))
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // body pixel (x=3, y=2) follows the synthesis pattern (x + y*31) % 256
+    assert((img.getRGB(3, 2) & 0xff) == (3 + 2 * 31) % 256)
+  }
+
+  test("decodeVideo rejects payloads that are not GIF containers") {
+    intercept[Exception](decodeVideo("not a gif at all".getBytes))
+  }
+
+  test("mediaGifFromDocuments round-trips frame count and geometry per doc") {
+    val media = mediaGifFromDocuments(spark, sf).limit(24).collect()
+    assert(media.nonEmpty)
+    media.foreach { m =>
+      val frames = decodeVideo(m.content)
+      assert(frames.length == videoNFrames(m.media_id))
+      assert(frames.forall { case (_, w, h, _) =>
+        w == videoWidth(m.media_id) && h == videoHeight(m.media_id) })
+      frames.foreach { case (i, _, _, p00) =>
+        assert(p00 == videoFramePixel(m.media_id, i))
+      }
+    }
+  }
 }
