@@ -137,6 +137,33 @@ object Windows extends QueryPack {
       .orderBy("window_start", "event_type")
   }
 
+  /** Sliding 2-minute windows advancing by 1 minute (batch twin of
+    * s_win_slide): every event belongs to exactly length/slide = 2
+    * overlapping windows. The oracle reproduces Spark's epoch-aligned
+    * window expansion by cross-joining each event with offsets {0,1}
+    * minutes back from its 1-minute bucket. */
+  val qWinSlideBatch: Q = Q(
+    "q_win_slide_batch",
+    Some("""
+      SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+               AS window_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Per-user session windows (5-minute inactivity gap) over the events
     * stream table — `session_window` in batch mode; the streaming twin is
     * the same expression under a watermark. Timestamps are truncated to
@@ -274,5 +301,6 @@ object Windows extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinLagLead, qTopkPerGroup, qWinTumbleBatch,
-    qSessionWindow, qWinRange, qWinNtile, qWinFirstLast, qWinCume)
+    qWinSlideBatch, qSessionWindow, qWinRange, qWinNtile, qWinFirstLast,
+    qWinCume)
 }

@@ -32,6 +32,24 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
 
+  /** `s_win_slide`: per-key counts in SLIDING windows (length > slide ⇒
+    * each event lands in length/slide overlapping windows — Spark expands
+    * the window list per row before the hash agg, so the shuffle carries
+    * (length/slide)× the rows; keep the ratio small at scale). Batch
+    * twin: `q_win_slide_batch` (oracle ✓). */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLength: String = "2 minutes",
+      slide: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
   /** Streaming session windows: per-key event counts in
     * inactivity-gap sessions (batch twin: `q_session_window`, oracle ✓).
     * Session state merges under the watermark and finalizes (Append mode)

@@ -46,6 +46,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_win_slide: each event lands in length/slide overlapping windows") {
+    val in = MemoryStream[Ev](spark)
+    val q = StreamOps.slidingCounts(in.toDF(), watermark = "2 minutes")
+      .writeStream.format("memory").queryName("s_slide").outputMode("update").start()
+    try {
+      in.addData(
+        Ev(1, 1, ts(1, 10), "click"), Ev(2, 1, ts(1, 40), "click"),
+        Ev(3, 2, ts(2, 5), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("s_slide").as[(Timestamp, String, Long)].collect().toSet
+      // 2-min windows sliding by 1 min: the 10:01 clicks belong to windows
+      // starting 10:00 AND 10:01; the 10:02 view to 10:01 AND 10:02
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(1), "click", 2L)))
+      assert(rows.contains((ts(1), "view", 1L)))
+      assert(rows.contains((ts(2), "view", 1L)))
+      // no window starts after its last possible member
+      assert(!rows.exists { case (w, k, _) => k == "click" && w.after(ts(1)) })
+    } finally q.stop()
+  }
+
   test("s_session: gap-merged sessions finalize when the watermark passes") {
     val in = MemoryStream[Ev](spark)
     val q = StreamOps.sessionCounts(in.toDF(), keyCol = "user_id",
