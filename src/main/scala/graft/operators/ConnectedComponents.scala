@@ -64,7 +64,9 @@ object ConnectedComponents {
         .union(smins.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint(true)
-      converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      // one action for the whole symmetric difference (both sides are
+      // already distinct, so exceptAll ≡ except minus its extra agg)
+      converged = ss.exceptAll(e).union(e.exceptAll(ss)).isEmpty
       e = ss
     }
     e
