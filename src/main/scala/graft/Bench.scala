@@ -27,7 +27,13 @@ object Bench {
     // single-run variance observed) without hiding real cost. All raw runs
     // are emitted too, so a later reader can separate noise (one slow run,
     // one normal) from regression (both runs slow) without a re-run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the recorded bench always covers all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -12,8 +12,18 @@ import org.apache.spark.sql.types.LongType
   * partition counts, or collects to the driver.
   */
 object Tables {
+  /** Resolved-relation cache: `spark.read.parquet` lists files and reads
+    * footers on the driver every call, and a bench/verify run resolves the
+    * same nine tables hundreds of times. DataFrames are immutable plan
+    * handles, so reuse per (session, dir, name) is safe and cuts that
+    * fixed driver latency from every query. (Sessions are map keys only
+    * for the handful of suites that open several — entries are tiny.) */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -37,12 +47,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  private val lastRegistered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   /** Register every table as a temp view so `spark.sql` queries can share
-    * one SQL text with their DuckDB oracle verbatim. */
-  def registerAll(s: SparkSession, d: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
-    events(s, d).createOrReplaceTempView("events")
-  }
+    * one SQL text with their DuckDB oracle verbatim. Idempotent per
+    * (session, dir): re-registering ten views per query invocation is pure
+    * driver overhead, so repeat calls for the same dir are no-ops (a dir
+    * switch within a session re-registers everything). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    if (!lastRegistered.get(s).contains(d)) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+      events(s, d).createOrReplaceTempView("events")
+      lastRegistered(s) = d
+    }
 }

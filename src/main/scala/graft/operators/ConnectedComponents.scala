@@ -36,6 +36,7 @@ object ConnectedComponents {
         least(col("a"), col("b")).as("lo"))
       .distinct()
       .localCheckpoint(true)
+    var eCount = e.count()
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -49,11 +50,12 @@ object ConnectedComponents {
       val mins = sym.groupBy("u")
         .agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // No intermediate distinct: duplicates here stay bounded by |sym|
+      // and the round's final distinct dedupes anyway — one less shuffle.
       val ls = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .where(col("hi") =!= col("lo"))
-        .distinct()
       // Small-star: attach each node and its smaller neighbors to the
       // minimum among them. Large-star output is already (hi > lo), so
       // the smaller neighborhood of `hi` is exactly its `lo` set.
@@ -64,10 +66,14 @@ object ConnectedComponents {
         .union(smins.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint(true)
-      // one action for the whole symmetric difference (both sides are
-      // already distinct, so exceptAll ≡ except minus its extra agg)
-      converged = ss.exceptAll(e).union(e.exceptAll(ss)).isEmpty
+      // Cheap-first exact convergence: both sides are distinct sets, so
+      // equal counts + empty one-direction difference ⇒ set equality.
+      // Counts come off the fresh checkpoint (near-free), so non-final
+      // rounds never pay the exceptAll join at all.
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
     }
     e
   }
