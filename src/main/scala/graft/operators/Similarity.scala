@@ -242,6 +242,122 @@ object Similarity extends QueryPack {
       .withColumnRenamed("col", "key")
   }
 
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization: `scale = max|v|/127`,
+    * `q_i = round(v_i/scale) ∈ [-127,127]`, plus the integer squared norm
+    * `qn2 = Σ q_i²`. This is the standard memory-scale path for vector
+    * search — 4× smaller than float32, integer dot products — and, unlike
+    * float similarity, EXACTLY oracle-able: every derived quantity is
+    * integer arithmetic over identically-quantized values (the one double
+    * op, `round(v/scale)`, is the same IEEE computation in both engines).
+    */
+  def quantizedInt8(e: DataFrame): DataFrame = {
+    val absmax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    e.select(col("vec_id"), col("embedding"), (absmax / lit(127.0)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"), x =>
+          when(col("scale") === 0d, lit(0L))
+            .otherwise(round(x.cast("double") / col("scale")).cast("long"))).as("qv"))
+      .withColumn("qn2",
+        aggregate(col("qv"), lit(0L), (acc, z) => acc + z * z))
+  }
+
+  /** Integer dot product of two quantized vectors — codegen'd HOFs, exact. */
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** The shared quantization CTE for the int8 oracles (DuckDB side of
+    * [[quantizedInt8]] — same arithmetic, same names). */
+  private val int8SqlWith: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+      |              AS DOUBLE) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(embedding, y ->
+      |           CASE WHEN scale = 0 THEN 0
+      |                ELSE CAST(round(CAST(y AS DOUBLE) / scale) AS BIGINT) END) AS qv
+      |  FROM base),
+      |qn AS (
+      |  SELECT vec_id, scale, qv,
+      |         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS qn2
+      |  FROM q)""".stripMargin
+
+  /** Quantization audit: per-vector saturation count, L1 mass, and value
+    * range of the int8 codes — the integers a quantized index would store.
+    * All-integer output; a wrong rounding mode or scale in either engine
+    * hash-mismatches immediately. */
+  val qEmbedQuantize: Q = Q(
+    "q_embed_quantize",
+    Some(s"""$int8SqlWith
+      |SELECT vec_id,
+      |       CAST(len(list_filter(qv, z -> abs(z) = 127)) AS BIGINT) AS n_sat,
+      |       CAST(list_sum(list_transform(qv, z -> abs(z))) AS BIGINT) AS q_l1,
+      |       CAST(list_min(qv) AS BIGINT) AS q_min,
+      |       CAST(list_max(qv) AS BIGINT) AS q_max
+      |FROM qn ORDER BY vec_id""".stripMargin.trim)
+  ) { (s, dir) =>
+    quantizedInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        size(filter(col("qv"), z => abs(z) === 127)).cast("long").as("n_sat"),
+        aggregate(col("qv"), lit(0L), (acc, z) => acc + abs(z)).as("q_l1"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  /** Top-k neighbor search over the QUANTIZED vectors, ranked by quantized
+    * cosine `dot_int(qa,qb) / (√qn2_a · √qn2_b)` — the per-vector scales
+    * cancel out of the ratio, so ranking is a pure function of the integer
+    * codes. Full oracle (unlike the float ANN variants): both engines rank
+    * identical integers through identical IEEE arithmetic. Recall vs the
+    * float-exact [[qSimTopk]] is asserted in SimilaritySpec — that overlap
+    * measures quantization loss, which is the number an int8 index user
+    * actually cares about. */
+  val qSimTopkInt8: Q = Q(
+    "q_sim_topk_int8",
+    Some(s"""$int8SqlWith,
+      |qq AS (SELECT vec_id AS query_id, qv AS qa, qn2 AS qan2 FROM qn
+      |       WHERE vec_id < $NQueries),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(range(1, len(qa) + 1),
+      |                                      i -> qa[i] * c.qv[i])) AS DOUBLE) /
+      |         (sqrt(CAST(qan2 AS DOUBLE)) * sqrt(CAST(c.qn2 AS DOUBLE))) AS score
+      |  FROM qq, qn c WHERE c.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin.trim)
+  ) { (s, dir) => int8TopK(Tables.embeddings(s, dir)) }
+
+  /** Quantized-cosine top-k of the query set over all vectors. */
+  def int8TopK(e: DataFrame, k: Int = TopK): DataFrame = {
+    val qz = quantizedInt8(e)
+    val q = qz.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn2").as("qan2"))
+    val scored = qz.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotInt(col("qa"), col("qv")).cast("double") /
+          (sqrt(col("qan2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   override def all: Seq[Q] =
-    Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh)
+    Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
+      qEmbedQuantize, qSimTopkInt8)
 }

@@ -26,6 +26,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(r >= 0.3, s"LSH recall collapsed: $r")
   }
 
+  test("int8-quantized top-k: high recall vs float-exact top-k") {
+    // measures quantization loss itself: same brute-force shape, only the
+    // vector representation differs (float32 cosine vs int8-code cosine)
+    val r = recallVsBruteForce("q_sim_topk_int8")
+    info(s"int8 recall@5 = $r")
+    assert(r >= 0.8, s"int8 quantization lost too much: $r")
+  }
+
+  test("int8 quantization: codes bounded, every vector saturates its max") {
+    val qz = Similarity.quantizedInt8(Tables.embeddings(spark, sf))
+    // all codes within [-127, 127]
+    assert(qz.where(exists(col("qv"), z => abs(z) > 127)).count() == 0)
+    // symmetric scaling pins each vector's largest-|v| coordinate at ±127
+    assert(qz.where(!exists(col("qv"), z => abs(z) === 127)).count() == 0)
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
     val df = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
     val perQuery = df.groupBy("query_id")
