@@ -69,6 +69,27 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** `s_distinct_kmv`: running approximate distinct-count per group via
+    * the mergeable [[graft.functions.KmvSketch]] — the streaming use of
+    * the same Aggregator the batch `q_distinct_kmv` oracle-matches.
+    * Because the sketch is an associative, commutative monoid, Spark
+    * keeps the ≤k-value buffer as streaming aggregation state and merges
+    * each micro-batch's partials into it — so the running estimate after
+    * N batches is IDENTICAL to the batch sketch over the union of those
+    * batches (asserted in StreamOpsSpec), which is exactly the property
+    * that lets a 100 TB pipeline maintain distinct counts incrementally
+    * instead of re-scanning. Input column `u`: the value's hash mapped
+    * uniformly into [0,1) (the h60 convention, same as the batch twin). */
+  def distinctKmv(
+      rows: DataFrame,
+      keyCol: String = "k",
+      hashCol: String = "u",
+      k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    rows.groupBy(col(keyCol))
+      .agg(kmv(col(hashCol)).as("approx_distinct"))
+  }
+
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
     * watermark instead of growing forever — the scale-safe variant of
     * plain `dropDuplicates`. */

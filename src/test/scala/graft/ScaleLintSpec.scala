@@ -34,8 +34,11 @@ class ScaleLintSpec extends SparkSpec {
     *    paths are q_sim_ivf/q_sim_lsh re-rank stages)
     *  - q_sim_ivf: the two assign steps score every vector against the K
     *    centroids — n x K with K a constant; the candidate join itself is
-    *    an equi-join on cell_id (asserted below) */
-  private val boundedBroadcastByDesign = Set("q_sim_topk", "q_sim_ivf")
+    *    an equi-join on cell_id (asserted below)
+    *  - q_sim_topk_int8: same corpus x fixed-query-set shape as
+    *    q_sim_topk, over the int8-quantized representation */
+  private val boundedBroadcastByDesign =
+    Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right

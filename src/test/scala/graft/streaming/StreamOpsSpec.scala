@@ -87,6 +87,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_distinct_kmv: streaming sketch state equals the batch sketch over the union") {
+    val in = MemoryStream[(String, Double)](spark)
+    val q = StreamOps.distinctKmv(in.toDF().toDF("k", "u"), k = 4)
+      .writeStream.format("memory").queryName("s_kmv").outputMode("complete").start()
+    try {
+      // batch 1: 3 distinct hashes (< k ⇒ exact), one duplicate
+      in.addData(("a", 0.9), ("a", 0.5), ("a", 0.7), ("a", 0.5))
+      q.processAllAvailable()
+      assert(spark.table("s_kmv").as[(String, Double)].collect().toMap
+        .apply("a") == 3.0)
+      // batch 2 pushes "a" past k=4 distinct: estimate = (k-1)/u_(k);
+      // after {0.5,0.7,0.9,0.1,0.3} the 4 minima are {0.1,0.3,0.5,0.7}
+      in.addData(("a", 0.1), ("a", 0.3), ("b", 0.2))
+      q.processAllAvailable()
+      val m = spark.table("s_kmv").as[(String, Double)].collect().toMap
+      assert(m("b") == 1.0)
+      assert(m("a") == 3.0 / 0.7,
+        s"streaming merge diverged from the batch sketch: ${m("a")}")
+      // the invariant under test: identical to one batch agg over the union
+      val batch = Seq(("a", 0.9), ("a", 0.5), ("a", 0.7), ("a", 0.5),
+        ("a", 0.1), ("a", 0.3), ("b", 0.2)).toDF("k", "u")
+      val expected = StreamOps.distinctKmv(batch, k = 4)
+        .as[(String, Double)].collect().toMap
+      assert(m == expected)
+    } finally q.stop()
+  }
+
   test("s_dedup_stream: duplicate event_ids collapse across micro-batches") {
     val in = MemoryStream[Ev](spark)
     val q = StreamOps.dedupWithinWatermark(in.toDF())
