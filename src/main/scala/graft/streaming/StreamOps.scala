@@ -90,6 +90,62 @@ object StreamOps {
       .agg(kmv(col(hashCol)).as("approx_distinct"))
   }
 
+  /** `s_neardup_stream`: INCREMENTAL near-duplicate detection — each
+    * arriving document is checked against everything already seen, via
+    * the same MinHash/LSH banding as the batch `q_minhash_dedup`
+    * (identical codegen'd [[graft.functions.MinHashSig]] signatures, so
+    * streamed candidates provably equal the batch pairs — pinned in
+    * StreamOpsSpec). The 100 TB shape: state is per (band, key) bucket
+    * membership, hash-partitioned across executors; an arriving doc
+    * shuffles 4 narrow band rows, never joins the corpus.
+    *
+    * Emitted pairs `(doc_a < doc_b)` may repeat across bands/batches —
+    * downstream either dedups under a watermark or feeds a consumer
+    * that tolerates duplicate edges ([[graft.operators.ConnectedComponents]]
+    * does, by construction). `maxBucket` caps hot buckets (band
+    * collisions on boilerplate text): a full bucket stops admitting
+    * members and emitting pairs, the standard spam guard — without it a
+    * degenerate bucket emits O(n²) pairs. */
+  def neardupStream(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import graft.functions.MinHashSig.minhashSig
+    implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
+    implicit val stateEnc: Encoder[Array[Long]] = ExpressionEncoder()
+    implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
+
+    val sig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), minhashSig(col("toks")).as("sig"))
+    // 4 bands x 4 rows, banded exactly like TextOps.minhashPairs
+    val bandStructs = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, key, _) => (band, key) }
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Array[Long]]) =>
+          var members = state.getOption.getOrElse(Array.empty[Long])
+          val arrivals = rows.map(_._3).toArray.distinct.sorted
+            .filterNot(members.contains)
+          val out = Seq.newBuilder[(Long, Long)]
+          arrivals.foreach { id =>
+            if (members.length < maxBucket) {
+              members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
     * watermark instead of growing forever — the scale-safe variant of
     * plain `dropDuplicates`. */

@@ -114,6 +114,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_neardup_stream: incremental candidates equal the batch MinHash pairs") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s_neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("s_neardup").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.TextOps.minhashPairs(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs, batch ${batch.size}")
+      assert(batch.nonEmpty, "fixture has no near-dup pairs — vacuous test")
+    } finally q.stop()
+  }
+
+  test("s_neardup_stream: a saturated bucket stops emitting (hot-bucket guard)") {
+    // 5 identical docs all land in the same 4 buckets; cap 3 ⇒ only the
+    // first 3 members pair up: C(3,2)=3 pairs, not C(5,2)=10
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"), maxBucket = 3)
+      .writeStream.format("memory").queryName("s_neardup_cap")
+      .outputMode("append").start()
+    try {
+      in.addData((1L to 5L).map(i => (i, "alpha beta gamma delta epsilon")))
+      q.processAllAvailable()
+      val pairs = spark.table("s_neardup_cap").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("s_dedup_stream: duplicate event_ids collapse across micro-batches") {
     val in = MemoryStream[Ev](spark)
     val q = StreamOps.dedupWithinWatermark(in.toDF())
