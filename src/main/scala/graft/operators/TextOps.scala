@@ -108,10 +108,9 @@ object TextOps extends QueryPack {
       (1 until 16).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j")): _*)
   }
 
-  /** The MinHash candidate-pair CTE chain (shingles → 60-bit hashes →
-    * 16 minhashes → 4-band keys → distinct same-band pairs), shared by
-    * the q_minhash_dedup oracle and the pruning stage built on it. */
-  private val minhashPairsSqlWith: String = {
+  /** The MinHash band-key CTE chain (shingles → 60-bit hashes →
+    * 16 minhashes → 4-band keys), shared by every pair-producing oracle. */
+  private val minhashBandsSqlWith: String = {
     val mins = (0 until 16).map(j =>
       s"min((h*${A(j)} + ${B(j)}) % $P) AS m$j").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
@@ -121,11 +120,28 @@ object TextOps extends QueryPack {
     s"""WITH $shingleSqlCte,
        |hashed AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-       |bands AS ($bandSelects),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  /** [[minhashBandsSqlWith]] + distinct same-band pairs — the oracle
+    * prefix for q_minhash_dedup and the pruning/clustering stages. */
+  private val minhashPairsSqlWith: String =
+    s"""$minhashBandsSqlWith,
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM bands x JOIN bands y
        |            ON x.band = y.band AND x.key = y.key
        |           AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** (doc_id, band, key) LSH band rows, Spark side of
+    * [[minhashBandsSqlWith]]. */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => col(s"m${b * Rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Candidate near-duplicate pairs (doc_a < doc_b), Spark side of
@@ -137,17 +153,52 @@ object TextOps extends QueryPack {
     // shuffle it once — broadcast would plan it twice. (An intra-bucket
     // pair-expansion variant was measured slower: Spark's higher-order
     // lambdas evaluate interpreted, pairs via join stay in codegen.)
-    val sig = minhashSignatures(s, dir)
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until Rows).map(r => col(s"m${b * Rows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = minhashBands(s, dir)
     bands.as("x").join(bands.as("y").hint("shuffle_hash"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** [[minhashPairs]] with the hot-bucket guard a 100 TB corpus needs:
+    * buckets holding more than `maxBucket` docs (boilerplate text — every
+    * member of an n-doc bucket joins n-1 others, so one degenerate bucket
+    * is O(n²) pairs and a skewed shuffle partition) are dropped WHOLE
+    * before the self-join. The bucket-size pass shuffles on the same
+    * (band, key) the join itself uses. Batch twin of the streaming cap in
+    * `StreamOps.neardupStream` (batch drops the bucket, streaming admits
+    * the first `maxBucket` arrivals — both bound the quadratic term). */
+  def minhashPairsCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val sized = minhashBands(s, dir).withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val kept = sized.where(col("bsz") <= maxBucket)
+      .select("doc_id", "band", "key")
+    kept.as("x").join(kept.as("y").hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Capped candidate detection as a declared, oracle-checked query: the
+    * cap (2) BITES on the fixture — its largest buckets hold 3 docs, so a
+    * wrong cap comparison or a truncate-instead-of-drop implementation
+    * hash-mismatches, not just idles. */
+  val qNeardupCapped: Q = Q(
+    "q_neardup_capped",
+    Some(
+      s"""$minhashBandsSqlWith,
+         |sized AS (SELECT doc_id, band, key,
+         |                 COUNT(*) OVER (PARTITION BY band, key) AS bsz
+         |          FROM bands),
+         |kept AS (SELECT doc_id, band, key FROM sized WHERE bsz <= 2),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM kept x JOIN kept y
+         |            ON x.band = y.band AND x.key = y.key
+         |           AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  ) { (s, dir) =>
+    minhashPairsCapped(s, dir, maxBucket = 2).orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH banding: near-duplicate candidate pairs.
@@ -668,5 +719,6 @@ object TextOps extends QueryPack {
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
-    qWordcount, qRepetition, qNeardupPrune, qDedupCluster, qClusterRep)
+    qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
+    qDedupCluster, qClusterRep)
 }

@@ -112,6 +112,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("hot-bucket cap: capped pairs ⊆ uncapped; a loose cap changes nothing") {
+    val all = TextOps.minhashPairs(spark, sf).as[(Long, Long)].collect().toSet
+    val capped = TextOps.minhashPairsCapped(spark, sf, maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(all), "cap invented pairs")
+    val loose = TextOps.minhashPairsCapped(spark, sf, maxBucket = 1 << 20)
+      .as[(Long, Long)].collect().toSet
+    assert(loose == all, "a non-binding cap must be the identity")
+  }
+
   test("near-dup pruning: every candidate pair loses at least one member") {
     val pairs = TextOps.minhashPairs(spark, sf)
       .as[(Long, Long)].collect()
