@@ -90,6 +90,51 @@ object StreamOps {
       .agg(kmv(col(hashCol)).as("approx_distinct"))
   }
 
+  /** `s_topk_stream`: running top-k rows per key — the streaming twin of
+    * the custom batch operator `graft.plans.TopKPerGroup`, built on the
+    * same lossless merge invariant its spill path uses:
+    * topk(topk(A) ∪ B) = topk(A ∪ B). State per key is exactly the k
+    * current best (value, id) pairs — bounded by construction, no
+    * watermark needed.
+    *
+    * On every batch that touches a key the op emits that key's FULL
+    * current top-k tagged with a monotone per-key `ver`, so a consumer
+    * (or the equivalence spec) takes the max-`ver` set per key as the
+    * current leaderboard. Ordering: value DESC, id ASC (ties), matching
+    * `TopK.perGroup(df, k, Seq(key), Seq(value.desc, id.asc))`. */
+  def topkStream(
+      rows: DataFrame,
+      k: Int,
+      keyCol: String = "k",
+      valCol: String = "v",
+      idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val inEnc: Encoder[(String, Double, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[(Long, Array[(Double, Long)])] = ExpressionEncoder()
+    implicit val outEnc: Encoder[(String, Long, Int, Long, Double)] = Encoders.product
+
+    rows.select(col(keyCol).cast("string"), col(valCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[(Double, Long)]),
+        (String, Long, Int, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[(Long, Array[(Double, Long)])]) =>
+          val (ver, top) = state.getOption.getOrElse((0L, Array.empty[(Double, Long)]))
+          val merged = (top ++ batch.map(r => (r._2, r._3)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          val nextVer = ver + 1
+          state.update((nextVer, merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            (key, nextVer, i + 1, id, v)
+          }
+      }
+      .toDF(keyCol, "ver", "rank", idCol, valCol)
+  }
+
   /** `s_neardup_stream`: INCREMENTAL near-duplicate detection — each
     * arriving document is checked against everything already seen, via
     * the same MinHash/LSH banding as the batch `q_minhash_dedup`

@@ -114,6 +114,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_topk_stream: final leaderboard equals the custom batch TopKPerGroup") {
+    val data = Seq(
+      ("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L),
+      ("a", 8.0, 5L), ("a", 9.0, 6L), ("b", 2.0, 7L), ("b", 3.0, 8L))
+    val (b1, b2) = data.splitAt(4)
+    val in = MemoryStream[(String, Double, Long)](spark)
+    val q = StreamOps.topkStream(in.toDF().toDF("k", "v", "id"), k = 3)
+      .writeStream.format("memory").queryName("s_topk")
+      .outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val out = spark.table("s_topk").as[(String, Long, Int, Long, Double)]
+        .collect()
+      val finalBoard = out.toSeq.groupBy(_._1).values.flatMap { rows =>
+        val last = rows.map(_._2).max
+        rows.filter(_._2 == last)
+      }.map(r => (r._1, r._3, r._4, r._5)).toSet
+      val batchDf = data.toDF("k", "v", "id")
+      val expected = graft.plans.TopK.perGroup(batchDf, 3, Seq("k"),
+          Seq(batchDf("v").desc, batchDf("id").asc))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("v").desc, col("id").asc)))
+        .as[(String, Double, Long, Int)].collect()
+        .map(r => (r._1, r._4, r._3, r._2)).toSet
+      assert(finalBoard == expected,
+        s"stream $finalBoard\nbatch  $expected")
+    } finally q.stop()
+  }
+
   test("s_neardup_stream: incremental candidates equal the batch MinHash pairs") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)]
