@@ -152,13 +152,7 @@ object StreamOps {
     * members and emitting pairs, the standard spam guard — without it a
     * degenerate bucket emits O(n²) pairs. */
   def neardupStream(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import graft.functions.MinHashSig.minhashSig
-    implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
-    implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
-    implicit val stateEnc: Encoder[Array[Long]] = ExpressionEncoder()
-    implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
-
     val sig = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
@@ -168,8 +162,46 @@ object StreamOps {
       val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+    bucketPairsStream(bands, maxBucket).toDF("doc_a", "doc_b")
+  }
+
+  /** `s_embed_neardup_stream`: the embedding-space twin of
+    * [[neardupStream]] — arriving vectors bucketed by the same banded
+    * hyperplane LSH as the batch gate
+    * (`graft.operators.Similarity.neardupCandidates`, identical
+    * [[graft.functions.HyperplaneBands]] keys), candidate pairs emitted
+    * against bucket members already seen. Downstream exact verify /
+    * clustering is shared with the batch path. */
+  def embedNeardupStream(
+      vecs: DataFrame,
+      nBands: Int = 32,
+      nBits: Int = 10,
+      maxBucket: Int = 64): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    val bands = vecs
+      .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
+      .toDF("vec_id", "band", "key")
+      .select(col("band"), col("key").cast("string").as("key"), col("vec_id"))
+    bucketPairsStream(bands, maxBucket).toDF("vec_a", "vec_b")
+  }
+
+  /** The shared stateful bucket-membership pair emitter: input
+    * `(band, key, id)` rows, state per (band, key) = member ids (capped),
+    * output = `(lo, hi)` id pairs of co-bucketed items, each new arrival
+    * paired against the members already present. */
+  private def bucketPairsStream(
+      bands: DataFrame, maxBucket: Int): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
+    implicit val stateEnc: Encoder[Array[Long]] = ExpressionEncoder()
+    implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
+
+    bands.select(col(bands.columns(0)).cast("int"),
+        col(bands.columns(1)).cast("string"), col(bands.columns(2)).cast("long"))
       .as[(Int, String, Long)]
       .groupByKey { case (band, key, _) => (band, key) }
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
@@ -188,7 +220,6 @@ object StreamOps {
           state.update(members)
           out.result().iterator
       }
-      .toDF("doc_a", "doc_b")
   }
 
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the

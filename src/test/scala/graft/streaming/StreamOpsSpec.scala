@@ -166,6 +166,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_embed_neardup_stream: streamed vector candidates equal the batch LSH gate") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (first, second) = vecs.splitAt(vecs.length / 2)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.embedNeardupStream(in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("s_embed_neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("s_embed_neardup").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Similarity
+        .neardupCandidates(graft.Tables.embeddings(spark, sf))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} candidate pairs, batch ${batch.size}")
+      assert(batch.nonEmpty, "fixture produced no LSH candidates — vacuous test")
+    } finally q.stop()
+  }
+
   test("s_neardup_stream: a saturated bucket stops emitting (hot-bucket guard)") {
     // 5 identical docs all land in the same 4 buckets; cap 3 ⇒ only the
     // first 3 members pair up: C(3,2)=3 pairs, not C(5,2)=10
