@@ -319,6 +319,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc source -> s_neardup_stream: duplicates detected as the changelog arrives") {
+    // Layer A/Layer B composition on the round-4 op: a documents table's
+    // changelog streams through the wire protocol into incremental
+    // MinHash near-dup detection. Docs 1 and 2 are identical (all four
+    // band keys collide); doc 3 shares no shingle with them.
+    val docsSchema =
+      """{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","fields":[
+        |{"name":"domain","type":"int","real_type":"int","length":-1},
+        |{"name":"server_id","type":"int","real_type":"int","length":-1},
+        |{"name":"sequence","type":"int","real_type":"int","length":-1},
+        |{"name":"event_number","type":"int","real_type":"int","length":-1},
+        |{"name":"timestamp","type":"int","real_type":"int","length":-1},
+        |{"name":"event_type","type":"string","real_type":"varchar","length":32},
+        |{"name":"doc_id","type":"int","real_type":"int","length":-1},
+        |{"name":"text","type":"string","real_type":"varchar","length":256}
+        |]}""".stripMargin.replace("\n", "")
+    def doc(seq: Long, id: Int, text: String): String =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${1700000000 + seq},"event_type":"insert","doc_id":$id,""" +
+        s""""text":"$text"}"""
+    val srv = new MockMaxScaleServer(docsSchema, Seq(
+      doc(1, 1, "the quick brown fox jumps over the lazy dog"),
+      doc(2, 3, "an entirely different document about spark engines"),
+      doc(3, 2, "the quick brown fox jumps over the lazy dog")))
+    try {
+      val cdc = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.docs").option("timeoutSeconds", 1)
+        .load()
+      val pairs = StreamOps.neardupStream(cdc.select(col("doc_id"), col("text")))
+      val q = pairs.writeStream.format("memory").queryName("s_cdc_neardup")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          val got = spark.table("s_cdc_neardup").as[(Long, Long)].collect().toSet
+          assert(got == Set((1L, 2L)), s"got $got")
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("cdc source -> session windows: watermark-finalized sessions over the changelog") {
     import MockMaxScaleServer.Schema
     // Layer A/Layer B composition on a second stateful op (the first is
