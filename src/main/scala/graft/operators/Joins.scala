@@ -283,10 +283,42 @@ object Joins extends QueryPack {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** Fuzzy string join (entity resolution): near-matching part names
+    * within edit distance 3, under deterministic prefix blocking —
+    * `substr(name,1,2)` equality is part of the DECLARED semantics (the
+    * oracle expresses it too), which is what makes the op scale: the
+    * equality is extracted as the hash-join key, the Levenshtein runs
+    * only within blocks, never all-pairs. Dedup-names-first keeps the
+    * comparison space at distinct entities, the standard record-linkage
+    * shape. Distances are integers — engine-exact. */
+  val qFuzzyJoin: Q = Q(
+    "q_fuzzy_join",
+    Some("""
+      WITH n AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM n a JOIN n b
+        ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+      ORDER BY name_a, name_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val n = Tables.part(s, dir).select("p_name").distinct()
+    val a = n.select(col("p_name").as("name_a"))
+    val b = n.select(col("p_name").as("name_b"))
+    a.join(b, substring(col("name_a"), 1, 2) === substring(col("name_b"), 1, 2) &&
+        col("name_a") < col("name_b"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   override def all: Seq[Q] = Seq(
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinMulti, qJoinBroadcast, qJoinTheta, qJoinAsof, qJoinSalted,
-    qJoinRangeBinned)
+    qJoinRangeBinned, qFuzzyJoin)
 }
 
 /** Generic as-of join via the union + carry-forward technique.
