@@ -373,8 +373,67 @@ object TrainPrep extends QueryPack {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------- sequence packing
+
+  /** Sequence PACKING: the GPT-pretraining step that concatenates the
+    * token stream per shard and cuts it into fixed-budget training
+    * sequences. Each doc's start offset is the exclusive running token
+    * sum within its shard (here: lang, the shard key), its first
+    * sequence is `offset DIV budget`, and a doc "straddles" when its
+    * last token falls in a later sequence. Per-sequence output: docs
+    * started, tokens contributed by those docs, straddle count.
+    *
+    * Scale shape: the running sum is a window per SHARD — packing is
+    * embarrassingly parallel across shards (exactly how a 1000-executor
+    * tokenizer job runs it); nothing is global. All-integer arithmetic
+    * ⇒ engine-exact. */
+  val qSeqPack: Q = Q(
+    "q_seq_pack",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM toks),
+      placed AS (
+        SELECT lang, n_tok,
+               off // 512 AS seq_id,
+               CASE WHEN (off + n_tok - 1) // 512 > off // 512
+                    THEN 1 ELSE 0 END AS straddle
+        FROM offs)
+      SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(straddle) AS BIGINT) AS n_straddle
+      FROM placed
+      GROUP BY lang, seq_id
+      ORDER BY lang, seq_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = toks
+      .withColumn("off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("lang"), col("n_tok"),
+        expr(s"off DIV $budget").as("seq_id"),
+        when(expr(s"(off + n_tok - 1) DIV $budget") > expr(s"off DIV $budget"),
+          1L).otherwise(0L).as("straddle"))
+    placed.groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("straddle").as("n_straddle"))
+      .orderBy("lang", "seq_id")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
-    qTfidfTopterms, qSampleStratified, qSampleWeighted)
+    qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack)
 }
