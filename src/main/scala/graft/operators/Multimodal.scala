@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   * multi-frame container the JDK can both write and read) decoded
   * frame-by-frame through ImageIO's LZW decoder
   * ([[Multimodal.decodeVideo]]), with frame SAMPLING applied to decoded
-  * frames (q_media_video). Remaining stubs: [[Multimodal.featuresStub]]
-  * (an embedding-model forward pass — no model in the JDK) and
-  * [[Multimodal.resizeStub]] / the byte-chunk walk in q_media_frames
-  * (kept as the container-agnostic sampling shape). Everything around
-  * them (schemas, Encoders, batch shape, partitioning, explode
-  * cardinality, downstream aggregation) is real and oracle-/property-
-  * tested.
+  * frames (q_media_video). RESIZE is real: [[Multimodal.resizeNearest]]
+  * decodes and nearest-neighbor resamples the raster (q_media_resize).
+  * Remaining stubs: [[Multimodal.featuresStub]] (an embedding-model
+  * forward pass — no model in the JDK) and the byte-chunk walk in
+  * q_media_frames (kept as the container-agnostic sampling shape).
+  * Everything around them (schemas, Encoders, batch shape, partitioning,
+  * explode cardinality, downstream aggregation) is real and
+  * oracle-/property-tested.
   *
   * Scale notes: decode parallelism == partition count of the binary
   * column's source; callers repartition before heavy decode so a
@@ -309,16 +310,27 @@ object Multimodal extends QueryPack {
     (w, h)
   }
 
-  /** STUB resize — fake pixel buffer of exactly width*height bytes filled
-    * from the source payload (a real impl would decode, scale, re-encode).
-    * Output size is the contract a real resize must also satisfy. */
-  def resizeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    val out = new Array[Byte](width * height)
-    if (content.nonEmpty) {
-      var i = 0
-      while (i < out.length) { out(i) = content(i % content.length); i += 1 }
+  /** REAL resize: decode the image (javax.imageio) and nearest-neighbor
+    * resample the raster to `outW` x `outH` — `out(x,y) =
+    * src(x*sw/outW, y*sh/outH)` with integer floor division, the
+    * standard thumbnail kernel, and deterministic enough for the DuckDB
+    * oracle to reproduce pixel-for-pixel (unlike area-averaging filters,
+    * whose float accumulation would not hash-match). Handles up- and
+    * down-scaling (sw < outW duplicates columns). */
+  def resizeNearest(content: Array[Byte], outW: Int, outH: Int): Array[Int] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${content.length} bytes)")
+    val raster = img.getRaster
+    val sw = img.getWidth
+    val sh = img.getHeight
+    Array.tabulate(outH * outW) { k =>
+      val y = k / outW
+      val x = k % outW
+      raster.getSample(x * sw / outW, y * sh / outH, 0)
     }
-    out
   }
 
   /** STUB feature extraction — deterministic per-dimension rolling hash in
@@ -529,5 +541,58 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo)
+  final case class MediaResized(media_id: Long, sum_px: Long, p00: Int, pbr: Int)
+
+  val ResizeW = 8
+  val ResizeH = 6
+
+  /** Image RESIZE with a REAL kernel: each genuine PNG is decoded and
+    * nearest-neighbor resampled to 8x6 ([[resizeNearest]]). The oracle
+    * replays the identical integer sampling arithmetic over the known
+    * synthesis pattern (source pixel i is the corner for i = 0, else
+    * text byte i mod len) — so a resize that skipped the real decode,
+    * used a different filter, or mis-rounded the sample coordinates
+    * cannot hash-match the per-image pixel sums. */
+  val qMediaResize: Q = Q(
+    "q_media_resize",
+    Some(s"""
+      WITH grid AS (SELECT x, y FROM generate_series(0, ${ResizeW - 1}) t1(x),
+                                     generate_series(0, ${ResizeH - 1}) t2(y)),
+      src AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+                     1 + doc_id % 64 AS sw, 1 + (doc_id * 7) % 48 AS sh
+              FROM documents),
+      px AS (SELECT s.doc_id, g.x, g.y,
+                    ((g.y * s.sh) // $ResizeH) * s.sw + ((g.x * s.sw) // $ResizeW) AS i,
+                    s.text, s.len
+             FROM src s, grid g),
+      v AS (SELECT doc_id, x, y,
+                   CASE WHEN i = 0 THEN CAST(doc_id % 256 AS INT)
+                        ELSE ord(substr(text, CAST(i % len AS INT) + 1, 1)) END AS val
+            FROM px)
+      SELECT doc_id,
+             CAST(SUM(val) AS BIGINT) AS sum_px,
+             CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN val END) AS INT) AS p00,
+             CAST(MAX(CASE WHEN x = ${ResizeW - 1} AND y = ${ResizeH - 1} THEN val END)
+               AS INT) AS pbr
+      FROM v GROUP BY doc_id
+      ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaResized]
+    val resized = mediaPngFromDocuments(s, dir).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val px = resizeNearest(m.content, ResizeW, ResizeH)
+          MediaResized(m.media_id, px.map(_.toLong).sum,
+            px(0), px(ResizeH * ResizeW - 1))
+        }
+      }
+    }
+    resized.toDF()
+      .select(col("media_id").as("doc_id"), col("sum_px"), col("p00"), col("pbr"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] =
+    Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo, qMediaResize)
 }

@@ -94,10 +94,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2) // same vectors regardless of physical partitioning
   }
 
-  test("resizeStub honors the output-size contract") {
-    val out = resizeStub("abc".getBytes, 32, 16)
-    assert(out.length == 32 * 16)
-    assert(resizeStub(Array.empty[Byte], 8, 8).length == 64)
+  test("resizeNearest: real decode + integer resample, up- and down-scaling") {
+    // 4x2 source: pixels 10,20,30,40 / 50,60,70,80 — raster index i takes
+    // body(i % 8) for i > 0 (body(0) unused: the corner overrides i = 0)
+    val body = Array[Byte](99, 20, 30, 40, 50, 60, 70, 80)
+    val png = encodePng(4, 2, 10, body)
+    // downscale to 2x1: samples src(0,0), src(2,0)
+    assert(resizeNearest(png, 2, 1).toSeq == Seq(10, 30))
+    // upscale width to 8x2: each src column sampled twice
+    assert(resizeNearest(png, 8, 2).toSeq ==
+      Seq(10, 10, 20, 20, 30, 30, 40, 40, 50, 50, 60, 60, 70, 70, 80, 80))
+    // identity resize returns the raster itself
+    assert(resizeNearest(png, 4, 2).toSeq == Seq(10, 20, 30, 40, 50, 60, 70, 80))
   }
 
   test("encodeGif writes a genuine multi-frame GIF; decodeVideo recovers every raster") {
