@@ -258,57 +258,92 @@ object TextOps extends QueryPack {
 
   // -------------------------------------------------------------- simhash
 
-  /** SimHash: 32-bit fingerprint from token hashes; LSH = 4 bands of 8
-    * bits; pairs within hamming distance 6. */
+  /** SimHash LSH geometry: 60-bit fingerprint cut into 4 bands of 15 bits
+    * (32,768 keys per band). The old 32-bit / 8-bit-band layout saturated
+    * at 256 keys per band, so bucket population — and candidate pairs —
+    * grew ~n²/256 with corpus size; 15-bit keys keep buckets proportional
+    * to genuine fingerprint collisions. [[SimhashMaxBucket]] is the
+    * hot-bucket guard (same drop-the-bucket-whole semantics as
+    * [[minhashPairsCapped]]): boilerplate corpora concentrate identical
+    * fingerprints into one bucket, and an n-doc bucket is O(n²) pairs. */
+  private val ShBands = 4
+  private val ShBandBits = 15
+  private val ShKeyMask = (1 << ShBandBits) - 1
+  val SimhashHamming = 11 // ≈ the old 6/32 fraction, over 60 bits
+  val SimhashMaxBucket = 16
+
+  /** SimHash near-dup: 60-bit fingerprint, 4×15-bit LSH bands with the
+    * hot-bucket cap, pairs within hamming distance [[SimhashHamming]]. */
   val qSimhashDedup: Q = Q(
     "q_simhash_dedup",
-    Some("""
+    Some(s"""
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM toks),
       bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
-               FROM th, range(0, 32) t(b) GROUP BY doc_id, b),
+               FROM th, range(0, 60) t(b) GROUP BY doc_id, b),
       fp AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
              FROM bits GROUP BY doc_id),
-      bands AS (SELECT doc_id, fp, b AS band, (fp >> (8*b)) & 255 AS key FROM fp, range(0, 4) t(b))
+      bands AS (SELECT doc_id, fp, b AS band, (fp >> ($ShBandBits*b)) & $ShKeyMask AS key
+                FROM fp, range(0, $ShBands) t(b)),
+      sized AS (SELECT doc_id, fp, band, key,
+                       COUNT(*) OVER (PARTITION BY band, key) AS bsz
+                FROM bands),
+      kept AS (SELECT doc_id, fp, band, key FROM sized WHERE bsz <= $SimhashMaxBucket)
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
              CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
-      FROM bands x JOIN bands y
+      FROM kept x JOIN kept y
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.fp, y.fp)) <= 6
+      WHERE bit_count(xor(x.fp, y.fp)) <= $SimhashHamming
       ORDER BY doc_a, doc_b
       """.stripMargin.trim)
   ) { (s, dir) =>
-    // Self-join on (band, key) with a shuffle-hash hint so ReusedExchange
-    // computes the fingerprint pass once (see q_minhash_dedup note).
-    val fp = simhashFingerprints(s, dir)
-    val bands = fp.select(col("doc_id"), col("fp"),
-        explode(expr("transform(sequence(0,3), b -> named_struct('band', b, 'key', shiftright(fp, 8*b) & 255))")).as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x").join(bands.as("y").hint("shuffle_hash"), Seq("band", "key"))
-      .where(col("x.doc_id") < col("y.doc_id") &&
-             bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 6)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
-      .distinct()
+    simhashPairs(simhashFingerprints(s, dir), SimhashMaxBucket, SimhashHamming)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash fingerprints (doc_id, fp): per bit, the balance of
+  /** (band, key) LSH rows for 60-bit fingerprints: 4 bands × 15 bits. */
+  def simhashBands(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fp"),
+        explode(expr(s"transform(sequence(0,${ShBands - 1}), b -> " +
+          s"named_struct('band', b, 'key', shiftright(fp, $ShBandBits*b) & $ShKeyMask))")).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Same-band pairs within `hamming`, with buckets larger than
+    * `maxBucket` dropped WHOLE before the self-join (the cap a 100 TB
+    * boilerplate corpus needs — an uncapped n-doc bucket is O(n²) pairs
+    * and one skewed shuffle partition). Self-join carries a shuffle-hash
+    * hint so ReusedExchange computes the fingerprint+banding pass once
+    * (see q_minhash_dedup note); the bucket-size window shuffles on the
+    * same (band, key) the join itself uses. */
+  def simhashPairs(fp: DataFrame, maxBucket: Int, hamming: Int): DataFrame = {
+    val sized = simhashBands(fp).withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val kept = sized.where(col("bsz") <= maxBucket)
+      .select("doc_id", "fp", "band", "key")
+    kept.as("x").join(kept.as("y").hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+             bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= hamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash fingerprints (doc_id, fp): per bit, the balance of
     * token-hash bits (duplicates weighted by frequency), sign → bit.
     *
-    * One codegen'd expression pass ([[graft.functions.SimHash32]]) — a
+    * One codegen'd expression pass ([[graft.functions.SimHash60]]) — a
     * narrow map-only projection, NO explode and NO shuffle before the
     * banding join. Bit-identical to the balance formulation the DuckDB
     * oracle uses (md5-hex-prefix token hash, bal_b > 0 ⇔ 2*popcount_b >
     * n_tokens); [[simhashFingerprintsAgg]] keeps the aggregate twin for
     * the equivalence spec. */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.SimHash32.simhash32
+    import graft.functions.SimHash60.simhash60
     Tables.documents(s, dir)
-      .select(col("doc_id"), simhash32(split(col("text"), " ")).as("fp"))
+      .select(col("doc_id"), simhash60(split(col("text"), " ")).as("fp"))
   }
 
-  /** The explode + 32-conditional-sum aggregate formulation of
+  /** The explode + 60-conditional-sum aggregate formulation of
     * [[simhashFingerprints]] — shuffles docs x tokens rows, kept as the
     * independently-derived twin the equivalence spec checks the
     * expression against. */
@@ -317,9 +352,9 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitCounts = (0 until 32).map(b =>
+    val bitCounts = (0 until 60).map(b =>
       sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
-    val fpBits = (0 until 32).map(b =>
+    val fpBits = (0 until 60).map(b =>
       when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
     th.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), bitCounts: _*)

@@ -155,11 +155,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(d.select("keep_id").distinct().count() == d.count())
   }
 
-  test("simhash: near-dup pairs have close fingerprints, fp is 32-bit") {
+  test("simhash: near-dup pairs have close fingerprints, fp is 60-bit") {
     val fp = TextOps.simhashFingerprints(spark, sf)
-    assert(fp.where(col("fp") < 0 || col("fp") > (1L << 32) - 1).count() == 0)
+    assert(fp.where(col("fp") < 0 || col("fp") > (1L << 60) - 1).count() == 0)
     val pairs = SparkEntry.queries("q_simhash_dedup")(spark, sf)
-    assert(pairs.where(col("hamming") > 6).count() == 0)
+    assert(!pairs.isEmpty)
+    assert(pairs.where(col("hamming") > TextOps.SimhashHamming).count() == 0)
+  }
+
+  test("simhash band keyspace scales with the corpus (not saturated at 256)") {
+    // The scale property the 32-bit/8-bit-band layout could not have:
+    // per-band distinct keys must track distinct fingerprints, not clamp
+    // at an 8-bit ceiling — otherwise buckets (and candidate pairs) grow
+    // quadratically with corpus size.
+    val keys = TextOps.simhashBands(TextOps.simhashFingerprints(spark, sf))
+      .where(col("band") === 0)
+      .agg(countDistinct(col("key")).as("k"), countDistinct(col("fp")).as("f"))
+      .head()
+    assert(keys.getLong(0) > 256,
+      s"band-0 keyspace ${keys.getLong(0)} still saturated at an 8-bit ceiling")
+  }
+
+  test("simhash hot-bucket cap drops degenerate buckets whole") {
+    import spark.implicits._
+    // 40 copies of one boilerplate text → one fat bucket per band; cap 8
+    // must drop the bucket WHOLE (no pairs from it), while the two
+    // distinct near-identical docs elsewhere still pair up.
+    val boiler = (0L until 40L).map(i => (i, "the same boilerplate text repeated " * 5))
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val pairDocs = Seq((100L, base), (101L, base + " extra"))
+    val fp = (boiler ++ pairDocs).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(split(col("text"), " ")).as("fp"))
+    val capped = TextOps.simhashPairs(fp, maxBucket = 8, hamming = TextOps.SimhashHamming)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a < 40 && b < 40 },
+      s"boilerplate bucket leaked pairs: $capped")
+    assert(capped.contains((100L, 101L)), s"legit near-dup pair lost: $capped")
+    // uncapped twin: the fat bucket floods ~40*39/2 pairs — what the cap prevents
+    val uncapped = TextOps.simhashPairs(fp, maxBucket = Int.MaxValue,
+      hamming = TextOps.SimhashHamming)
+    assert(uncapped.count() > 700)
   }
 
   test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
@@ -172,7 +208,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.contains("graft_minhash_sig"), p)
   }
 
-  test("one-pass SimHash32 expression equals the explode+aggregate twin, shuffle-free") {
+  test("one-pass SimHash60 expression equals the explode+aggregate twin, shuffle-free") {
     val expr = TextOps.simhashFingerprints(spark, sf)
     val agg = TextOps.simhashFingerprintsAgg(spark, sf)
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
@@ -180,7 +216,7 @@ class LlmOpsSpec extends SparkSpec {
     expr.collect()
     val p = expr.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"one-pass simhash plan shuffles:\n$p")
-    assert(p.contains("graft_simhash32"), p)
+    assert(p.contains("graft_simhash60"), p)
   }
 
   test("rolling fingerprint is order-sensitive") {
