@@ -60,6 +60,24 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) => bruteForceTopK(Tables.embeddings(s, dir)) }
 
+  /** Rank scored (query_id, neighbor_id, <scoreCol>) candidates to the
+    * top k per query. The heavy lifting is [[graft.plans.TopK.perGroup]]'s
+    * bounded-heap exec: per input partition it retains ≤ groups×k rows,
+    * so the full scored corpus is pruned map-side BEFORE any exchange —
+    * a `row_number` window here would instead funnel every scored row
+    * (corpus × queries) through ≤ NQueries reducer tasks, the classic
+    * scale-killer for small fixed query sets. The rank column is then
+    * derived by a window over the pruned ≤ queries×k rows — negligible. */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.perGroup(scored, k, Seq("query_id"),
+      Seq(scored(scoreCol).desc, scored("neighbor_id").asc))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force top-k of `queries` (vec_id < NQueries) over all vectors. */
   def bruteForceTopK(e: DataFrame, k: Int = TopK): DataFrame = {
     val q = e.where(col("vec_id") < NQueries)
@@ -68,12 +86,7 @@ object Similarity extends QueryPack {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "cos", k)
   }
 
   /** All-pairs near-duplicate detection by cosine (exact). Int-only output;
@@ -190,16 +203,12 @@ object Similarity extends QueryPack {
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id").asc)))
       .where(col("rn") <= NProbe)
       .select(col("query_id"), col("qv"), col("cell_id"))
-    // exact re-rank within probed cells
+    // exact re-rank within probed cells (bounded-heap, pruned map-side)
     val cand = probes.join(assigned, "cell_id")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(cand, "cos", TopK)
   }
 
   // ------------------------------------------------------------------ LSH
@@ -225,11 +234,7 @@ object Similarity extends QueryPack {
       .distinct()
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(cand, "cos", TopK)
   }
 
   /** Explode each vector into its (band, key) LSH bucket rows, backed by
@@ -338,7 +343,10 @@ object Similarity extends QueryPack {
       |ORDER BY query_id, rank""".stripMargin.trim)
   ) { (s, dir) => int8TopK(Tables.embeddings(s, dir)) }
 
-  /** Quantized-cosine top-k of the query set over all vectors. */
+  /** Quantized-cosine top-k of the query set over all vectors. The corpus
+    * is quantized ONCE and that frame feeds both the broadcast query side
+    * and the streamed side (no per-row re-quantization of the query set —
+    * the broadcast materializes it). */
   def int8TopK(e: DataFrame, k: Int = TopK): DataFrame = {
     val qz = quantizedInt8(e)
     val q = qz.where(col("vec_id") < NQueries)
@@ -349,12 +357,7 @@ object Similarity extends QueryPack {
         (dotInt(col("qa"), col("qv")).cast("double") /
           (sqrt(col("qan2").cast("double")) * sqrt(col("qn2").cast("double"))))
           .as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(scored, "score", k)
   }
 
   override def all: Seq[Q] =

@@ -26,6 +26,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(r >= 0.3, s"LSH recall collapsed: $r")
   }
 
+  test("sim top-k queries rank through the bounded-heap TopKPerGroup plan") {
+    // row_number over NQueries partitions would funnel the whole scored
+    // corpus through ≤ 8 reducers; the bounded-heap exec prunes map-side.
+    Seq("q_sim_topk", "q_sim_topk_int8", "q_sim_ivf", "q_sim_lsh").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), s"$n plan lacks bounded-heap top-k:\n$p")
+    }
+  }
+
   test("int8-quantized top-k: high recall vs float-exact top-k") {
     // measures quantization loss itself: same brute-force shape, only the
     // vector representation differs (float32 cosine vs int8-code cosine)
