@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    shingle→signature→band→bucket-join, so the shuffle is bounded by
   *    (docs x bands) and candidate pairs, not docs².
   *  - n-gram Jaccard uses the inverted-index join (pairs sharing ≥1
-  *    shingle), the standard linear-ish approach; a hot shingle would be
-  *    the skew point, handled by dropping ultra-frequent shingles the same
-  *    way stop-shingles are dropped in production pipelines (cap not needed
-  *    at test scale, noted for 100 TB).
+  *    shingle), the standard linear-ish approach; hot shingles are the
+  *    skew point, so the DECLARED query drops shingles with document
+  *    frequency > [[TextOps.NgramStopDf]] (the stop-shingle trade) — and
+  *    [[TextOps.ppJoinJaccard]] is the lossless prefix-filter alternative
+  *    when exact results are required.
   *  - All per-doc work (tokenize, shingle, hash) is narrow projections over
   *    codegen'd built-ins — no UDFs, no driver collection.
   */
@@ -363,16 +364,31 @@ object TextOps extends QueryPack {
 
   // ----------------------------------------------------------- ngram jaccard
 
-  /** Exact n-gram (3-shingle) Jaccard over the inverted-index join:
-    * only pairs sharing ≥1 shingle are scored; report pairs ≥ 0.5. */
+  /** Stop-shingle document-frequency cap for the DECLARED n-gram Jaccard:
+    * shingles appearing in more than this many documents are dropped from
+    * the index AND from the per-doc counts (the documented stop-shingle
+    * trade production similarity pipelines make — one boilerplate shingle
+    * with document frequency f is f² candidate rows in the inverted-index
+    * self-join, a guaranteed quadratic blowup at corpus scale). 5 bites
+    * on the sf fixtures (max df there is 7), so the correctness gate
+    * exercises the cap, not just its bypass. */
+  val NgramStopDf = 5
+
+  /** n-gram (3-shingle) Jaccard over the stop-shingle-capped inverted
+    * index: shingles with df > [[NgramStopDf]] are dropped whole, then
+    * only pairs sharing ≥1 surviving shingle are scored; report ≥ 0.5
+    * (Jaccard computed over surviving shingles — the declared semantics,
+    * mirrored exactly by the oracle). */
   val qNgramJaccard: Q = Q(
     "q_ngram_jaccard",
     Some(s"""
       WITH $shingleSqlCte,
       hs AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
-      ds AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+      sized AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs),
+      kept AS (SELECT doc_id, h FROM sized WHERE df <= $NgramStopDf),
+      ds AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT da AS doc_a, db AS doc_b,
              CAST(round(CAST(i AS DECIMAL(18,9)) / (x.n + y.n - i), 6) AS DOUBLE) AS jaccard
@@ -381,24 +397,51 @@ object TextOps extends QueryPack {
       ORDER BY doc_a, doc_b
       """.stripMargin.trim)
   ) { (s, dir) =>
-    // Inverted-index self-join on the 60-bit shingle hash (8-byte key, not
-    // the 3-word string; both engines hash identically so even a collision
-    // is mirrored). shuffle_hash hint → ReusedExchange computes the
-    // shingle+md5 pass once; per-doc shingle counts come straight off the
-    // token arrays — no second explode. For corpora where common shingles
-    // blow the candidate count up, [[ppJoinJaccard]] is the prefix-filtered
-    // scale path (measured SLOWER here — this corpus's shingle document
-    // frequencies are near 1, so candidates are already minimal).
-    val docs = Tables.documents(s, dir)
-    // The shingle->hash projection feeds three consumers (both join sides
-    // and the per-doc counts); localCheckpoint materializes it ONCE —
-    // the derived table is docs x shingles x 16 bytes, i.e. ~1/50th of
-    // the corpus, the standard "materialize the signature table" step of
-    // production similarity pipelines.
+    ngramJaccardCapped(s, dir, NgramStopDf).orderBy("doc_a", "doc_b")
+  }
+
+  /** The stop-shingle-capped inverted index: (doc_id, shingle-hash) rows
+    * with shingles of document frequency > maxDf dropped whole. The df
+    * pass is a window over partitionBy(h) — the SAME key the self-join
+    * shuffles on, so the exchange is planned once and reused. The
+    * shingle->hash projection feeds three consumers (both join sides and
+    * the per-doc counts); localCheckpoint materializes it ONCE — the
+    * derived table is docs x shingles x 16 bytes, i.e. ~1/50th of the
+    * corpus, the standard "materialize the signature table" step of
+    * production similarity pipelines. */
+  def ngramKeptShinglesFrom(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
       .localCheckpoint(eager = false)
-    val ds = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+    if (maxDf == Int.MaxValue) sh
+    else sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= maxDf)
+      .select("doc_id", "h")
+  }
+
+  def ngramKeptShingles(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    ngramKeptShinglesFrom(Tables.documents(s, dir), maxDf)
+
+  /** Distinct candidate pairs of the capped inverted-index join — the
+    * quantity the stop-shingle cap exists to bound (one shingle with
+    * document frequency f contributes f² candidate rows). */
+  def ngramCandidatesFrom(docs: DataFrame, maxDf: Int): DataFrame = {
+    val kept = ngramKeptShinglesFrom(docs, maxDf)
+    kept.as("a").join(kept.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Inverted-index Jaccard with the stop-shingle guard. Self-join is on
+    * the 60-bit shingle hash (8-byte key; both engines hash identically
+    * so even a collision is mirrored). `maxDf = Int.MaxValue` degenerates
+    * to the uncapped join (kept for the equivalence spec vs
+    * [[ppJoinJaccard]], the lossless prefix-filter alternative for
+    * exact-result pipelines). */
+  def ngramJaccardFrom(docs: DataFrame, maxDf: Int): DataFrame = {
+    val kept = ngramKeptShinglesFrom(docs, maxDf)
+    val ds = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
@@ -409,8 +452,10 @@ object TextOps extends QueryPack {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("i").cast("decimal(18,9)") / (col("x.n") + col("y.n") - col("i")), 6)
           .cast("double").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  def ngramJaccardCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    ngramJaccardFrom(Tables.documents(s, dir), maxDf)
 
   /** AllPairs/PPJoin-style exact Jaccard join (Bayardo et al., WWW'07
     * "Scaling Up All Pairs Similarity Search"): order each doc's shingle
