@@ -16,26 +16,39 @@ import org.apache.spark.sql.functions._
   * Scale shape: every round is a constant number of hash aggregates and
   * equi-joins over the edge list only — nothing ever materializes beyond
   * O(edges), and upstream LSH banding bounds edges at docs × bands, never
-  * all-pairs. Lineage is truncated with an eager `localCheckpoint` per
-  * round, because an iterative DataFrame loop otherwise nests plans
-  * exponentially and kills the optimizer long before the data hurts. (On
-  * a real cluster with flaky executors, swap localCheckpoint for a
-  * reliable `checkpoint` dir — same call shape.)
+  * all-pairs. Lineage is truncated per round, because an iterative
+  * DataFrame loop otherwise nests plans exponentially and kills the
+  * optimizer long before the data hurts.
+  *
+  * Truncation is parameterized (`reliable`): the default
+  * `localCheckpoint` keeps round state in executor block storage — fast,
+  * but lost if an executor dies mid-loop. On a real cluster set a
+  * checkpoint dir (`spark.sparkContext.setCheckpointDir(...)`, an HDFS/
+  * object-store path) and pass `reliable = true` for fault-tolerant
+  * `checkpoint` files — same labels, proven by the spec.
   */
 object ConnectedComponents {
 
   private val MaxRounds = 50
 
+  /** Per-round lineage truncation: reliable `checkpoint` (requires a
+    * checkpoint dir on the context) or executor-local `localCheckpoint`. */
+  private def truncate(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+
   /** Star edges `(hi = member, lo = component minimum)` for every
     * non-isolated node that is not its component's minimum. Input edges
     * `(a, b)` are undirected; self-loops and duplicates are tolerated. */
-  def stars(edges0: DataFrame): DataFrame = {
-    var e = edges0.toDF("a", "b")
+  def stars(edges0: DataFrame, reliable: Boolean = false): DataFrame = {
+    var e = truncate(edges0.toDF("a", "b")
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), reliable)
     var eCount = e.count()
     var rounds = 0
     var converged = false
@@ -60,12 +73,11 @@ object ConnectedComponents {
       // minimum among them. Large-star output is already (hi > lo), so
       // the smaller neighborhood of `hi` is exactly its `lo` set.
       val smins = ls.groupBy("hi").agg(min("lo").as("m"))
-      val ss = ls.join(smins, "hi")
+      val ss = truncate(ls.join(smins, "hi")
         .where(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(smins.select(col("hi"), col("m").as("lo")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct(), reliable)
       // Cheap-first exact convergence: both sides are distinct sets, so
       // equal counts + empty one-direction difference ⇒ set equality.
       // Counts come off the fresh checkpoint (near-free), so non-final
@@ -82,8 +94,9 @@ object ConnectedComponents {
     * minimum node id in the component (isolated nodes label themselves).
     * `nodes` must be a single-column frame named `id`; `edges` a
     * two-column frame of undirected endpoints drawn from `nodes`. */
-  def labels(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val st = stars(edges).select(col("hi").as("id"), col("lo"))
+  def labels(nodes: DataFrame, edges: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val st = stars(edges, reliable).select(col("hi").as("id"), col("lo"))
     nodes.select(col("id"))
       .join(st, Seq("id"), "left")
       .select(col("id"), coalesce(col("lo"), col("id")).as("cluster_id"))

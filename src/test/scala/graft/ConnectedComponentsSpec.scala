@@ -60,6 +60,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(nodes, edges) == unionFind(nodes, edges))
   }
 
+  test("reliable=true without a checkpoint dir fails fast with a clear message") {
+    // must run BEFORE the reliable-checkpoint test: setCheckpointDir has
+    // no unset, so this asserts the fresh-context behavior
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(
+        Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("a", "b"), reliable = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+  }
+
+  test("reliable-checkpoint path produces identical labels to localCheckpoint") {
+    // The cluster-grade configuration: per-round state in a fault-tolerant
+    // checkpoint dir instead of executor block storage. Same fixpoint.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rnd = new scala.util.Random(7)
+      val nodes = (1L to 150L).toSeq
+      val edges = Seq.fill(90)((rnd.nextInt(150).toLong + 1, rnd.nextInt(150).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val reliable = ConnectedComponents.labels(
+          nodes.toDF("id"), edges.toDF("a", "b"), reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == run(nodes, edges))
+      assert(reliable == unionFind(nodes, edges))
+      // the reliable path really wrote checkpoint files
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no checkpoint files written")
+    } finally {
+      hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("cluster labels refine candidate pairs: pair endpoints share a cluster") {
     val labels = TextOps.clusterLabels(spark, sf)
     val pairs = TextOps.minhashPairs(spark, sf)
