@@ -16,19 +16,21 @@ import org.apache.spark.sql.functions._
   * runs a real PNG decode ([[Multimodal.decodeImage]]). The AUDIO path
   * is real too: genuine RIFF/WAVE containers ([[Multimodal.encodeWav]],
   * javax.sound.sampled) parsed back by [[Multimodal.decodeAudio]]
-  * (header + PCM data-chunk scan). The VIDEO path is now real as well:
+  * (header + PCM data-chunk scan). The VIDEO path is real as well:
   * multi-frame animated GIFs ([[Multimodal.encodeGif]] — the one
   * multi-frame container the JDK can both write and read) decoded
   * frame-by-frame through ImageIO's LZW decoder
-  * ([[Multimodal.decodeVideo]]), with frame SAMPLING applied to decoded
-  * frames (q_media_video). RESIZE is real: [[Multimodal.resizeNearest]]
+  * ([[Multimodal.decodeVideo]]/[[Multimodal.decodeFrames]]), with frame
+  * SAMPLING applied to decoded frame rasters (q_media_frames samples and
+  * materializes every 4th raster; q_media_video aggregates every 2nd
+  * frame's metadata). RESIZE is real: [[Multimodal.resizeNearest]]
   * decodes and nearest-neighbor resamples the raster (q_media_resize).
-  * Remaining stubs: [[Multimodal.featuresStub]] (an embedding-model
-  * forward pass — no model in the JDK) and the byte-chunk walk in
-  * q_media_frames (kept as the container-agnostic sampling shape).
-  * Everything around them (schemas, Encoders, batch shape, partitioning,
-  * explode cardinality, downstream aggregation) is real and
-  * oracle-/property-tested.
+  * FEATURE EXTRACTION is real: [[Multimodal.mediaEmbedInt]] is a
+  * fixed-seed random-projection embedding (JL-style) over the decoded
+  * raster — a genuine decode + linear map, not a byte hash — and
+  * composes with the int8 + LSH ANN stack (spec-asserted recall). No
+  * stub kernels remain in this file; every kernel parses its real
+  * container.
   *
   * Scale notes: decode parallelism == partition count of the binary
   * column's source; callers repartition before heavy decode so a
@@ -42,7 +44,10 @@ object Multimodal extends QueryPack {
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   final case class MediaMeta(
       media_id: Long, n_bytes: Long, width: Int, height: Int, p00: Int)
-  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  /** One extracted frame: raster payload + integrity checksum (unsigned
+    * byte sum), computed in the same decode pass. */
+  final case class MediaFrame(
+      media_id: Long, frame_idx: Int, frame: Array[Byte], px_sum: Long)
   final case class AudioMeta(
       media_id: Long, sample_rate: Int, n_samples: Long, peak: Int)
   final case class MediaFeatures(media_id: Long, features: Array[Float])
@@ -50,20 +55,8 @@ object Multimodal extends QueryPack {
   /** mapInPandas-style batch size: a real decoder initializes its codec
     * once per batch, not once per row. */
   val BatchSize = 64
-  val FrameBytes = 256
   val SampleEvery = 4
   val FeatureDim = 16
-
-  /** The `documents` table as a media table: UTF-8 payload bytes standing
-    * in for encoded images (the driver testdata ships no binary modality;
-    * deriving bytes deterministically keeps the DuckDB oracle viable). */
-  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
-        encode(col("text"), "UTF-8").as("content"))
-      .as[MediaRow]
-  }
 
   /** The `documents` table as genuine encoded images: each payload is a
     * REAL PNG (written by ImageIO) whose dimensions and corner pixel are
@@ -217,11 +210,24 @@ object Multimodal extends QueryPack {
   /** Every-other-frame sampling for the decoded-video path. */
   val FrameSampleEvery = 2
 
+  /** Explicit 256-level gray palette: the GIF writer emits provided
+    * palette indices verbatim, so every pixel round-trips exactly.
+    * (A TYPE_BYTE_GRAY source instead goes through the writer's own
+    * palette construction, which quantizes away rows of short images —
+    * observed at heights < 6.) */
+  private lazy val gray256: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
   /** Encode a real multi-frame animated GIF (pure JDK: ImageIO's GIF
     * sequence writer). Each frame is a grayscale raster whose (0,0)
     * pixel carries the frame's value and whose body cycles a fixed
-    * pattern; the JDK round-trips 8-bit gray exactly through the GIF
-    * palette, so decoded pixels are bit-comparable. */
+    * pattern; frames are written indexed against [[gray256]] and
+    * NON-interlaced (the JDK writer interlaces by default, and its
+    * reader scrambles interlaced rasters shorter than the interlace
+    * pass stride — observed at heights < 6), so every decoded pixel is
+    * bit-comparable. */
   def encodeGif(width: Int, height: Int, framePixels: Seq[Int]): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -232,7 +238,7 @@ object Multimodal extends QueryPack {
       writer.prepareWriteSequence(null)
       framePixels.foreach { v =>
         val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
         val raster = img.getRaster
         var y = 0
         while (y < height) {
@@ -244,7 +250,12 @@ object Multimodal extends QueryPack {
           }
           y += 1
         }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        val param = writer.getDefaultWriteParam
+        // GIF interlace rides the "progressive" knob; MODE_DISABLED writes
+        // sequential rows (MODE_DEFAULT interlaces, and the JDK reader
+        // scrambles interlaced rasters shorter than the pass stride)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
       }
       writer.endWriteSequence()
     } finally {
@@ -299,15 +310,43 @@ object Multimodal extends QueryPack {
       }
   }
 
-  /** STUB image decode — deterministic fake of "parse header, return
-    * dimensions": width from payload size, height from the first byte.
-    * Kept ONLY for the frame-sampling path over non-image payloads
-    * (q_media_frames walks raw bytes); the metadata path uses the real
-    * [[decodeImage]] kernel. */
-  def decodeDimsStub(content: Array[Byte]): (Int, Int) = {
-    val w = 1 + (content.length % 640)
-    val h = 1 + ((if (content.nonEmpty) content(0) & 0xff else 0) % 480)
-    (w, h)
+  /** REAL frame extraction via ImageIO's GIF reader: parses the
+    * container, LZW-decodes every frame, and materializes each frame's
+    * grayscale raster bytes (row-major) plus its unsigned byte sum —
+    * the payload a downstream vision stage would consume. Throws on
+    * undecodable payloads (same quarantine-loudly stance as
+    * [[decodeImage]]). */
+  def decodeFrames(content: Array[Byte]): Seq[(Int, Int, Int, Array[Byte])] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"undecodable video payload (${content.length} bytes)")
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        val bytes = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            bytes(y * w + x) = (img.getRGB(x, y) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (i, w, h, bytes)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** REAL resize: decode the image (javax.imageio) and nearest-neighbor
@@ -333,19 +372,48 @@ object Multimodal extends QueryPack {
     }
   }
 
-  /** STUB feature extraction — deterministic per-dimension rolling hash in
-    * [0,1), standing in for an embedding model forward pass. Dimension and
-    * determinism are the tested contract. */
-  def featuresStub(content: Array[Byte]): Array[Float] =
-    Array.tabulate(FeatureDim) { d =>
-      var h = 1125899906842597L + d * 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < content.length) {
-        h = h * 1000003L + (content(i) & 0xff) + d
-        i += 1
+  /** Fixed projection weight for (dim d, raster index i): integers in
+    * [-504, 504] from a multiplicative hash — the "random" planes of a
+    * JL-style random-projection embedding, pinned so the DuckDB oracle
+    * can replay them in plain integer SQL. */
+  def embedWeight(d: Int, i: Int): Long =
+    ((i + 1).toLong * 2654435761L + (d + 1).toLong * 40503L) % 1009L - 504L
+
+  /** REAL feature extraction: decode the image (javax.imageio) and apply
+    * a fixed random projection over the raster — `e_d = Σ_i w(d,i)·px_i`.
+    * A genuine decode + linear map (the classical JL embedding, the
+    * model-free baseline a vision-embedding stage slots into), exact in
+    * integer arithmetic so the oracle can reproduce every coordinate.
+    * Throws on undecodable payloads. */
+  def mediaEmbedInt(content: Array[Byte]): Array[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${content.length} bytes)")
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val px = raster.getSample(i % w, i / w, 0).toLong
+      var d = 0
+      while (d < FeatureDim) {
+        acc(d) += embedWeight(d, i) * px
+        d += 1
       }
-      (java.lang.Math.floorMod(h, 100000L)) / 100000.0f
+      i += 1
     }
+    acc
+  }
+
+  /** Float view of [[mediaEmbedInt]] for the ANN stack (cosine ranking is
+    * scale-invariant, so the integer→float cast loses nothing that
+    * matters; determinism is spec-pinned). */
+  def mediaEmbed(content: Array[Byte]): Array[Float] =
+    mediaEmbedInt(content).map(_.toFloat)
 
   // --------------------------------------------------------- transforms
 
@@ -367,31 +435,33 @@ object Multimodal extends QueryPack {
     }
   }
 
-  /** Sample every [[SampleEvery]]-th fixed-size frame from a payload —
-    * the video frame-sampling shape: one row in, 0..n frame rows out
-    * (flatMap; no shuffle). */
+  /** Decode every frame and keep each [[SampleEvery]]-th decoded RASTER —
+    * the video frame-extraction shape: one row in, 0..n frame-payload
+    * rows out (flatMap; no shuffle), each with its decode-pass checksum. */
   def frameSample(media: Dataset[MediaRow]): Dataset[MediaFrame] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFrame]
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.flatMap { m =>
-          val nChunks = (m.content.length + FrameBytes - 1) / FrameBytes
-          Iterator.range(0, nChunks, SampleEvery).map { ci =>
-            val from = ci * FrameBytes
-            val until = math.min(from + FrameBytes, m.content.length)
-            MediaFrame(m.media_id, ci, java.util.Arrays.copyOfRange(m.content, from, until))
-          }
+          decodeFrames(m.content).iterator
+            .filter { case (idx, _, _, _) => idx % SampleEvery == 0 }
+            .map { case (idx, _, _, bytes) =>
+              var s = 0L
+              var i = 0
+              while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+              MediaFrame(m.media_id, idx, bytes, s)
+            }
         }
       }
     }
   }
 
-  /** Per-media feature vectors (embedding-model stand-in). */
+  /** Per-media feature vectors: real decode + fixed random projection. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.map(m =>
-        MediaFeatures(m.media_id, featuresStub(m.content))))
+        MediaFeatures(m.media_id, mediaEmbed(m.content))))
     }
   }
 
@@ -424,29 +494,47 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling, oracle-checked via the explode cardinality and byte
-    * accounting (DuckDB generate_series reproduces the chunk walk). */
+  /** Frame EXTRACTION with a REAL codec: every payload is a genuine
+    * multi-frame GIF, every 4th frame's raster is LZW-decoded and
+    * materialized ([[decodeFrames]] via [[frameSample]]), and the
+    * aggregate accounts for the extracted payload bytes AND their pixel
+    * checksum. The oracle predicts all three because synthesis is a pure
+    * function of doc_id — frame f's raster is p00 = (doc_id*7+f*13)%256
+    * at (0,0) and (x+y*31)%256 elsewhere — so a sampler that skipped the
+    * real decode, walked container bytes, or dropped rasters cannot
+    * hash-match. */
   val qMediaFrames: Q = Q(
     "q_media_frames",
     Some(s"""
-      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-      g AS (SELECT i FROM generate_series(0, 1048576, $SampleEvery) AS t(i)),
-      f AS (
-        SELECT m.doc_id, g.i,
-               LEAST($FrameBytes, m.n - g.i * $FrameBytes) AS frame_bytes
-        FROM m JOIN g ON g.i * $FrameBytes < m.n)
-      SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_frames,
-             CAST(sum(frame_bytes) AS BIGINT) AS n_frame_bytes
-      FROM f GROUP BY doc_id
-      ORDER BY doc_id
+      WITH g AS (SELECT i FROM generate_series(0, 8) AS t(i)),
+      f AS (SELECT d.doc_id, g.i,
+                   1 + d.doc_id % 32 AS w, 1 + (d.doc_id * 5) % 24 AS h,
+                   (d.doc_id * 7 + g.i * 13) % 256 AS p00
+            FROM documents d
+            JOIN g ON g.i < 2 + d.doc_id % 7 AND g.i % $SampleEvery = 0),
+      grid AS (SELECT x, y FROM generate_series(0, 31) t1(x),
+                               generate_series(0, 23) t2(y)),
+      body AS (SELECT d.doc_id,
+                      SUM(CASE WHEN gr.x = 0 AND gr.y = 0 THEN 0
+                               ELSE (gr.x + gr.y * 31) % 256 END) AS bsum
+               FROM documents d JOIN grid gr
+                 ON gr.x < 1 + d.doc_id % 32 AND gr.y < 1 + (d.doc_id * 5) % 24
+               GROUP BY d.doc_id)
+      SELECT f.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(f.w * f.h) AS BIGINT) AS n_frame_bytes,
+             CAST(SUM(b.bsum + f.p00) AS BIGINT) AS sum_px
+      FROM f JOIN body b ON f.doc_id = b.doc_id
+      GROUP BY f.doc_id
+      ORDER BY f.doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    frameSample(mediaFromDocuments(s, dir))
+    frameSample(mediaGifFromDocuments(s, dir))
       .toDF()
       .groupBy(col("media_id").as("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
-        sum(octet_length(col("frame"))).cast("long").as("n_frame_bytes"))
+        sum(octet_length(col("frame"))).cast("long").as("n_frame_bytes"),
+        sum(col("px_sum")).as("sum_px"))
       .orderBy("doc_id")
   }
 
@@ -541,6 +629,54 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  final case class MediaEmbedded(media_id: Long, e: Array[Long])
+
+  /** Feature EXTRACTION with a REAL kernel: each genuine PNG is decoded
+    * and embedded by the fixed random projection ([[mediaEmbedInt]] —
+    * e_d = Σ_i w(d,i)·px_i over the decoded raster). The oracle replays
+    * the identical integer arithmetic over the known synthesis pattern,
+    * so an extractor that hashed container bytes instead of decoding, or
+    * used different planes, cannot hash-match any coordinate. Output:
+    * the first 4 embedding coordinates + the L1 norm over all
+    * [[FeatureDim]] dims (pinning every dimension). */
+  val qMediaEmbed: Q = Q(
+    "q_media_embed",
+    Some {
+      val dims = (0 until FeatureDim).map(d =>
+        s"CAST(SUM((((i+1) * 2654435761 + ${d + 1} * 40503) % 1009 - 504) * v) AS BIGINT) AS e$d")
+        .mkString(",\n             ")
+      val l1 = (0 until FeatureDim).map(d => s"abs(e$d)").mkString(" + ")
+      s"""
+      WITH src AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+                          1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h
+                   FROM documents),
+      g AS (SELECT i FROM generate_series(0, 3071) t(i)),
+      px AS (SELECT s.doc_id, g.i,
+                    CASE WHEN g.i = 0 THEN CAST(s.doc_id % 256 AS BIGINT)
+                         ELSE CAST(ord(substr(s.text, CAST(g.i % s.len AS INT) + 1, 1)) AS BIGINT)
+                    END AS v
+             FROM src s JOIN g ON g.i < s.w * s.h),
+      e AS (SELECT doc_id,
+             $dims
+            FROM px GROUP BY doc_id)
+      SELECT doc_id, e0, e1, e2, e3, CAST($l1 AS BIGINT) AS l1
+      FROM e ORDER BY doc_id
+      """.stripMargin.trim
+    }
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaEmbedded]
+    val emb = mediaPngFromDocuments(s, dir).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(m =>
+        MediaEmbedded(m.media_id, mediaEmbedInt(m.content))))
+    }
+    emb.toDF()
+      .select(col("media_id").as("doc_id"),
+        element_at(col("e"), 1).as("e0"), element_at(col("e"), 2).as("e1"),
+        element_at(col("e"), 3).as("e2"), element_at(col("e"), 4).as("e3"),
+        aggregate(col("e"), lit(0L), (acc, z) => acc + abs(z)).as("l1"))
+      .orderBy("doc_id")
+  }
+
   final case class MediaResized(media_id: Long, sum_px: Long, p00: Int, pbr: Int)
 
   val ResizeW = 8
@@ -594,5 +730,6 @@ object Multimodal extends QueryPack {
   }
 
   override def all: Seq[Q] =
-    Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo, qMediaResize)
+    Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo, qMediaResize,
+      qMediaEmbed)
 }

@@ -2,16 +2,15 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal._
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Contract tests for the multimodal plumbing: batch shape, explode
-  * cardinality, determinism and partition-invariance of the stubbed
+  * cardinality, determinism and partition-invariance of the real
   * kernels (exact values are oracle-checked via q_media_meta /
-  * q_media_frames at sf0.01). */
+  * q_media_frames / q_media_embed at sf0.01). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
-
-  private def media = mediaFromDocuments(spark, sf).cache()
 
   test("encodeWav writes a genuine RIFF/WAVE container; decodeAudio recovers header + PCM") {
     val samples = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
@@ -60,7 +59,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeMeta runs a real PNG decode: dims/corner match the synthesis geometry") {
     val metas = decodeMeta(mediaPngFromDocuments(spark, sf)).collect()
-    assert(metas.length == media.count())
+    assert(metas.length == Tables.documents(spark, sf).count())
     metas.foreach { m =>
       assert(m.width == pngWidth(m.media_id), s"media ${m.media_id} width")
       assert(m.height == pngHeight(m.media_id), s"media ${m.media_id} height")
@@ -69,29 +68,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frameSample: cardinality and byte accounting match the chunk walk") {
-    val frames = frameSample(media).collect()
-    val byMedia = frames.groupBy(_.media_id)
-    val sizes = media.collect().map(m => m.media_id -> m.content.length).toMap
-    sizes.foreach { case (id, n) =>
-      val nChunks = (n + FrameBytes - 1) / FrameBytes
-      val expected = (0 until nChunks by SampleEvery).size
-      assert(byMedia(id).length == expected, s"media $id")
-      // every sampled frame is full-size except possibly the last chunk
-      byMedia(id).foreach { f =>
-        val expectedLen = math.min(FrameBytes, n - f.frame_idx * FrameBytes)
-        assert(f.frame.length == expectedLen)
+  test("frameSample extracts real decoded rasters: every 4th frame, full geometry") {
+    val gifs = mediaGifFromDocuments(spark, sf).limit(24).cache()
+    val frames = frameSample(gifs).collect().groupBy(_.media_id)
+    gifs.collect().foreach { m =>
+      val want = decodeFrames(m.content).filter(_._1 % SampleEvery == 0)
+      val got = frames(m.media_id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == want.map(_._1))
+      got.zip(want).foreach { case (g, (_, w, h, bytes)) =>
+        assert(g.frame.length == w * h)
+        assert(g.frame.toSeq == bytes.toSeq, s"media ${m.media_id} frame ${g.frame_idx}")
+        assert(g.px_sum == bytes.map(_ & 0xff).map(_.toLong).sum)
+        // corner pixel carries the synthesized frame value
+        assert((g.frame(0) & 0xff) == videoFramePixel(m.media_id, g.frame_idx))
       }
     }
   }
 
-  test("features: fixed dimension, [0,1) range, deterministic, partition-invariant") {
+  test("features: real decode + projection, deterministic, partition-invariant") {
+    val media = mediaPngFromDocuments(spark, sf).cache()
     val f1 = extractFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
     val f2 = extractFeatures(media.repartition(7)).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
     assert(f1.values.forall(_.length == FeatureDim))
-    assert(f1.values.forall(_.forall(v => v >= 0f && v < 1f)))
     assert(f1 == f2) // same vectors regardless of physical partitioning
+    // the float view is the integer projection, coordinate for coordinate
+    media.limit(8).collect().foreach { m =>
+      assert(mediaEmbed(m.content).toSeq == mediaEmbedInt(m.content).map(_.toFloat).toSeq)
+    }
+    // a genuinely different raster must move the embedding (not a constant)
+    assert(f1.values.toSet.size > 1)
+  }
+
+  test("media → embedding → int8 ANN composes end-to-end with useful recall") {
+    // drop degenerate all-zero embeddings (a 1x1 black raster) before the
+    // index — cosine is undefined on them, the standard pipeline filter
+    val emb = extractFeatures(mediaPngFromDocuments(spark, sf)).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      .where(org.apache.spark.sql.functions.exists(
+        col("embedding"), x => x =!= 0f))
+      .cache()
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(graft.operators.Similarity.bruteForceTopK(emb))
+    val quant = topk(graft.operators.Similarity.int8TopK(emb))
+    assert(exact.nonEmpty && exact.keySet == quant.keySet)
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect quant(q)).size.toDouble / exact(q).size).sum / exact.size
+    info(s"media-embedding int8 recall@5 = $recall")
+    assert(recall >= 0.5, s"int8 ANN recall over media embeddings collapsed: $recall")
   }
 
   test("resizeNearest: real decode + integer resample, up- and down-scaling") {
