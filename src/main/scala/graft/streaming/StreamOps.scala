@@ -222,6 +222,70 @@ object StreamOps {
       }
   }
 
+  /** `s_fuzzy_join`: streaming entity resolution — arriving records are
+    * matched against a STATIC reference table by the same declared
+    * blocking as the batch `q_fuzzy_join`: `substr(name,1,2)` equality
+    * (extracted as the equi-join key, so Levenshtein runs only within
+    * blocks, never stream × reference) plus edit distance ≤ `maxDist`.
+    * Stream-static joins are stateless — each micro-batch joins the
+    * reference fresh, no accumulated state — so cost scales with the
+    * reference size (broadcast when small), not the stream's history.
+    * Batch twin: the identical join expression over the collected
+    * arrivals (equivalence pinned in StreamOpsSpec). */
+  def fuzzyJoinStream(
+      stream: DataFrame,
+      reference: DataFrame,
+      streamCol: String = "name",
+      refCol: String = "ref_name",
+      maxDist: Int = 3): DataFrame =
+    stream.join(reference,
+        substring(col(streamCol), 1, 2) === substring(col(refCol), 1, 2) &&
+          levenshtein(col(streamCol), col(refCol)) <= maxDist)
+      .withColumn("dist", levenshtein(col(streamCol), col(refCol)).cast("long"))
+
+  /** `s_seq_pack`: INCREMENTAL sequence packing — the streaming twin of
+    * `q_seq_pack`. Docs arrive per shard and are placed at the shard's
+    * running token offset; per-shard state is ONE long (the next free
+    * offset), so a million-shard corpus carries a million longs of state
+    * while emitting placements identical to the batch window's running
+    * sum. Within a micro-batch rows are placed in id order (matching the
+    * batch `ORDER BY doc_id`); across batches, arrival order is the
+    * declared semantics — a CDC-fed shard arrives in GTID order, which
+    * for the fixture equals id order (equivalence pinned in
+    * StreamOpsSpec). Output: one placement row per doc —
+    * `(shard, id, n_tok, off, seq_id, straddle)`. */
+  def seqPackStream(
+      docs: DataFrame,
+      budget: Long = 512,
+      shardCol: String = "lang",
+      idCol: String = "doc_id",
+      tokCol: String = "n_tok"): DataFrame = {
+    implicit val inEnc: Encoder[(String, Long, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long, Long)] =
+      Encoders.product
+    docs.select(col(shardCol).cast("string"), col(idCol).cast("long"),
+        col(tokCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val placed = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+            val seqId = off / budget
+            val straddle = if (n > 0 && (off + n - 1) / budget > seqId) 1L else 0L
+            val at = off
+            off += n
+            (shard, id, n, at, seqId, straddle)
+          }
+          state.update(off)
+          placed.iterator
+      }
+      .toDF(shardCol, idCol, tokCol, "off", "seq_id", "straddle")
+  }
+
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
     * watermark instead of growing forever — the scale-safe variant of
     * plain `dropDuplicates`. */

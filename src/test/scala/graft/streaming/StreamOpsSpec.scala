@@ -5,12 +5,14 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.sources.MockMaxScaleServer
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
 import org.scalatest.time.{Seconds, Span}
 
 case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
 case class Cdc(sequence: Long, event_type: String, id: Long, name: String)
+case class PackDoc(lang: String, doc_id: Long, n_tok: Long)
+case class FuzzyArrival(id: Long, name: String)
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -316,6 +318,76 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.exists(r => r.id == 2 && r.event_type == "delete"))
       // update_before never emitted as a state image
       assert(!out.exists(_.event_type == "update_before"))
+    } finally q.stop()
+  }
+
+  test("s_fuzzy_join: stream-static matches equal the batch join, stateless across batches") {
+    val ref = graft.Tables.part(spark, sf)
+      .select(col("p_name").as("ref_name")).distinct().cache()
+    val names = graft.Tables.part(spark, sf).select("p_name").distinct()
+      .orderBy("p_name").limit(40).as[String].collect()
+    // half verbatim (dist-0 hits), half with a 1-char suffix typo (dist-1
+    // hits in the same prefix block — entity resolution's actual case)
+    val arrivals = names.zipWithIndex.map { case (n, i) =>
+      FuzzyArrival(i.toLong, if (i % 2 == 0) n else n + "x")
+    }
+    val in = MemoryStream[FuzzyArrival](spark)
+    val q = StreamOps.fuzzyJoinStream(in.toDF(), ref)
+      .writeStream.format("memory").queryName("s_fuzzy").outputMode("append").start()
+    try {
+      val (a, b) = arrivals.splitAt(20)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("s_fuzzy")
+        .select("id", "name", "ref_name", "dist")
+        .as[(Long, String, String, Long)].collect().toSet
+      // the twin: the identical join expression over the collected arrivals
+      val want = StreamOps.fuzzyJoinStream(
+          arrivals.toIndexedSeq.toDF("id", "name"), ref)
+        .select("id", "name", "ref_name", "dist")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got == want)
+      assert(got.exists(_._4 == 0L) && got.exists(_._4 == 1L),
+        "fixture should produce both exact and fuzzy matches")
+    } finally q.stop()
+  }
+
+  test("s_seq_pack: incremental packing equals the batch q_seq_pack aggregate") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .orderBy("doc_id")
+      .as[(String, Long, Long)].collect()
+    val in = MemoryStream[PackDoc](spark)
+    val q = StreamOps.seqPackStream(in.toDF())
+      .writeStream.format("memory").queryName("s_seq_pack").outputMode("append").start()
+    try {
+      // 3 micro-batches in id order per shard — the CDC arrival order;
+      // the per-shard offset state must carry across batch boundaries
+      docs.grouped(170).foreach { batch =>
+        in.addData(batch.map(d => PackDoc(d._1, d._2, d._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val placements = spark.table("s_seq_pack")
+      // per-doc placements aggregate to exactly the batch query's output
+      val got = placements.groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("straddle").as("n_straddle"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val want = graft.operators.TrainPrep.qSeqPack.build(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+      // offsets tile each shard exactly: sorted placements are contiguous
+      val perShard = placements.select("lang", "off", "n_tok")
+        .as[(String, Long, Long)].collect().groupBy(_._1)
+      perShard.values.foreach { rows =>
+        val sorted = rows.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array((_, o1, n1), (_, o2, _)) => assert(o1 + n1 == o2)
+          case _ => ()
+        }
+        assert(sorted.head._2 == 0L)
+      }
     } finally q.stop()
   }
 
