@@ -465,6 +465,35 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Decode outcome row: `ok` media carry their decoded geometry,
+    * quarantined media carry the failure reason — the side-output shape
+    * a 100 TB pipeline needs so corrupt payloads are counted and kept
+    * for forensics instead of killing the job or silently zeroing. */
+  final case class MediaDecodeOutcome(
+      media_id: Long, status: String, n_bytes: Long, width: Int, height: Int)
+
+  /** [[decodeMeta]] with quarantine: undecodable payloads become
+    * `status = "quarantined"` rows instead of task failures. Same
+    * batched mapPartitions shape; the happy path still runs the REAL
+    * [[decodeImage]] kernel. */
+  def decodeMetaSafe(media: Dataset[MediaRow]): Dataset[MediaDecodeOutcome] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaDecodeOutcome]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          try {
+            val (w, h, _) = decodeImage(m.content)
+            MediaDecodeOutcome(m.media_id, "ok", m.content.length.toLong, w, h)
+          } catch {
+            case _: Exception =>
+              MediaDecodeOutcome(m.media_id, "quarantined",
+                m.content.length.toLong, 0, 0)
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Binary decode metadata with a REAL codec: payloads are genuine PNGs
@@ -729,7 +758,43 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Corrupt-payload QUARANTINE: every 17th payload is truncated to its
+    * 8-byte PNG signature (a realistic partial-upload corruption — the
+    * magic bytes parse, the decode fails), and the pipeline must route
+    * it to the quarantine side output while decoding the rest for real.
+    * The oracle predicts both populations and the ok-side decoded pixel
+    * mass; a pipeline that zeroed failures, dropped them silently, or
+    * faked the decode cannot hash-match. */
+  val qMediaQuarantine: Q = Q(
+    "q_media_quarantine",
+    Some("""
+      SELECT status,
+             CAST(COUNT(*) AS BIGINT) AS n_media,
+             CAST(SUM(px) AS BIGINT) AS total_pixels
+      FROM (
+        SELECT CASE WHEN doc_id % 17 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+               CASE WHEN doc_id % 17 = 0 THEN 0
+                    ELSE (1 + doc_id % 64) * (1 + (doc_id * 7) % 48) END AS px
+        FROM documents)
+      GROUP BY status
+      ORDER BY status
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val corrupted = mediaPngFromDocuments(s, dir).mapPartitions { it =>
+      it.map(m =>
+        if (m.media_id % 17 == 0)
+          MediaRow(m.media_id, m.kind, java.util.Arrays.copyOf(m.content, 8))
+        else m)
+    }
+    decodeMetaSafe(corrupted).toDF()
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
+      .orderBy("status")
+  }
+
   override def all: Seq[Q] =
     Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo, qMediaResize,
-      qMediaEmbed)
+      qMediaEmbed, qMediaQuarantine)
 }

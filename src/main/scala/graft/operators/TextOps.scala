@@ -457,6 +457,85 @@ object TextOps extends QueryPack {
   def ngramJaccardCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame =
     ngramJaccardFrom(Tables.documents(s, dir), maxDf)
 
+  /** n-gram CONTAINMENT ≥ 0.8 pairs: `|A∩B| / min(|A|,|B|)` over the same
+    * stop-shingle-capped inverted index as [[qNgramJaccard]]. Jaccard
+    * misses the asymmetric duplication a corpus actually has — a short
+    * doc quoted whole inside a long one scores low Jaccard but
+    * containment ≈ 1 — so dedup pipelines run both. Same join shape and
+    * cap; only the denominator differs. */
+  val qNgramContainment: Q = Q(
+    "q_ngram_containment",
+    Some(s"""
+      WITH $shingleSqlCte,
+      hs AS (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
+      sized AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs),
+      kept AS (SELECT doc_id, h FROM sized WHERE df <= $NgramStopDf),
+      ds AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(round(CAST(i AS DECIMAL(18,9)) / least(x.n, y.n), 6) AS DOUBLE)
+               AS containment
+      FROM inter JOIN ds x ON da = x.doc_id JOIN ds y ON db = y.doc_id
+      WHERE CAST(i AS DOUBLE) / least(x.n, y.n) >= 0.8
+      ORDER BY doc_a, doc_b
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val kept = ngramKeptShingles(s, dir, NgramStopDf)
+    val ds = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(ds.as("x"), col("da") === col("x.doc_id"))
+      .join(ds.as("y"), col("db") === col("y.doc_id"))
+      .where(col("i").cast("double") / least(col("x.n"), col("y.n")) >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("i").cast("decimal(18,9)") / least(col("x.n"), col("y.n")), 6)
+          .cast("double").as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash Jaccard ESTIMATION: for each LSH candidate pair, estimate
+    * similarity as the fraction of agreeing minhash coordinates —
+    * E[agree/16] = J(A,B), the classical estimator. This is the
+    * verify-free path a 100 TB dedup pipeline takes when exact shingle
+    * re-intersection is too expensive: the estimate reads ONLY the two
+    * 16-value signatures already computed for banding (narrow join on
+    * the signature table), never the documents. Accuracy vs exact
+    * Jaccard is spec-asserted; the estimator itself is exact integer
+    * arithmetic, fully oracle-matched. */
+  val qMinhashEst: Q = Q(
+    "q_minhash_est",
+    Some {
+      val agree = (0 until 16).map(j =>
+        s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$minhashPairsSqlWith
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(($agree) AS BIGINT) AS n_agree,
+         |       CAST(round(CAST(($agree) AS DECIMAL(18,9)) / 16, 6) AS DOUBLE)
+         |         AS est_jaccard
+         |FROM pairs p
+         |JOIN sig x ON p.doc_a = x.doc_id
+         |JOIN sig y ON p.doc_b = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (s, dir) =>
+    val sig = minhashSignatures(s, dir)
+    val agree = (0 until 16).map(j =>
+      when(col(s"x.m$j") === col(s"y.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashPairs(s, dir).as("p")
+      .join(sig.as("x"), col("p.doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("p.doc_b") === col("y.doc_id"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        agree.cast("long").as("n_agree"),
+        round(agree.cast("decimal(18,9)") / 16, 6).cast("double").as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** AllPairs/PPJoin-style exact Jaccard join (Bayardo et al., WWW'07
     * "Scaling Up All Pairs Similarity Search"): order each doc's shingle
     * hashes rare-first by global document frequency, index only the
@@ -798,6 +877,7 @@ object TextOps extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
+    qNgramContainment, qMinhashEst,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
     qDedupCluster, qClusterRep)

@@ -432,8 +432,68 @@ object TrainPrep extends QueryPack {
       .orderBy("lang", "seq_id")
   }
 
+  /** Packing EFFICIENCY audit: per shard, how well the fixed 512-token
+    * budget is used — sequences needed (contiguous packing ⇒ exactly
+    * ceil(total/512)), utilization of the allocated budget, and the
+    * straddle rate (docs cut across a sequence boundary, the fraction a
+    * boundary-respecting packer would instead pad). The number a
+    * pretraining-data owner actually watches; all-integer inputs, one
+    * fixed division rounded at the end. */
+  val qPackEfficiency: Q = Q(
+    "q_pack_efficiency",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM toks),
+      placed AS (
+        SELECT lang, n_tok,
+               CASE WHEN (off + n_tok - 1) // 512 > off // 512
+                    THEN 1 ELSE 0 END AS straddle
+        FROM offs),
+      agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS n_seqs,
+               CAST(SUM(straddle) AS BIGINT) AS n_straddle
+        FROM placed GROUP BY lang)
+      SELECT lang, n_docs, n_tokens, n_seqs, n_straddle,
+             CAST(round(CAST(n_tokens AS DECIMAL(18,9)) / (n_seqs * 512), 6)
+               AS DOUBLE) AS util
+      FROM agg ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = toks
+      .withColumn("off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("lang"), col("n_tok"),
+        when(expr(s"(off + n_tok - 1) DIV $budget") > expr(s"off DIV $budget"),
+          1L).otherwise(0L).as("straddle"))
+    placed.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("straddle").as("n_straddle"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${budget - 1}) DIV $budget").as("n_seqs"),
+        col("n_straddle"),
+        round(col("n_tokens").cast("decimal(18,9)") / (col("n_seqs") * budget), 6)
+          .cast("double").as("util"))
+      .orderBy("lang")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
-    qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack)
+    qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack,
+    qPackEfficiency)
 }

@@ -209,6 +209,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() > 700)
   }
 
+  test("minhash estimate tracks exact jaccard on the detected pairs") {
+    import spark.implicits._
+    val est = SparkEntry.queries("q_minhash_est")(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val exact = TextOps.ngramJaccardCapped(spark, sf, Int.MaxValue)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(est.nonEmpty)
+    // every LSH-detected pair with an exact score: the 16-hash estimate
+    // is coarse (sd ≈ sqrt(J(1-J)/16) ≈ 0.12 worst case) but unbiased —
+    // allow 3.5 sd; and high-similarity pairs must estimate high
+    est.foreach { case (pair, e) =>
+      exact.get(pair).foreach { j =>
+        assert(math.abs(e - j) <= 0.45, s"$pair est=$e exact=$j")
+        if (j >= 0.9) assert(e >= 0.6, s"$pair est=$e exact=$j")
+      }
+    }
+  }
+
+  test("containment catches the asymmetric duplication jaccard misses") {
+    import spark.implicits._
+    // a short doc quoted whole inside a much longer one: containment ≈ 1,
+    // jaccard far below its 0.5 threshold
+    val short = (1 to 12).map(i => s"quote$i").mkString(" ")
+    val long = short + " " + (1 to 60).map(i => s"body$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val kept = TextOps.ngramKeptShinglesFrom(docs, Int.MaxValue)
+    val ds = kept.groupBy("doc_id").agg(count(lit(1)).as("n")).as[(Long, Long)]
+      .collect().toMap
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val jac = inter.toDouble / (ds(1L) + ds(2L) - inter)
+    val cont = inter.toDouble / math.min(ds(1L), ds(2L))
+    assert(cont >= 0.8, s"containment $cont should flag the quoted doc")
+    assert(jac < 0.5, s"jaccard $jac should NOT flag it (that's the point)")
+  }
+
   test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
     val expr = TextOps.minhashSignatures(spark, sf)
     val agg = TextOps.minhashSignaturesAgg(spark, sf)
