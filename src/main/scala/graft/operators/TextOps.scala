@@ -408,10 +408,20 @@ object TextOps extends QueryPack {
     * the per-doc counts); localCheckpoint materializes it ONCE — the
     * derived table is docs x shingles x 16 bytes, i.e. ~1/50th of the
     * corpus, the standard "materialize the signature table" step of
-    * production similarity pipelines. */
-  def ngramKeptShinglesFrom(docs: DataFrame, maxDf: Int): DataFrame = {
-    val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
-      .localCheckpoint(eager = false)
+    * production similarity pipelines.
+    *
+    * `reliable = false` (default) truncates lineage with a lazy
+    * localCheckpoint — fastest, but an executor death mid-query makes
+    * the lost blocks unrecoverable and fails the query (re-run needed).
+    * `reliable = true` persists MEMORY_AND_DISK with lineage kept, so
+    * lost blocks recompute — the cluster-grade setting, same contract
+    * as [[ConnectedComponents.stars]]'s flag. */
+  def ngramKeptShinglesFrom(docs: DataFrame, maxDf: Int,
+      reliable: Boolean = false): DataFrame = {
+    val proj = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
+    val sh =
+      if (reliable) proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else proj.localCheckpoint(eager = false)
     if (maxDf == Int.MaxValue) sh
     else sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("df") <= maxDf)
@@ -573,6 +583,67 @@ object TextOps extends QueryPack {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("i").cast("decimal(18,9)") / (col("x.n") + col("y.n") - col("i")), 6)
           .cast("double").as("jaccard"))
+  }
+
+  // ------------------------------------------------------ heavy hitters
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Heavy hitters via COUNT-MIN SKETCH: one fixed-size mergeable grid
+    * ([[graft.functions.CmsSketch]], depth 4 × width 256) aggregated over
+    * every token occurrence, point-queried for the exact top-20 tokens.
+    * The sketch estimate is deterministic integer arithmetic over the
+    * shared (A, B, P) hash family, so the oracle reproduces it EXACTLY by
+    * reformulating the grid as a GROUP BY — est ≥ exact always (CMS only
+    * overestimates), and the query emits both so the bias is visible.
+    * At 100 TB the sketch side is one constant-size buffer per partition
+    * merged map-side — the exact top-20 here is the audit twin, not the
+    * scale path. */
+  val qHeavyHitters: Q = Q(
+    "q_heavy_hitters",
+    Some {
+      def cellSql(i: Int, h: String) =
+        s"(($h * ${A(i)} + ${B(i)}) % $P) % $CmsWidth"
+      val caseCell = (0 until CmsDepth).map(i =>
+        s"WHEN ${i} THEN ${cellSql(i, "h")}").mkString("CASE t.i ", " ", " END")
+      s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (SELECT tok, ${h60Sql("tok")} AS h FROM toks),
+      cnt AS (
+        SELECT i, cell, COUNT(*) AS c FROM (
+          SELECT t.i, $caseCell AS cell
+          FROM th, range(0, $CmsDepth) t(i))
+        GROUP BY i, cell),
+      top AS (SELECT tok, COUNT(*) AS n_exact FROM toks
+              GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20),
+      pc AS (SELECT top.tok, top.n_exact, t.i, $caseCell AS cell
+             FROM (SELECT tok, n_exact, ${h60Sql("tok")} AS h FROM top) top,
+                  range(0, $CmsDepth) t(i))
+      SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+             CAST(MIN(c.c) AS BIGINT) AS cms_est
+      FROM pc p JOIN cnt c ON p.i = c.i AND p.cell = c.cell
+      GROUP BY p.tok, p.n_exact
+      ORDER BY n_exact DESC, tok
+      """.stripMargin.trim
+    }
+  ) { (s, dir) =>
+    val cms = udaf(new graft.functions.CmsSketch(CmsDepth, CmsWidth))
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.select(h60(col("tok")).as("h")).agg(cms(col("h")).as("sk"))
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      .withColumn("h", h60(col("tok")))
+    val cells = (0 until CmsDepth).map { i =>
+      element_at(col("sk"),
+        (lit(i * CmsWidth) +
+          ((col("h") * A(i) + B(i)) % P) % CmsWidth).cast("int") + 1)
+    }
+    probes.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("n_exact"),
+        least(cells: _*).cast("long").as("cms_est"))
+      .orderBy(col("n_exact").desc, col("tok"))
   }
 
   // ------------------------------------------------------------ text analysis
@@ -877,7 +948,7 @@ object TextOps extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
-    qNgramContainment, qMinhashEst,
+    qNgramContainment, qMinhashEst, qHeavyHitters,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
     qDedupCluster, qClusterRep)

@@ -222,6 +222,26 @@ object StreamOps {
       }
   }
 
+  /** `s_heavy_hitters`: running per-group frequency summary via the
+    * mergeable [[graft.functions.CmsSketch]] — the streaming use of the
+    * same Aggregator the batch `q_heavy_hitters` oracle-matches. The
+    * grid is an elementwise-additive monoid, so Spark keeps the
+    * depth×width counter buffer as streaming aggregation state and the
+    * running sketch after N micro-batches is IDENTICAL to the batch
+    * sketch over their union (asserted in StreamOpsSpec) — point-query
+    * it any time with `least(element_at(...))`, no rescan. Input column:
+    * the item's h60-mod-P hash, same convention as the batch twin. */
+  def heavyHittersSketch(
+      rows: DataFrame,
+      keyCol: String = "k",
+      hashCol: String = "h",
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val cms = udaf(new graft.functions.CmsSketch(depth, width))
+    rows.groupBy(col(keyCol))
+      .agg(cms(col(hashCol)).as("sk"))
+  }
+
   /** `s_fuzzy_join`: streaming entity resolution — arriving records are
     * matched against a STATIC reference table by the same declared
     * blocking as the batch `q_fuzzy_join`: `substr(name,1,2)` equality

@@ -33,6 +33,17 @@ class NgramJaccardSpec extends SparkSpec {
       s"stop-shingle cap did not bite: $keptShingles == $totalShingles")
   }
 
+  test("reliable (persist, lineage-kept) index equals the localCheckpoint index") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val fast = TextOps.ngramKeptShinglesFrom(docs, TextOps.NgramStopDf)
+      .as[(Long, Long)].collect().toSet
+    val safe = TextOps.ngramKeptShinglesFrom(docs, TextOps.NgramStopDf, reliable = true)
+    try {
+      assert(safe.as[(Long, Long)].collect().toSet == fast)
+    } finally spark.catalog.clearCache() // drop the persisted projection
+  }
+
   test("boilerplate shingle floods the uncapped index; the cap drops it whole") {
     import spark.implicits._
     // 30 docs share ONE boilerplate shingle (plus unique filler); two docs

@@ -116,6 +116,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_heavy_hitters: streaming CMS state equals the batch sketch over the union") {
+    val in = MemoryStream[(String, Long)](spark)
+    val q = StreamOps.heavyHittersSketch(in.toDF().toDF("k", "h"), width = 8)
+      .writeStream.format("memory").queryName("s_cms").outputMode("complete").start()
+    try {
+      in.addData(("a", 7L), ("a", 7L), ("a", 13L), ("b", 7L))
+      q.processAllAvailable()
+      in.addData(("a", 7L), ("a", 99L), ("b", 13L))
+      q.processAllAvailable()
+      val m = spark.table("s_cms").as[(String, Array[Long])].collect().toMap
+      // the invariant under test: identical grids to one batch agg over the union
+      val batch = Seq(("a", 7L), ("a", 7L), ("a", 13L), ("b", 7L),
+        ("a", 7L), ("a", 99L), ("b", 13L)).toDF("k", "h")
+      val expected = StreamOps.heavyHittersSketch(batch, width = 8)
+        .as[(String, Array[Long])].collect().toMap
+      assert(m.keySet == expected.keySet)
+      m.keys.foreach(k => assert(m(k).toSeq == expected(k).toSeq, s"grid for $k"))
+      // grid mass per key = number of occurrences x depth rows
+      assert(m("a").sum == 5L * 4 && m("b").sum == 2L * 4)
+      // point estimate for the heavy item is >= its true count
+      val est = (0 until 4).map(i => m("a")(i * 8 +
+        (((7L * graft.functions.MinHashSig.A(i) + graft.functions.MinHashSig.B(i)) %
+          graft.functions.MinHashSig.P) % 8).toInt)).min
+      assert(est >= 3L)
+    } finally q.stop()
+  }
+
   test("s_topk_stream: final leaderboard equals the custom batch TopKPerGroup") {
     val data = Seq(
       ("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L),
