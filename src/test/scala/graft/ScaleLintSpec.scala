@@ -44,6 +44,11 @@ class ScaleLintSpec extends SparkSpec {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
     def hasGlobalAgg(p: SparkPlan): Boolean = p.find {
       case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      // typed/imperative aggregates (udaf buffers) plan as object-hash
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        o.groupingExpressions.isEmpty
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.groupingExpressions.isEmpty
       // a reused broadcast is a leaf; look through to the original
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         hasGlobalAgg(r.child)
