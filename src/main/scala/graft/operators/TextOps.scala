@@ -787,6 +787,38 @@ object TextOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Canonical text NORMALIZATION: lowercase, strip non-alphanumerics,
+    * collapse whitespace runs, trim — the preprocessing pass every
+    * dedup/tokenize stage assumes, emitted as a verifiable record
+    * (normalized hash + length delta) rather than a side effect. Pure
+    * codegen'd projection, no shuffle; both engines md5 the identical
+    * normalized string, so a divergent regex or collapse order
+    * hash-mismatches. */
+  val qTextNormalize: Q = Q(
+    "q_text_normalize",
+    Some("""
+      WITH n AS (
+        SELECT doc_id, n_chars,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT doc_id,
+             md5(norm) AS norm_hash,
+             CAST(length(norm) AS BIGINT) AS n_chars_norm,
+             CAST(n_chars - length(norm) AS BIGINT) AS n_removed
+      FROM n ORDER BY doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), norm.as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_hash"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        (col("n_chars") - length(col("norm"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling fingerprint + content hash per document. */
   val qDocFingerprint: Q = Q(
     "q_doc_fingerprint",
@@ -948,7 +980,7 @@ object TextOps extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
-    qNgramContainment, qMinhashEst, qHeavyHitters,
+    qNgramContainment, qMinhashEst, qHeavyHitters, qTextNormalize,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
     qDedupCluster, qClusterRep)

@@ -491,9 +491,32 @@ object TrainPrep extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Exact-N deterministic sample: the 64 docs with the smallest content
+    * hash — reservoir-sampling semantics (every doc equally likely under
+    * the hash's uniformity) with none of reservoir state's coordination.
+    * Plan shape is the one that matters at 100 TB: ORDER BY + LIMIT plans
+    * as TakeOrderedAndProject — a bounded per-partition heap and a
+    * driver-side merge of N rows, never a global sort. Stable under
+    * re-runs AND under partitioning (the hash is content-derived). */
+  val qSampleTopn: Q = Q(
+    "q_sample_topn",
+    Some("""
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents
+      ORDER BY sk, doc_id
+      LIMIT 64
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("sk"))
+      .orderBy(col("sk"), col("doc_id"))
+      .limit(64)
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
     qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack,
-    qPackEfficiency)
+    qPackEfficiency, qSampleTopn)
 }

@@ -13,6 +13,14 @@ class TrainPrepSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     df.queryExecution.executedPlan.toString
   }
 
+  test("exact-N sample plans as TakeOrderedAndProject: bounded heap, no global sort") {
+    val df = TrainPrep.qSampleTopn.build(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), s"global sort crept into the sample plan:\n$p")
+    assert(df.count() == 64)
+  }
+
   test("hash sampling: shuffle-free plan, stable membership, ~12.5% rate") {
     val df = TrainPrep.qSampleHash.build(spark, sf)
     val p = plan(df)
