@@ -514,9 +514,48 @@ object TrainPrep extends QueryPack {
       .limit(64)
   }
 
+  /** TEMPERATURE-rebalanced domain mix: the standard pretraining move of
+    * sampling domain i with probability ∝ n_i^α (α = 0.5 here) so
+    * low-resource domains are upweighted relative to their natural
+    * share without dominating. Emits natural share, temperature share,
+    * and the boost factor per domain — the table a data-mix owner reads
+    * before launching a run. One tiny aggregate + a broadcast of the
+    * global totals; sqrt is correctly-rounded IEEE in both engines and
+    * shares are rounded to 6 places, so the oracle hash-matches. */
+  val qDomainTemperature: Q = Q(
+    "q_domain_temperature",
+    Some("""
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                   SUM(sqrt(CAST(n_docs AS DOUBLE))) AS wsum
+            FROM c)
+      SELECT lang, n_docs,
+             CAST(round(CAST(n_docs AS DOUBLE) / total, 6) AS DOUBLE) AS nat_share,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) / wsum, 6) AS DOUBLE) AS temp_share,
+             CAST(round((sqrt(CAST(n_docs AS DOUBLE)) / wsum) /
+                        (CAST(n_docs AS DOUBLE) / total), 6) AS DOUBLE) AS boost
+      FROM c, t
+      ORDER BY lang
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val t = c.agg(sum("n_docs").as("total"),
+      sum(sqrt(col("n_docs").cast("double"))).as("wsum"))
+    val nat = col("n_docs").cast("double") / col("total")
+    val temp = sqrt(col("n_docs").cast("double")) / col("wsum")
+    c.crossJoin(broadcast(t))
+      .select(col("lang"), col("n_docs"),
+        round(nat, 6).as("nat_share"),
+        round(temp, 6).as("temp_share"),
+        round(temp / nat, 6).as("boost"))
+      .orderBy("lang")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
     qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack,
-    qPackEfficiency, qSampleTopn)
+    qPackEfficiency, qSampleTopn, qDomainTemperature)
 }
