@@ -80,4 +80,28 @@ object DedupClusterView {
     * appeared in a candidate pair. */
   def readLabels(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/labels")
+
+  /** Maintenance: rewrite the edge log distinct — bands and batches
+    * re-emit the same pair, and while duplicate edges never change the
+    * clustering, they do grow the log the per-batch recluster reads.
+    * Same atomic swap as the labels table; run from a maintenance
+    * schedule, not the hot foreachBatch path (the same small-file story
+    * as [[CdcSink.compact]]). */
+  def compactEdges(spark: SparkSession, baseDir: String): Unit = {
+    val edgesDir = s"$baseDir/edges"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(edgesDir))) return
+    val distinctEdges = spark.read.parquet(edgesDir)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val dir = java.nio.file.Paths.get(edgesDir)
+    val next = java.nio.file.Paths.get(edgesDir + ".next-" + System.nanoTime())
+    val old = java.nio.file.Paths.get(edgesDir + ".old-" + System.nanoTime())
+    distinctEdges.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(next, dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
 }

@@ -52,6 +52,21 @@ class DedupClusterViewSpec extends SparkSpec {
       assert(spark.read.parquet(s"$base/view/edges").count() == edgesBefore)
       assert(DedupClusterView.readLabels(spark, s"$base/view")
         .as[(Long, Long)].collect().toMap == streamed)
+
+      // maintenance: compacting the edge log (bands/batches re-emit
+      // pairs) shrinks it without changing the next reclustering —
+      // force a real recluster over the compacted log by replaying one
+      // already-known pair under a fresh batch id
+      DedupClusterView.compactEdges(spark, s"$base/view")
+      val compacted = spark.read.parquet(s"$base/view/edges").count()
+      assert(compacted <= edgesBefore)
+      val knownPair = graft.operators.TextOps.minhashPairs(spark, sf)
+        .as[(Long, Long)].head()
+      DedupClusterView.applyBatch(
+        Seq(knownPair).toDF("doc_a", "doc_b"), batchId = 99L, s"$base/view")
+      val relabeled = DedupClusterView.readLabels(spark, s"$base/view")
+        .as[(Long, Long)].collect().toMap
+      assert(relabeled == streamed, "compaction changed the clustering")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
