@@ -24,7 +24,8 @@ object SparkEntry {
     Multimodal,
     Subqueries,
     Tpch,
-    TrainPrep
+    TrainPrep,
+    Events
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
