@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates extends QueryPack {
 
+  // Portable hash family + h60 convention shared with the minhash/KMV/CMS
+  // oracles (TextOps has the same helpers; duplicated privately to keep
+  // pack dependencies flat).
+  private val P = graft.functions.MinHashSig.P
+  private val A = graft.functions.MinHashSig.A.toSeq
+  private val B = graft.functions.MinHashSig.B.toSeq
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT) % $P"
+
+  /** q_bloom_member sketch geometry: 2048 bits (32 longs), 3 hashes —
+    * FP ≈ 4% at the fixture's ~300 build keys; at scale m grows with the
+    * build side, the plan shape is unchanged. */
+  private val BloomBits = 2048
+  private val BloomK = 3
+
   /** TPC-H Q1 shape: the flagship hash aggregate. */
   val qAggGroup: Q = Q(
     "q_agg_group",
@@ -447,8 +464,88 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** Bloom-filter membership pruning, ORACLE-MATCHED — the runtime-filter
+    * primitive: summarize the build side's join keys (BUILDING-segment
+    * customers) into a 2048-bit mergeable [[graft.functions.BloomSketch]],
+    * broadcast it, and classify every probe-side order BEFORE any shuffle.
+    * Per priority: probe rows, bloom-positive rows, exact members (semi
+    * join ground truth). bloom_pos ≥ exact_member always (no false
+    * negatives); the gap IS the false positives, and because the hash
+    * family is the portable (A,B,P) one, the oracle reproduces the exact
+    * bit pattern — the FP count hash-matches, not just bounds.
+    *
+    * Scale: the build side aggregates to one 256-byte buffer (map-side OR
+    * partials); the probe is a codegen'd bit test against a broadcast —
+    * at 100 TB this drops non-matching fact rows at the scan, the same
+    * plan shape AQE runtime filters produce.
+    */
+  val qBloomMember: Q = Q(
+    "q_bloom_member",
+    Some {
+      val (m, k) = (BloomBits, BloomK)
+      def posSql(i: Int, h: String) = s"(($h * ${A(i)} + ${B(i)}) % $P) % $m"
+      val casePos = (0 until k).map(i =>
+        s"WHEN $i THEN ${posSql(i, "h")}").mkString("CASE t.i ", " ", " END")
+      s"""
+      WITH bh AS (
+        SELECT ${h60Sql("CAST(c_custkey AS VARCHAR)")} AS h
+        FROM customer WHERE c_mktsegment = 'BUILDING'),
+      bits AS (
+        SELECT DISTINCT $casePos AS pos FROM bh, range(0, $k) t(i)),
+      oh AS (
+        SELECT o_orderkey, o_orderpriority, o_custkey,
+               ${h60Sql("CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders),
+      op AS (
+        SELECT o_orderkey, o_orderpriority, $casePos AS pos
+        FROM oh, range(0, $k) t(i)),
+      probe AS (
+        SELECT op.o_orderkey, MIN(op.o_orderpriority) AS o_orderpriority,
+               COUNT(b.pos) AS nhit
+        FROM op LEFT JOIN bits b ON op.pos = b.pos
+        GROUP BY op.o_orderkey),
+      member AS (
+        SELECT o.o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING'))
+      SELECT p.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN p.nhit = $k THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pos,
+             CAST(SUM(CASE WHEN m.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_member
+      FROM probe p LEFT JOIN member m ON p.o_orderkey = m.o_orderkey
+      GROUP BY p.o_orderpriority
+      ORDER BY p.o_orderpriority
+      """.stripMargin.trim
+    }
+  ) { (s, dir) =>
+    val (m, k) = (BloomBits, BloomK)
+    val bloom = udaf(new graft.functions.BloomSketch(m, k))
+    val build = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val bf = build.select(h60(col("c_custkey").cast("string")).as("h"))
+      .agg(bloom(col("h")).as("bits"))
+    val probe = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        h60(col("o_custkey").cast("string")).as("h"))
+    val hitExpr = (0 until k).map { i =>
+      val pos = s"(((h * ${A(i)}) + ${B(i)}) % $P) % $m"
+      s"((shiftright(element_at(bits, cast(($pos) DIV 64 AS INT) + 1), " +
+        s"cast(($pos) % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
+    probe.crossJoin(broadcast(bf))
+      .withColumn("bloom_hit", expr(hitExpr))
+      .join(build.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_pos"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("exact_member"))
+      .orderBy("o_orderpriority")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
     qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
-    qRollup, qCube, qGroupingSets, qDistinctKmv)
+    qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember)
 }
