@@ -306,6 +306,57 @@ object StreamOps {
       .toDF(shardCol, idCol, tokCol, "off", "seq_id", "straddle")
   }
 
+  /** `s_funnel`: INCREMENTAL funnel progression — the streaming twin of
+    * `q_funnel`. Per-user state is one µs timestamp per stage (first
+    * qualifying view / click-after-view / purchase-after-click); a stage
+    * transition row `(user_id, stage, us)` is emitted append-only the
+    * moment a user first reaches a stage, so the running per-stage counts
+    * equal the batch funnel at every point in time.
+    *
+    * Ordering semantics mirror `seqPackStream`: within a micro-batch rows
+    * are processed in `(us, stage-index)` order (a view at the same µs as
+    * a click qualifies the click, exactly as the batch `us >= t1` join
+    * does); across batches, arrival order is the declared semantics — a
+    * CDC-fed stream arrives in GTID order, which is event-time order.
+    * State: `stages.size` longs per user — bounded, watermark-free.
+    * Equivalence with the batch query is pinned in StreamOpsSpec. */
+  def funnelStream(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      usCol: String = "us"): DataFrame = {
+    implicit val inEnc: Encoder[(Long, String, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    implicit val outEnc: Encoder[(Long, Int, Long)] = Encoders.product
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .select(col(userCol).cast("long"), col(typeCol).cast("string"),
+        col(usCol).cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
+          val out = scala.collection.mutable.Buffer.empty[(Long, Int, Long)]
+          rows.toSeq
+            .flatMap { case (_, ty, us) => stageIdx.get(ty).map(i => (us, i)) }
+            .sorted
+            .foreach { case (us, i) =>
+              if (st(i) < 0 && (i == 0 || (st(i - 1) >= 0 && us >= st(i - 1)))) {
+                st(i) = us
+                out += ((user, i + 1, us))
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+      .toDF(userCol, "stage", usCol)
+  }
+
   /** `s_dedup_stream`: drop duplicate `event_id`s; state expires with the
     * watermark instead of growing forever — the scale-safe variant of
     * plain `dropDuplicates`. */

@@ -13,6 +13,7 @@ case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
 case class Cdc(sequence: Long, event_type: String, id: Long, name: String)
 case class PackDoc(lang: String, doc_id: Long, n_tok: Long)
 case class FuzzyArrival(id: Long, name: String)
+case class FunnelEv(user_id: Long, event_type: String, us: Long)
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -345,6 +346,46 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.exists(r => r.id == 2 && r.event_type == "delete"))
       // update_before never emitted as a state image
       assert(!out.exists(_.event_type == "update_before"))
+    } finally q.stop()
+  }
+
+  test("s_funnel: incremental stage transitions equal the batch q_funnel at every cut") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .orderBy("us", "event_type")  // event-time arrival, the CDC order
+      .as[(Long, String, Long)].collect()
+    val in = MemoryStream[FunnelEv](spark)
+    val q = StreamOps.funnelStream(in.toDF())
+      .writeStream.format("memory").queryName("s_funnel").outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { batch =>
+        in.addData(batch.map(e => FunnelEv(e._1, e._2, e._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val trans = spark.table("s_funnel").as[(Long, Int, Long)].collect()
+      // per-stage user counts equal the batch funnel's
+      val gotCounts = trans.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val wantCounts = graft.operators.Events.qFunnel.build(spark, sf)
+        .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(gotCounts == wantCounts, s"got=$gotCounts want=$wantCounts")
+      // per-user stage timestamps equal the batch min-qualifying times
+      val e = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t"))
+        .as[(Long, Long)].collect().toMap
+      val c = e.filter(col("event_type") === "click")
+        .join(e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1")), "user_id")
+        .filter(col("us") >= col("t1"))
+        .groupBy("user_id").agg(min("us").as("t"))
+        .as[(Long, Long)].collect().toMap
+      val gotStage1 = trans.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+      val gotStage2 = trans.filter(_._2 == 2).map(t => t._1 -> t._3).toMap
+      assert(gotStage1 == v, "stage-1 timestamps must be the min view time")
+      assert(gotStage2 == c, "stage-2 timestamps must be the min qualifying click")
+      // transitions are append-only: no user emits a stage twice
+      assert(trans.groupBy(t => (t._1, t._2)).values.forall(_.length == 1))
     } finally q.stop()
   }
 
