@@ -360,7 +360,78 @@ object Similarity extends QueryPack {
     rankTopK(scored, "score", k)
   }
 
+  /** One distributed k-means (Lloyd) iteration over the int8 codes,
+    * FULLY ORACLE-MATCHED: the 4 centroids are the quantized vectors of
+    * vec_ids 0..3 (deterministic seed — at scale, k-means|| picks them);
+    * every vector is assigned to its nearest centroid by integer squared
+    * L2 (`qn2_v + qn2_c − 2·dot`), ties broken to the smallest centroid
+    * id via a min-distance pre-pass (never an engine-dependent argmin);
+    * the output is exactly what the re-estimation step needs — per-cell
+    * counts, total inertia, and per-coordinate integer sums (first 4
+    * dims pinned) whose ratios are the new centroids.
+    *
+    * Scale: centroids broadcast (K rows); assignment is one codegen'd
+    * pass over the corpus with a constant-K inner loop; re-estimation is
+    * a map-side-combined hash agg shuffling K rows per partition. This
+    * is the canonical Spark k-means shape — no windows, no per-vector
+    * shuffle, inertia monotonicity spec-checked. */
+  val qKmeansStep: Q = Q(
+    "q_kmeans_step",
+    Some(s"""$int8SqlWith,
+      |cents AS (SELECT vec_id AS cid, qv AS cv, qn2 AS cn2 FROM qn
+      |          WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT v.vec_id, c.cid, v.qv,
+      |         v.qn2 + c.cn2
+      |           - 2 * list_sum(list_transform(range(1, len(v.qv) + 1),
+      |                                         i -> v.qv[i] * c.cv[i])) AS dist
+      |  FROM qn v, cents c),
+      |mind AS (SELECT vec_id, MIN(dist) AS md FROM scored GROUP BY vec_id),
+      |pick AS (
+      |  SELECT s.vec_id, MIN(s.cid) AS cid, MIN(m.md) AS md
+      |  FROM scored s JOIN mind m ON s.vec_id = m.vec_id AND s.dist = m.md
+      |  GROUP BY s.vec_id),
+      |asg AS (
+      |  SELECT p.cid, p.md, q.qv FROM pick p JOIN qn q ON p.vec_id = q.vec_id)
+      |SELECT cid,
+      |       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+      |       CAST(SUM(md) AS BIGINT) AS inertia,
+      |       CAST(SUM(qv[1]) AS BIGINT) AS s1,
+      |       CAST(SUM(qv[2]) AS BIGINT) AS s2,
+      |       CAST(SUM(qv[3]) AS BIGINT) AS s3,
+      |       CAST(SUM(qv[4]) AS BIGINT) AS s4
+      |FROM asg GROUP BY cid ORDER BY cid""".stripMargin.trim)
+  ) { (s, dir) => kmeansStep(Tables.embeddings(s, dir)) }
+
+  /** The Lloyd iteration behind q_kmeans_step, reusable at any K (the
+    * centroid frame is whatever `centroidIds` selects). */
+  def kmeansStep(e: DataFrame, k: Int = 4): DataFrame = {
+    val qz = quantizedInt8(e)
+    val cents = qz.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+    val scored = qz.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("qv"),
+        (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
+          .as("dist"))
+    val mind = scored.groupBy("vec_id").agg(min("dist").as("md"))
+    val pick = scored.as("s")
+      .join(mind.as("m"),
+        col("s.vec_id") === col("m.vec_id") && col("s.dist") === col("m.md"))
+      .groupBy(col("s.vec_id"))
+      .agg(min(col("s.cid")).as("cid"), min(col("m.md")).as("md"),
+        first(col("s.qv")).as("qv"))
+    pick.groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        sum("md").as("inertia"),
+        sum(element_at(col("qv"), 1)).as("s1"),
+        sum(element_at(col("qv"), 2)).as("s2"),
+        sum(element_at(col("qv"), 3)).as("s3"),
+        sum(element_at(col("qv"), 4)).as("s4"))
+      .orderBy("cid")
+  }
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
-      qEmbedQuantize, qSimTopkInt8)
+      qEmbedQuantize, qSimTopkInt8, qKmeansStep)
 }

@@ -53,6 +53,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(qz.where(!exists(col("qv"), z => abs(z) === 127)).count() == 0)
   }
 
+  test("q_kmeans_step: partitions the corpus, centroids self-assign, Lloyd improves") {
+    val step = Similarity.qKmeansStep.build(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(step.map(_._2).sum == n, "every vector assigned exactly once")
+    assert(step.map(_._1).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // nearest-centroid assignment can never beat... er, lose to a fixed
+    // single-cell assignment: total inertia < all-to-centroid-0 inertia
+    val qz = Similarity.quantizedInt8(Tables.embeddings(spark, sf))
+    val c0 = qz.where(col("vec_id") === 0)
+      .select(col("qv").as("cv"), col("qn2").as("cn2"))
+    val all0 = qz.crossJoin(broadcast(c0))
+      .select(sum(col("qn2") + col("cn2") -
+        lit(2) * aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x)).as("i"))
+      .head.getLong(0)
+    assert(step.map(_._3).sum < all0,
+      s"nearest-centroid inertia ${step.map(_._3).sum} !< single-cell $all0")
+    // a centroid is at distance 0 from itself, so its own cell exists
+    assert(step.length == 4, "no centroid cell may be empty on this fixture")
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
     val df = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
     val perQuery = df.groupBy("query_id")
