@@ -544,8 +544,57 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** Winsorization: clip each group's values at its exact type-7 p5/p95
+    * and report the clipped counts + winsorized mean — the outlier-
+    * robust preprocessing step a training pipeline runs before scaling.
+    * The interpolated percentiles are bit-identical between engines
+    * (same type-7 arithmetic, pinned by q_percentile); clipped values go
+    * through DECIMAL(18,6) so the mean is order-independent.
+    *
+    * Scale: percentile pass + broadcast of the per-group cutoffs back
+    * over the scan — two passes, one shuffle each, no window. (Exact
+    * per-group percentile buffers whole groups; at 100 TB swap in
+    * approx_percentile — the clip/aggregate shape is unchanged.) */
+  val qWinsorize: Q = Q(
+    "q_winsorize",
+    Some("""
+      WITH pct AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p5,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_extendedprice < p.p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+             CAST(SUM(CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+             CAST(round(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, p.p5), p.p95)
+                                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                  AS DOUBLE) AS win_mean
+      FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val pct = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("p5"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(pct), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p5"), 1L).otherwise(0L))
+          .as("n_clip_low"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+          .as("n_clip_high"),
+        round(sum(least(greatest(col("l_extendedprice"), col("p5")), col("p95"))
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .cast("double").as("win_mean"))
+      .orderBy("l_returnflag")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
     qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
-    qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember)
+    qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember, qWinsorize)
 }

@@ -928,11 +928,23 @@ object TextOps extends QueryPack {
 
   /** Spark-side component labels over the MinHash candidate pairs:
     * (doc_id, cluster_id = component-minimum doc_id). */
+  /** Label-view cache: the star-contraction loop materializes its result
+    * via per-round checkpoints, so the returned frame is a handle to
+    * computed data, not a lazy plan — reusing it across the queries that
+    * share the view (q_dedup_cluster, q_cluster_rep) skips the whole CC
+    * loop the second time, exactly like the Tables relation cache. In
+    * production this sharing IS the maintained labels table
+    * ([[graft.streaming.DedupClusterView]]); per-(session, dir) keys keep
+    * specs on other fixtures isolated. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    ConnectedComponents.labels(
-      Tables.documents(s, dir).select(col("doc_id").as("id")),
-      minhashPairs(s, dir))
-      .select(col("id").as("doc_id"), col("cluster_id"))
+    labelCache.getOrElseUpdate((s, dir),
+      ConnectedComponents.labels(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        minhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster_id")))
 
   /** Duplicate CLUSTERING: the transitive closure q_neardup_prune
     * deliberately skips — every doc labeled with its connected
