@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -304,6 +304,41 @@ object StreamOps {
           placed.iterator
       }
       .toDF(shardCol, idCol, tokCol, "off", "seq_id", "straddle")
+  }
+
+  /** `s_ivf_maintain`: streaming vector-index (IVF) cell maintenance —
+    * the streaming twin of `q_kmeans_step`. Arriving vectors are int8-
+    * quantized and assigned to their nearest centroid STATELESSLY (the K
+    * centroids ride along as a literal array — at scale, the broadcast a
+    * k-means|| init produces); the running per-cell statistics (count,
+    * inertia, per-coordinate sums — exactly the re-estimation state) are
+    * a K-row streaming aggregation. Ties break to the smallest centroid
+    * id via lexicographic struct min, matching the batch min-distance
+    * pre-pass. State: K rows, independent of stream length.
+    * Equivalence with the batch step is pinned in StreamOpsSpec. */
+  def ivfMaintain(
+      vectors: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    def dotInt(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val cents = array(centroids.map { case (cid, cv, cn2) =>
+      struct(lit(cid).as("cid"), lit(cn2).as("cn2"),
+        array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    graft.operators.Similarity.quantizedInt8(vectors)
+      .withColumn("pick", array_min(transform(cents, c =>
+        struct(
+          (col("qn2") + c.getField("cn2")
+            - lit(2) * dotInt(col("qv"), c.getField("cv"))).as("dist"),
+          c.getField("cid").as("cid")))))
+      .groupBy(col("pick.cid").as("cid"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        sum(col("pick.dist")).as("inertia"),
+        sum(element_at(col("qv"), 1)).as("s1"),
+        sum(element_at(col("qv"), 2)).as("s2"),
+        sum(element_at(col("qv"), 3)).as("s3"),
+        sum(element_at(col("qv"), 4)).as("s4"))
   }
 
   /** `s_funnel`: INCREMENTAL funnel progression — the streaming twin of

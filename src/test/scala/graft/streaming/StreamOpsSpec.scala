@@ -14,6 +14,7 @@ case class Cdc(sequence: Long, event_type: String, id: Long, name: String)
 case class PackDoc(lang: String, doc_id: Long, n_tok: Long)
 case class FuzzyArrival(id: Long, name: String)
 case class FunnelEv(user_id: Long, event_type: String, us: Long)
+case class VecRow(vec_id: Long, embedding: Seq[Float])
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -346,6 +347,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.exists(r => r.id == 2 && r.event_type == "delete"))
       // update_before never emitted as a state image
       assert(!out.exists(_.event_type == "update_before"))
+    } finally q.stop()
+  }
+
+  test("s_ivf_maintain: running cell stats equal the batch q_kmeans_step") {
+    import graft.operators.Similarity
+    // centroids = the batch step's: quantized vectors of vec_ids 0..3
+    val cents = Similarity.quantizedInt8(graft.Tables.embeddings(spark, sf))
+      .where(col("vec_id") < 4)
+      .select("vec_id", "qv", "qn2")
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.ivfMaintain(in.toDF(), cents)
+      .writeStream.format("memory").queryName("s_ivf").outputMode("complete").start()
+    try {
+      vecs.grouped(math.max(1, vecs.length / 3 + 1)).foreach { batch =>
+        in.addData(batch.map(v => VecRow(v._1, v._2)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("s_ivf")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val want = Similarity.qKmeansStep.build(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        s"streaming cell stats must equal the batch Lloyd step\n got=$got\nwant=$want")
     } finally q.stop()
   }
 
