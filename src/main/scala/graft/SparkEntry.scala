@@ -25,7 +25,8 @@ object SparkEntry {
     Subqueries,
     Tpch,
     TrainPrep,
-    Events
+    Events,
+    Corpus
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
