@@ -403,24 +403,33 @@ object Similarity extends QueryPack {
       |FROM asg GROUP BY cid ORDER BY cid""".stripMargin.trim)
   ) { (s, dir) => kmeansStep(Tables.embeddings(s, dir)) }
 
-  /** The Lloyd iteration behind q_kmeans_step, reusable at any K (the
-    * centroid frame is whatever `centroidIds` selects). */
-  def kmeansStep(e: DataFrame, k: Int = 4): DataFrame = {
+  /** Nearest-centroid cell assignment over the int8 codes — the shared
+    * first half of Lloyd's iteration and of SemDeDup-style semantic
+    * dedup: centroids = quantized vec_ids 0..k-1 (broadcast), distance =
+    * integer squared L2, ties to the smallest centroid id via a
+    * min-distance pre-pass. Returns one row per vector:
+    * (vec_id, cid, md, qv, qn2). */
+  def cellAssign(e: DataFrame, k: Int): DataFrame = {
     val qz = quantizedInt8(e)
     val cents = qz.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
     val scored = qz.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), col("qv"),
+      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"),
         (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
           .as("dist"))
     val mind = scored.groupBy("vec_id").agg(min("dist").as("md"))
-    val pick = scored.as("s")
+    scored.as("s")
       .join(mind.as("m"),
         col("s.vec_id") === col("m.vec_id") && col("s.dist") === col("m.md"))
-      .groupBy(col("s.vec_id"))
+      .groupBy(col("s.vec_id").as("vec_id"))
       .agg(min(col("s.cid")).as("cid"), min(col("m.md")).as("md"),
-        first(col("s.qv")).as("qv"))
-    pick.groupBy("cid")
+        first(col("s.qv")).as("qv"), first(col("s.qn2")).as("qn2"))
+  }
+
+  /** The Lloyd iteration behind q_kmeans_step, reusable at any K (the
+    * centroid frame is whatever `centroidIds` selects). */
+  def kmeansStep(e: DataFrame, k: Int = 4): DataFrame = {
+    cellAssign(e, k).groupBy("cid")
       .agg(
         count(lit(1)).as("n_assigned"),
         sum("md").as("inertia"),
@@ -431,7 +440,80 @@ object Similarity extends QueryPack {
       .orderBy("cid")
   }
 
+  /** Quantized-cosine threshold for semantic dedup: the fixture's top
+    * within-cell pairs sit just above it (8 pairs at sf0.01), so the
+    * drop provably bites while random pairs (cos ≲ 0.4) never trigger. */
+  val SemDedupTau = 0.45
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into
+    * k-means cells over the int8 codes ([[cellAssign]] — same centroids
+    * and tie-breaks as q_kmeans_step), compare vectors ONLY within their
+    * cell, and drop every vector that has a lower-id cell-mate with
+    * quantized cosine above [[SemDedupTau]]. Emits the full per-vector
+    * verdict (vec_id, cid, dropped) so downstream can both filter and
+    * audit cell balance. Fully oracle-matched: assignment is integer
+    * arithmetic, the cosine is the same IEEE expression both engines.
+    *
+    * Scale: this is the whole point of SemDeDup — candidate pairs are
+    * bounded by Σ cell² ≈ n²/K, not n²; at 100 TB K grows with n
+    * (K ≈ n / target-cell-size, centroids from k-means||), keeping
+    * per-cell work constant, and the self-join shuffles on cid so each
+    * cell dedupes on one executor. No window over few keys: the verdict
+    * is a semi-join + left join, both on vec_id/cid.
+    */
+  val qSemanticDedup: Q = Q(
+    "q_semantic_dedup",
+    Some(s"""$int8SqlWith,
+      |cents AS (SELECT vec_id AS cid, qv AS cv, qn2 AS cn2 FROM qn
+      |          WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT v.vec_id, c.cid,
+      |         v.qn2 + c.cn2
+      |           - 2 * list_sum(list_transform(range(1, len(v.qv) + 1),
+      |                                         i -> v.qv[i] * c.cv[i])) AS dist
+      |  FROM qn v, cents c),
+      |mind AS (SELECT vec_id, MIN(dist) AS md FROM scored GROUP BY vec_id),
+      |pick AS (SELECT s.vec_id, MIN(s.cid) AS cid
+      |         FROM scored s JOIN mind m
+      |           ON s.vec_id = m.vec_id AND s.dist = m.md
+      |         GROUP BY s.vec_id),
+      |asg AS (SELECT p.vec_id, p.cid, q.qv, q.qn2
+      |        FROM pick p JOIN qn q ON p.vec_id = q.vec_id),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |                                     i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |        / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
+      |        > $SemDedupTau)
+      |SELECT asg.vec_id, asg.cid,
+      |       (dropped.vec_id IS NOT NULL) AS dropped
+      |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+      |ORDER BY asg.vec_id""".stripMargin.trim)
+  ) { (s, dir) => semanticDedup(Tables.embeddings(s, dir)) }
+
+  /** The SemDeDup verdict behind q_semantic_dedup, reusable at any K/τ. */
+  def semanticDedup(e: DataFrame, k: Int = 4, tau: Double = SemDedupTau): DataFrame = {
+    val asg = cellAssign(e, k)
+      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+    val a = asg.select(col("cid"), col("vec_id").as("va"),
+      col("qv").as("qva"), col("qn2").as("qn2a"))
+    val b = asg.select(col("cid"), col("vec_id").as("vb"),
+      col("qv").as("qvb"), col("qn2").as("qn2b"))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("va") < col("vb"))
+      .where(dotInt(col("qva"), col("qvb")).cast("double") /
+        (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double")))
+        > tau)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
-      qEmbedQuantize, qSimTopkInt8, qKmeansStep)
+      qEmbedQuantize, qSimTopkInt8, qKmeansStep, qSemanticDedup)
 }

@@ -75,6 +75,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(step.length == 4, "no centroid cell may be empty on this fixture")
   }
 
+  test("q_semantic_dedup: verdict total, drops real, survivors pairwise-distant") {
+    val v = Similarity.qSemanticDedup.build(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(v.count() == n, "one verdict row per vector")
+    val dropped = v.where(col("dropped")).count()
+    assert(dropped > 0, "semantic dedup must bite on the fixture")
+    // independent recompute: a vector is dropped iff a lower-id cell-mate
+    // sits above tau in quantized cosine
+    val asg = Similarity.cellAssign(Tables.embeddings(spark, sf), 4)
+      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+    val a = asg.select(col("cid"), col("vec_id").as("va"),
+      col("qv").as("qva"), col("qn2").as("qn2a"))
+    val b = asg.select(col("cid"), col("vec_id").as("vb"),
+      col("qv").as("qvb"), col("qn2").as("qn2b"))
+    val expect = a.join(b, Seq("cid")).where(col("va") < col("vb"))
+      .where(aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+        (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double")))
+        > Similarity.SemDedupTau)
+      .select(col("vb")).distinct().as[Long].collect().toSet
+    val got = v.where(col("dropped")).select("vec_id").as[Long].collect().toSet
+    assert(got == expect, s"dropped set mismatch: ${got.diff(expect)} extra, ${expect.diff(got)} missing")
+    // cells agree with the kmeans step's assignment cardinality
+    val cellCounts = v.groupBy("cid").count().as[(Long, Long)].collect().toMap
+    val stepCounts = Similarity.qKmeansStep.build(spark, sf)
+      .select("cid", "n_assigned").as[(Long, Long)].collect().toMap
+    assert(cellCounts == stepCounts, "semantic-dedup cells ≠ kmeans cells")
+    // plan: within-cell comparison is an equi-join on cid, never cartesian
+    val plan = v.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan degenerated:\n$plan")
+    v.unpersist()
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
     val df = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
     val perQuery = df.groupBy("query_id")

@@ -38,7 +38,8 @@ class ScaleLintSpec extends SparkSpec {
     *  - q_sim_topk_int8: same corpus x fixed-query-set shape as
     *    q_sim_topk, over the int8-quantized representation */
   private val boundedBroadcastByDesign =
-    Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8", "q_kmeans_step")
+    Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8", "q_kmeans_step",
+      "q_semantic_dedup")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
