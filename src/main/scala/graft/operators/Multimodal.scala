@@ -494,6 +494,62 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Full-raster pixel statistics from a REAL decode: sum, min, max over
+    * every gray sample. The per-image reduction happens inside the decode
+    * pass (no per-pixel rows leave the kernel). */
+  def decodeImageStats(content: Array[Byte]): (Int, Int, Long, Int, Int) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${content.length} bytes)")
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var s = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        s += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, s, mn, mx)
+  }
+
+  /** PCM energy profile from a REAL decode: Σ sample², silent-sample
+    * count (8-bit unsigned value < [[SilenceFloor]]) — accumulated in
+    * the same data-chunk scan as [[decodeAudio]]'s peak. */
+  val SilenceFloor = 32
+  def decodeAudioEnergy(content: Array[Byte]): (Int, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val rate = ais.getFormat.getSampleRate.toInt
+    val frames = ais.getFrameLength
+    var energy = 0L
+    var silent = 0L
+    val buf = new Array[Byte](4096)
+    var n = ais.read(buf)
+    while (n > 0) {
+      var i = 0
+      while (i < n) {
+        val v = (buf(i) & 0xff).toLong
+        energy += v * v
+        if (v < SilenceFloor) silent += 1
+        i += 1
+      }
+      n = ais.read(buf)
+    }
+    (rate, frames, energy, silent)
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Binary decode metadata with a REAL codec: payloads are genuine PNGs
@@ -520,6 +576,111 @@ object Multimodal extends QueryPack {
       .select(col("media_id").as("doc_id"), col("width"), col("height"),
         (col("width").cast("long") * col("height").cast("long")).as("n_pixels"),
         col("p00"))
+      .orderBy("doc_id")
+  }
+
+  final case class PixelStats(
+      media_id: Long, n_pixels: Long, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Full-raster pixel statistics (brightness profile) with a REAL
+    * codec: every payload's ENTIRE raster is decoded and reduced in the
+    * kernel ([[decodeImageStats]]) — sum, min, max over all gray
+    * samples. The oracle predicts all three because synthesis writes
+    * pixel i as text byte i % len (corner excepted), so a decoder that
+    * sampled, skipped rows, or mis-ordered the raster cannot hash-match.
+    * This is the per-asset quality-screen a media pipeline thresholds on
+    * (all-black / blown-out assets have degenerate sum/min/max).
+    *
+    * Scale: the per-pixel reduction happens INSIDE the decode kernel —
+    * only 5 longs per image leave the executor, never pixel rows; the
+    * final ORDER BY is the only exchange. */
+  val qMediaPixelStats: Q = Q(
+    "q_media_pixel_stats",
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len,
+                        1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h,
+                        doc_id % 256 AS corner
+                 FROM documents),
+      body AS (SELECT d.doc_id,
+                      SUM(ascii(substr(d.text, CAST(u.i % d.len AS INT) + 1, 1))) AS bsum,
+                      MIN(ascii(substr(d.text, CAST(u.i % d.len AS INT) + 1, 1))) AS bmin,
+                      MAX(ascii(substr(d.text, CAST(u.i % d.len AS INT) + 1, 1))) AS bmax
+               FROM d, unnest(generate_series(1, d.w * d.h - 1)) AS u(i)
+               GROUP BY d.doc_id)
+      SELECT d.doc_id,
+             CAST(d.w * d.h AS BIGINT) AS n_pixels,
+             CAST(d.corner + COALESCE(b.bsum, 0) AS BIGINT) AS px_sum,
+             CAST(CASE WHEN b.bmin IS NULL OR d.corner < b.bmin
+                       THEN d.corner ELSE b.bmin END AS INT) AS px_min,
+             CAST(CASE WHEN b.bmax IS NULL OR d.corner > b.bmax
+                       THEN d.corner ELSE b.bmax END AS INT) AS px_max
+      FROM d LEFT JOIN body b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[PixelStats]
+    mediaPngFromDocuments(s, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { m =>
+            val (w, h, sum, mn, mx) = decodeImageStats(m.content)
+            PixelStats(m.media_id, w.toLong * h, sum, mn, mx)
+          }
+        }
+      }
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("n_pixels"),
+        col("px_sum"), col("px_min"), col("px_max"))
+      .orderBy("doc_id")
+  }
+
+  final case class AudioEnergy(
+      media_id: Long, sample_rate: Int, n_samples: Long, energy: Long,
+      n_silent: Long)
+
+  /** PCM energy / silence profile with a REAL codec: the data chunk is
+    * scanned once for Σ sample² and the silent-sample count
+    * ([[decodeAudioEnergy]]) — the audio-quality screen (dead air,
+    * clipping-adjacent energy) a speech pipeline filters on. The oracle
+    * predicts both exactly from the synthesis function; all-integer
+    * output, nothing to round.
+    *
+    * Scale: like the image path, the per-sample reduction stays inside
+    * the kernel; 4 longs per clip leave the executor. */
+  val qAudioEnergy: Q = Q(
+    "q_audio_energy",
+    Some(s"""
+      WITH g AS (SELECT i FROM generate_series(0, 254) AS t(i)),
+      p AS (SELECT d.doc_id,
+                   SUM(((d.doc_id * 31 + g.i * 7) % 251)
+                       * ((d.doc_id * 31 + g.i * 7) % 251)) AS energy,
+                   COUNT(*) FILTER (WHERE (d.doc_id * 31 + g.i * 7) % 251
+                                          < $SilenceFloor) AS n_silent
+            FROM documents d JOIN g ON g.i < 64 + d.doc_id % 192
+            GROUP BY d.doc_id)
+      SELECT d.doc_id,
+             CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT)
+               AS sample_rate,
+             CAST(64 + d.doc_id % 192 AS BIGINT) AS n_samples,
+             CAST(p.energy AS BIGINT) AS energy,
+             CAST(p.n_silent AS BIGINT) AS n_silent
+      FROM documents d JOIN p USING (doc_id)
+      ORDER BY d.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioEnergy]
+    mediaWavFromDocuments(s, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { m =>
+            val (rate, frames, energy, silent) = decodeAudioEnergy(m.content)
+            AudioEnergy(m.media_id, rate, frames, energy, silent)
+          }
+        }
+      }
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("sample_rate"),
+        col("n_samples"), col("energy"), col("n_silent"))
       .orderBy("doc_id")
   }
 
@@ -796,5 +957,5 @@ object Multimodal extends QueryPack {
 
   override def all: Seq[Q] =
     Seq(qMediaMeta, qMediaFrames, qMediaAudio, qMediaVideo, qMediaResize,
-      qMediaEmbed, qMediaQuarantine)
+      qMediaEmbed, qMediaQuarantine, qMediaPixelStats, qAudioEnergy)
 }

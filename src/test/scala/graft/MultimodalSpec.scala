@@ -156,6 +156,52 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](decodeVideo("not a gif at all".getBytes))
   }
 
+  test("decodeImageStats reduces the full raster: consistent with meta, exact on a known image") {
+    // a hand-built 2x2 PNG: corner 9, body bytes {100, 101, 102}
+    val png = Multimodal.encodePng(2, 2, 9, Array[Byte](100, 101, 102))
+    val (w, h, sum, mn, mx) = Multimodal.decodeImageStats(png)
+    assert((w, h) == (2, 2))
+    // pixels: i=0 -> 9, i=1 -> body(1)=101, i=2 -> body(2)=102, i=3 -> body(0)=100
+    assert(sum == 9L + 101 + 102 + 100)
+    assert(mn == 9 && mx == 102)
+    // fixture-wide: stats bound the corner pixel reported by decodeMeta
+    val stats = Multimodal.qMediaPixelStats.build(spark, sf)
+    val meta = Multimodal.qMediaMeta.build(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("p00"))
+    val bad = stats.join(meta, "doc_id")
+      .filter(org.apache.spark.sql.functions.col("p00") <
+          org.apache.spark.sql.functions.col("px_min") ||
+        org.apache.spark.sql.functions.col("p00") >
+          org.apache.spark.sql.functions.col("px_max") ||
+        org.apache.spark.sql.functions.col("px_sum") >
+          org.apache.spark.sql.functions.col("n_pixels") *
+            org.apache.spark.sql.functions.col("px_max"))
+    assert(bad.count() == 0, "pixel stats must bound the corner pixel and sum")
+  }
+
+  test("decodeAudioEnergy scans the whole data chunk: exact on a known clip") {
+    val samples = Array[Byte](0, 10, 127.toByte, 250.toByte)
+    val wav = Multimodal.encodeWav(8000f, samples)
+    val (rate, n, energy, silent) = Multimodal.decodeAudioEnergy(wav)
+    assert(rate == 8000 && n == 4)
+    assert(energy == 0L + 10 * 10 + 127 * 127 + 250 * 250)
+    assert(silent == 2) // 0 and 10 are below the 32 floor
+    // fixture-wide: energy consistent with the peak from q_media_audio
+    val e = Multimodal.qAudioEnergy.build(spark, sf)
+    val a = Multimodal.qMediaAudio.build(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("peak"))
+    val bad = e.join(a, "doc_id")
+      .filter(org.apache.spark.sql.functions.col("energy") >
+          org.apache.spark.sql.functions.col("n_samples") *
+            org.apache.spark.sql.functions.col("peak") *
+            org.apache.spark.sql.functions.col("peak") ||
+        org.apache.spark.sql.functions.col("n_silent") >
+          org.apache.spark.sql.functions.col("n_samples"))
+    assert(bad.count() == 0, "energy must be bounded by n * peak^2")
+  }
+
   test("mediaGifFromDocuments round-trips frame count and geometry per doc") {
     val media = mediaGifFromDocuments(spark, sf).limit(24).collect()
     assert(media.nonEmpty)
