@@ -242,6 +242,65 @@ object StreamOps {
       .agg(cms(col(hashCol)).as("sk"))
   }
 
+  /** `s_bloom`: running Bloom-filter membership state per group — the
+    * streaming use of the same mergeable [[graft.functions.BloomSketch]]
+    * the batch `q_bloom_member` oracle-matches bit-for-bit. The bitset
+    * is an OR-monoid (associative, commutative, idempotent), so Spark
+    * keeps it as streaming aggregation state and merges micro-batch
+    * partials into it; after N batches the bits are IDENTICAL to the
+    * batch sketch over the union (pinned in StreamOpsSpec) — the
+    * incremental build of the runtime filter a CDC pipeline broadcasts
+    * to prune probe-side scans. State per key: m/8 bytes, constant. */
+  def bloomFilterStream(
+      rows: DataFrame,
+      keyCol: String = "k",
+      hashCol: String = "h",
+      mBits: Int = 2048,
+      k: Int = 3): DataFrame = {
+    val bloom = udaf(new graft.functions.BloomSketch(mBits, k))
+    rows.groupBy(col(keyCol))
+      .agg(bloom(col(hashCol)).as("bits"))
+  }
+
+  /** `s_anomaly`: running per-group power sums (n, Σx, Σx²) with the
+    * sums carried in DECIMAL — exactly the stats frame the batch
+    * `q_anomaly` broadcasts. Decimal addition is associative and
+    * commutative, so the streaming state after N batches is bit-equal
+    * to the batch aggregation over the union (pinned in StreamOpsSpec);
+    * a serving path then classifies any probe set against the running
+    * frame via [[anomalyClassify]] — maintain-the-stats, classify-on-
+    * demand, no rescan. */
+  def anomalyStats(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      valCol: String = "value"): DataFrame = {
+    import graft.QHelp.dec
+    events
+      .select(col(keyCol), dec(col(valCol)).cast("double").as("v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast("double").as("s1"),
+        sum(dec(col("v")) * dec(col("v"))).cast("double").as("s2"))
+  }
+
+  /** Classify probe rows against a (possibly streamed) stats frame with
+    * the batch `q_anomaly` test — the identical division-free
+    * `(x·n − s1)² > 4(n·s2 − s1²)` expression, so streamed stats give
+    * the same verdicts as a batch recompute over the same history. */
+  def anomalyClassify(
+      probes: DataFrame,
+      stats: DataFrame,
+      keyCol: String = "event_type"): DataFrame = {
+    import graft.QHelp.dec
+    probes
+      .select(col(keyCol), col("event_id"),
+        dec(col("value")).cast("double").as("v"))
+      .join(broadcast(stats), keyCol)
+      .filter((col("v") * col("n") - col("s1")) * (col("v") * col("n") - col("s1"))
+        > lit(4) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col(keyCol), col("event_id"), round(col("v"), 2).as("value"))
+  }
+
   /** `s_fuzzy_join`: streaming entity resolution — arriving records are
     * matched against a STATIC reference table by the same declared
     * blocking as the batch `q_fuzzy_join`: `substr(name,1,2)` equality

@@ -118,6 +118,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_bloom: streaming bitset state equals the batch sketch over the union") {
+    val in = MemoryStream[(String, Long)](spark)
+    val q = StreamOps.bloomFilterStream(in.toDF().toDF("k", "h"), mBits = 256, k = 3)
+      .writeStream.format("memory").queryName("s_bloom").outputMode("complete").start()
+    try {
+      in.addData(("a", 7L), ("a", 13L), ("b", 99L))
+      q.processAllAvailable()
+      val bits1 = spark.table("s_bloom").as[(String, Array[Long])]
+        .collect().toMap.apply("a").toSeq
+      // idempotence: re-adding already-seen members must not move a bit
+      in.addData(("a", 7L), ("a", 13L))
+      q.processAllAvailable()
+      val bits2 = spark.table("s_bloom").as[(String, Array[Long])]
+        .collect().toMap.apply("a").toSeq
+      assert(bits1 == bits2, "re-inserting members changed the bitset")
+      in.addData(("a", 42L), ("b", 7L))
+      q.processAllAvailable()
+      val m = spark.table("s_bloom").as[(String, Array[Long])].collect().toMap
+      // the invariant under test: bit-equal to one batch agg over the union
+      val batch = Seq(("a", 7L), ("a", 13L), ("a", 7L), ("a", 13L),
+        ("a", 42L), ("b", 99L), ("b", 7L)).toDF("k", "h")
+      val expected = StreamOps.bloomFilterStream(batch, mBits = 256, k = 3)
+        .as[(String, Array[Long])].collect().toMap
+      assert(m.keySet == expected.keySet)
+      m.keys.foreach(k => assert(m(k).toSeq == expected(k).toSeq,
+        s"streamed bitset for $k diverged from the batch sketch"))
+      // monotonicity: the union bitset contains every bit from batch 1
+      assert(bits1.zip(m("a").toSeq).forall { case (o, n) => (o & ~n) == 0L },
+        "a set bit was lost as members arrived")
+    } finally q.stop()
+  }
+
+  test("s_anomaly: running stats equal the batch frame; classification ≡ q_anomaly") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)].collect()
+    val in = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamOps.anomalyStats(
+        in.toDF().toDF("event_type", "event_id", "value"))
+      .writeStream.format("memory").queryName("s_anom").outputMode("complete").start()
+    try {
+      val chunks = evs.grouped((evs.length + 2) / 3).toSeq
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("s_anom")
+      // running state after all batches == one batch agg over the union,
+      // bit-equal because the sums are DECIMAL-carried
+      val batchStats = StreamOps.anomalyStats(
+        graft.Tables.events(spark, sf)
+          .select(col("event_type"), col("event_id"), col("value")))
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, Long, Double, Double)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val s = asMap(streamed)
+      val b = asMap(batchStats)
+      assert(s == b, "streamed power sums diverged from the batch frame")
+      // classify-on-demand with the streamed frame ≡ the batch q_anomaly
+      val got = StreamOps.anomalyClassify(
+          graft.Tables.events(spark, sf), streamed)
+        .select("event_id").as[Long].collect().toSet
+      val expect = graft.operators.Events.qAnomaly.build(spark, sf)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == expect, "streamed-stats classification ≠ batch q_anomaly")
+    } finally q.stop()
+  }
+
   test("s_heavy_hitters: streaming CMS state equals the batch sketch over the union") {
     val in = MemoryStream[(String, Long)](spark)
     val q = StreamOps.heavyHittersSketch(in.toDF().toDF("k", "h"), width = 8)
