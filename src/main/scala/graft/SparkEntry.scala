@@ -26,7 +26,8 @@ object SparkEntry {
     Tpch,
     TrainPrep,
     Events,
-    Corpus
+    Corpus,
+    Bucketing
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

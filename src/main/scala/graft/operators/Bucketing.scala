@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.QHelp._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-layout co-located joins — the storage-side half of shuffle
+  * elimination. Writing both fact tables bucketed (and sorted) by their
+  * join key means a later join matches bucket-to-bucket with NO exchange
+  * on either side: at 100 TB this turns the nightly orders⋈lineitem from
+  * a full two-sided shuffle into a local merge per bucket, which is why
+  * warehouses bucket their biggest joins. The spec
+  * (BucketingSpec) machine-asserts the exchange-free plan; the declared
+  * query oracle-matches the join RESULT, proving layout changed nothing
+  * semantically.
+  *
+  * Scale notes: [[NBuckets]] is small here (local fixture); on a cluster
+  * you pick buckets ≈ cluster parallelism and the same code holds. The
+  * pre-write `repartition(n, key)` routes each bucket to exactly one
+  * task so every bucket is one file — that is what lets the bucketed
+  * scan skip both the exchange AND the sort (sorted bucket files merge
+  * directly).
+  */
+object Bucketing extends QueryPack {
+
+  val NBuckets = 8
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table under the
+    * session warehouse (a scratch location on this rig; a real lakehouse
+    * points spark.sql.warehouse.dir at durable storage). `repartition`
+    * by the bucket key first: Spark's shuffle partitioning and its
+    * bucket-id function are the same `pmod(murmur3, n)`, so each bucket
+    * lands in one task ⇒ one file ⇒ sort-preserving reads. */
+  def bucketedCopy(
+      s: SparkSession, df: DataFrame, table: String, key: String): Unit = {
+    df.repartition(NBuckets, col(key))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(NBuckets, key)
+      .sortBy(key)
+      .option("path", new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-bucketed/$table").getAbsolutePath)
+      .saveAsTable(table)
+  }
+
+  /** Revenue per order status over the bucketed copies of orders and
+    * lineitem: the join runs bucket-to-bucket with no exchange below it
+    * (plan-asserted in BucketingSpec); only the final 3-row aggregation
+    * shuffles. The oracle computes the identical join over the raw
+    * parquet — bucketing must be semantically invisible. */
+  val qBucketJoin: Q = Q(
+    "q_bucket_join",
+    Some(s"""
+      SELECT o.o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(${decSql("l.l_extendedprice")} *
+                      ${decSql("1 - l.l_discount")}) AS DOUBLE) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderstatus
+      ORDER BY o.o_orderstatus
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    bucketedJoin(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The exchange-free join itself (shared by the declared query and the
+    * plan spec): both sides are bucketed copies of the `dir` tables. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    bucketedCopy(s, Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus"), "graft_bkt_orders", "o_orderkey")
+    bucketedCopy(s, Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_bkt_lineitem", "l_orderkey")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+  }
+
+  override def all: Seq[Q] = Seq(qBucketJoin)
+}
