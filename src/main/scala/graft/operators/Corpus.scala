@@ -105,10 +105,12 @@ object Corpus extends QueryPack {
     *
     * Scale: the benchmark n-gram set is tiny relative to the corpus and
     * is broadcast; the corpus makes one pass (explode → per-doc distinct),
-    * then one broadcast semi-ish join + two per-doc aggs. No shuffle
-    * carries corpus text; the join key is the n-gram string (at 100 TB:
-    * its 128-bit hash). The contam_rate division is the single IEEE op,
-    * identical in both engines.
+    * then one broadcast semi-ish join + two per-doc aggs. The distinct
+    * and join run on `xxhash64(ngram)` — 8 bytes through the shuffle
+    * instead of the ~40-byte span text, the standard n-gram-hashing
+    * trade (collision odds ~n²/2⁶⁴; the oracle counting the strings
+    * themselves hash-matching proves none occurred). The contam_rate
+    * division is the single IEEE op, identical in both engines.
     */
   val qContamNgram: Q = Q(
     "q_contam_ngram",
@@ -140,7 +142,8 @@ object Corpus extends QueryPack {
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), size(col("t")) - (ContamNgram - 1)),
-          i => array_join(slice(col("t"), i, lit(ContamNgram)), " "))).as("ng"))
+          i => array_join(slice(col("t"), i, lit(ContamNgram)), " "))).as("ngs"))
+      .select(col("doc_id"), xxhash64(col("ngs")).as("ng"))
       .distinct()
     val bench = g.where(col("doc_id") % ContamBenchMod === 0)
       .select(col("ng")).distinct()
