@@ -301,6 +301,47 @@ object StreamOps {
       .select(col(keyCol), col("event_id"), round(col("v"), 2).as("value"))
   }
 
+  /** `s_contam`: streaming benchmark-decontamination gate — every
+    * arriving document is screened against a STATIC benchmark n-gram
+    * set at ingestion time, the moment a training pipeline wants the
+    * verdict (not after a batch rescan). The gate is STATELESS: the
+    * benchmark grams are aggregated once into a single array row and
+    * broadcast, and each document's n-grams are built and intersected
+    * inside its own row (`transform`/`array_intersect` — no explode, no
+    * per-doc aggregation state). Gram identity is `xxhash64(ngram)`,
+    * matching the batch `q_contam_ngram`'s shuffle key; equivalence with
+    * the batch query's verdicts is pinned in StreamOpsSpec.
+    *
+    * Scale: cost per arriving doc is O(len·n) hashing plus one sorted
+    * intersect against the broadcast array — no state store, no
+    * shuffle; 1000 executors gate 1000 partitions independently. */
+  def contamGateStream(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5): DataFrame = {
+    val grams: Column => Column = t =>
+      array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(array_join(slice(t, i, lit(n)), " "))))
+    val bench = benchmark
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n) // sequence(1, len-n+1) needs len ≥ n
+      .select(explode(grams(col("t"))).as("g"))
+      .agg(collect_set(col("g")).as("bench_grams"))
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= n)
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(grams(col("t"))).cast("long").as("n_ngrams"),
+        size(array_intersect(grams(col("t")), col("bench_grams")))
+          .cast("long").as("n_hit"))
+      .where(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_ngrams").cast("double"))
+          .as("contam_rate"))
+  }
+
   /** `s_fuzzy_join`: streaming entity resolution — arriving records are
     * matched against a STATIC reference table by the same declared
     * blocking as the batch `q_fuzzy_join`: `substr(name,1,2)` equality

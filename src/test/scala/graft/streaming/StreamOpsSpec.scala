@@ -183,6 +183,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_contam: stateless ingestion gate equals the batch q_contam_ngram verdicts") {
+    val mod = graft.operators.Corpus.ContamBenchMod
+    val docs = graft.Tables.documents(spark, sf)
+    val benchmark = docs.filter(col("doc_id") % mod === 0)
+    val arrivals = docs.filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.contamGateStream(
+        in.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.format("memory").queryName("s_contam").outputMode("append").start()
+    try {
+      arrivals.grouped((arrivals.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_contam")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val expect = graft.operators.Corpus.qContamNgram.build(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expect,
+        s"gate diverged from batch: extra=${got.diff(expect)} missing=${expect.diff(got)}")
+      assert(got.nonEmpty, "the gate must flag something on the fixture")
+    } finally q.stop()
+  }
+
   test("s_heavy_hitters: streaming CMS state equals the batch sketch over the union") {
     val in = MemoryStream[(String, Long)](spark)
     val q = StreamOps.heavyHittersSketch(in.toDF().toDF("k", "h"), width = 8)
