@@ -301,6 +301,62 @@ object StreamOps {
       .select(col(keyCol), col("event_id"), round(col("v"), 2).as("value"))
   }
 
+  /** `s_retention`: INCREMENTAL cohort-retention maintenance — the
+    * streaming twin of the batch `q_retention` matrix. Per-user state is
+    * the set of active epoch-days (cohort = its minimum); each batch
+    * emits DELTA rows `(cohort_day, offset_days, delta)` for newly
+    * touched (cohort, offset) cells, and — the hard case — when a LATE
+    * event predates the user's known cohort, retracts every previously
+    * emitted cell (delta −1) and re-emits it rebased on the new cohort,
+    * so Σ deltas is always exactly the batch matrix over events-so-far
+    * (pinned in StreamOpsSpec under out-of-order arrival).
+    *
+    * Scale: state is per-user and bounded by the user's distinct active
+    * days (a horizon cap bounds it further in production); emission is
+    * O(new cells) except on a rebase, which is O(that user's history) —
+    * rare, and confined to one key. One shuffle on user_id per batch;
+    * the matrix itself is a downstream `SUM(delta) GROUP BY cohort,
+    * offset` any sink maintains additively. */
+  def retentionDeltas(events: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[(Long, Int)] = Encoders.product
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val outEnc: Encoder[(Int, Int, Long)] = Encoders.product
+    events
+      .select(col("user_id").cast("long"),
+        datediff(col("d"), to_date(lit("1970-01-01"))).as("epoch_day"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Int], (Int, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Array[Int]]) =>
+          val seen = state.getOption.getOrElse(Array.empty[Int]).toSet
+          val arriving = batch.map(_._2).toSet
+          val fresh = arriving.diff(seen)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val all = seen ++ fresh
+            val newCohort = all.min
+            state.update(all.toArray.sorted)
+            if (seen.nonEmpty && newCohort < seen.min) {
+              val oldCohort = seen.min
+              // rebase: retract every cell emitted under the old cohort,
+              // re-emit the full history under the new one
+              val retract = seen.iterator.map(d => (oldCohort, d - oldCohort, -1L))
+              val emit = all.iterator.map(d => (newCohort, d - newCohort, 1L))
+              retract ++ emit
+            } else {
+              fresh.iterator.map(d => (newCohort, d - newCohort, 1L))
+            }
+          }
+      }
+      .toDF("cohort_day", "offset_days", "delta")
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("cohort_day")).as("cohort"),
+        col("offset_days"), col("delta"))
+  }
+
   /** `s_contam`: streaming benchmark-decontamination gate — every
     * arriving document is screened against a STATIC benchmark n-gram
     * set at ingestion time, the moment a training pipeline wants the

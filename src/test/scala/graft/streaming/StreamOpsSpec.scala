@@ -183,6 +183,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_retention: summed deltas equal the batch matrix, under out-of-order arrival") {
+    // real fixture activity, arriving LATEST-FIRST so cohort rebasing
+    // (the hard late-data case) happens constantly
+    val activity = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .sortBy { case (u, d) => (-d.getTime, u) }
+    val in = MemoryStream[(Long, java.sql.Date)](spark)
+    val q = StreamOps.retentionDeltas(in.toDF().toDF("user_id", "d"))
+      .writeStream.format("memory").queryName("s_ret").outputMode("append").start()
+    try {
+      activity.grouped((activity.length + 3) / 4)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_ret")
+        .groupBy("cohort", "offset_days")
+        .agg(sum("delta").as("active_users"))
+        .filter(col("active_users") =!= 0)
+        .as[(java.sql.Date, Int, Long)].collect()
+        .map(t => (t._1.toString, t._2, t._3)).toSet
+      val expect = graft.operators.Events.qRetention.build(spark, sf)
+        .as[(java.sql.Date, Int, Long)].collect()
+        .map(t => (t._1.toString, t._2, t._3)).toSet
+      assert(got == expect,
+        s"retention diverged: extra=${got.diff(expect)} missing=${expect.diff(got)}")
+      // retractions actually happened (latest-first forces rebases)
+      val negs = spark.table("s_ret").filter(col("delta") < 0).count()
+      assert(negs > 0, "no rebase was exercised — arrival order too kind")
+    } finally q.stop()
+  }
+
   test("s_contam: stateless ingestion gate equals the batch q_contam_ngram verdicts") {
     val mod = graft.operators.Corpus.ContamBenchMod
     val docs = graft.Tables.documents(spark, sf)
