@@ -593,8 +593,70 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** Histogram-sketch bin width for q_quantile_hist (prices ≲ 110k ⇒
+    * ~110 bins — constant per group, independent of row count). */
+  val QuantileBinWidth = 1000
+
+  /** Mergeable QUANTILE sketch — the fourth of the sketch family (KMV =
+    * distinct, CMS = frequency, Bloom = membership, this = quantiles):
+    * a fixed-width histogram whose (bin → count) rows form an additive
+    * monoid, so partials merge map-side and across days/streams; the
+    * p50/p90 read-out walks the cumulative counts to the bin containing
+    * the quantile. Everything is integer arithmetic except one IEEE
+    * `floor(x / width)`, identical in both engines — unlike t-digest or
+    * GK, whose merge order would make an exact oracle impossible; the
+    * trade is a fixed ±width/2 error instead of a rank guarantee.
+    *
+    * Scale: the agg shuffles ≤ bins rows per group per partition; the
+    * cumulative window runs over the ~110-bin frame per group, never
+    * the data. Read-out error is bounded by construction (asserted vs
+    * exact percentiles in AggregatesSpec-style tests). */
+  val qQuantileHist: Q = Q(
+    "q_quantile_hist",
+    Some(s"""
+      WITH h AS (
+        SELECT l_returnflag AS f,
+               CAST(floor(l_extendedprice / $QuantileBinWidth) AS BIGINT) AS b,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY f, b),
+      t AS (SELECT f, SUM(c) AS n FROM h GROUP BY f),
+      cum AS (
+        SELECT h.f, h.b, h.c,
+               SUM(h.c) OVER (PARTITION BY h.f ORDER BY h.b) AS cum, t.n
+        FROM h JOIN t ON h.f = t.f),
+      p50 AS (SELECT f, MIN(b) AS b50 FROM cum WHERE cum * 2 >= n GROUP BY f),
+      p90 AS (SELECT f, MIN(b) AS b90 FROM cum WHERE cum * 10 >= 9 * n GROUP BY f)
+      SELECT t.f AS l_returnflag,
+             CAST(t.n AS BIGINT) AS n,
+             CAST(p50.b50 * $QuantileBinWidth AS BIGINT) AS p50_lo,
+             CAST(p90.b90 * $QuantileBinWidth AS BIGINT) AS p90_lo
+      FROM t JOIN p50 ON t.f = p50.f JOIN p90 ON t.f = p90.f
+      ORDER BY l_returnflag
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("f"),
+        floor(col("l_extendedprice") / QuantileBinWidth).as("b"))
+      .groupBy("f", "b").agg(count(lit(1)).as("c"))
+    val t = h.groupBy("f").agg(sum("c").as("n"))
+    val cum = h.join(t, "f")
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("f").orderBy("b")))
+    val p50 = cum.where(col("cum") * 2 >= col("n"))
+      .groupBy("f").agg(min("b").as("b50"))
+    val p90 = cum.where(col("cum") * 10 >= lit(9) * col("n"))
+      .groupBy("f").agg(min("b").as("b90"))
+    t.join(p50, "f").join(p90, "f")
+      .select(col("f").as("l_returnflag"), col("n"),
+        (col("b50") * QuantileBinWidth).as("p50_lo"),
+        (col("b90") * QuantileBinWidth).as("p90_lo"))
+      .orderBy("l_returnflag")
+  }
+
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,
     qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
-    qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember, qWinsorize)
+    qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember, qWinsorize,
+    qQuantileHist)
 }

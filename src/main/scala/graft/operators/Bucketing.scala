@@ -93,5 +93,51 @@ object Bucketing extends QueryPack {
         col("o_orderkey") === col("l_orderkey"))
   }
 
-  override def all: Seq[Q] = Seq(qBucketJoin)
+  /** Hive-style partitioned copy of orders, one directory per order
+    * year — written once per (session, dir), like the bucketed copies. */
+  def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
+    writtenPart.getOrElseUpdate((s, dir), {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-partitioned/orders").getAbsolutePath
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      writtenPart.filterInPlace { case ((sess, d), _) => sess != s || d == dir }
+      path
+    })
+    s.read.parquet(writtenPart((s, dir)))
+  }
+  private val writtenPart =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Partition pruning — the other storage-side scale lever: the orders
+    * table laid out as one directory per order year means a year-scoped
+    * query never opens the other years' files (PartitionFilters in the
+    * scan, file-count assertion in BucketingSpec). At 100 TB this is the
+    * difference between scanning one year and scanning twenty; the
+    * oracle computes the same aggregate from the raw table, proving the
+    * layout is semantically invisible. */
+  val qPartitionPrune: Q = Q(
+    "q_partition_prune",
+    Some(s"""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      GROUP BY o_year, o_orderpriority
+      ORDER BY o_year, o_orderpriority
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    partitionedOrders(s, dir)
+      .where(col("o_year") === 1995)
+      .groupBy("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(col("o_year").cast("int").as("o_year"), col("o_orderpriority"),
+        col("n_orders"), col("total"))
+      .orderBy("o_year", "o_orderpriority")
+  }
+
+  override def all: Seq[Q] = Seq(qBucketJoin, qPartitionPrune)
 }
