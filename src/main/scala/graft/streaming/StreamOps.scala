@@ -301,6 +301,53 @@ object StreamOps {
       .select(col(keyCol), col("event_id"), round(col("v"), 2).as("value"))
   }
 
+  /** `s_chunk_dedup`: ONLINE boilerplate-chunk gate — the streaming
+    * face of the batch `q_chunk_dedup` scrub. State is one long per
+    * distinct chunk hash (occurrences seen); every arriving occurrence
+    * is emitted with a `flagged` verdict: false for the chunk's first
+    * occurrence ever, true from the second on. This is the standard
+    * online semantics — the batch pass drops ALL occurrences of a df≥2
+    * chunk retroactively, which a stream cannot (the first copy already
+    * shipped); the exact relationship (streaming flags df−1 of each
+    * chunk's df occurrences) is pinned against the batch df table in
+    * StreamOpsSpec. Within a micro-batch, same-chunk arrivals are
+    * ordered by (doc_id, ord) so the unflagged survivor is
+    * deterministic.
+    *
+    * Scale: state is 8 bytes per distinct chunk, hash-partitioned by
+    * chunk key across executors; each arriving doc shuffles
+    * ~tokens/chunkTokens narrow rows. A production deployment ages
+    * state with a TTL — boilerplate recurs fast, by definition. */
+  def chunkDedupStream(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
+    implicit val inEnc: Encoder[(Long, Long, Int)] = Encoders.product
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(Long, Int, Long, Boolean)] = Encoders.product
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1),
+            ceil(size(col("t")) / lit(chunkTokens.toDouble)).cast("int")),
+          i => xxhash64(array_join(
+            slice(col("t"), (i - 1) * chunkTokens + 1, lit(chunkTokens)), " ")))))
+      .select(col("col").as("chunk_hash"), col("doc_id"),
+        (col("pos") + 1).cast("int").as("ord"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Int, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (chunkHash, occurrences, state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = occurrences.toSeq.sortBy(o => (o._2, o._3)).map { o =>
+            seen += 1
+            (o._2, o._3, chunkHash, seen > 1)
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("doc_id", "ord", "chunk_hash", "flagged")
+  }
+
   /** `s_retention`: INCREMENTAL cohort-retention maintenance — the
     * streaming twin of the batch `q_retention` matrix. Per-user state is
     * the set of active epoch-days (cohort = its minimum); each batch

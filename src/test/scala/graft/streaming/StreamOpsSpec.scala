@@ -183,6 +183,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_chunk_dedup: online gate flags exactly df-1 of each chunk's df occurrences") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.chunkDedupStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s_chunks").outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val out = spark.table("s_chunks").cache()
+      // ground truth: the batch df table over the same corpus
+      val w = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val ct = graft.operators.Corpus.ChunkTokens
+      val df = w.select(explode(transform(
+          sequence(lit(1), ceil(size(col("t")) / lit(ct.toDouble)).cast("int")),
+          i => xxhash64(array_join(
+            slice(col("t"), (i - 1) * ct + 1, lit(ct)), " ")))).as("chunk_hash"))
+        .groupBy("chunk_hash").agg(count(lit(1)).as("df"))
+      // every occurrence emitted exactly once
+      assert(out.count() == df.agg(sum("df")).head.getLong(0))
+      // per chunk: flagged = df - 1 (first occurrence survives)
+      val flagged = out.groupBy("chunk_hash")
+        .agg(sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      val bad = flagged.join(df, "chunk_hash")
+        .filter(col("n_flagged") =!= col("df") - 1)
+      assert(bad.count() == 0, "online gate must flag all but the first occurrence")
+      // the gate really bites on the fixture
+      assert(out.filter(col("flagged")).count() > 0)
+      out.unpersist()
+    } finally q.stop()
+  }
+
   test("s_retention: summed deltas equal the batch matrix, under out-of-order arrival") {
     // real fixture activity, arriving LATEST-FIRST so cohort rebasing
     // (the hard late-data case) happens constantly
