@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.QHelp._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.2: q_agg_*, q_rollup, q_cube,
@@ -634,11 +635,20 @@ object Aggregates extends QueryPack {
       ORDER BY l_returnflag
       """.stripMargin.trim)
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val h = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("f"),
         floor(col("l_extendedprice") / QuantileBinWidth).as("b"))
       .groupBy("f", "b").agg(count(lit(1)).as("c"))
+    quantileReadOut(h)
+      .select(col("f").as("l_returnflag"), col("n"), col("p50_lo"), col("p90_lo"))
+      .orderBy("l_returnflag")
+  }
+
+  /** p50/p90 read-out over a (f, b, c) histogram frame — shared by the
+    * batch q_quantile_hist and the streaming twin's spec (the streamed
+    * state is the same additive frame, so the same read-out applies). */
+  def quantileReadOut(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = h.groupBy("f").agg(sum("c").as("n"))
     val cum = h.join(t, "f")
       .withColumn("cum", sum("c").over(
@@ -648,10 +658,9 @@ object Aggregates extends QueryPack {
     val p90 = cum.where(col("cum") * 10 >= lit(9) * col("n"))
       .groupBy("f").agg(min("b").as("b90"))
     t.join(p50, "f").join(p90, "f")
-      .select(col("f").as("l_returnflag"), col("n"),
+      .select(col("f"), col("n"),
         (col("b50") * QuantileBinWidth).as("p50_lo"),
         (col("b90") * QuantileBinWidth).as("p90_lo"))
-      .orderBy("l_returnflag")
   }
 
   override def all: Seq[Q] = Seq(qPercentile, qPivot, qMultiDistinct, qUnpivot,

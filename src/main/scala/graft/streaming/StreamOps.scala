@@ -242,6 +242,25 @@ object StreamOps {
       .agg(cms(col(hashCol)).as("sk"))
   }
 
+  /** `s_quantile_hist`: running fixed-bin histogram per group — the
+    * streaming face of the batch `q_quantile_hist` quantile sketch. The
+    * (group, bin) → count frame is an additive monoid, so it IS a
+    * streaming aggregation; quantiles are read out any time with the
+    * same `Aggregates.quantileReadOut` the batch query uses (stream ≡
+    * batch pinned in StreamOpsSpec). State: ≤ bins rows per group,
+    * independent of row count — the running percentile monitor a CDC
+    * consumer keeps over a value column. */
+  def histogramSketchStream(
+      rows: DataFrame,
+      keyCol: String = "f",
+      valCol: String = "v",
+      binWidth: Int = graft.operators.Aggregates.QuantileBinWidth): DataFrame =
+    rows
+      .select(col(keyCol).as("f"),
+        floor(col(valCol) / binWidth).as("b"))
+      .groupBy("f", "b")
+      .agg(count(lit(1)).as("c"))
+
   /** `s_bloom`: running Bloom-filter membership state per group — the
     * streaming use of the same mergeable [[graft.functions.BloomSketch]]
     * the batch `q_bloom_member` oracle-matches bit-for-bit. The bitset

@@ -118,6 +118,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_quantile_hist: streamed histogram state + shared read-out ≡ batch query") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+    val in = MemoryStream[(String, Double)](spark)
+    val q = StreamOps.histogramSketchStream(in.toDF().toDF("f", "v"))
+      .writeStream.format("memory").queryName("s_qhist").outputMode("complete").start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // streamed state ≡ the batch histogram frame, bin for bin
+      val got = spark.table("s_qhist")
+        .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      val expect = graft.Tables.lineitem(spark, sf)
+        .select(col("l_returnflag").as("f"),
+          floor(col("l_extendedprice") /
+            graft.operators.Aggregates.QuantileBinWidth).as("b"))
+        .groupBy("f", "b").agg(count(lit(1)).as("c"))
+        .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expect, "streamed histogram diverged from the batch frame")
+      // the SAME read-out over the streamed state ≡ the declared query
+      // (materialized to a local relation: MemoryPlan views cannot be
+      // self-joined, and the read-out joins the frame with its total)
+      val state = spark.table("s_qhist")
+        .as[(String, Long, Long)].collect().toSeq.toDF("f", "b", "c")
+      val readGot = graft.operators.Aggregates.quantileReadOut(state)
+        .orderBy("f").as[(String, Long, Long, Long)].collect().toSeq
+      val readExpect = graft.operators.Aggregates.qQuantileHist.build(spark, sf)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(readGot == readExpect)
+    } finally q.stop()
+  }
+
   test("s_bloom: streaming bitset state equals the batch sketch over the union") {
     val in = MemoryStream[(String, Long)](spark)
     val q = StreamOps.bloomFilterStream(in.toDF().toDF("k", "h"), mBits = 256, k = 3)
