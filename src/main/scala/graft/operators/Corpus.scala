@@ -158,6 +158,91 @@ object Corpus extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Overlapping-window width for duplicated-span measurement. */
+  val SpanTokens = 8
+
+  /** Alignment-robust duplicated-span measurement — the ExactSubstr-style
+    * pass ([[qChunkDedup]]'s complement): every OVERLAPPING
+    * [[SpanTokens]]-token window (stride 1) is df-counted corpus-wide,
+    * windows occurring twice+ are "hot", and each document reports how
+    * many of its token positions are covered by some hot window — the
+    * duplicated mass an exact-substring dedup would cut, found at ANY
+    * alignment (a one-token insertion defeats fixed chunks; it only
+    * shifts these windows).
+    *
+    * Scale: stride 1 costs len windows per doc — the price ExactSubstr
+    * pays for alignment independence (stride s divides cost and recall).
+    * Window identity is `xxhash64(span)` through the shuffle (8-byte
+    * keys; the string-counting oracle hash-matching proves zero
+    * collisions). Coverage explodes only HOT windows × [[SpanTokens]]
+    * positions — bounded by the duplication actually present, not the
+    * corpus. One df agg + one join back + two small aggs; no self-join.
+    */
+  val qSpanDedup: Q = Q(
+    "q_span_dedup",
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      base AS (SELECT doc_id, len(t) AS n FROM w),
+      win AS (
+        SELECT doc_id, i,
+               array_to_string(t[i : i + ${SpanTokens - 1}], ' ') AS s
+        FROM w, unnest(generate_series(1, len(t) - ${SpanTokens - 1})) AS u(i)
+        WHERE len(t) >= $SpanTokens),
+      df AS (SELECT s, COUNT(*) AS df FROM win GROUP BY s),
+      nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id),
+      hot AS (SELECT win.doc_id, win.i FROM win
+              JOIN df ON win.s = df.s WHERE df.df >= 2),
+      nh AS (SELECT doc_id, COUNT(*) AS n_hot FROM hot GROUP BY doc_id),
+      cov AS (SELECT DISTINCT doc_id, i + j AS p
+              FROM hot, unnest(generate_series(0, ${SpanTokens - 1})) AS v(j)),
+      cv AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+      SELECT b.doc_id,
+             CAST(b.n AS BIGINT) AS n_tokens,
+             CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+             CAST(COALESCE(nh.n_hot, 0) AS BIGINT) AS n_hot,
+             CAST(COALESCE(cv.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(COALESCE(cv.dup_tokens, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)
+               AS dup_mass
+      FROM base b
+      LEFT JOIN nw ON b.doc_id = nw.doc_id
+      LEFT JOIN nh ON b.doc_id = nh.doc_id
+      LEFT JOIN cv ON b.doc_id = cv.doc_id
+      ORDER BY b.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val base = w.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    val win = w.where(size(col("t")) >= SpanTokens)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("t")) - (SpanTokens - 1)),
+          i => xxhash64(array_join(slice(col("t"), i, lit(SpanTokens)), " ")))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("s"))
+    val df = win.groupBy("s").agg(count(lit(1)).as("df"))
+    val nw = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val hot = win.join(df.where(col("df") >= 2), "s")
+      .select(col("doc_id"), col("i"))
+    val nh = hot.groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val cv = hot
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SpanTokens - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    base
+      .join(nw, Seq("doc_id"), "left")
+      .join(nh, Seq("doc_id"), "left")
+      .join(cv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n").cast("double")).as("dup_mass"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals (type-token ratio, Simpson diversity, top-token
     * dominance) a filtering pipeline thresholds on, computed EXACTLY:
@@ -210,5 +295,6 @@ object Corpus extends QueryPack {
       .orderBy("doc_id")
   }
 
-  override def all: Seq[Q] = Seq(qChunkDedup, qContamNgram, qLexicalDiversity)
+  override def all: Seq[Q] =
+    Seq(qChunkDedup, qContamNgram, qLexicalDiversity, qSpanDedup)
 }

@@ -106,6 +106,37 @@ class CorpusSpec extends SparkSpec {
       s"benchmark gram set must broadcast, got:\n$plan")
   }
 
+  test("q_span_dedup: coverage bounded, hot windows real, and alignment-robust") {
+    val out = Corpus.qSpanDedup.build(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.agg(sum("n_hot")).head.getLong(0) > 0,
+      "duplicated spans must exist on the fixture")
+    // coverage can never exceed the doc or undershoot its hot windows
+    assert(out.filter(col("dup_tokens") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("n_hot") > 0 &&
+      col("dup_tokens") < Corpus.SpanTokens).count() == 0,
+      "one hot window must cover at least SpanTokens positions")
+    assert(out.filter(col("dup_mass") < 0 || col("dup_mass") > 1).count() == 0)
+    out.unpersist()
+
+    // alignment robustness — the reason this operator exists: a one-token
+    // prefix shift defeats fixed-chunk dedup but not overlapping windows
+    import spark.implicits._
+    val span = (1 to Corpus.SpanTokens).map(i => s"tok$i").mkString(" ")
+    val synthetic = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"shift $span other3 other4")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toFile
+    try {
+      synthetic.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Corpus.qSpanDedup.build(spark, dir.getAbsolutePath)
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+        .map(t => t._1 -> t._4).toMap
+      assert(r(1L) >= 1 && r(2L) >= 1,
+        s"shifted duplicate span not detected: $r")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("q_lexical_diversity ratios are exact and bounded") {
     val out = Corpus.qLexicalDiversity.build(spark, sf).cache()
     assert(out.count() == Tables.documents(spark, sf).count())
