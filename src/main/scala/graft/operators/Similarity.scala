@@ -413,6 +413,12 @@ object Similarity extends QueryPack {
     val qz = quantizedInt8(e)
     val cents = qz.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+    assignTo(qz, cents)
+  }
+
+  /** Assignment against an EXPLICIT centroid frame (cid, cv, cn2) — the
+    * general form [[kmeansIterate]] feeds re-estimated centroids into. */
+  def assignTo(qz: DataFrame, cents: DataFrame): DataFrame = {
     val scored = qz.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("qv"), col("qn2"),
         (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
@@ -438,6 +444,49 @@ object Similarity extends QueryPack {
         sum(element_at(col("qv"), 3)).as("s3"),
         sum(element_at(col("qv"), 4)).as("s4"))
       .orderBy("cid")
+  }
+
+  /** Full Lloyd loop over the int8 codes — the canonical Spark k-means
+    * driver shape (MLlib's): per iteration, one distributed assignment
+    * pass ([[assignTo]], centroids broadcast) and one re-estimation
+    * (posexplode → map-side-combined (cid, dim) sums — K·dim tiny rows
+    * — collected to the driver to build the next centroid literals;
+    * collecting K·dim longs is the one legitimate driver hop in
+    * k-means). New centroids are the rounded coordinate means (integer
+    * domain preserved, so distances stay exact); returns per-iteration
+    * (iter, inertia) plus the final assignment. Inertia is monotone
+    * non-increasing up to centroid rounding — asserted ≥-strictly in
+    * LlmOpsSpec across 3 iterations on the fixture. */
+  def kmeansIterate(e: DataFrame, k: Int = 4, iters: Int = 3)
+      : (Seq[(Int, Long)], DataFrame) = {
+    val spark = e.sparkSession
+    val qz = quantizedInt8(e)
+    var cents = qz.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var asg: DataFrame = null
+    for (it <- 1 to iters) {
+      asg = assignTo(qz, cents)
+      history += ((it, asg.agg(sum("md")).head.getLong(0)))
+      if (it < iters) {
+        // re-estimate: elementwise mean per cell; K·dim rows to the driver
+        val sums = asg
+          .select(col("cid"), posexplode(col("qv")))
+          .groupBy("cid", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          val dims = rows.sortBy(_.getInt(1))
+            .map(r => Math.round(r.getLong(2).toDouble / r.getLong(3)))
+          cid -> dims
+        }
+        import spark.implicits._
+        cents = byCell.toSeq.sortBy(_._1)
+          .map { case (cid, cv) => (cid, cv.toSeq, cv.map(x => x * x).sum) }
+          .toDF("cid", "cv", "cn2")
+      }
+    }
+    (history.toSeq, asg)
   }
 
   /** Quantized-cosine threshold for semantic dedup: the fixture's top

@@ -75,6 +75,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(step.length == 4, "no centroid cell may be empty on this fixture")
   }
 
+  test("kmeansIterate: inertia non-increasing across Lloyd iterations") {
+    val (hist, asg) = Similarity.kmeansIterate(
+      Tables.embeddings(spark, sf), k = 4, iters = 3)
+    assert(hist.map(_._1) == Seq(1, 2, 3))
+    hist.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b <= a, s"inertia rose between iterations: $hist")
+    }
+    assert(hist.last._2 < hist.head._2,
+      s"three iterations should improve on this fixture: $hist")
+    // the final assignment is total and iteration-1 matches cellAssign
+    assert(asg.count() == Tables.embeddings(spark, sf).count())
+    val first = Similarity.cellAssign(Tables.embeddings(spark, sf), 4)
+      .agg(sum("md")).head.getLong(0)
+    assert(hist.head._2 == first,
+      "iteration 1 must equal the seed assignment q_kmeans_step uses")
+  }
+
   test("q_semantic_dedup: verdict total, drops real, survivors pairwise-distant") {
     val v = Similarity.qSemanticDedup.build(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
