@@ -990,10 +990,98 @@ object TextOps extends QueryPack {
       .orderBy("lang")
   }
 
+  /** CAPSTONE curation verdict — the per-document keep/drop decision a
+    * corpus pipeline actually ships, composing three exactly-matched
+    * stages in drop-priority order: exact duplicate (not its text-hash
+    * group's min doc_id) > near-duplicate non-representative (not its
+    * MinHash-cluster's longest doc — same labels/ranking as
+    * q_dedup_cluster / q_cluster_rep, shared `clusterLabels` view) >
+    * benchmark-contaminated (shares a 5-gram with the q_contam_ngram
+    * benchmark set). Each reason column is emitted separately so
+    * downstream can audit why mass was dropped.
+    *
+    * Scale: reuses the memoized cluster-labels view (the CC loop runs
+    * once per dir); the exact stage is one window over text-hash groups;
+    * contamination is the broadcast gate. Nothing quadratic is added on
+    * top of the already-bounded stages. */
+  val qDedupVerdict: Q = Q(
+    "q_dedup_verdict",
+    Some(
+      s"""$ccLabelsSqlWith,
+         |ex AS (
+         |  SELECT doc_id,
+         |         (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)))
+         |           AS is_exact_dup
+         |  FROM documents),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY lb.cluster_id
+         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN labels lb ON d.doc_id = lb.doc_id),
+         |wtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS ng
+         |  FROM wtok, unnest(generate_series(1, len(t) - 4)) AS u(i)
+         |  WHERE len(t) >= 5),
+         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 29 = 0),
+         |contam AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN bench ON g.ng = bench.ng
+         |  WHERE g.doc_id % 29 <> 0)
+         |SELECT ex.doc_id, ex.is_exact_dup,
+         |       (rep.rn > 1) AS is_near_dup,
+         |       (contam.doc_id IS NOT NULL) AS is_contaminated,
+         |       CASE WHEN ex.is_exact_dup THEN 'drop_exact'
+         |            WHEN rep.rn > 1 THEN 'drop_neardup'
+         |            WHEN contam.doc_id IS NOT NULL THEN 'drop_contam'
+         |            ELSE 'keep' END AS verdict
+         |FROM ex
+         |JOIN rep ON ex.doc_id = rep.doc_id
+         |LEFT JOIN contam ON ex.doc_id = contam.doc_id
+         |ORDER BY ex.doc_id""".stripMargin)
+  ) { (s, dir) => dedupVerdict(s, Tables.documents(s, dir), dir) }
+
+  /** The verdict behind q_dedup_verdict, reusable on any documents frame
+    * (the `dir` routes to the shared cluster-labels view for that
+    * fixture; pass a custom frame plus its dir for spec fixtures). */
+  def dedupVerdict(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    import graft.operators.Corpus.{ContamBenchMod, ContamNgram}
+    val ex = docs.select(col("doc_id"),
+      (col("doc_id") =!= min("doc_id").over(
+        Window.partitionBy(md5(col("text"))))).as("is_exact_dup"))
+    val rep = docs.join(clusterLabels(s, dir), "doc_id")
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= ContamNgram)
+    val g = w.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("t")) - (ContamNgram - 1)),
+        i => xxhash64(array_join(slice(col("t"), i, lit(ContamNgram)), " "))))
+        .as("ng"))
+      .distinct()
+    val bench = g.where(col("doc_id") % ContamBenchMod === 0)
+      .select("ng").distinct()
+    val contam = g.where(col("doc_id") % ContamBenchMod =!= 0)
+      .join(broadcast(bench), "ng")
+      .select("doc_id").distinct()
+      .withColumn("is_contaminated", lit(true))
+    ex.join(rep, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        (col("rn") > 1).as("is_near_dup"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
+        when(col("is_exact_dup"), "drop_exact")
+          .when(col("rn") > 1, "drop_neardup")
+          .when(coalesce(col("is_contaminated"), lit(false)), "drop_contam")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qNgramContainment, qMinhashEst, qHeavyHitters, qTextNormalize,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
-    qDedupCluster, qClusterRep)
+    qDedupCluster, qClusterRep, qDedupVerdict)
 }

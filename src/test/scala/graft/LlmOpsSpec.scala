@@ -125,6 +125,53 @@ class LlmOpsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("q_dedup_verdict: reasons consistent with their source stages, priority ordered") {
+    val v = TextOps.qDedupVerdict.build(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(v.count() == docs.count(), "one verdict per document")
+    // near-dup drops agree with the cluster-representative stage:
+    // survivors per cluster = 1, and total near-drops = docs - clusters
+    val labels = TextOps.qDedupCluster.build(spark, sf)
+    val nClusters = labels.select("cluster_id").distinct().count()
+    val nearDrops = v.filter(col("is_near_dup")).count()
+    assert(nearDrops == docs.count() - nClusters,
+      s"near-dup drops $nearDrops != ${docs.count()} - $nClusters")
+    // contamination flags agree with q_contam_ngram's doc set
+    val contamDocs = graft.operators.Corpus.qContamNgram.build(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = v.filter(col("is_contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == contamDocs)
+    // verdict encodes priority: a near-dup that is also contaminated
+    // reads drop_neardup, and only reason-free docs read keep
+    assert(v.filter(col("verdict") === "keep" &&
+      (col("is_exact_dup") || col("is_near_dup") || col("is_contaminated")))
+      .count() == 0)
+    assert(v.filter(col("is_near_dup") && !col("is_exact_dup") &&
+      col("verdict") =!= "drop_neardup").count() == 0)
+    v.unpersist()
+
+    // exact-dup stage (absent from the sf0.01 fixture): plant one
+    val dir = java.nio.file.Files.createTempDirectory("graft-verdict").toFile
+    try {
+      import spark.implicits._
+      Seq(
+        (10L, "alpha beta gamma delta epsilon zeta", "en", "src0", 35L),
+        (11L, "alpha beta gamma delta epsilon zeta", "en", "src0", 35L),
+        (12L, "one two three four five six seven", "en", "src1", 33L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val pv = TextOps.qDedupVerdict
+        .build(spark, dir.getAbsolutePath)
+        .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+        .map(t => t._1 -> t).toMap
+      assert(!pv(10L)._2 && pv(11L)._2, "second copy is the exact dup")
+      assert(pv(11L)._5 == "drop_exact",
+        s"exact beats near-dup in priority: ${pv(11L)}")
+      assert(pv(12L)._5 == "keep")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
     val df = Similarity.bruteForceTopK(Tables.embeddings(spark, sf))
     val perQuery = df.groupBy("query_id")
