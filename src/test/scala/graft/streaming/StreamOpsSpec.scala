@@ -216,6 +216,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_media_decode: streaming decode-with-quarantine equals the batch kernel") {
+    import graft.operators.Multimodal
+    // real PNGs + one corrupt payload, exactly as a media ingest sees them
+    val rows = (0L until 24L).map { id =>
+      val png = Multimodal.encodePng(
+        Multimodal.pngWidth(id), Multimodal.pngHeight(id), (id % 256).toInt,
+        s"doc $id body".getBytes("UTF-8"))
+      Multimodal.MediaRow(id, "image/png",
+        if (id % 7 == 3) png.take(8) else png) // truncate → quarantine
+    }
+    val in = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.decodeMetaSafe(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("s_media").outputMode("append").start()
+    try {
+      rows.grouped(9).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_media")
+        .as[(Long, String, Long, Int, Int)].collect().toSet
+      val expect = Multimodal.decodeMetaSafe(rows.toDS())
+        .as[(Long, String, Long, Int, Int)].collect().toSet
+      assert(got == expect, "streamed decode diverged from the batch kernel")
+      assert(got.count(_._2 == "quarantined") == rows.count(_.media_id % 7 == 3),
+        "quarantine side-output must catch exactly the corrupt payloads")
+      assert(got.count(_._2 == "ok") > 0)
+    } finally q.stop()
+  }
+
   test("s_chunk_dedup: online gate flags exactly df-1 of each chunk's df occurrences") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
