@@ -39,10 +39,58 @@ object GraftFunctions {
     graft.functions.ZOrderLong(exprs(0), exprs(1), bits)
   }
 
+  /** `graft_minhash(tokens)` — 16-slot MinHash signature of a string array. */
+  private def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_minhash takes 1 argument, got ${exprs.length}")
+    graft.functions.MinHashSig(exprs(0))
+  }
+
+  /** `graft_simhash(tokens)` — 60-bit SimHash fingerprint of a string array. */
+  private def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_simhash takes 1 argument, got ${exprs.length}")
+    graft.functions.SimHash60(exprs(0))
+  }
+
+  /** `graft_lsh_bands(vec, numBands, bitsPerBand)` — banded hyperplane
+    * LSH keys of a float array; band geometry must be int literals. */
+  private def lshBandsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_lsh_bands takes 3 arguments (vec, numBands, bitsPerBand), got ${exprs.length}")
+    def intLit(e: Expression, name: String): Int = e match {
+      case lit if lit.foldable => lit.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_bands $name must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"graft_lsh_bands $name must be a literal")
+    }
+    graft.functions.HyperplaneBands(exprs(0),
+      intLit(exprs(1), "numBands"), intLit(exprs(2), "bitsPerBand"))
+  }
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       builder)
+
+  val minhashDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      minhashBuilder)
+
+  val simhashDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHash60].getName, "graft_simhash"),
+      simhashBuilder)
+
+  val lshBandsDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBands].getName, "graft_lsh_bands"),
+      lshBandsBuilder)
 
   val zorderDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_zorder"),
@@ -60,6 +108,9 @@ object GraftFunctions {
   def registerInto(registry: FunctionRegistry): Unit = {
     registry.createOrReplaceTempFunction("graft_dot", builder, "built-in")
     registry.createOrReplaceTempFunction("graft_zorder", zorderBuilder, "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
+    registry.createOrReplaceTempFunction("graft_lsh_bands", lshBandsBuilder, "built-in")
   }
 }
 
@@ -67,6 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
     ext.injectFunction(GraftFunctions.zorderDescription)
+    ext.injectFunction(GraftFunctions.minhashDescription)
+    ext.injectFunction(GraftFunctions.simhashDescription)
+    ext.injectFunction(GraftFunctions.lshBandsDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

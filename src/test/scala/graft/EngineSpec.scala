@@ -27,10 +27,36 @@ class EngineSpec extends SparkSpec {
     // the imperative seam registers the same builder; both paths share it
     val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     GraftFunctions.registerInto(registry)
-    assert(registry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
-    assert(registry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder")))
+    Seq("graft_dot", "graft_zorder", "graft_minhash", "graft_simhash",
+      "graft_lsh_bands").foreach { fn =>
+      assert(registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), fn)
+    }
+  }
+
+  test("graft_minhash / graft_simhash / graft_lsh_bands usable from SQL, Column-API-equal") {
+    GraftFunctions.register(spark)
+    val toks = "the quick brown fox jumps over the lazy dog".split(" ")
+    val tokSql = toks.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val sigSql = spark.sql(s"SELECT graft_minhash($tokSql) AS s")
+      .head().getSeq[Long](0)
+    val sigCol = spark.range(1)
+      .select(graft.functions.MinHashSig.minhashSig(
+        typedLit(toks.toSeq)).as("s")).head().getSeq[Long](0)
+    assert(sigSql == sigCol)
+    val fpSql = spark.sql(s"SELECT graft_simhash($tokSql) AS f").head().getLong(0)
+    val fpCol = spark.range(1)
+      .select(graft.functions.SimHash60.simhash60(
+        typedLit(toks.toSeq)).as("f")).head().getLong(0)
+    assert(fpSql == fpCol)
+    val vecSql = "array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT), CAST(2.5 AS FLOAT))"
+    val bandsSql = spark.sql(s"SELECT graft_lsh_bands($vecSql, 4, 8) AS b")
+      .head().getSeq[Long](0)
+    assert(bandsSql.length == 4)
+    // deterministic: same input, same keys
+    val again = spark.sql(s"SELECT graft_lsh_bands($vecSql, 4, 8) AS b")
+      .head().getSeq[Long](0)
+    assert(bandsSql == again)
   }
 
   test("graft_zorder is usable from SQL; bits must be a literal") {
