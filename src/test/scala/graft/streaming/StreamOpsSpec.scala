@@ -306,6 +306,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_retention: state survives a checkpointed stop/restart (no re-emission)") {
+    val activity = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .sortBy { case (u, d) => (d.getTime, u) }
+    val (first, second) = activity.splitAt(activity.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-ret-ckpt").toFile
+    try {
+      val in = MemoryStream[(Long, java.sql.Date)](spark)
+      val deltas = StreamOps.retentionDeltas(in.toDF().toDF("user_id", "d"))
+      def start() = deltas.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(first.toIndexedSeq)
+      q1.processAllAvailable()
+      q1.stop()
+      val nBefore = spark.read.parquet(s"$base/out").count()
+      assert(nBefore > 0)
+      // restart from the same checkpoint; only NEW data may emit
+      val q2 = start()
+      try {
+        in.addData(second.toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val all = spark.read.parquet(s"$base/out")
+      assert(all.count() > nBefore, "phase 2 emitted nothing")
+      // date-ascending arrival never rebases, so every delta is +1 …
+      assert(all.filter(col("delta") =!= 1L).count() == 0)
+      // … and the union across the restart summing EXACTLY to the batch
+      // matrix proves exactly-once: any re-emission after recovery (or
+      // any loss) would break the sums
+      val got = all.groupBy("cohort", "offset_days")
+        .agg(sum("delta").as("active_users"))
+        .as[(java.sql.Date, Int, Long)].collect()
+        .map(t => (t._1.toString, t._2, t._3)).toSet
+      val expect = graft.operators.Events.qRetention.build(spark, sf)
+        .as[(java.sql.Date, Int, Long)].collect()
+        .map(t => (t._1.toString, t._2, t._3)).toSet
+      assert(got == expect, "post-restart union diverged from the batch matrix")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
   test("s_contam: stateless ingestion gate equals the batch q_contam_ngram verdicts") {
     val mod = graft.operators.Corpus.ContamBenchMod
     val docs = graft.Tables.documents(spark, sf)
