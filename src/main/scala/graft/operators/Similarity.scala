@@ -136,28 +136,20 @@ object Similarity extends QueryPack {
 
   /** Scale-gated near-duplicate detection: banded hyperplane-LSH prefilter
     * (candidates = pairs sharing ≥1 of 32 10-bit bands) followed by an
-    * exact cosine verify on the candidates only. Same oracle as the exact
-    * [[qEmbedNeardup]] — on the fixtures the candidate set is ~4% of all
-    * pairs and deterministically contains every qualifying pair
-    * (equivalence + pruning asserted in SimilaritySpec).
+    * exact cosine verify on the candidates only — at 100 TB this is the
+    * only viable shape; the exact [[qEmbedNeardup]] O(n²) join is the
+    * ground-truth baseline, not a pipeline op.
     *
-    * Contract: the banding family targets the near-duplicate regime —
-    * theoretical recall ≈0.993 at cosine 0.85, ≈0.9995 at 0.9, and the
-    * probability decays fast below; the fixture's single borderline 0.513
-    * pair is recalled deterministically (fixed planes, fixed data), but a
-    * production corpus filtered at 0.5 should use [[qEmbedNeardup]] or
-    * widen the bands. At 100 TB this is the only viable shape: the exact
-    * variant's O(n²) join is the ground-truth baseline, not a pipeline op.
-    */
-  val qEmbedNeardupLsh: Q = Q(
-    "q_embed_neardup_lsh",
-    Some("""
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.5
-      ORDER BY vec_a, vec_b
-      """.stripMargin.trim)
-  ) { (s, dir) =>
+    * DECLARED NO-ORACLE (like q_sim_ivf / q_sim_lsh): banded LSH recall
+    * is probabilistic in the borderline regime, so oracle-equality with
+    * the exact twin is unsound as a contract — a round-5 cross-check at
+    * sf0.1 found exactly that (4 of 14 pairs at cosine ≈0.51 missed;
+    * theoretical recall at 0.5 is only ~44% with this banding, ≈0.9995
+    * at the 0.9 design point). What IS guaranteed, and spec-asserted on
+    * every fixture (LlmOpsSpec): PRECISION 1 — every emitted pair is
+    * exact-verified true, i.e. output ⊆ the exact twin — plus measured
+    * recall and hard candidate pruning. */
+  val qEmbedNeardupLsh: Q = Q("q_embed_neardup_lsh", None) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cand = neardupCandidates(e)

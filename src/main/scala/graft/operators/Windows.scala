@@ -175,8 +175,12 @@ object Windows extends QueryPack {
     Some("""
       WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
       x AS (SELECT user_id, ts,
+                   -- STRICT >: an event at exactly prev+gap still merges
+                   -- (Spark's session_window closes at last_event + gap
+                   -- inclusive of a boundary arrival — verified at sf0.1,
+                   -- where two exactly-300s gaps split under >=)
                    CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       y AS (SELECT user_id, ts,
