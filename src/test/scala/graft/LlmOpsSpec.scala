@@ -27,12 +27,12 @@ class LlmOpsSpec extends SparkSpec {
   test("LSH ANN recall@5 vs brute force is useful") {
     val r = recallVsBruteForce("q_sim_lsh")
     info(s"LSH recall@5 = $r")
-    assert(r >= 0.3, s"LSH recall collapsed: $r")
-    // banded LSH over RANDOM vectors tops out ~0.43 (neighbors are
-    // borderline by construction); pin the floor, not the ceiling
+    assert(r >= 0.5, s"LSH recall collapsed: $r")
+    // multi-probe (1-bit-flipped buckets on the query side) lifted
+    // recall from ~0.43 to 0.95 measured; pin a floor with margin
     val r01 = recallVsBruteForce("q_sim_lsh", "/root/testdata/sf0.01")
     info(s"LSH recall@5 sf0.01 = $r01")
-    assert(r01 >= 0.35, s"LSH recall regressed at sf0.01: $r01")
+    assert(r01 >= 0.8, s"LSH recall regressed at sf0.01: $r01")
   }
 
   test("sim top-k queries rank through the bounded-heap TopKPerGroup plan") {
