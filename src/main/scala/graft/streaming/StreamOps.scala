@@ -563,6 +563,75 @@ object StreamOps {
         sum(element_at(col("qv"), 4)).as("s4"))
   }
 
+  /** `s_semantic_dedup`: streaming SemDeDup — the arrival-time twin of
+    * the batch `q_semantic_dedup`. Each arriving vector is int8-quantized
+    * and assigned to its nearest centroid STATELESSLY (literal centroid
+    * array, same struct-min tie-break as [[ivfMaintain]]); per-cell state
+    * holds the members seen so far (capped), and the arrival's verdict —
+    * dropped iff some existing cell-mate sits above `tau` in quantized
+    * cosine — is emitted immediately. Under in-id-order arrival the
+    * verdicts equal the batch query exactly (pinned in StreamOpsSpec);
+    * under arbitrary arrival the reference set is "seen so far", the
+    * standard online-dedup semantics (cf. `s_chunk_dedup`).
+    *
+    * Scale: state per cell = capped member codes (64 longs each),
+    * hash-partitioned by cell across executors; an arrival shuffles one
+    * narrow row and compares against only its own cell — n²/K total
+    * work, the SemDeDup property, incrementally. */
+  def semanticDedupStream(
+      vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Long)],
+      tau: Double = graft.operators.Similarity.SemDedupTau,
+      maxCell: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def dotIntCol(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val cents = array(centroids.map { case (cid, cv, cn2) =>
+      struct(lit(cid).as("cid"), lit(cn2).as("cn2"),
+        array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    implicit val inEnc: Encoder[(Long, Long, Seq[Long], Long)] = Encoders.product
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[Array[(Long, Array[Long], Long)]] =
+      ExpressionEncoder()
+    implicit val outEnc: Encoder[(Long, Long, Boolean)] = Encoders.product
+    graft.operators.Similarity.quantizedInt8(vecs)
+      .withColumn("pick", array_min(transform(cents, c =>
+        struct(
+          (col("qn2") + c.getField("cn2")
+            - lit(2) * dotIntCol(col("qv"), c.getField("cv"))).as("dist"),
+          c.getField("cid").as("cid")))))
+      .select(col("pick.cid").as("cid"), col("vec_id"), col("qv"), col("qn2"))
+      .as[(Long, Long, Seq[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Array[Long], Long)],
+        (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cid, rows, state: GroupState[Array[(Long, Array[Long], Long)]]) =>
+          var members = state.getOption.getOrElse(
+            Array.empty[(Long, Array[Long], Long)])
+          def qcos(a: (Array[Long], Long), b: (Array[Long], Long)): Double = {
+            var dot = 0L
+            var i = 0
+            while (i < a._1.length) { dot += a._1(i) * b._1(i); i += 1 }
+            dot.toDouble / (math.sqrt(a._2.toDouble) * math.sqrt(b._2.toDouble))
+          }
+          val out = rows.toSeq.sortBy(_._2).flatMap {
+            case (_, id, qvSeq, qn2) =>
+              if (members.exists(_._1 == id)) None
+              else {
+                val qv = qvSeq.toArray
+                val dropped = members.exists(m => qcos((m._2, m._3), (qv, qn2)) > tau)
+                if (members.length < maxCell) members = members :+ ((id, qv, qn2))
+                Some((id, cid, dropped))
+              }
+          }
+          state.update(members)
+          out.iterator
+      }
+      .toDF("vec_id", "cid", "dropped")
+  }
+
   /** `s_funnel`: INCREMENTAL funnel progression — the streaming twin of
     * `q_funnel`. Per-user state is one µs timestamp per stage (first
     * qualifying view / click-after-view / purchase-after-click); a stage

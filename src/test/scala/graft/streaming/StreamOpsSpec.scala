@@ -216,6 +216,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_semantic_dedup: in-order arrival verdicts equal the batch q_semantic_dedup") {
+    val e = graft.Tables.embeddings(spark, sf)
+    // the batch query's centroids: quantized vec_ids 0..3
+    val cents = graft.operators.Similarity.quantizedInt8(e)
+      .where(col("vec_id") < 4)
+      .select(col("vec_id"), col("qv"), col("qn2"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(t => (t._1, t._2, t._3)).toSeq
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.semanticDedupStream(in.toDF(), cents)
+      .writeStream.format("memory").queryName("s_semdedup").outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_semdedup")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val expect = graft.operators.Similarity.semanticDedup(e)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == expect,
+        s"stream diverged: extra=${got.diff(expect).take(5)} missing=${expect.diff(got).take(5)}")
+      assert(got.exists(_._3), "the drop must bite on the fixture")
+    } finally q.stop()
+  }
+
   test("s_media_decode: streaming decode-with-quarantine equals the batch kernel") {
     import graft.operators.Multimodal
     // real PNGs + one corrupt payload, exactly as a media ingest sees them
