@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON lines (e.g. BENCH_r4.json vs a local run).
+
+Usage: python3 tools/bench_diff.py <old.json> <new.json> [ratio_flag]
+
+Prints per-query deltas for queries present in both files, sorted by
+ratio, and flags regressions above `ratio_flag` (default 1.3) when the
+absolute cost is large enough to matter (>0.2 s). Strips an sbt "[info] "
+prefix if present, so raw captured output works directly.
+"""
+import json
+import sys
+
+
+def load(path):
+    """Accept either Bench's own one-line JSON (possibly sbt-prefixed) or
+    the driver's BENCH_r{N}.json wrapper, whose `tail` embeds
+    `"name":[run1,run2]` fragments (best-of-n semantics: take min)."""
+    import re
+    text = open(path).read()
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    try:
+        wrapper = json.loads(text)
+    except json.JSONDecodeError:
+        raise SystemExit(f"no bench JSON found in {path}")
+    tail = wrapper.get("tail", "")
+    queries = {
+        name: min(float(x) for x in runs.split(","))
+        for name, runs in re.findall(r'"(q_\w+)":\[([\d.,]+)\]', tail)
+    }
+    if not queries:
+        raise SystemExit(f"no per-query runs found in {path}")
+    return {"queries": queries}
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    rows = [(nq[k] / oq[k] if oq[k] > 0 else float("inf"), k, oq[k], nq[k])
+            for k in common]
+    rows.sort(reverse=True)
+    regressions = 0
+    print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for ratio, k, o, n in rows:
+        mark = ""
+        if ratio > flag and n > 0.2:
+            mark = "  <-- REGRESSION"
+            regressions += 1
+        print(f"{k:34s} {o:8.3f} {n:8.3f} {ratio:7.2f}{mark}")
+    ot = sum(oq[k] for k in common)
+    nt = sum(nq[k] for k in common)
+    print(f"\ncommon queries: {len(common)}  old total {ot:.1f}s  "
+          f"new total {nt:.1f}s  ratio {nt / ot:.2f}")
+    print(f"only-old: {sorted(set(oq) - set(nq))}")
+    print(f"only-new: {len(set(nq) - set(oq))} new queries")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
