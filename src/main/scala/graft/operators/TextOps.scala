@@ -1040,15 +1040,56 @@ object TextOps extends QueryPack {
          |ORDER BY ex.doc_id""".stripMargin)
   ) { (s, dir) => dedupVerdict(s, Tables.documents(s, dir), dir) }
 
+  /** Frame-parametric MinHash candidate pairs: the same 16-hash / 4×4
+    * banding as [[minhashPairs]], but computed from an arbitrary
+    * documents frame via the one-pass [[graft.functions.MinHashSig]]
+    * expression (spec-pinned equal to the explode+aggregate pipeline the
+    * dir-bound path and the DuckDB oracle use — so the pairs, and any
+    * labels built on them, are identical). Used by the maintained
+    * [[graft.streaming.CurationView]], whose corpus is an accumulating
+    * log, not a fixture dir. */
+  def minhashPairsFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.MinHashSig.minhashSig
+    val sig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), minhashSig(col("toks")).as("sig"))
+    val bandStructs = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("key"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Cluster labels for an arbitrary documents frame (frame-parametric
+    * twin of [[clusterLabels]]). */
+  def labelsFrom(docs: DataFrame): DataFrame =
+    ConnectedComponents.labels(
+      docs.select(col("doc_id").as("id")),
+      minhashPairsFrom(docs))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
   /** The verdict behind q_dedup_verdict, reusable on any documents frame
     * (the `dir` routes to the shared cluster-labels view for that
     * fixture; pass a custom frame plus its dir for spec fixtures). */
-  def dedupVerdict(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+  def dedupVerdict(s: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    dedupVerdictFrom(docs, clusterLabels(s, dir))
+
+  /** Verdict core over explicit cluster labels — shared by the declared
+    * query (cached per-dir labels) and the maintained CurationView
+    * (labels recomputed from its accumulating doc log). */
+  def dedupVerdictFrom(docs: DataFrame, labels: DataFrame): DataFrame = {
     import graft.operators.Corpus.{ContamBenchMod, ContamNgram}
     val ex = docs.select(col("doc_id"),
       (col("doc_id") =!= min("doc_id").over(
         Window.partitionBy(md5(col("text"))))).as("is_exact_dup"))
-    val rep = docs.join(clusterLabels(s, dir), "doc_id")
+    val rep = docs.join(labels, "doc_id")
       .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
         .orderBy(col("n_chars").desc, col("doc_id"))))
       .select(col("doc_id"), col("rn"))

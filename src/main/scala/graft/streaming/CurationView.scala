@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END maintained curation table: a stream of documents in
+  * (a CDC changelog, an ingest feed), the per-document keep/drop VERDICT
+  * table out — `q_dedup_verdict`'s columns (is_exact_dup, is_near_dup,
+  * is_contaminated, verdict), continuously maintained.
+  *
+  * Per micro-batch: append the arriving docs to a doc log, recompute the
+  * verdict over the FULL log (exact-dup windows, MinHash→connected-
+  * components labels via [[graft.operators.TextOps.labelsFrom]], the
+  * n-gram contamination gate), atomically swap the verdict table in.
+  * Recompute-per-batch is deliberate, for the same reason as
+  * [[DedupClusterView]]: every stage of the verdict is a GLOBAL property
+  * — a new doc can demote an existing cluster representative, flip a
+  * chunk from unique to boilerplate, or (as a new benchmark doc) newly
+  * contaminate old docs — so per-key state cannot maintain it; the
+  * production shape is exactly this "append, periodically re-curate"
+  * loop, batched to taste.
+  *
+  * Exactly-once: batch-id markers make replays no-ops, and the log read
+  * drops duplicate doc_ids defensively (an append-then-crash replay
+  * would otherwise double a document and make it its own exact dup).
+  * Swap: same two-rename protocol as [[DedupClusterView]]/CdcSink —
+  * readers see the old or the new table, never half.
+  */
+object CurationView {
+
+  /** foreachBatch adapter:
+    * `docs.writeStream.foreachBatch(CurationView.writer(dir)).start()` */
+  def writer(baseDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => applyBatch(batch, batchId, baseDir)
+
+  def applyBatch(docs: DataFrame, batchId: Long, baseDir: String): Unit = {
+    new java.io.File(baseDir).mkdirs()
+    val marker = java.nio.file.Paths.get(s"$baseDir/_batch-$batchId")
+    if (java.nio.file.Files.exists(marker)) return // replay: already applied
+    val batchDocs = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    if (!batchDocs.isEmpty) {
+      batchDocs.write.mode(SaveMode.Append).parquet(s"$baseDir/docs")
+      recurate(docs.sparkSession, baseDir)
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  /** Recompute the verdict over the full accumulated log and swap. */
+  private def recurate(spark: SparkSession, baseDir: String): Unit = {
+    val log = spark.read.parquet(s"$baseDir/docs")
+      .dropDuplicates("doc_id") // defensive vs append-then-crash replays
+    val verdicts = graft.operators.TextOps.dedupVerdictFrom(
+      log, graft.operators.TextOps.labelsFrom(log))
+    swap(verdicts, s"$baseDir/verdicts")
+  }
+
+  /** Two-rename atomic table swap (the DedupClusterView protocol). */
+  private def swap(table: DataFrame, tableDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir)
+    val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
+    val old = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
+    table.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(next, dir)
+    if (java.nio.file.Files.exists(old)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** The maintained view: one verdict row per document seen so far. */
+  def readVerdicts(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/verdicts")
+}

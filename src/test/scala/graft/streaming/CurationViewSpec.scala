@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class DocRow(doc_id: Long, text: String, lang: String, source: String,
+    n_chars: Long)
+
+/** The end-to-end maintained curation table: documents stream in, the
+  * q_dedup_verdict table is continuously maintained and always equals
+  * the batch verdict over everything seen so far. */
+class CurationViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docRows = graft.Tables.documents(spark, sf)
+    .as[DocRow].collect().sortBy(_.doc_id)
+
+  test("maintained verdicts equal the batch q_dedup_verdict over the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curation").toFile
+    try {
+      val in = MemoryStream[DocRow](spark)
+      val q = in.toDF().writeStream
+        .foreachBatch(CurationView.writer(base.getAbsolutePath))
+        .outputMode("append").start()
+      try {
+        val chunks = docRows.grouped((docRows.length + 2) / 3).toSeq
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          in.addData(c.toIndexedSeq)
+          q.processAllAvailable()
+          // after every batch the view covers exactly the docs so far
+          val view = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          val seen = chunks.take(i + 1).flatten.map(_.doc_id).toSet
+          assert(view.select("doc_id").as[Long].collect().toSet == seen,
+            s"batch $i: view does not cover the delivered docs")
+        }
+        // final view ≡ the DECLARED batch query (which routes through the
+        // dir-bound oracle-matched label pipeline — so this also pins
+        // labelsFrom ≡ clusterLabels)
+        val got = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect().toSet
+        val expect = graft.operators.TextOps.qDedupVerdict.build(spark, sf)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect().toSet
+        assert(got == expect,
+          s"extra=${got.diff(expect).take(5)} missing=${expect.diff(got).take(5)}")
+        // replaying an already-applied batch is a no-op
+        val before = got
+        CurationView.applyBatch(
+          chunks.head.toSeq.toDF(), batchId = 0L, base.getAbsolutePath)
+        val after = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect().toSet
+        assert(after == before, "replay must not change the view")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
+  test("a late arrival can demote an existing representative (global recompute)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curation2").toFile
+    try {
+      val in = MemoryStream[DocRow](spark)
+      val q = in.toDF().writeStream
+        .foreachBatch(CurationView.writer(base.getAbsolutePath))
+        .outputMode("append").start()
+      try {
+        // batch 1: one doc, trivially kept
+        val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+        in.addData(DocRow(100L, text, "en", "src0", text.length.toLong))
+        q.processAllAvailable()
+        val v1 = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+          .map(t => t._1 -> t._5).toMap
+        assert(v1(100L) == "keep")
+        // batch 2: a LONGER near-duplicate arrives (same shingles + tail)
+        val longer = text + " extra trailing tokens here"
+        in.addData(DocRow(200L, longer, "en", "src0", longer.length.toLong))
+        q.processAllAvailable()
+        val v2 = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+          .map(t => t._1 -> t._5).toMap
+        // the longer doc takes the representative slot; the old keeper is
+        // demoted — exactly what per-key state could never do
+        assert(v2(200L) == "keep", s"longer near-dup should win: $v2")
+        assert(v2(100L) == "drop_neardup", s"old keeper should demote: $v2")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+}
