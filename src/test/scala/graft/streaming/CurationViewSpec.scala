@@ -54,6 +54,73 @@ class CurationViewSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
   }
 
+  test("cdc source -> CurationView: changelog in, curated corpus out") {
+    import graft.sources.MockMaxScaleServer
+    import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    // the full Layer A → Layer B story: a documents table's changelog
+    // arrives over the wire protocol and the maintained verdict table
+    // curates it — exact dup, near-dup cluster, benchmark contamination
+    val docsSchema =
+      """{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","fields":[
+        |{"name":"domain","type":"int","real_type":"int","length":-1},
+        |{"name":"server_id","type":"int","real_type":"int","length":-1},
+        |{"name":"sequence","type":"int","real_type":"int","length":-1},
+        |{"name":"event_number","type":"int","real_type":"int","length":-1},
+        |{"name":"timestamp","type":"int","real_type":"int","length":-1},
+        |{"name":"event_type","type":"string","real_type":"varchar","length":32},
+        |{"name":"doc_id","type":"int","real_type":"int","length":-1},
+        |{"name":"text","type":"string","real_type":"varchar","length":256},
+        |{"name":"lang","type":"string","real_type":"varchar","length":8},
+        |{"name":"source","type":"string","real_type":"varchar","length":16},
+        |{"name":"n_chars","type":"int","real_type":"int","length":-1}
+        |]}""".stripMargin.replace("\n", "")
+    def doc(seq: Long, id: Int, text: String): String =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${1700000000 + seq},"event_type":"insert","doc_id":$id,""" +
+        s""""text":"$text","lang":"en","source":"src0","n_chars":${text.length}}"""
+    val dup = "the quick brown fox jumps over the lazy dog today"
+    val benchText = "held out benchmark span one two three four five six"
+    val contamText = "prefix words then benchmark span one two three four stolen"
+    val srv = new MockMaxScaleServer(docsSchema, Seq(
+      doc(1, 1, dup),
+      doc(2, 2, dup), // exact duplicate, higher id
+      doc(3, 3, "an entirely different document about spark engines and scale"),
+      doc(4, 29, benchText), // 29 % 29 == 0: the benchmark doc
+      doc(5, 5, contamText))) // shares the 5-gram "span one two three four"
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-curation").toFile
+    try {
+      val cdc = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.docs").option("timeoutSeconds", 1)
+        .load()
+      val q = cdc
+        .select(col("doc_id").cast("long"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("long"))
+        .writeStream
+        .foreachBatch(CurationView.writer(base.getAbsolutePath))
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          val v = CurationView.readVerdicts(spark, base.getAbsolutePath)
+            .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+            .map(t => t._1 -> t._5).toMap
+          assert(v.keySet == Set(1L, 2L, 3L, 5L, 29L), s"got $v")
+          assert(v(1L) == "keep", s"first copy keeps: $v")
+          assert(v(2L) == "drop_exact", s"second copy drops: $v")
+          assert(v(3L) == "keep", s"unique doc keeps: $v")
+          assert(v(5L) == "drop_contam", s"benchmark leak drops: $v")
+          assert(v(29L) == "keep", s"the benchmark doc itself keeps: $v")
+        }
+      } finally q.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   test("a late arrival can demote an existing representative (global recompute)") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation2").toFile
     try {
