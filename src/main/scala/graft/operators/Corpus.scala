@@ -39,10 +39,13 @@ object Corpus extends QueryPack {
     * the df table (map-side combined), one shuffle-on-chunk join back,
     * one per-doc agg — no self-join, no window over few keys. At 100 TB
     * the df table is df-counted and joined on a 128-bit chunk hash
-    * instead of the string (collision odds ~n²/2¹²⁸) and the df side is
-    * heavily skew-free because df≥2 chunks are by definition rare; the
-    * string key here keeps the oracle exact. Reassembly concatenates
-    * per-doc kept chunks — bounded by document size, never corpus size.
+    * instead of the string (collision odds ~n²/2¹²⁸); the string key
+    * here keeps the oracle exact. A mega-hot boilerplate chunk (df in
+    * the millions) stays LINEAR — the join back emits df rows, never
+    * df² — but lands those rows in one shuffle partition; AQE's
+    * skew-join split handles that, and the work is join-only (the df
+    * agg itself is map-side combined). Reassembly concatenates per-doc
+    * kept chunks — bounded by document size, never corpus size.
     */
   val qChunkDedup: Q = Q(
     "q_chunk_dedup",
