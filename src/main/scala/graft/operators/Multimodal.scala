@@ -290,6 +290,34 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** [[decodeVideo]] with in-decoder sampling: returns the TOTAL frame
+    * count (from the block-structure walk — no pixel decode) plus
+    * metadata for every `every`-th frame only; skipped frames are never
+    * LZW-decoded. The q_media_video path samples 1-in-[[FrameSampleEvery]],
+    * so this halves its decode work. */
+  def decodeVideoSampled(content: Array[Byte], every: Int)
+      : (Int, Seq[(Int, Int, Int, Int)]) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"undecodable video payload (${content.length} bytes)")
+      val sampled = (0 until n).filter(_ % every == 0).map { i =>
+        val img = reader.read(i)
+        (i, img.getWidth, img.getHeight, img.getRaster.getSample(0, 0, 0))
+      }
+      (n, sampled)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** The `documents` table as genuine animated-GIF video: frame count,
     * geometry, and per-frame pixels are pure functions of doc_id (so the
     * DuckDB oracle can predict them) but reach the reader only through a
@@ -316,7 +344,15 @@ object Multimodal extends QueryPack {
     * the payload a downstream vision stage would consume. Throws on
     * undecodable payloads (same quarantine-loudly stance as
     * [[decodeImage]]). */
-  def decodeFrames(content: Array[Byte]): Seq[(Int, Int, Int, Array[Byte])] = {
+  /** Decode every `every`-th frame's raster (default: all). Non-sampled
+    * frames are never LZW-decoded — `getNumImages` walks the GIF block
+    * structure to count frames, and `reader.read(i)` decodes only the
+    * requested image, so a 4:1 sampler pays ~1/4 of the LZW work.
+    * Rasters are read as palette indices straight off the writer's
+    * identity gray ramp ([[gray256]]) — same values as the sRGB channel,
+    * no per-pixel color-model conversion. */
+  def decodeFrames(content: Array[Byte], every: Int = 1)
+      : Seq[(Int, Int, Int, Array[Byte])] = {
     javax.imageio.ImageIO.setUseCache(false)
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -327,16 +363,17 @@ object Multimodal extends QueryPack {
       if (n <= 0)
         throw new IllegalArgumentException(
           s"undecodable video payload (${content.length} bytes)")
-      (0 until n).map { i =>
+      (0 until n).filter(_ % every == 0).map { i =>
         val img = reader.read(i)
         val w = img.getWidth
         val h = img.getHeight
+        val raster = img.getRaster
         val bytes = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            bytes(y * w + x) = (img.getRGB(x, y) & 0xff).toByte
+            bytes(y * w + x) = raster.getSample(x, y, 0).toByte
             x += 1
           }
           y += 1
@@ -435,16 +472,17 @@ object Multimodal extends QueryPack {
     }
   }
 
-  /** Decode every frame and keep each [[SampleEvery]]-th decoded RASTER —
-    * the video frame-extraction shape: one row in, 0..n frame-payload
-    * rows out (flatMap; no shuffle), each with its decode-pass checksum. */
+  /** Keep each [[SampleEvery]]-th decoded RASTER — the video
+    * frame-extraction shape: one row in, 0..n frame-payload rows out
+    * (flatMap; no shuffle), each with its decode-pass checksum.
+    * Sampling happens INSIDE the decoder ([[decodeFrames]]' `every`):
+    * skipped frames are block-skipped, never LZW-decoded. */
   def frameSample(media: Dataset[MediaRow]): Dataset[MediaFrame] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFrame]
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.flatMap { m =>
-          decodeFrames(m.content).iterator
-            .filter { case (idx, _, _, _) => idx % SampleEvery == 0 }
+          decodeFrames(m.content, SampleEvery).iterator
             .map { case (idx, _, _, bytes) =>
               var s = 0L
               var i = 0
@@ -799,15 +837,16 @@ object Multimodal extends QueryPack {
     val frames = mediaGifFromDocuments(s, dir).mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.flatMap { m =>
-          val decoded = decodeVideo(m.content)
-          decoded.map { case (idx, w, h, p00) =>
-            VideoFrameMeta(m.media_id, idx, w, h, p00, decoded.length)
+          // sampling INSIDE the decoder: skipped frames are block-skipped,
+          // never LZW-decoded; the total count comes from the block walk
+          val (n, sampled) = decodeVideoSampled(m.content, FrameSampleEvery)
+          sampled.map { case (idx, w, h, p00) =>
+            VideoFrameMeta(m.media_id, idx, w, h, p00, n)
           }
         }
       }
     }
     frames.toDF()
-      .where(col("frame_idx") % FrameSampleEvery === 0)
       .groupBy(col("media_id").as("doc_id"))
       .agg(
         max(col("n_frames")).as("n_frames"),
