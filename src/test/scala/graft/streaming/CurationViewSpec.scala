@@ -121,6 +121,36 @@ class CurationViewSpec extends SparkSpec {
     }
   }
 
+  test("a late benchmark arrival retroactively contaminates an older doc") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curation3").toFile
+    try {
+      val in = MemoryStream[DocRow](spark)
+      val q = in.toDF().writeStream
+        .foreachBatch(CurationView.writer(base.getAbsolutePath))
+        .outputMode("append").start()
+      try {
+        def verdicts() = CurationView
+          .readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+          .map(t => t._1 -> t._5).toMap
+        val leaked = "alpha beta gamma delta epsilon zeta eta theta"
+        // batch 1: a normal doc — clean, kept
+        in.addData(DocRow(5L, s"prefix $leaked suffix words", "en", "src0", 40L))
+        q.processAllAvailable()
+        assert(verdicts()(5L) == "keep")
+        // batch 2: the BENCHMARK doc (id % 29 == 0) sharing a 5-gram
+        // arrives later — the old doc must flip to drop_contam, which
+        // only a global recompute can do
+        in.addData(DocRow(29L, s"held out $leaked benchmark", "en", "src1", 40L))
+        q.processAllAvailable()
+        val v = verdicts()
+        assert(v(29L) == "keep", s"benchmark doc keeps: $v")
+        assert(v(5L) == "drop_contam",
+          s"older doc must flip once the benchmark lands: $v")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
   test("a late arrival can demote an existing representative (global recompute)") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation2").toFile
     try {
