@@ -8,6 +8,33 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
   * pin the properties that make the ops usable at 100 TB). */
 class TrainPrepSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
+  test("ShardWriter: one file per shard, stable membership, total preserved") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toFile
+    try {
+      val docs = Tables.documents(spark, sf)
+      val counts = graft.operators.ShardWriter.write(
+        docs, out.getAbsolutePath, nShards = 8)
+      assert(counts.keySet == (0 until 8).toSet, s"missing shards: $counts")
+      assert(counts.values.sum == docs.count())
+      // exactly one data file per shard directory
+      (0 until 8).foreach { k =>
+        val files = new java.io.File(out, s"shard=$k")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $k has ${files.length} files")
+      }
+      // membership is the stable document hash, never partitioning luck
+      val back = spark.read.parquet(out.getAbsolutePath)
+      val bad = back.filter(
+        col("shard") =!= pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+      assert(bad.count() == 0, "shard assignment must be the stable hash")
+      // re-export reproduces the identical membership
+      val counts2 = graft.operators.ShardWriter.write(
+        docs, out.getAbsolutePath, nShards = 8)
+      assert(counts2 == counts)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(out)
+  }
+
   private def plan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
     df.queryExecution.executedPlan.toString
