@@ -30,8 +30,9 @@ object ShardWriter {
       idCol: String = "doc_id"): Map[Int, Long] = {
     val sharded = docs
       .withColumn("shard",
-        pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int"))
-      .withColumn("sort_key", md5(concat_ws("-", col(idCol))))
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(nShards.toLong)).cast("int"))
+      .withColumn("sort_key", md5(col(idCol).cast("string")))
     sharded
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "sort_key")

@@ -553,9 +553,58 @@ object TrainPrep extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Shard-export manifest, verified THROUGH the filesystem: the corpus
+    * is written as [[ExportShards]] single-file shards
+    * ([[graft.operators.ShardWriter]], memoized per dir like the
+    * bucketed layouts), read BACK from the exported files, and
+    * summarized per shard — while the oracle predicts the same manifest
+    * straight from the documents table (the h60 shard arithmetic is
+    * SQL-reproducible). A hash-match therefore proves the export lost
+    * nothing, routed every doc to its deterministic shard, and kept the
+    * in-shard sort keys intact — the "did my training data survive the
+    * writer" audit, as a declared query. */
+  val ExportShards = 8
+  private val exported =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+  val qExportManifest: Q = Q(
+    "q_export_manifest",
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % $ExportShards AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+               n_chars
+        FROM documents)
+      SELECT CAST(shard AS INT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             min(sort_key) AS first_key,
+             max(sort_key) AS last_key
+      FROM h GROUP BY shard
+      ORDER BY shard
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val out = exported.getOrElseUpdate((s, dir), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-export/${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      graft.operators.ShardWriter.write(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        path, ExportShards)
+      path
+    })
+    s.read.parquet(out)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("sort_key").as("first_key"),
+        max("sort_key").as("last_key"))
+      .orderBy("shard")
+  }
+
   override def all: Seq[Q] = Seq(
     qSampleHash, qSplitAssign, qLengthBuckets, qPiiScrub,
     qContamination, qShuffleShard, qDomainMix, qCuratePipeline,
     qTfidfTopterms, qSampleStratified, qSampleWeighted, qSeqPack,
-    qPackEfficiency, qSampleTopn, qDomainTemperature)
+    qPackEfficiency, qSampleTopn, qDomainTemperature, qExportManifest)
 }

@@ -26,7 +26,9 @@ class TrainPrepSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // membership is the stable document hash, never partitioning luck
       val back = spark.read.parquet(out.getAbsolutePath)
       val bad = back.filter(
-        col("shard") =!= pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+        col("shard") =!= pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(8L)).cast("int"))
       assert(bad.count() == 0, "shard assignment must be the stable hash")
       // re-export reproduces the identical membership
       val counts2 = graft.operators.ShardWriter.write(
