@@ -242,6 +242,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_semantic_dedup: out-of-order arrival is self-consistent (seen-so-far refs)") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.quantizedInt8(e)
+      .where(col("vec_id") < 4)
+      .select(col("vec_id"), col("qv"), col("qn2"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(t => (t._1, t._2, t._3)).toSeq
+    // arrive HIGHEST id first — the opposite of the batch's a<b order
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[VecRow].collect().sortBy(-_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.semanticDedupStream(in.toDF(), cents)
+      .writeStream.format("memory").queryName("s_semdedup_ooo").outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val out = spark.table("s_semdedup_ooo")
+        .as[(Long, Long, Boolean)].collect()
+      assert(out.length == rows.length, "one verdict per vector")
+      // online semantics: a vector is dropped iff a cell-mate that
+      // ARRIVED EARLIER (here: higher id, or same-batch-lower-sort) sits
+      // above tau — so the total drop count matches the batch pair graph
+      // even though individual keep/drop roles flip with arrival order
+      val batchPairs = {
+        val asg = graft.operators.Similarity.cellAssign(e, 4)
+          .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+        val a = asg.select(col("cid"), col("vec_id").as("va"),
+          col("qv").as("qva"), col("qn2").as("qn2a"))
+        val b = asg.select(col("cid"), col("vec_id").as("vb"),
+          col("qv").as("qvb"), col("qn2").as("qn2b"))
+        a.join(b, Seq("cid")).where(col("va") < col("vb"))
+          .where(aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double")))
+            > graft.operators.Similarity.SemDedupTau)
+          .select("va", "vb").as[(Long, Long)].collect()
+      }
+      val dropped = out.filter(_._3).map(_._1).toSet
+      // every dropped vector has SOME above-tau partner in the pair graph
+      val inGraph = batchPairs.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(dropped.subsetOf(inGraph),
+        s"dropped without a partner: ${dropped.diff(inGraph)}")
+      // and per connected pair-set, exactly one member survives per
+      // arrival chain — at minimum, never ALL members of a pair kept
+      batchPairs.foreach { case (a2, b2) =>
+        assert(dropped.contains(a2) || dropped.contains(b2),
+          s"pair ($a2,$b2) above tau but both kept")
+      }
+    } finally q.stop()
+  }
+
   test("s_media_decode: streaming decode-with-quarantine equals the batch kernel") {
     import graft.operators.Multimodal
     // real PNGs + one corrupt payload, exactly as a media ingest sees them
