@@ -990,6 +990,78 @@ object TextOps extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Mixed-language (code-switch) detection: language-ID each document's
+    * first and second token half INDEPENDENTLY with the same lexicon
+    * scoring as q_lang_id, and flag docs whose halves disagree — the
+    * screen that catches concatenation artifacts and template/content
+    * language splits that a whole-doc classifier averages away. Argmax
+    * ties break to lexicon order (identical CASE chain both engines), so
+    * the verdict is deterministic even on hit-free halves.
+    *
+    * Scale: one codegen'd projection per doc (two slices × K membership
+    * counts) + a tiny aggregate — no explode, no shuffle beyond the
+    * final 2-column agg. */
+  val qLangMix: Q = Q(
+    "q_lang_mix",
+    Some {
+      def scoresSql(half: String) = lexicons.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($half, t -> t IN ($set))) AS ${half.take(1)}_$l"
+      }.mkString(", ")
+      def predSql(p: String) = {
+        val m = s"greatest(${lexicons.map(l => s"${p}_" + l._1).mkString(", ")})"
+        lexicons.map { case (l, _) => s"WHEN ${p}_$l = $m THEN '$l'" }
+          .mkString("CASE ", " ", " END")
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |halves AS (
+         |  SELECT doc_id,
+         |         toks[1 : len(toks) // 2] AS f,
+         |         toks[len(toks) // 2 + 1 : len(toks)] AS s
+         |  FROM t WHERE len(toks) >= 2),
+         |scored AS (
+         |  SELECT doc_id, ${scoresSql("f")}, ${scoresSql("s")} FROM halves),
+         |pred AS (
+         |  SELECT doc_id, ${predSql("f")} AS lang_first,
+         |         ${predSql("s")} AS lang_second
+         |  FROM scored)
+         |SELECT lang_first, lang_second,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       (lang_first <> lang_second) AS mixed
+         |FROM pred
+         |GROUP BY lang_first, lang_second
+         |ORDER BY lang_first, lang_second""".stripMargin
+    }
+  ) { (s, dir) =>
+    val halves = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        slice(col("toks"), lit(1), (size(col("toks")) / 2).cast("int")).as("f"),
+        expr("slice(toks, CAST(size(toks) DIV 2 AS INT) + 1, " +
+          "size(toks) - CAST(size(toks) DIV 2 AS INT))").as("s"))
+    def scored(df: DataFrame, half: String): DataFrame =
+      lexicons.foldLeft(df) { case (d, (l, ws)) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        d.withColumn(s"${half}_$l",
+          expr(s"size(filter($half, t -> t IN ($set)))"))
+      }
+    def pred(p: String) = {
+      val m = greatest(lexicons.map(l => col(s"${p}_${l._1}")): _*)
+      lexicons.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+        c.when(col(s"${p}_$l") === m, l)
+      }
+    }
+    scored(scored(halves, "f"), "s")
+      .select(col("doc_id"), pred("f").as("lang_first"), pred("s").as("lang_second"))
+      .groupBy("lang_first", "lang_second")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang_first"), col("lang_second"), col("n_docs"),
+        (col("lang_first") =!= col("lang_second")).as("mixed"))
+      .orderBy("lang_first", "lang_second")
+  }
+
   /** CAPSTONE curation verdict — the per-document keep/drop decision a
     * corpus pipeline actually ships, composing three exactly-matched
     * stages in drop-priority order: exact duplicate (not its text-hash
@@ -1124,5 +1196,5 @@ object TextOps extends QueryPack {
     qNgramContainment, qMinhashEst, qHeavyHitters, qTextNormalize,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
-    qDedupCluster, qClusterRep, qDedupVerdict)
+    qDedupCluster, qClusterRep, qDedupVerdict, qLangMix)
 }
