@@ -38,8 +38,13 @@ class BloomSketch(mBits: Int, k: Int)
   /** Empty sentinel: zero-length partials stay tiny until the first row. */
   override def zero: Array[Long] = Array.empty
 
-  override def reduce(b0: Array[Long], h: Long): Array[Long] = {
+  override def reduce(b0: Array[Long], h0: Long): Array[Long] = {
     val b = if (b0.length == 0) new Array[Long](words) else b0
+    // Defensive reduction: the h60 convention hands us h ∈ [0, P) already
+    // (a no-op here), but an un-reduced 60-bit value would overflow h·A(i)
+    // into a negative bit position — floorMod makes misuse well-defined
+    // instead of an ArrayIndexOutOfBoundsException.
+    val h = java.lang.Math.floorMod(h0, P)
     var i = 0
     while (i < k) {
       val pos = (((h * MinHashSig.A(i) + MinHashSig.B(i)) % P) % mBits).toInt
@@ -64,7 +69,8 @@ class BloomSketch(mBits: Int, k: Int)
     if (b.length == 0) new Array[Long](words) else b
 
   /** Driver-side probe twin of the SQL bit test (used by specs). */
-  def mightContain(bits: Array[Long], h: Long): Boolean = {
+  def mightContain(bits: Array[Long], h0: Long): Boolean = {
+    val h = java.lang.Math.floorMod(h0, P) // same defensive reduction as reduce
     var i = 0
     while (i < k) {
       val pos = (((h * MinHashSig.A(i) + MinHashSig.B(i)) % P) % mBits).toInt

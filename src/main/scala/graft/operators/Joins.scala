@@ -143,7 +143,10 @@ object Joins extends QueryPack {
       .orderBy("p_brand")
   }
 
-  /** Non-equi (theta) join over two small dimensions. */
+  /** Non-equi (theta) join over two small dimensions — the exact all-pairs
+    * ground truth for `q_join_range_binned`. [[Guard.assertSmall]] makes
+    * the "small dimensions" precondition enforceable: above 1 M rows a
+    * side, the query fails fast pointing at the binned twin. */
   val qJoinTheta: Q = Q(
     "q_join_theta",
     Some("""
@@ -153,8 +156,10 @@ object Joins extends QueryPack {
       ORDER BY p_partkey, s_suppkey
       """.stripMargin.trim)
   ) { (s, dir) =>
-    val p  = Tables.part(s, dir)
-    val su = Tables.supplier(s, dir)
+    val p  = Guard.assertSmall(Tables.part(s, dir),
+      "q_join_theta input `part`", "q_join_range_binned")
+    val su = Guard.assertSmall(Tables.supplier(s, dir),
+      "q_join_theta input `supplier`", "q_join_range_binned")
     p.join(su, p("p_size") > su("s_suppkey") * 2 &&
                p("p_size") - su("s_suppkey") < 12)
       .select("p_partkey", "s_suppkey")

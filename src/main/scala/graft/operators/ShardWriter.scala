@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Training-data EXPORT: write a curated corpus as N deterministic,
   * shuffled shards — the `q_shuffle_shard` assignment materialized as
   * files a dataloader can stream. Each document lands in shard
-  * `xxhash64(id) mod n` (stable across runs and cluster sizes), each
+  * `h60(id) mod n` — the md5-based portable hash family every oracle
+  * mirrors (stable across runs and cluster sizes) — each
   * shard is exactly ONE file (`repartition(n, shard)` routes a shard to
   * one task — Spark's shuffle partitioning is the same `pmod(hash, n)`
   * family the write needs), and within a shard rows are sorted by the

@@ -103,7 +103,10 @@ object Similarity extends QueryPack {
     // Precompute each vector's norm ONCE (one pass), then the per-pair
     // predicate is a single codegen'd dot product — bit-identical
     // arithmetic to cosine(a,b) since norm(x)=sqrt(dot(x,x)) either way.
-    val e = Tables.embeddings(s, dir)
+    // Guard (VERDICT r5 item 7): this exact O(n²) baseline refuses to run
+    // above 1 M vectors — the LSH-gated twin is the scale path.
+    val e = Guard.assertSmall(Tables.embeddings(s, dir),
+        "q_embed_neardup input `embeddings`", "q_embed_neardup_lsh")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))

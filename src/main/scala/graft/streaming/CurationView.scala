@@ -54,7 +54,11 @@ object CurationView {
     swap(verdicts, s"$baseDir/verdicts")
   }
 
-  /** Two-rename atomic table swap (the DedupClusterView protocol). */
+  /** Two-rename table swap (the DedupClusterView protocol). Readers see
+    * the OLD table or the NEW table, never a half-written mix — but there
+    * is a brief not-found window between the two renames (and a crash
+    * between them strands the table under `.old-*`/`.next-*`); a reader
+    * that hits it should retry, which [[readVerdicts]] does. */
   private def swap(table: DataFrame, tableDir: String): Unit = {
     val dir = java.nio.file.Paths.get(tableDir)
     val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
@@ -70,7 +74,14 @@ object CurationView {
     }
   }
 
-  /** The maintained view: one verdict row per document seen so far. */
-  def readVerdicts(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.parquet(s"$baseDir/verdicts")
+  /** The maintained view: one verdict row per document seen so far.
+    * Retries across the swap's brief between-renames not-found window. */
+  def readVerdicts(spark: SparkSession, baseDir: String): DataFrame = {
+    val path = s"$baseDir/verdicts"
+    var attempt = 0
+    while (attempt < 50 && !java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      Thread.sleep(20); attempt += 1
+    }
+    spark.read.parquet(path)
+  }
 }

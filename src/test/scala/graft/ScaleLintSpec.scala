@@ -81,6 +81,21 @@ class ScaleLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ground-truth all-pairs queries fail fast above the size guard") {
+    val e = Tables.embeddings(spark, sf)
+    // above the ceiling: refuse, and point at the scale twin
+    val ex = intercept[IllegalArgumentException] {
+      operators.Guard.assertSmall(e, "q_embed_neardup input `embeddings`",
+        "q_embed_neardup_lsh", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("q_embed_neardup_lsh"),
+      s"guard message must name the scale twin: ${ex.getMessage}")
+    assert(ex.getMessage.contains("O(n^2)"))
+    // at or under the ceiling: transparent pass-through
+    val n = e.count()
+    assert(operators.Guard.assertSmall(e, "x", "y", maxRows = n).count() == n)
+  }
+
   test("the exemption lists are exact: members really use nested loops") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

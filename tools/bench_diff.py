@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON lines (e.g. BENCH_r4.json vs a local run).
+"""Compare two Bench JSON lines (e.g. BENCH_r05.json vs a local run).
 
-Usage: python3 tools/bench_diff.py <old.json> <new.json> [ratio_flag]
+Usage: python3 tools/bench_diff.py [old.json] <new.json> [ratio_flag]
+
+With a single file argument the old side defaults to BENCH_r05.json (the
+operative baseline pinned in BASELINE.md).
 
 Prints per-query deltas for queries present in both files, sorted by
 ratio, and flags regressions above `ratio_flag` (default 1.3) when the
@@ -39,8 +42,14 @@ def load(path):
 
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    import os
+    args = sys.argv[1:]
+    if len(args) == 1 or (len(args) == 2 and not os.path.exists(args[1])):
+        default_old = os.path.join(os.path.dirname(__file__), "..",
+                                   "BENCH_r05.json")
+        args = [default_old] + args
+    old, new = load(args[0]), load(args[1])
+    flag = float(args[2]) if len(args) > 2 else 1.3
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     rows = [(nq[k] / oq[k] if oq[k] > 0 else float("inf"), k, oq[k], nq[k])
