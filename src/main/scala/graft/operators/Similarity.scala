@@ -118,8 +118,48 @@ object Similarity extends QueryPack {
 
   // --------------------------------------------------- LSH-gated near-dup
 
-  private val NdBands = 32
+  /** 64 bands × 10 bits: ≈0.9995 recall per pair at the cosine-0.9 design
+    * point and ≈0.64 in the far-borderline cosine≈0.5 regime (measured on
+    * the sf0.1 fixture: 9/14), while a random pair collides in some band
+    * w.p. ≈ 64/1024 ≈ 6% — the prune the LlmOpsSpec candidate-rate test
+    * asserts. Bands are a PREFIX family (band b uses planes b·10..b·10+9),
+    * so raising the count only adds bands — it never reshuffles existing
+    * keys, which keeps streaming state and batch twins comparable. */
+  private val NdBands = 64
   private val NdBits  = 10
+
+  /** DuckDB CTE chain computing the EXACT banded hyperplane-LSH keys of
+    * [[graft.functions.HyperplaneBands]]: the ±1 plane matrix is the
+    * parity of the portable 60-bit md5 of `"hp:plane:dim"` (the same
+    * string both engines hash), each band key packs `bits` sign bits
+    * MSB-first in plane order, and the projection accumulates dims
+    * left-to-right in double — the identical IEEE arithmetic, so keys,
+    * candidate sets and verdicts match bit-for-bit. This is what turned
+    * the three ANN queries from `no_oracle` into fully oracle-matched
+    * rows (VERDICT r5 item 2). Emits CTEs `e` (the embeddings) and
+    * `keys(vec_id, band, key)`; 64-dim fixture layout. */
+  private def bandKeySqlWith(bands: Int, bits: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |planes AS (
+       |  SELECT p AS plane, d AS dim,
+       |         CASE WHEN CAST(('0x'||substr(md5('hp:'||p||':'||(d-1)),1,15))
+       |                        AS BIGINT) % 2 = 1
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(0, ${bands * bits - 1}) t1(p),
+       |       generate_series(1, 64) t2(d)),
+       |pv AS (SELECT plane, list(sgn ORDER BY dim) AS sv
+       |       FROM planes GROUP BY plane),
+       |dots AS (
+       |  SELECT e.vec_id, pv.plane // $bits AS band, pv.plane % $bits AS bit,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |                  d -> pv.sv[d] * CAST(e.embedding[d] AS DOUBLE))) AS dot
+       |  FROM e, pv),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |         CAST(SUM(CASE WHEN dot > 0
+       |                       THEN 1 << (${bits - 1} - bit) ELSE 0 END)
+       |              AS BIGINT) AS key
+       |  FROM dots GROUP BY vec_id, band)""".stripMargin
 
   /** Distinct candidate pairs sharing at least one LSH band (the scale
     * gate for near-dup detection). Shuffles on (band, key) — bounded by
@@ -138,21 +178,35 @@ object Similarity extends QueryPack {
   }
 
   /** Scale-gated near-duplicate detection: banded hyperplane-LSH prefilter
-    * (candidates = pairs sharing ≥1 of 32 10-bit bands) followed by an
+    * (candidates = pairs sharing ≥1 of 64 10-bit bands) followed by an
     * exact cosine verify on the candidates only — at 100 TB this is the
     * only viable shape; the exact [[qEmbedNeardup]] O(n²) join is the
     * ground-truth baseline, not a pipeline op.
     *
-    * DECLARED NO-ORACLE (like q_sim_ivf / q_sim_lsh): banded LSH recall
-    * is probabilistic in the borderline regime, so oracle-equality with
-    * the exact twin is unsound as a contract — a round-5 cross-check at
-    * sf0.1 found exactly that (4 of 14 pairs at cosine ≈0.51 missed;
-    * theoretical recall at 0.5 is only ~44% with this banding, ≈0.9995
-    * at the 0.9 design point). What IS guaranteed, and spec-asserted on
-    * every fixture (LlmOpsSpec): PRECISION 1 — every emitted pair is
-    * exact-verified true, i.e. output ⊆ the exact twin — plus measured
-    * recall and hard candidate pruning. */
-  val qEmbedNeardupLsh: Q = Q("q_embed_neardup_lsh", None) { (s, dir) =>
+    * FULLY ORACLE-MATCHED (r6; previously no_oracle): the md5-parity
+    * plane family is reproducible in SQL ([[bandKeySqlWith]]), so the
+    * oracle computes the same band keys, the same candidate pairs and
+    * the same exact verify — the gate's output is deterministic per
+    * fixture and the oracle predicts it exactly, misses included.
+    * What remains spec-gated (LlmOpsSpec) is the STATISTICAL quality:
+    * precision 1 by construction (output ⊆ exact twin), measured recall
+    * (probabilistic in the borderline cosine≈0.5 regime — ~64% per pair
+    * there at 64 bands, ≈1 at the 0.9 design point), and hard candidate
+    * pruning. */
+  val qEmbedNeardupLsh: Q = Q(
+    "q_embed_neardup_lsh",
+    Some(s"""${bandKeySqlWith(NdBands, NdBits)},
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key
+      |  WHERE l.vec_id < r.vec_id)
+      |SELECT c.vec_a, c.vec_b
+      |FROM cand c
+      |JOIN e a ON c.vec_a = a.vec_id
+      |JOIN e b ON c.vec_b = b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.5
+      |ORDER BY vec_a, vec_b""".stripMargin.trim)
+  ) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cand = neardupCandidates(e)
@@ -171,12 +225,57 @@ object Similarity extends QueryPack {
   private val NProbe  = 4
 
   /** IVF-style ANN: coarse-quantize with NCells seed centroids (vec_id <
-    * NCells — deterministic "training"), assign every vector to its
-    * nearest cell, probe the NProbe closest cells per query, exact
-    * re-rank inside. The scale path: centroids broadcast, data sharded by
-    * cell. No oracle (approximate by construction) — recall vs
-    * brute-force is asserted in SimilaritySpec. */
-  val qSimIvf: Q = Q("q_sim_ivf", None) { (s, dir) =>
+    * NCells — deterministic "training"; [[seedsPar]] is the k-means‖
+    * path that picks them at scale), assign every vector to its nearest
+    * cell, probe the NProbe closest cells per query, exact re-rank
+    * inside. The scale path: centroids broadcast, data sharded by cell.
+    *
+    * FULLY ORACLE-MATCHED (r6; previously no_oracle): "approximate"
+    * never meant "nondeterministic" — with fixed centroids the routing,
+    * probing and re-rank are all pure functions of the data, so the
+    * oracle mirrors the algorithm stage by stage (assignment rn=1,
+    * probes rn≤NProbe, rerank rank≤k, identical tie-breaks). RECALL vs
+    * brute force stays spec-gated (LlmOpsSpec) — that is the one
+    * statistical property an exact-output oracle cannot express. */
+  val qSimIvf: Q = Q(
+    "q_sim_ivf",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      cents AS (SELECT vec_id AS cell_id, embedding AS cv FROM e
+                WHERE vec_id < $NCells),
+      asg AS (
+        SELECT vec_id, embedding, cell_id FROM (
+          SELECT e.vec_id, e.embedding, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                            c.cell_id ASC) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+            WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT query_id, qv, cell_id FROM (
+          SELECT q.query_id, q.qv, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                            c.cell_id ASC) AS rn
+          FROM q, cents c) WHERE rn <= $NProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.embedding) AS cos
+        FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM cand)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     val cents = e.where(col("vec_id") < NCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
@@ -213,11 +312,43 @@ object Similarity extends QueryPack {
 
   /** Random-hyperplane (SimHash-for-vectors) LSH ANN: 16-bit signature as
     * 4 bands x 4 bits; candidates share a band, exact re-rank inside.
-    * Banding uses the same splitmix64 [[graft.functions.HyperplaneBands]]
-    * family as the near-dup gate — one plane generator in the codebase
-    * (the earlier xorshift family degenerated past ~100 planes).
-    * No oracle — recall asserted in LlmOpsSpec. */
-  val qSimLsh: Q = Q("q_sim_lsh", None) { (s, dir) =>
+    * Banding uses the same md5-parity [[graft.functions.HyperplaneBands]]
+    * family as the near-dup gate — one plane generator in the codebase.
+    *
+    * FULLY ORACLE-MATCHED (r6; previously no_oracle): the oracle rebuilds
+    * the plane matrix, the corpus band keys, the multi-probe query keys
+    * (each band key XOR each 1-bit mask) and the exact re-rank — the
+    * whole candidate pipeline, not a summary. Recall stays spec-gated
+    * in LlmOpsSpec. */
+  val qSimLsh: Q = Q(
+    "q_sim_lsh",
+    Some(s"""${bandKeySqlWith(LshBands, LshBits)},
+      |qk AS (
+      |  SELECT k.vec_id AS query_id, e.embedding AS qv, k.band,
+      |         xor(k.key, m.m) AS key
+      |  FROM keys k
+      |  JOIN e ON k.vec_id = e.vec_id,
+      |       (VALUES (0), ${(0 until LshBits).map(j => s"(${1L << j})").mkString(", ")}) m(m)
+      |  WHERE k.vec_id < $NQueries),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, k2.vec_id AS neighbor_id
+      |  FROM qk q JOIN keys k2 ON q.band = k2.band AND q.key = k2.key
+      |  WHERE k2.vec_id <> q.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+      |  FROM cand c
+      |  JOIN e eq ON c.query_id = eq.vec_id
+      |  JOIN e en ON c.neighbor_id = en.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin.trim)
+  ) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     val bands = withBandKeys(e)
     // MULTI-PROBE: each query also probes every 1-bit-flipped bucket of

@@ -177,7 +177,7 @@ object StreamOps {
     * clustering is shared with the batch path. */
   def embedNeardupStream(
       vecs: DataFrame,
-      nBands: Int = 32,
+      nBands: Int = 64, // keep in lockstep with Similarity.NdBands
       nBits: Int = 10,
       maxBucket: Int = 64): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
