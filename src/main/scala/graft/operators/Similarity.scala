@@ -547,10 +547,29 @@ object Similarity extends QueryPack {
     * (vec_id, cid, md, qv, qn2). */
   def cellAssign(e: DataFrame, k: Int): DataFrame = {
     val qz = quantizedInt8(e)
-    val cents = qz.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
-    assignTo(qz, cents)
+    assignTo(qz, centroidsOf(qz, k, None))
   }
+
+  /** [[cellAssign]] with an explicit seed-id frame (e.g. [[seedsPar]]'s
+    * vec_ids) instead of the first-K convention — the hook that threads
+    * scale-aware seeding through the IVF/SemDeDup stack. */
+  def cellAssignSeeded(e: DataFrame, seedIds: DataFrame): DataFrame = {
+    val qz = quantizedInt8(e)
+    assignTo(qz, centroidsOf(qz, 0, Some(seedIds)))
+  }
+
+  /** Centroid frame (cid, cv, cn2) from either convention: explicit seed
+    * vec_ids (cid = the seed's vec_id) or the deterministic first-K. */
+  private def centroidsOf(
+      qz: DataFrame, k: Int, seedIds: Option[DataFrame]): DataFrame =
+    seedIds match {
+      case Some(ids) =>
+        qz.join(broadcast(ids.select(col("vec_id"))), "vec_id")
+          .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+      case None =>
+        qz.where(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+    }
 
   /** Assignment against an EXPLICIT centroid frame (cid, cv, cn2) — the
     * general form [[kmeansIterate]] feeds re-estimated centroids into. */
@@ -593,12 +612,11 @@ object Similarity extends QueryPack {
     * (iter, inertia) plus the final assignment. Inertia is monotone
     * non-increasing up to centroid rounding — asserted ≥-strictly in
     * LlmOpsSpec across 3 iterations on the fixture. */
-  def kmeansIterate(e: DataFrame, k: Int = 4, iters: Int = 3)
-      : (Seq[(Int, Long)], DataFrame) = {
+  def kmeansIterate(e: DataFrame, k: Int = 4, iters: Int = 3,
+      seedIds: Option[DataFrame] = None): (Seq[(Int, Long)], DataFrame) = {
     val spark = e.sparkSession
     val qz = quantizedInt8(e)
-    var cents = qz.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2"))
+    var cents = centroidsOf(qz, k, seedIds)
     val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     var asg: DataFrame = null
     for (it <- 1 to iters) {
@@ -624,6 +642,140 @@ object Similarity extends QueryPack {
     }
     (history.toSeq, asg)
   }
+
+  // ------------------------------------------------- k-means|| seeding
+
+  /** Portable per-round uniform draw for the k-means|| priority:
+    * `h60("kmpp:r:vec_id")` ∈ [0, P) — the md5 family both engines share. */
+  private def uDraw(r: Int): Column =
+    conv(substring(md5(concat(lit(s"kmpp:$r:"), col("vec_id").cast("string"))),
+      1, 15), 16, 10).cast("long") % graft.functions.MinHashSig.P
+
+  private def uDrawSql(r: Int, ref: String = "vec_id"): String =
+    s"CAST(('0x'||substr(md5('kmpp:$r:'||CAST($ref AS VARCHAR)),1,15)) " +
+      s"AS BIGINT) % ${graft.functions.MinHashSig.P}"
+
+  /** DETERMINISTIC k-means|| seeding (Bahmani et al., VLDB 2012) over the
+    * int8 codes — the scale-aware replacement for first-K seeding
+    * (VERDICT r5 item 1). Classic k-means|| oversamples by distance-
+    * proportional COIN FLIPS; this variant replaces each flip with a
+    * deterministic hash priority so the seed set is a pure function of
+    * the data and therefore oracle-matchable:
+    *
+    *  1. c₀ = the vector with the smallest `h60("kmpp:0:"+id)` — a
+    *     deterministic uniform pick (hash-ordered top-1).
+    *  2. Each round r picks the `l` vectors minimizing
+    *     `u_r(x) / d(x, C)` (u_r = per-round h60 draw, d = integer
+    *     squared L2 to the nearest current candidate) — far points get
+    *     small priorities w.h.p., the rational twin of
+    *     Efraimidis-Spirakis weighted sampling chosen because it needs
+    *     no `ln` (libm ln is not correctly-rounded-guaranteed across
+    *     engines; a ratio of one IEEE division compares identically).
+    *     d(x,C)=0 (already a candidate, or its exact duplicate) is
+    *     excluded.
+    *  3. Candidates are weighted by the size of their nearest-candidate
+    *     cell (ties to the smallest id) and the k heaviest survive —
+    *     the deterministic stand-in for the paper's weighted k-means++
+    *     recluster.
+    *
+    * Scale: each round is one broadcast of ≤ 1+r·l candidate rows, one
+    * codegen'd distance pass over the corpus, and a TakeOrdered top-l —
+    * no driver hop, no window over few keys; exactly the shape the
+    * 100 TB IVF/SemDeDup stack needs K ≈ n/cell-target seeds from.
+    * Returns (seed_rank, vec_id, weight), seed_rank 1..k. */
+  def seedsPar(e: DataFrame, k: Int = 4, rounds: Int = 2, oversample: Int = 0)
+      : DataFrame = {
+    val l = if (oversample > 0) oversample else k
+    val qz = quantizedInt8(e).select(col("vec_id"), col("qv"), col("qn2"))
+    val c0 = qz.select(col("vec_id"), uDraw(0).as("u"))
+      .orderBy("u", "vec_id").limit(1).select("vec_id")
+    var cand = qz.join(broadcast(c0), "vec_id")
+    for (r <- 1 to rounds) {
+      val cc = broadcast(cand.select(
+        col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2")))
+      val d = qz.crossJoin(cc)
+        .select(col("vec_id"),
+          (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
+            .as("dist"))
+        .groupBy("vec_id").agg(min("dist").as("d"))
+      val picks = d.where(col("d") > 0)
+        .select(col("vec_id"),
+          (uDraw(r).cast("double") / col("d").cast("double")).as("pri"))
+        .orderBy("pri", "vec_id").limit(l).select("vec_id")
+      cand = cand.unionByName(qz.join(broadcast(picks), "vec_id"))
+    }
+    val cc = broadcast(cand.select(
+      col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2")))
+    val scored = qz.crossJoin(cc)
+      .select(col("vec_id"), col("cid"),
+        (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
+          .as("dist"))
+    val mind = scored.groupBy("vec_id").agg(min("dist").as("md"))
+    val near = scored.join(mind, "vec_id")
+      .where(col("dist") === col("md"))
+      .groupBy("vec_id").agg(min("cid").as("cid"))
+    val w = near.groupBy("cid").agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("cid")).limit(k)
+    // rank the k survivors; the window runs over ≤ k rows post-limit
+    w.withColumn("seed_rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("cid"))).cast("long"))
+      .select(col("seed_rank"), col("cid").as("vec_id"), col("weight"))
+      .orderBy("seed_rank")
+  }
+
+  /** The k-means|| chain as DuckDB CTEs (rounds=2, l=k inlined) — every
+    * step integer arithmetic except the one IEEE priority division. */
+  private def seedsParSqlCtes(k: Int): String = {
+    def distSum(v: String, c: String) =
+      s"$v.qn2 + $c.qn2 - 2 * list_sum(list_transform(" +
+        s"range(1, len($v.qv) + 1), i -> $v.qv[i] * $c.qv[i]))"
+    s"""c0 AS (SELECT vec_id FROM qn ORDER BY ${uDrawSql(0)}, vec_id LIMIT 1),
+       |cand0 AS (SELECT q.vec_id, q.qv, q.qn2 FROM qn q
+       |          JOIN c0 ON q.vec_id = c0.vec_id),
+       |d1 AS (SELECT v.vec_id, MIN(${distSum("v", "c")}) AS d
+       |       FROM qn v, cand0 c GROUP BY v.vec_id),
+       |p1 AS (SELECT d1.vec_id FROM d1
+       |       WHERE d1.d > 0
+       |       ORDER BY CAST(${uDrawSql(1, "d1.vec_id")} AS DOUBLE)
+       |                  / CAST(d1.d AS DOUBLE),
+       |                d1.vec_id LIMIT $k),
+       |cand1 AS (SELECT * FROM cand0 UNION ALL
+       |          SELECT q.vec_id, q.qv, q.qn2 FROM qn q
+       |          JOIN p1 ON q.vec_id = p1.vec_id),
+       |d2 AS (SELECT v.vec_id, MIN(${distSum("v", "c")}) AS d
+       |       FROM qn v, cand1 c GROUP BY v.vec_id),
+       |p2 AS (SELECT d2.vec_id FROM d2
+       |       WHERE d2.d > 0
+       |       ORDER BY CAST(${uDrawSql(2, "d2.vec_id")} AS DOUBLE)
+       |                  / CAST(d2.d AS DOUBLE),
+       |                d2.vec_id LIMIT $k),
+       |cand2 AS (SELECT * FROM cand1 UNION ALL
+       |          SELECT q.vec_id, q.qv, q.qn2 FROM qn q
+       |          JOIN p2 ON q.vec_id = p2.vec_id),
+       |sc AS (SELECT v.vec_id, c.vec_id AS cid, ${distSum("v", "c")} AS dist
+       |       FROM qn v, cand2 c),
+       |mind AS (SELECT vec_id, MIN(dist) AS md FROM sc GROUP BY vec_id),
+       |near AS (SELECT sc.vec_id, MIN(sc.cid) AS cid
+       |         FROM sc JOIN mind ON sc.vec_id = mind.vec_id
+       |                           AND sc.dist = mind.md
+       |         GROUP BY sc.vec_id),
+       |w AS (SELECT cid, COUNT(*) AS weight FROM near GROUP BY cid
+       |      ORDER BY weight DESC, cid LIMIT $k)""".stripMargin
+  }
+
+  /** Declared k-means|| seeding query: the k chosen seeds with their
+    * nearest-candidate cell weights — fully oracle-matched through the
+    * whole oversample → weight → reduce chain. */
+  val qKmeansSeedPar: Q = Q(
+    "q_kmeans_seed_par",
+    Some(s"""$int8SqlWith,
+      |${seedsParSqlCtes(4)}
+      |SELECT CAST(row_number() OVER (ORDER BY weight DESC, cid)
+      |            AS BIGINT) AS seed_rank,
+      |       CAST(cid AS BIGINT) AS vec_id,
+      |       CAST(weight AS BIGINT) AS weight
+      |FROM w ORDER BY seed_rank""".stripMargin.trim)
+  ) { (s, dir) => seedsPar(Tables.embeddings(s, dir), k = 4) }
 
   /** Quantized-cosine threshold for semantic dedup: the fixture's top
     * within-cell pairs sit just above it (8 pairs at sf0.01), so the
@@ -677,9 +829,15 @@ object Similarity extends QueryPack {
       |ORDER BY asg.vec_id""".stripMargin.trim)
   ) { (s, dir) => semanticDedup(Tables.embeddings(s, dir)) }
 
-  /** The SemDeDup verdict behind q_semantic_dedup, reusable at any K/τ. */
-  def semanticDedup(e: DataFrame, k: Int = 4, tau: Double = SemDedupTau): DataFrame = {
-    val asg = cellAssign(e, k)
+  /** The SemDeDup verdict behind q_semantic_dedup, reusable at any K/τ
+    * and any seeding (pass [[seedsPar]]'s ids for the scale path — at
+    * 100 TB K grows ≈ n/cell-target and first-K seeds degrade on skew). */
+  def semanticDedup(e: DataFrame, k: Int = 4, tau: Double = SemDedupTau,
+      seedIds: Option[DataFrame] = None): DataFrame = {
+    val asg = (seedIds match {
+        case Some(ids) => cellAssignSeeded(e, ids)
+        case None      => cellAssign(e, k)
+      })
       .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
     val a = asg.select(col("cid"), col("vec_id").as("va"),
       col("qv").as("qva"), col("qn2").as("qn2a"))
@@ -700,5 +858,6 @@ object Similarity extends QueryPack {
 
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
-      qEmbedQuantize, qSimTopkInt8, qKmeansStep, qSemanticDedup)
+      qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
+      qSemanticDedup)
 }

@@ -46,6 +46,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-means|| seeding beats first-K on a skewed corpus") {
+    // adversarial-for-first-K fixture: 4 well-separated block clusters,
+    // with vec_ids 0..3 ALL in cluster 0 — first-K seeding starts every
+    // centroid inside one cluster, exactly the skew VERDICT r5 flagged.
+    // Data is a pure function of (id, dim): deterministic, no RNG.
+    val vecs = (0L until 200L).map { i =>
+      val c = if (i < 4L) 0 else (i % 4L).toInt
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 16 == c) 10f else 0f
+        base + ((i * 31 + d * 7) % 5).toFloat / 10f
+      }
+      (i, v)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+
+    val seeds = Similarity.seedsPar(e, k = 4)
+    val seedIds = seeds.select("vec_id").as[Long].collect().toSet
+    info(s"k-means|| seeds: $seedIds")
+    // the chosen seeds span multiple true clusters; first-K spans one
+    val seedClusters = seedIds.map(i => if (i < 4L) 0 else (i % 4L).toInt)
+    assert(seedClusters.size >= 3,
+      s"k-means|| seeds collapsed into ${seedClusters.size} clusters")
+
+    val (histPar, _) =
+      Similarity.kmeansIterate(e, 4, iters = 1, seedIds = Some(seeds))
+    val (histFirst, _) = Similarity.kmeansIterate(e, 4, iters = 1)
+    val (inPar, inFirst) = (histPar.head._2, histFirst.head._2)
+    info(s"inertia: k-means|| $inPar vs first-K $inFirst")
+    assert(inPar < inFirst / 2,
+      s"k-means|| seeding should at least halve first-K inertia on this " +
+        s"skew: $inPar vs $inFirst")
+  }
+
   test("int8-quantized top-k: high recall vs float-exact top-k") {
     // measures quantization loss itself: same brute-force shape, only the
     // vector representation differs (float32 cosine vs int8-code cosine)
