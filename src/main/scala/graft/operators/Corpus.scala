@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators a pretraining-data pipeline runs between raw
@@ -246,6 +246,107 @@ object Corpus extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Suffix cap for [[qSpanMaxrep]], in tokens: repeats longer than this
+    * report the cap (fixture docs are 10-99 tokens, so 64 never bites
+    * there; at 100 TB the cap bounds per-row comparison cost). */
+  val MaxRepCap = 64
+
+  /** EXACT maximal-repeat length per document (the suffix-array-grade
+    * ExactSubstr measurement — VERDICT r5 item 4): `max_rep(d)` is the
+    * token length of the longest span of `d` that also occurs at some
+    * OTHER position in the corpus (any document, or `d` itself at a
+    * different offset), exact for lengths in [[[SpanTokens]], [[MaxRepCap]]],
+    * 0 when no span of ≥ [[SpanTokens]] tokens repeats.
+    *
+    * Partitioned suffix-sort formulation, no suffix array needed:
+    *  - any repeat of length m ≥ 8 starts at a position whose 8-token
+    *    window is corpus-hot (df ≥ 2), so only hot positions matter;
+    *  - bucket = the window's 8 tokens themselves: every pair with
+    *    token-LCP ≥ 8 shares a bucket, so per-bucket work is exhaustive
+    *    for the ≥8 regime;
+    *  - within a bucket, suffixes (capped at [[MaxRepCap]] tokens) sort
+    *    lexicographically and each row's max token-LCP against ANY other
+    *    suffix is attained at an immediate sorted neighbor (the suffix-
+    *    array LCP property: slcp(a,c) = min over the path, and token-LCP
+    *    is monotone in string-LCP), so lag/lead suffice — O(bucket log
+    *    bucket), never bucket².
+    *
+    * Scale: explode to ~len windows/doc (the ExactSubstr price, same as
+    * [[qSpanDedup]]); one df agg; the suffix sort runs per bucket key —
+    * high cardinality, AQE-splittable when boilerplate makes one bucket
+    * hot; comparisons bounded by the 64-token cap. The oracle replays
+    * the identical bucket/sort/LCP pipeline in SQL. */
+  val qSpanMaxrep: Q = Q(
+    "q_span_maxrep",
+    Some {
+      // NULLIF: DuckDB list_position yields 0 (not NULL) when no element
+      // matches, i.e. when the two capped suffixes agree end-to-end
+      def tlcp(a: String, b: String) =
+        s"""CASE WHEN $b IS NULL THEN 0 ELSE COALESCE(
+           |  NULLIF(list_position(list_transform(
+           |    range(1, least(len($a), len($b)) + 1),
+           |    k -> $a[k] = $b[k]), false), 0) - 1,
+           |  least(len($a), len($b))) END""".stripMargin
+      s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sfx AS (
+        SELECT doc_id, i, t[i : i + ${MaxRepCap - 1}] AS st,
+               array_to_string(t[i : i + ${SpanTokens - 1}], ' ') AS w8
+        FROM w, unnest(generate_series(1, len(t) - ${SpanTokens - 1})) AS u(i)
+        WHERE len(t) >= $SpanTokens),
+      df AS (SELECT w8, COUNT(*) AS df FROM sfx GROUP BY w8),
+      hot AS (SELECT sfx.doc_id, sfx.i, sfx.w8, sfx.st,
+                     array_to_string(sfx.st, ' ') AS ss
+              FROM sfx JOIN df ON sfx.w8 = df.w8 WHERE df.df >= 2),
+      nb AS (
+        SELECT doc_id, i, st,
+               lag(st)  OVER (PARTITION BY w8 ORDER BY ss, doc_id, i) AS pst,
+               lead(st) OVER (PARTITION BY w8 ORDER BY ss, doc_id, i) AS nst
+        FROM hot),
+      ml AS (
+        SELECT doc_id,
+               GREATEST(${tlcp("st", "pst")}, ${tlcp("st", "nst")}) AS l
+        FROM nb),
+      mx AS (SELECT doc_id, MAX(l) AS max_rep FROM ml GROUP BY doc_id)
+      SELECT w.doc_id, CAST(COALESCE(mx.max_rep, 0) AS BIGINT) AS max_rep
+      FROM w LEFT JOIN mx ON w.doc_id = mx.doc_id
+      ORDER BY w.doc_id
+      """.stripMargin.trim
+    }
+  ) { (s, dir) => spanMaxrep(Tables.documents(s, dir)) }
+
+  /** The exact maximal-repeat pipeline behind [[qSpanMaxrep]], reusable
+    * over any (doc_id, text) frame (brute-force-audited in CorpusSpec). */
+  def spanMaxrep(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tlcp(a: Column, b: Column): Column = when(b.isNull, 0).otherwise {
+      val pos = array_position(zip_with(a, b, (x, y) => x <=> y), false)
+      when(pos === 0, least(size(a), size(b))).otherwise(pos - 1)
+    }
+    val w = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val sfx = w.where(size(col("t")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (SpanTokens - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        slice(col("t"), col("i"), lit(MaxRepCap)).as("st"),
+        array_join(slice(col("t"), col("i"), lit(SpanTokens)), " ").as("w8"))
+    val df = sfx.groupBy("w8").agg(count(lit(1)).as("df"))
+    val hot = sfx.join(df.where(col("df") >= 2), "w8")
+      .withColumn("ss", array_join(col("st"), " "))
+    val win = Window.partitionBy("w8").orderBy("ss", "doc_id", "i")
+    val nb = hot.select(col("doc_id"),
+      greatest(
+        tlcp(col("st"), lag(col("st"), 1).over(win)),
+        tlcp(col("st"), lead(col("st"), 1).over(win))).as("l"))
+    val mx = nb.groupBy("doc_id").agg(max("l").as("max_rep"))
+    w.select("doc_id").join(mx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_rep"), lit(0)).cast("long").as("max_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals (type-token ratio, Simpson diversity, top-token
     * dominance) a filtering pipeline thresholds on, computed EXACTLY:
@@ -299,5 +400,5 @@ object Corpus extends QueryPack {
   }
 
   override def all: Seq[Q] =
-    Seq(qChunkDedup, qContamNgram, qLexicalDiversity, qSpanDedup)
+    Seq(qChunkDedup, qContamNgram, qLexicalDiversity, qSpanDedup, qSpanMaxrep)
 }

@@ -164,4 +164,43 @@ class CorpusSpec extends SparkSpec {
           s"${q.name} plan degenerated:\n$plan")
       }
   }
+
+  test("span_maxrep equals the brute-force all-pairs suffix LCP on a subset") {
+    // independent ground truth for the bucket+sorted-neighbor algorithm:
+    // capped suffix LCP against EVERY other suffix occurrence, O(n²),
+    // driver-side, on a 60-doc slice of the fixture
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 60)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val suffixes = texts.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - Corpus.SpanTokens).map(i =>
+        (id, t.slice(i, math.min(i + Corpus.MaxRepCap, t.length))))
+    }
+    def lcp(a: Array[String], b: Array[String]): Int = {
+      val n = math.min(a.length, b.length)
+      var k = 0
+      while (k < n && a(k) == b(k)) k += 1
+      k
+    }
+    val brute = suffixes.indices.map { x =>
+      val (id, sx) = suffixes(x)
+      var best = 0
+      var y = 0
+      while (y < suffixes.length) {
+        if (y != x) best = math.max(best, lcp(sx, suffixes(y)._2))
+        y += 1
+      }
+      (id, best)
+    }.groupBy(_._1).view
+      .mapValues(v => { val m = v.map(_._2).max; if (m >= Corpus.SpanTokens) m else 0 })
+      .toMap
+    val engine = Corpus.spanMaxrep(docs)
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, _) =>
+      assert(engine(id) == brute.getOrElse(id, 0).toLong,
+        s"doc $id: engine ${engine(id)} vs brute ${brute.getOrElse(id, 0)}")
+    }
+    assert(brute.values.exists(_ > 0), "subset has no repeats — vacuous audit")
+  }
 }
