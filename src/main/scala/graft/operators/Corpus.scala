@@ -42,10 +42,13 @@ object Corpus extends QueryPack {
     * instead of the string (collision odds ~n²/2¹²⁸); the string key
     * here keeps the oracle exact. A mega-hot boilerplate chunk (df in
     * the millions) stays LINEAR — the join back emits df rows, never
-    * df² — but lands those rows in one shuffle partition; AQE's
-    * skew-join split handles that, and the work is join-only (the df
-    * agg itself is map-side combined). Reassembly concatenates per-doc
-    * kept chunks — bounded by document size, never corpus size.
+    * df² — and the join is SALTED so those rows spread over 8 reducers
+    * deterministically (r6: AqeSkewSpec proved AQE's skew-split cannot
+    * engage here — the df-side aggregate pipelines between its shuffle
+    * stage and the join, a shape OptimizeSkewedJoin cannot re-read; the
+    * df agg itself is map-side combined and immune). Reassembly
+    * concatenates per-doc kept chunks — bounded by document size, never
+    * corpus size.
     */
   val qChunkDedup: Q = Q(
     "q_chunk_dedup",
@@ -69,8 +72,12 @@ object Corpus extends QueryPack {
       GROUP BY c.doc_id
       ORDER BY c.doc_id
       """.stripMargin.trim)
-  ) { (s, dir) =>
-    val w = Tables.documents(s, dir)
+  ) { (s, dir) => chunkDedup(Tables.documents(s, dir)) }
+
+  /** The boilerplate scrub behind [[qChunkDedup]], reusable over any
+    * (doc_id, text) frame (the AQE skew spec plants a mega-hot chunk). */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val w = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val c = w
       .select(col("doc_id"),
@@ -79,8 +86,19 @@ object Corpus extends QueryPack {
           i => array_join(
             slice(col("t"), (i - 1) * ChunkTokens + 1, lit(ChunkTokens)), " "))))
       .select(col("doc_id"), (col("pos") + 1).as("ord"), col("col").as("chunk"))
+    // SALTED join back (r6, after AqeSkewSpec proved the alternative
+    // impossible): AQE's skew-split cannot re-read a join side whose
+    // final aggregate pipelines between the shuffle stage and the join —
+    // exactly the df-table side here — so a mega-hot boilerplate chunk's
+    // partition would be an unsplittable straggler at 100 TB. Salting
+    // spreads each chunk's occurrences over 8 reducers for the price of
+    // replicating the distinct-chunk table (one narrow row per chunk,
+    // ≪ corpus) 8×; results are join-identical (oracle unchanged, and
+    // the planted-mega-hot-chunk spec pins both result and plan shape).
     val df = c.groupBy("chunk").agg(count(lit(1)).as("df"))
-    c.join(df, "chunk")
+      .withColumnRenamed("chunk", "chunk_r")
+    Skew.saltedJoin(c, df, "chunk", "chunk_r", salts = 8)
+      .drop("chunk_r")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
