@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.2 `s_*` rows) — the
   * streaming twins of the batch contract queries, built on watermarks and
@@ -151,7 +151,8 @@ object StreamOps {
     * collisions on boilerplate text): a full bucket stops admitting
     * members and emitting pairs, the standard spam guard — without it a
     * degenerate bucket emits O(n²) pairs. */
-  def neardupStream(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+  def neardupStream(docs: DataFrame, maxBucket: Int = 64,
+      tws: Boolean = false): DataFrame = {
     import graft.functions.MinHashSig.minhashSig
     val sig = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -165,7 +166,8 @@ object StreamOps {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
-    bucketPairsStream(bands, maxBucket).toDF("doc_a", "doc_b")
+    (if (tws) bucketPairsStreamTws(bands, maxBucket)
+     else bucketPairsStream(bands, maxBucket)).toDF("doc_a", "doc_b")
   }
 
   /** `s_embed_neardup_stream`: the embedding-space twin of
@@ -179,13 +181,15 @@ object StreamOps {
       vecs: DataFrame,
       nBands: Int = 64, // keep in lockstep with Similarity.NdBands
       nBits: Int = 10,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      tws: Boolean = false): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     val bands = vecs
       .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
       .toDF("vec_id", "band", "key")
       .select(col("band"), col("key").cast("string").as("key"), col("vec_id"))
-    bucketPairsStream(bands, maxBucket).toDF("vec_a", "vec_b")
+    (if (tws) bucketPairsStreamTws(bands, maxBucket)
+     else bucketPairsStream(bands, maxBucket)).toDF("vec_a", "vec_b")
   }
 
   /** The shared stateful bucket-membership pair emitter: input
@@ -220,6 +224,50 @@ object StreamOps {
           state.update(members)
           out.result().iterator
       }
+  }
+
+  /** [[bucketPairsStream]] on the Spark 4 `transformWithState` API — the
+    * RocksDB-backed forward path for the bucket-membership states
+    * (VERDICT r5 item 5). Semantics identical (spec-pinned); the scale
+    * win is the state layout: membership is a ListState, so an arrival
+    * APPENDS one element (a RocksDB merge) instead of rewriting the
+    * whole member array per micro-batch, and the store spills corpus-
+    * shaped membership off-heap instead of holding it in executor
+    * memory. Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. */
+  private def bucketPairsStreamTws(
+      bands: DataFrame, maxBucket: Int): Dataset[(Long, Long)] = {
+    implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
+    implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
+    val processor =
+      new StatefulProcessor[(Int, String), (Int, String, Long), (Long, Long)] {
+        @transient private var members: ListState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          members = getHandle.getListState[Long]("members",
+            Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(
+            k: (Int, String), rows: Iterator[(Int, String, Long)],
+            timers: TimerValues): Iterator[(Long, Long)] = {
+          var cur = members.get().toArray
+          val arrivals = rows.map(_._3).toArray.distinct.sorted
+            .filterNot(cur.contains)
+          val out = Seq.newBuilder[(Long, Long)]
+          arrivals.foreach { id =>
+            if (cur.length < maxBucket) {
+              cur.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+              members.appendValue(id) // append-only: no full-state rewrite
+              cur = cur :+ id
+            }
+          }
+          out.result().iterator
+        }
+      }
+    bands.select(col(bands.columns(0)).cast("int"),
+        col(bands.columns(1)).cast("string"), col(bands.columns(2)).cast("long"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, key, _) => (band, key) }
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 
   /** `s_heavy_hitters`: running per-group frequency summary via the
@@ -582,7 +630,8 @@ object StreamOps {
       vecs: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],
       tau: Double = graft.operators.Similarity.SemDedupTau,
-      maxCell: Int = 4096): DataFrame = {
+      maxCell: Int = 4096,
+      tws: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     def dotIntCol(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -594,8 +643,15 @@ object StreamOps {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stEnc: Encoder[Array[(Long, Array[Long], Long)]] =
       ExpressionEncoder()
+    implicit val memEnc: Encoder[(Long, Seq[Long], Long)] = Encoders.product
     implicit val outEnc: Encoder[(Long, Long, Boolean)] = Encoders.product
-    graft.operators.Similarity.quantizedInt8(vecs)
+    def qcos(av: Array[Long], an2: Long, bv: Array[Long], bn2: Long): Double = {
+      var dot = 0L
+      var i = 0
+      while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+      dot.toDouble / (math.sqrt(an2.toDouble) * math.sqrt(bn2.toDouble))
+    }
+    val assigned = graft.operators.Similarity.quantizedInt8(vecs)
       .withColumn("pick", array_min(transform(cents, c =>
         struct(
           (col("qn2") + c.getField("cn2")
@@ -604,32 +660,62 @@ object StreamOps {
       .select(col("pick.cid").as("cid"), col("vec_id"), col("qv"), col("qn2"))
       .as[(Long, Long, Seq[Long], Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Array[(Long, Array[Long], Long)],
-        (Long, Long, Boolean)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (cid, rows, state: GroupState[Array[(Long, Array[Long], Long)]]) =>
-          var members = state.getOption.getOrElse(
-            Array.empty[(Long, Array[Long], Long)])
-          def qcos(a: (Array[Long], Long), b: (Array[Long], Long)): Double = {
-            var dot = 0L
-            var i = 0
-            while (i < a._1.length) { dot += a._1(i) * b._1(i); i += 1 }
-            dot.toDouble / (math.sqrt(a._2.toDouble) * math.sqrt(b._2.toDouble))
+    val verdicts =
+      if (!tws)
+        assigned.flatMapGroupsWithState[Array[(Long, Array[Long], Long)],
+          (Long, Long, Boolean)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (cid, rows, state: GroupState[Array[(Long, Array[Long], Long)]]) =>
+            var members = state.getOption.getOrElse(
+              Array.empty[(Long, Array[Long], Long)])
+            val out = rows.toSeq.sortBy(_._2).flatMap {
+              case (_, id, qvSeq, qn2) =>
+                if (members.exists(_._1 == id)) None
+                else {
+                  val qv = qvSeq.toArray
+                  val dropped = members.exists(m => qcos(m._2, m._3, qv, qn2) > tau)
+                  if (members.length < maxCell) members = members :+ ((id, qv, qn2))
+                  Some((id, cid, dropped))
+                }
+            }
+            state.update(members)
+            out.iterator
+        }
+      else {
+        // transformWithState/RocksDB variant (VERDICT r5 item 5): cell
+        // membership is a ListState of (id, codes, norm) — an admitted
+        // vector APPENDS one element (RocksDB merge) and the store keeps
+        // corpus-shaped cell members off-heap, not on the executor heap.
+        val processor = new StatefulProcessor[Long,
+          (Long, Long, Seq[Long], Long), (Long, Long, Boolean)] {
+          @transient private var members: ListState[(Long, Seq[Long], Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            members = getHandle.getListState[(Long, Seq[Long], Long)](
+              "members", memEnc, TTLConfig.NONE)
+          override def handleInputRows(cid: Long,
+              rows: Iterator[(Long, Long, Seq[Long], Long)],
+              timers: TimerValues): Iterator[(Long, Long, Boolean)] = {
+            var cur = members.get().toArray
+            val out = rows.toSeq.sortBy(_._2).flatMap {
+              case (_, id, qvSeq, qn2) =>
+                if (cur.exists(_._1 == id)) None
+                else {
+                  val qv = qvSeq.toArray
+                  val dropped =
+                    cur.exists(m => qcos(m._2.toArray, m._3, qv, qn2) > tau)
+                  if (cur.length < maxCell) {
+                    members.appendValue((id, qvSeq, qn2))
+                    cur = cur :+ ((id, qvSeq, qn2))
+                  }
+                  Some((id, cid, dropped))
+                }
+            }
+            out.iterator
           }
-          val out = rows.toSeq.sortBy(_._2).flatMap {
-            case (_, id, qvSeq, qn2) =>
-              if (members.exists(_._1 == id)) None
-              else {
-                val qv = qvSeq.toArray
-                val dropped = members.exists(m => qcos((m._2, m._3), (qv, qn2)) > tau)
-                if (members.length < maxCell) members = members :+ ((id, qv, qn2))
-                Some((id, cid, dropped))
-              }
-          }
-          state.update(members)
-          out.iterator
+        }
+        assigned.transformWithState(processor, TimeMode.None(), OutputMode.Append())
       }
-      .toDF("vec_id", "cid", "dropped")
+    verdicts.toDF("vec_id", "cid", "dropped")
   }
 
   /** `s_funnel`: INCREMENTAL funnel progression — the streaming twin of

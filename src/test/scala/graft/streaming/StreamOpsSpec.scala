@@ -242,6 +242,108 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Run `body` with the RocksDB state-store provider — the 100 TB path
+    * for the corpus-shaped membership states (VERDICT r5 item 5). */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("s_semantic_dedup on transformWithState/RocksDB: verdicts equal the " +
+      "batch query, state rows bounded by admissions") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.quantizedInt8(e)
+      .where(col("vec_id") < 4)
+      .select(col("vec_id"), col("qv"), col("qn2"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(t => (t._1, t._2, t._3)).toSeq
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[VecRow].collect().sortBy(_.vec_id)
+    withRocksDb {
+      val in = MemoryStream[VecRow](spark)
+      val q = StreamOps.semanticDedupStream(in.toDF(), cents, tws = true)
+        .writeStream.format("memory").queryName("s_semdedup_tws")
+        .outputMode("append").start()
+      try {
+        rows.grouped((rows.length + 2) / 3)
+          .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val got = spark.table("s_semdedup_tws")
+          .as[(Long, Long, Boolean)].collect().toSet
+        val expect = graft.operators.Similarity.semanticDedup(e)
+          .as[(Long, Long, Boolean)].collect().toSet
+        assert(got == expect,
+          s"tws diverged: extra=${got.diff(expect).take(5)} missing=${expect.diff(got).take(5)}")
+        // state-size contract: the store holds exactly the admitted
+        // members (one list element per vector; every vector admitted
+        // here since cells are far under maxCell) — NOT the stream
+        val st = q.lastProgress.stateOperators
+        assert(st.nonEmpty, "no state operator reported progress")
+        val stateRows = st.map(_.numRowsTotal).sum
+        info(s"state rows: $stateRows for ${rows.length} vectors")
+        assert(stateRows <= rows.length,
+          s"state ($stateRows rows) exceeds admitted members (${rows.length})")
+      } finally q.stop()
+    }
+  }
+
+  test("s_neardup_stream on transformWithState/RocksDB: saturated bucket " +
+      "stops admitting AND the store holds only capped members") {
+    withRocksDb {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"),
+          maxBucket = 3, tws = true)
+        .writeStream.format("memory").queryName("s_neardup_tws")
+        .outputMode("append").start()
+      try {
+        in.addData((1L to 5L).map(i => (i, "alpha beta gamma delta epsilon")))
+        q.processAllAvailable()
+        val pairs = spark.table("s_neardup_tws")
+          .as[(Long, Long)].collect().toSet
+        // 5 identical docs, cap 3 ⇒ C(3,2)=3 pairs per the 4 shared bands
+        assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+          s"capped pair set wrong: $pairs")
+        // the cap is a STATE bound too: ≤ 3 members × 4 buckets
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        info(s"state rows: $stateRows (cap 3 × 4 buckets)")
+        assert(stateRows <= 12,
+          s"state ($stateRows rows) exceeds the cap bound of 12")
+      } finally q.stop()
+    }
+  }
+
+  test("s_embed_neardup_stream on transformWithState/RocksDB: streamed " +
+      "candidates equal the batch LSH gate") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (first, second) = vecs.splitAt(vecs.length / 2)
+    withRocksDb {
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val q = StreamOps.embedNeardupStream(
+          in.toDF().toDF("vec_id", "embedding"), tws = true)
+        .writeStream.format("memory").queryName("s_embed_neardup_tws")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq); q.processAllAvailable()
+        in.addData(second.toSeq); q.processAllAvailable()
+        val streamed = spark.table("s_embed_neardup_tws")
+          .as[(Long, Long)].collect().toSet
+        val batch = graft.operators.Similarity
+          .neardupCandidates(graft.Tables.embeddings(spark, sf))
+          .as[(Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"tws streamed ${streamed.size} candidate pairs, batch ${batch.size}")
+      } finally q.stop()
+    }
+  }
+
   test("s_semantic_dedup: out-of-order arrival is self-consistent (seen-so-far refs)") {
     val e = graft.Tables.embeddings(spark, sf)
     val cents = graft.operators.Similarity.quantizedInt8(e)
