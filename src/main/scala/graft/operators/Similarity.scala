@@ -686,41 +686,50 @@ object Similarity extends QueryPack {
   def seedsPar(e: DataFrame, k: Int = 4, rounds: Int = 2, oversample: Int = 0)
       : DataFrame = {
     val l = if (oversample > 0) oversample else k
+    val spark = e.sparkSession
+    // cache the quantized codes for the duration of the rounds: k-means||
+    // is inherently multi-pass (the standard iterative-algorithm persist,
+    // as in MLlib k-means). Narrow (id, codes, norm) rows only.
     val qz = quantizedInt8(e).select(col("vec_id"), col("qv"), col("qn2"))
-    val c0 = qz.select(col("vec_id"), uDraw(0).as("u"))
-      .orderBy("u", "vec_id").limit(1).select("vec_id")
-    var cand = qz.join(broadcast(c0), "vec_id")
-    for (r <- 1 to rounds) {
-      val cc = broadcast(cand.select(
-        col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2")))
-      val d = qz.crossJoin(cc)
-        .select(col("vec_id"),
-          (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
-            .as("dist"))
-        .groupBy("vec_id").agg(min("dist").as("d"))
-      val picks = d.where(col("d") > 0)
-        .select(col("vec_id"),
-          (uDraw(r).cast("double") / col("d").cast("double")).as("pri"))
-        .orderBy("pri", "vec_id").limit(l).select("vec_id")
-      cand = cand.unionByName(qz.join(broadcast(picks), "vec_id"))
-    }
-    val cc = broadcast(cand.select(
-      col("vec_id").as("cid"), col("qv").as("cv"), col("qn2").as("cn2")))
-    val scored = qz.crossJoin(cc)
-      .select(col("vec_id"), col("cid"),
-        (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
-          .as("dist"))
-    val mind = scored.groupBy("vec_id").agg(min("dist").as("md"))
-    val near = scored.join(mind, "vec_id")
-      .where(col("dist") === col("md"))
-      .groupBy("vec_id").agg(min("cid").as("cid"))
-    val w = near.groupBy("cid").agg(count(lit(1)).as("weight"))
-      .orderBy(col("weight").desc, col("cid")).limit(k)
-    // rank the k survivors; the window runs over ≤ k rows post-limit
-    w.withColumn("seed_rank", row_number().over(
-        Window.orderBy(col("weight").desc, col("cid"))).cast("long"))
-      .select(col("seed_rank"), col("cid").as("vec_id"), col("weight"))
-      .orderBy("seed_rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Candidates live on the DRIVER as literals between passes —
+      // (1+rounds·l)·dim longs, the same bounded hop kmeansIterate's
+      // re-estimation takes. Each pass is then ONE scan with a fused
+      // min-distance projection and a TakeOrdered — no crossJoin, no
+      // groupBy exchange, no join back; plan depth stays constant in
+      // `rounds` instead of accumulating four exchanges per round.
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Long)]
+      def grab(df: DataFrame): Seq[(Long, Seq[Long], Long)] =
+        df.select(col("vec_id"), col("qv"), col("qn2")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      def distToCands: Column = cands.map { c =>
+        col("qn2") + lit(c._3) - lit(2) * dotInt(col("qv"), typedlit(c._2))
+      }.reduce(least(_, _))
+      cands ++= grab(qz.orderBy(uDraw(0).asc, col("vec_id").asc).limit(1))
+      for (r <- 1 to rounds) {
+        val picks = qz.withColumn("d", distToCands)
+          .where(col("d") > 0)
+          .withColumn("pri", uDraw(r).cast("double") / col("d").cast("double"))
+          .orderBy(col("pri").asc, col("vec_id").asc).limit(l)
+        cands ++= grab(picks)
+      }
+      // weight = nearest-candidate cell size (ties to the smallest id):
+      // one scan, an argmin over the candidate literals (struct array_min
+      // orders by (dist, cid) — min distance, then min id), a k-row agg
+      val pick = array_min(array(cands.toSeq.map { c =>
+        struct((col("qn2") + lit(c._3) - lit(2) * dotInt(col("qv"), typedlit(c._2)))
+          .as("dist"), lit(c._1).as("cid"))
+      }: _*))
+      val w = qz.select(pick.getField("cid").as("cid"))
+        .groupBy("cid").agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("cid")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      w.toSeq.sortBy(s => (-s._2, s._1)).zipWithIndex
+        .map { case ((cid, weight), i) => (i + 1L, cid, weight) }
+        .toDF("seed_rank", "vec_id", "weight")
+    } finally qz.unpersist(blocking = false)
   }
 
   /** The k-means|| chain as DuckDB CTEs (rounds=2, l=k inlined) — every

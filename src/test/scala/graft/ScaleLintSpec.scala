@@ -37,6 +37,8 @@ class ScaleLintSpec extends SparkSpec {
     *    an equi-join on cell_id (asserted below)
     *  - q_sim_topk_int8: same corpus x fixed-query-set shape as
     *    q_sim_topk, over the int8-quantized representation */
+  // (q_kmeans_seed_par needs no exemption: its distance passes fuse the
+  // ≤ 1+rounds·l candidates as projection literals — no join at all)
   private val boundedBroadcastByDesign =
     Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8", "q_kmeans_step",
       "q_semantic_dedup")
