@@ -62,6 +62,39 @@ class CorpusPropSpec extends SparkSpec {
     }
   }
 
+  test("q_span_maxrep == brute-force all-pairs suffix LCP on random corpora") {
+    val rnd = new Random(37)
+    for (trial <- 1 to 3) {
+      val corpus = randomCorpus(rnd, 25 + rnd.nextInt(25), 8)
+      val got = Corpus.spanMaxrep(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long)].collect().toMap
+      // ground truth: every suffix against every other suffix occurrence
+      val suffixes = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - Corpus.SpanTokens).map(i =>
+          (id, t.slice(i, math.min(i + Corpus.MaxRepCap, t.length))))
+      }
+      def lcp(a: Array[String], b: Array[String]): Int = {
+        val n = math.min(a.length, b.length)
+        var j = 0
+        while (j < n && a(j) == b(j)) j += 1
+        j
+      }
+      val best = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      for (x <- suffixes.indices; y <- suffixes.indices if x != y) {
+        val l = lcp(suffixes(x)._2, suffixes(y)._2)
+        if (l > best(suffixes(x)._1)) best(suffixes(x)._1) = l
+      }
+      corpus.foreach { case (id, _) =>
+        val expect = if (best(id) >= Corpus.SpanTokens) best(id).toLong else 0L
+        assert(got(id) == expect,
+          s"trial $trial doc $id: engine ${got(id)} vs brute $expect")
+      }
+      assert(corpus.exists { case (id, _) => got(id) > 0 },
+        s"trial $trial produced no repeats — vacuous")
+    }
+  }
+
   test("q_span_dedup == in-memory recompute on random corpora") {
     val rnd = new Random(23)
     for (trial <- 1 to 3) {

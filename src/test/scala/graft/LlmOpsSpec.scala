@@ -79,6 +79,21 @@ class LlmOpsSpec extends SparkSpec {
         s"skew: $inPar vs $inFirst")
   }
 
+  test("k-means|| seeds: deterministic, distinct, weights partition the corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val a = Similarity.seedsPar(e, k = 4).as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.seedsPar(e, k = 4).as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "seedsPar is not deterministic across runs")
+    assert(a.map(_._1) == (1L to 4L), s"ranks not 1..k: ${a.map(_._1)}")
+    assert(a.map(_._2).distinct.size == 4, s"duplicate seeds: $a")
+    // ranks ordered by (weight desc, vec_id asc)
+    assert(a.sortBy(s => (-s._3, s._2)).map(_._1) == (1L to 4L))
+    // weights are nearest-candidate cell sizes over ALL n vectors; the
+    // k survivors hold at most n between them and at least 1 each
+    assert(a.map(_._3).sum <= n && a.forall(_._3 >= 1), s"bad weights: $a")
+  }
+
   test("int8-quantized top-k: high recall vs float-exact top-k") {
     // measures quantization loss itself: same brute-force shape, only the
     // vector representation differs (float32 cosine vs int8-code cosine)
