@@ -22,11 +22,15 @@ class CorpusPropSpec extends SparkSpec {
       i.toLong -> (0 until len).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" ")
     }
     base.map { case (id, text) =>
-      if (rnd.nextInt(4) == 0 && id > 0) {
-        // splice a span from an earlier doc at a random offset
+      // doc 1 ALWAYS splices from doc 0 — a planted witness so every trial
+      // contains at least one cross-doc repeat of >= SpanTokens tokens and
+      // the vacuity guards below can never fail on an unlucky seed
+      if ((rnd.nextInt(4) == 0 || id == 1) && id > 0) {
+        // splice a span (>= SpanTokens, so span-level ops can see it) from
+        // an earlier doc at the front
         val (_, src) = base(rnd.nextInt(id.toInt))
         val toks = src.split(" ")
-        val span = toks.slice(0, math.min(toks.length, 6 + rnd.nextInt(6)))
+        val span = toks.slice(0, math.min(toks.length, Corpus.SpanTokens + rnd.nextInt(4)))
         id -> (span ++ text.split(" ")).mkString(" ")
       } else id -> text
     }
