@@ -182,6 +182,36 @@ class LlmOpsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("q_semantic_dedup_seeded: k-means|| seeds threaded end-to-end") {
+    val e = Tables.embeddings(spark, sf)
+    val v = Similarity.qSemanticDedupSeeded.build(spark, sf).cache()
+    assert(v.count() == e.count(), "one verdict row per vector")
+    // every cell id is one of the k-means|| seeds — the scale path's
+    // seeding actually drives the declared query, not first-K
+    val seedIds = Similarity.seedsPar(e, k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val cids = v.select("cid").distinct().as[Long].collect().toSet
+    assert(cids.subsetOf(seedIds), s"cells $cids not from seeds $seedIds")
+    // independent recompute of the drop verdict over the SEEDED assignment
+    val asg = Similarity.cellAssignSeeded(
+        e, Similarity.seedsPar(e, k = 4).select("vec_id"))
+      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+    val a = asg.select(col("cid"), col("vec_id").as("va"),
+      col("qv").as("qva"), col("qn2").as("qn2a"))
+    val b = asg.select(col("cid"), col("vec_id").as("vb"),
+      col("qv").as("qvb"), col("qn2").as("qn2b"))
+    val expect = a.join(b, Seq("cid")).where(col("va") < col("vb"))
+      .where(aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+        (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double")))
+        > Similarity.SemDedupTau)
+      .select(col("vb")).distinct().as[Long].collect().toSet
+    val got = v.where(col("dropped")).select("vec_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"dropped set mismatch: ${got.diff(expect)} extra, ${expect.diff(got)} missing")
+    v.unpersist()
+  }
+
   test("q_dedup_verdict: reasons consistent with their source stages, priority ordered") {
     val v = TextOps.qDedupVerdict.build(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
