@@ -212,6 +212,34 @@ class LlmOpsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("SemDeDup K-scaling: K ≈ n/target-cell keeps per-cell work bounded at sf0.1") {
+    // The Σcell² ≈ n²/K bound SemDeDup's scale story rests on only holds
+    // if K grows with n. Exercise the actual 100 TB parameterization at
+    // the largest fixture: K = n/target, k-means|| seeds, and assert the
+    // pair bound holds numerically rather than just in a comment.
+    val dir = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val target = 50L
+    val k = (n / target).toInt
+    val seeds = Similarity.seedsPar(e, k = k)
+    assert(seeds.count() == k, s"seedsPar yielded != $k seeds")
+    val cells = Similarity.cellAssignSeeded(e, seeds.select("vec_id"))
+      .groupBy("cid").count().as[(Long, Long)].collect()
+    assert(cells.map(_._2).sum == n, "assignment must be total")
+    val sumSq = cells.map(c => c._2 * c._2).sum
+    val maxCell = cells.map(_._2).max
+    info(s"K=$k cells=${cells.length} maxCell=$maxCell " +
+      s"sumSq=$sumSq vs n²=${n * n}")
+    // Σcell² bounds the within-cell candidate pairs; with K ≈ n/50 it
+    // must sit far below all-pairs n², and no cell may hoard the corpus
+    assert(sumSq <= n * n / 10, s"Σcell²=$sumSq not ≪ n²=${n * n}")
+    assert(maxCell < n / 4, s"centroid collapse: one cell holds $maxCell/$n")
+    // the seeded dedup still yields a total verdict at this K
+    val v = Similarity.semanticDedup(e, seedIds = Some(seeds.select(col("vec_id"))))
+    assert(v.count() == n)
+  }
+
   test("q_dedup_verdict: reasons consistent with their source stages, priority ordered") {
     val v = TextOps.qDedupVerdict.build(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
