@@ -852,6 +852,45 @@ object StreamOps {
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** [[scd2History]] on the Spark 4 `transformWithState` API (RocksDB
+    * state store): identical closed-version semantics — late rows
+    * dropped, closed rows append-only — with the open version riding a
+    * ValueState, so the store holds exactly one row per key (same
+    * footprint as [[latestStateTws]]; spec-pinned ≡ the fmgs twin with
+    * a state-rows bound). */
+  def scd2HistoryTws[K: Encoder, T](
+      ds: Dataset[T],
+      key: T => K,
+      version: T => Long)(implicit te: Encoder[T]): Dataset[(T, Long)] = {
+    implicit val outEnc: Encoder[(T, Long)] =
+      Encoders.tuple(te, Encoders.scalaLong)
+    val processor = new StatefulProcessor[K, T, (T, Long)] {
+      @transient private var open: ValueState[T] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        open = getHandle.getValueState[T]("open", te, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[T],
+          timers: TimerValues): Iterator[(T, Long)] = {
+        val sorted = rows.toSeq.sortBy(version)
+        val closed = Seq.newBuilder[(T, Long)]
+        var cur = Option(open.get())
+        sorted.foreach { r =>
+          cur match {
+            case Some(o) if version(r) <= version(o) => () // late: drop
+            case Some(o) =>
+              closed += ((o, version(r)))
+              cur = Some(r)
+            case None =>
+              cur = Some(r)
+          }
+        }
+        cur.foreach(open.update)
+        closed.result().iterator
+      }
+    }
+    ds.groupByKey(key)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Full CDC apply: like [[latestStateRows]] but honoring delete events —
     * a delete clears the key's state and emits the delete row itself as a
     * tombstone (the output is the *changelog of the materialized table*,
@@ -902,6 +941,61 @@ object StreamOps {
             case _ => Iterator.empty
           }
       }
+  }
+
+  /** [[applyChangelogRows]] on `transformWithState` (RocksDB state
+    * store): same changelog-of-the-materialized-table semantics — a
+    * delete CLEARS the key's state row (the store physically drops it,
+    * so tombstoned keys cost nothing at rest) and emits the delete
+    * event itself; `update_before` skipped; a later insert resurrects.
+    * Spec-pinned ≡ the fmgs twin with a live-keys state bound. */
+  def applyChangelogRowsTws(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String = "event_type",
+      deleteOp: String = "delete",
+      skipOps: Set[String] = Set("update_before")): DataFrame = {
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] = Encoders.row(df.schema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val seqIdx = df.schema.fieldIndex(seqCol)
+    val opIdx = df.schema.fieldIndex(opCol)
+    def seqOf(r: org.apache.spark.sql.Row): Long =
+      r.get(seqIdx) match {
+        case n: Number => n.longValue()
+        case s: String => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"sequence column $seqCol must be numeric, got $other")
+      }
+    val processor = new StatefulProcessor[
+        String, org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+      @transient private var latest: ValueState[org.apache.spark.sql.Row] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        latest = getHandle.getValueState[org.apache.spark.sql.Row](
+          "latest", rowEnc, TTLConfig.NONE)
+      override def handleInputRows(k: String,
+          rows: Iterator[org.apache.spark.sql.Row],
+          timers: TimerValues): Iterator[org.apache.spark.sql.Row] = {
+        var cur = Option(latest.get())
+        var changed = false
+        rows.foreach { r =>
+          val op = String.valueOf(r.get(opIdx))
+          if (!skipOps.contains(op) && cur.forall(l => seqOf(r) > seqOf(l))) {
+            cur = Some(r); changed = true
+          }
+        }
+        cur match {
+          case Some(l) if changed =>
+            if (String.valueOf(l.get(opIdx)) == deleteOp) latest.clear()
+            else latest.update(l)
+            Iterator.single(l)
+          case _ => Iterator.empty
+        }
+      }
+    }
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 
   /** `s_latest_state` over an untyped changelog (e.g. the maxscale-cdc

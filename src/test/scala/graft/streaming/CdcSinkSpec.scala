@@ -166,6 +166,52 @@ class CdcSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_scd2 on transformWithState/RocksDB: closed rows equal the fmgs twin " +
+      "and the batch q_scd2; one state row per key") {
+    import graft.operators.Cdc
+    val prevConf = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batchClosed = Cdc.qScd2.build(spark, sf)
+      .filter(col("is_current") === 0)
+      .select("user_id", "event_id", "valid_to_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Ev].collect().toSeq
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val in = MemoryStream[Ev](spark)
+    val hist = StreamOps.scd2HistoryTws[Long, Ev](
+      in.toDS(), _.user_id, e => micros(e.ts))
+      .map { case (ev, validTo) => (ev.user_id, ev.event_id, validTo) }
+    val q = hist.writeStream.format("memory").queryName("s_scd2_tws")
+      .outputMode("append").start()
+    try {
+      // two batches so the open version actually rides the RocksDB store
+      val (b1, b2) = events.splitAt(events.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("s_scd2_tws")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batchClosed,
+        s"tws scd2 diverged: extra=${streamed.diff(batchClosed).take(5)} " +
+          s"missing=${batchClosed.diff(streamed).take(5)}")
+      // state footprint: exactly the open version — one row per key
+      val nKeys = events.map(_.user_id).distinct.size
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      info(s"state rows: $stateRows for $nKeys keys")
+      assert(stateRows <= nKeys,
+        s"state ($stateRows rows) exceeds one open version per key ($nKeys)")
+    } finally {
+      q.stop()
+      prevConf match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("delete events tombstone their key; an older delete cannot resurrect") {
     val dir = freshDir()
     val del = Some(col("event_type") === "delete")

@@ -785,6 +785,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangelogRowsTws (transformWithState/RocksDB): same tombstone " +
+      "semantics as the fmgs twin; deleted keys leave the store") {
+    withRocksDb {
+      val in = MemoryStream[Cdc](spark)
+      val q = StreamOps.applyChangelogRowsTws(
+          in.toDF(), keyCol = "id", seqCol = "sequence")
+        .writeStream.format("memory").queryName("s_apply_tws")
+        .outputMode("update").start()
+      try {
+        in.addData(
+          Cdc(1, "insert", 1, "a1"),
+          Cdc(2, "insert", 2, "b1"),
+          Cdc(3, "update_before", 1, "a1"), // old image — must not win
+          Cdc(4, "update_after", 1, "a2"))
+        q.processAllAvailable()
+        in.addData(Cdc(5, "delete", 2, "b1"))
+        q.processAllAvailable()
+        // the delete CLEARED id=2's state row — only id=1 remains at rest
+        val afterDelete = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(afterDelete <= 1,
+          s"tombstoned key still in the store: $afterDelete rows")
+        in.addData(Cdc(6, "insert", 2, "b2")) // resurrection after delete
+        q.processAllAvailable()
+
+        val out = spark.table("s_apply_tws").as[Cdc].collect()
+        val lastById = out.groupBy(_.id).view.mapValues(_.maxBy(_.sequence)).toMap
+        assert(lastById(1).event_type == "update_after" && lastById(1).name == "a2")
+        assert(lastById(2).event_type == "insert" && lastById(2).name == "b2")
+        assert(out.exists(r => r.id == 2 && r.event_type == "delete"))
+        assert(!out.exists(_.event_type == "update_before"))
+        // live keys bound the store: ids 1 and 2
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows <= 2, s"state ($stateRows rows) exceeds live keys (2)")
+      } finally q.stop()
+    }
+  }
+
   test("s_ivf_maintain: running cell stats equal the batch q_kmeans_step") {
     import graft.operators.Similarity
     // centroids = the batch step's: quantized vectors of vec_ids 0..3
