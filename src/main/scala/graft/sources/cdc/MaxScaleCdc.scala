@@ -25,14 +25,19 @@ final case class CdcOptions(
     timeoutSeconds: Int,
     typed: Boolean,
     maxEventsPerBatch: Int,
-    replayPartitions: Int) {
+    replayPartitions: Int,
+    tables: Seq[String] = Seq.empty) {
   def timeoutMs: Int = timeoutSeconds * 1000
+
+  /** All subscribed tables: the `tables` option when present (multi-table
+    * mode, one stream + composite offset), else the single `table`. */
+  def allTables: Seq[String] = if (tables.nonEmpty) tables else Seq(table)
 
   /** Case-class toString would print the password into any log line that
     * renders the options (stream progress, plan dumps) — mask it. */
   override def toString: String =
-    s"CdcOptions($host,$port,$user,${CdcRedact.Mask},$table,$startingGtid," +
-      s"$timeoutSeconds,$typed,$maxEventsPerBatch,$replayPartitions)"
+    s"CdcOptions($host,$port,$user,${CdcRedact.Mask},${allTables.mkString("+")}," +
+      s"$startingGtid,$timeoutSeconds,$typed,$maxEventsPerBatch,$replayPartitions)"
 }
 
 private[cdc] object CdcRedact { val Mask = "*****" }
@@ -44,12 +49,21 @@ object CdcOptions {
       require(v != null && v.nonEmpty, s"maxscale-cdc: option '$k' is required")
       v
     }
+    // `tables=db.a,db.b`: several same-schema tables (e.g. shards) in ONE
+    // stream with a composite per-table GTID offset. The reference client
+    // is one-table-per-connection (cdc_connector.h:52-58); this keeps that
+    // on the wire (one connection per table) but one query per CONSUMER.
+    val multi: Seq[String] = Option(m.get("tables")).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(multi.size == multi.distinct.size,
+      s"maxscale-cdc: duplicate table in 'tables': ${multi.mkString(",")}")
     CdcOptions(
       host = req("host"),
       port = m.getInt("port", 4001),
       user = m.getOrDefault("user", ""),
       password = m.getOrDefault("password", ""),
-      table = req("table"),
+      table = multi.headOption.getOrElse(req("table")),
       startingGtid = Option(m.get("startingGtid")).filter(_.nonEmpty),
       // reference default timeout: 10 s (cdc_connector.h:52-58)
       timeoutSeconds = m.getInt("timeoutSeconds", 10),
@@ -66,7 +80,8 @@ object CdcOptions {
       // preserves the changelog's total order within the batch partition;
       // raise it when downstream reshuffles anyway (agg/join on key) and
       // ingest should scale with executors, not one socket.
-      replayPartitions = m.getInt("replayPartitions", 1))
+      replayPartitions = m.getInt("replayPartitions", 1),
+      tables = if (multi.size > 1) multi else Seq.empty)
   }
 }
 
@@ -80,12 +95,11 @@ object CdcOptions {
 class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "maxscale-cdc"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val o = CdcOptions(options)
+  private def probeSchema(o: CdcOptions, table: String): StructType = {
     val client = new CdcClient(o.host, o.port, o.user, o.password, o.timeoutMs)
     try {
       client.connect()
-      client.requestData(o.table, o.startingGtid)
+      client.requestData(table, o.startingGtid)
       var fields: Seq[CdcField] = null
       var tries = 0
       while (fields == null) {
@@ -94,7 +108,7 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
           case CdcTimeout =>
             tries += 1
             if (tries >= 2) throw new CdcProtocolException(
-              s"no schema message from ${o.host}:${o.port} for ${o.table} " +
+              s"no schema message from ${o.host}:${o.port} for $table " +
                 s"within ${2 * o.timeoutSeconds}s")
           case CdcClosed => throw new CdcProtocolException(
             "server closed the connection before sending a schema")
@@ -104,6 +118,25 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
       }
       SqlTypes.toStructType(fields, o.typed)
     } finally client.close()
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val o = CdcOptions(options)
+    val base = probeSchema(o, o.allTables.head)
+    if (o.allTables.size == 1) base
+    else {
+      // multi-table mode: every table must share the base schema (the
+      // sharded-upstream shape this mode exists for) — fail loudly at
+      // plan time, not row-decode time, on a mismatch
+      o.allTables.tail.foreach { t =>
+        val s = probeSchema(o, t)
+        if (s != base) throw new CdcProtocolException(
+          s"maxscale-cdc: tables must share one schema; '$t' differs from " +
+            s"'${o.allTables.head}': $s vs $base")
+      }
+      base.add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
+        nullable = false)
+    }
   }
 
   override def getTable(
@@ -116,7 +149,7 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
 
 class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
     extends Table with SupportsRead {
-  override def name(): String = s"maxscale-cdc:${opts.table}"
+  override def name(): String = s"maxscale-cdc:${opts.allTables.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -126,7 +159,10 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(schema, opts, checkpointLocation)
+          if (opts.allTables.size > 1)
+            new MultiCdcMicroBatchStream(schema, opts, checkpointLocation)
+          else
+            new CdcMicroBatchStream(schema, opts, checkpointLocation)
       }
     }
 }

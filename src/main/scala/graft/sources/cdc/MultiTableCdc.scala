@@ -1,0 +1,151 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-table mode (`tables=db.a,db.b`): several same-schema tables —
+  * the sharded-upstream shape — in ONE streaming query.
+  *
+  * The reference client binds one db.table per connection
+  * (cdc_connector.h:52-58, REQUEST-DATA takes a single table), so the
+  * wire protocol stays one-connection-per-table here too; what this
+  * removes is the per-table QUERY overhead on the consumer side: one
+  * checkpoint, one composite offset, one DataFrame with a `_table`
+  * provenance column instead of N queries to operate and monitor.
+  */
+object MultiCdc {
+  /** Name of the appended provenance column in multi-table mode. */
+  val TableColumn = "_table"
+}
+
+/** Composite offset: one GTID position per subscribed table, serialized
+  * on ONE line (Spark's OffsetSeqLog is line-oriented) as
+  * `db.a=0-1-5,db.b=-` with [[GtidOffset.StartJson]] for stream-start.
+  * Entry order follows the `tables` option, so equal positions always
+  * serialize identically (Spark compares offsets by their JSON). */
+final case class MultiGtidOffset(gtids: Seq[(String, Option[Gtid])]) extends Offset {
+  override def json(): String =
+    gtids.map { case (t, g) =>
+      s"$t=${g.map(_.toString).getOrElse(GtidOffset.StartJson)}"
+    }.mkString(",")
+
+  def of(table: String): Option[Gtid] =
+    gtids.collectFirst { case (t, g) if t == table => g }.flatten
+}
+
+object MultiGtidOffset {
+  def fromJson(s: String): MultiGtidOffset =
+    MultiGtidOffset(s.split(',').toSeq.filter(_.nonEmpty).map { part =>
+      val i = part.lastIndexOf('=')
+      require(i > 0, s"malformed multi-table offset entry '$part'")
+      part.substring(0, i) -> GtidOffset.fromJson(part.substring(i + 1)).gtid
+    })
+}
+
+/** One [[CdcMicroBatchStream]] per table, composed behind a composite
+  * offset. Each delegate keeps its own tailer, committed-GTID watermark
+  * (under a per-table subdirectory of the checkpoint) and admission
+  * control; the row budget of each batch is split evenly across tables.
+  * Partitions are tagged with their table so the reader can append the
+  * `_table` column — the data plane is otherwise exactly the single-table
+  * executor-replay path.
+  */
+class MultiCdcMicroBatchStream(
+    schema: StructType, opts: CdcOptions, checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
+    s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
+  private val baseSchema = StructType(schema.fields.dropRight(1))
+  private val tables = opts.allTables
+
+  /** Per-table checkpoint scope for the committed-GTID watermark file —
+    * URL-encoded so `db.table` never introduces path separators. */
+  private def subCheckpoint(t: String): String =
+    checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
+
+  private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
+    t -> new CdcMicroBatchStream(
+      baseSchema, opts.copy(table = t, tables = Seq.empty), subCheckpoint(t))
+  }
+
+  private def gtidOf(o: Offset, t: String): GtidOffset = o match {
+    case m: MultiGtidOffset => GtidOffset(m.of(t))
+    case g: GtidOffset      => g // degenerate: never produced here
+    case other => throw new IllegalArgumentException(
+      s"unexpected offset type ${other.getClass}")
+  }
+
+  override def initialOffset(): Offset =
+    MultiGtidOffset(streams.map { case (t, s) =>
+      t -> s.initialOffset().asInstanceOf[GtidOffset].gtid
+    })
+
+  override def deserializeOffset(json: String): Offset =
+    MultiGtidOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(opts.maxEventsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val max = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue).toInt
+      case _ => opts.maxEventsPerBatch
+    }
+    val perTable = math.max(1, max / tables.size)
+    MultiGtidOffset(streams.map { case (t, s) =>
+      t -> s.latestOffset(gtidOf(start, t), ReadLimit.maxRows(perTable))
+        .asInstanceOf[GtidOffset].gtid
+    })
+  }
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    streams.flatMap { case (t, s) =>
+      s.planInputPartitions(gtidOf(start, t), gtidOf(end, t))
+        .map(p => TaggedCdcPartition(p, t): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TaggedCdcReaderFactory(baseSchema, opts.typed)
+
+  override def commit(end: Offset): Unit =
+    streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
+
+  override def stop(): Unit = streams.foreach(_._2.stop())
+}
+
+/** A single-table partition plus the table it came from. */
+final case class TaggedCdcPartition(inner: InputPartition, table: String)
+    extends InputPartition
+
+/** Delegates to the single-table reader and appends the constant
+  * `_table` value — a mutable JoinedRow over the inner row, the standard
+  * append-a-column source pattern (rows are projected/copied by the scan
+  * exec before buffering). */
+class TaggedCdcReaderFactory(baseSchema: StructType, typed: Boolean)
+    extends PartitionReaderFactory {
+  private val inner = new CdcPartitionReaderFactory(baseSchema, typed)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case TaggedCdcPartition(p, t) =>
+        val r = inner.createReader(p)
+        val tag = new GenericInternalRow(
+          Array[Any](UTF8String.fromString(t)))
+        new PartitionReader[InternalRow] {
+          private val joined = new JoinedRow
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), tag)
+          override def close(): Unit = r.close()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass}")
+    }
+}

@@ -25,7 +25,11 @@ final class MockMaxScaleServer(
     expectedAuth: Option[String] = None,
     errOnRequest: Option[String] = None,
     midStreamSchemaAfter: Option[(Int, String)] = None,
-    closeAfterEvents: Option[Int] = None) extends AutoCloseable {
+    closeAfterEvents: Option[Int] = None,
+    // per-table overrides: REQUEST-DATA for a key here serves that
+    // schema + its own event list (pushTo) — the multi-table shape;
+    // unknown tables fall back to the default schema/events
+    tableSchemas: Map[String, String] = Map.empty) extends AutoCloseable {
 
   private val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
     .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS)
@@ -43,6 +47,17 @@ final class MockMaxScaleServer(
 
   /** Append a live event (visible to connected + future clients). */
   def push(eventJson: String): Unit = events.add(eventJson)
+
+  private val tableEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, CopyOnWriteArrayList[String]]()
+  tableSchemas.keys.foreach(t => tableEvents.put(t, new CopyOnWriteArrayList[String]()))
+
+  /** Append a live event to one of the per-table streams. */
+  def pushTo(table: String, eventJson: String): Unit = {
+    val l = tableEvents.get(table)
+    require(l != null, s"no such per-table stream: $table")
+    l.add(eventJson)
+  }
 
   private val acceptor = new Thread("mock-maxscale-acceptor") {
     setDaemon(true)
@@ -95,14 +110,17 @@ final class MockMaxScaleServer(
       // server replaying binlog from a GTID.
       val fromSeq: Long =
         if (parts.length >= 3) parts(2).split("-")(2).toLong else Long.MinValue
+      val reqTable = if (parts.length >= 2) parts(1) else ""
+      val perTable = tableSchemas.get(reqTable)
+      val evList = perTable.map(_ => tableEvents.get(reqTable)).getOrElse(events)
 
-      write(out, schema + "\n")
+      write(out, perTable.getOrElse(schema) + "\n")
       var sent = 0
       var idx = 0
       var schemaSwapped = false
       while (running && !s.isClosed) {
         // pick up new events as they are pushed
-        val snapshot = events.asScala.toVector
+        val snapshot = evList.asScala.toVector
         while (idx < snapshot.length) {
           val ev = snapshot(idx)
           idx += 1
