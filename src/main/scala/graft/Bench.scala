@@ -1,9 +1,43 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions.expr
 import java.lang.management.ManagementFactory
 
 object Bench {
+
+  /** One untimed execution of the query's physical plan, returning
+    * (scan rows, shuffle records written, shuffle bytes written) from its
+    * SQLMetrics — the plan-shape counters wall-clock noise hides: a lost
+    * pushdown or a new exchange moves these even when timings wobble
+    * ±35%. Accumulators are consistent once the action returns (task
+    * completion processes them before the job finishes), so reading the
+    * traversed nodes is race-free. Rows never leave the executors — the
+    * action is a per-partition count. */
+  private def planMetrics(
+      spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String): (Long, Long, Long) =
+    try {
+      val qe = fn(spark, sfDir).queryExecution
+      qe.executedPlan.execute().mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n)
+      }.count()
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case n => n +: n.children.flatMap(nodes)
+      }
+      val all = nodes(qe.executedPlan)
+      def metric(key: String, leafOnly: Boolean): Long =
+        all.filter(n => !leafOnly || n.children.isEmpty)
+          .flatMap(_.metrics.get(key)).map(_.value).sum
+      (metric("numOutputRows", leafOnly = true),
+        metric("shuffleRecordsWritten", leafOnly = false),
+        metric("shuffleBytesWritten", leafOnly = false))
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,17 +73,22 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times)
+      // third, untimed pass: plan-shape counters (VERDICT r6 item 8)
+      val m = planMetrics(spark, fn, sfDir)
+      (name, times.min, times, m)
     }
     val loadAfter = os.getSystemLoadAverage
     def f(d: Double) = "%.4f".format(d)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, ts) =>
+    val runs = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val mets = results.map { case (k, _, _, (sc, sr, sb)) =>
+      s"\"" + k + s"""":{"scan_rows":$sc,"shuffle_records":$sr,"shuffle_bytes":$sb}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,18 +26,22 @@ object Bucketing extends QueryPack {
 
   val NBuckets = 8
 
-  /** Per-process, per-dir scratch tag (ADVICE r5): the bucketed and
-    * partitioned copies live under the shared java.io.tmpdir with global
-    * catalog names, so concurrent sessions or parallel test JVMs on one
-    * machine would clobber each other's layouts without a disambiguating
-    * suffix (the same trick q_export_manifest plays with dir.hashCode). */
-  private def tag(dir: String): String =
+  /** Per-(process, session, dir) scratch tag (ADVICE r5/r6): the bucketed
+    * and partitioned copies live under the shared java.io.tmpdir with
+    * global catalog names, so parallel test JVMs (pid), concurrent
+    * SparkSessions in ONE JVM (session identity — they share a catalog
+    * namespace), and dir switches would otherwise clobber each other's
+    * layouts (the same trick q_export_manifest plays with dir.hashCode). */
+  private def tag(s: SparkSession, dir: String): String =
     java.lang.Long.toHexString(ProcessHandle.current().pid()) + "_" +
+      Integer.toHexString(System.identityHashCode(s)) + "_" +
       Integer.toHexString(dir.hashCode & 0x7fffffff)
 
   /** Catalog names of the bucketed copies (exposed for the plan spec). */
-  def ordersTable(dir: String): String   = s"graft_bkt_orders_${tag(dir)}"
-  def lineitemTable(dir: String): String = s"graft_bkt_lineitem_${tag(dir)}"
+  def ordersTable(s: SparkSession, dir: String): String =
+    s"graft_bkt_orders_${tag(s, dir)}"
+  def lineitemTable(s: SparkSession, dir: String): String =
+    s"graft_bkt_lineitem_${tag(s, dir)}"
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table under the
     * session warehouse (a scratch location on this rig; a real lakehouse
@@ -93,16 +97,16 @@ object Bucketing extends QueryPack {
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     written.getOrElseUpdate((s, dir), {
       bucketedCopy(s, Tables.orders(s, dir)
-        .select("o_orderkey", "o_orderstatus"), ordersTable(dir), "o_orderkey")
+        .select("o_orderkey", "o_orderstatus"), ordersTable(s, dir), "o_orderkey")
       bucketedCopy(s, Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount"),
-        lineitemTable(dir), "l_orderkey")
+        lineitemTable(s, dir), "l_orderkey")
       // a dir switch within the session must rewrite, not reuse
       written.filterInPlace { case ((sess, d), _) => sess != s || d == dir }
       true
     })
-    s.table(ordersTable(dir))
-      .join(s.table(lineitemTable(dir)),
+    s.table(ordersTable(s, dir))
+      .join(s.table(lineitemTable(s, dir)),
         col("o_orderkey") === col("l_orderkey"))
   }
 
@@ -112,7 +116,7 @@ object Bucketing extends QueryPack {
     writtenPart.getOrElseUpdate((s, dir), {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft-partitioned-${tag(dir)}/orders").getAbsolutePath
+        s"graft-partitioned-${tag(s, dir)}/orders").getAbsolutePath
       Tables.orders(s, dir)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)

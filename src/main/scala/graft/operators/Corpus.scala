@@ -290,10 +290,14 @@ object Corpus extends QueryPack {
     *    bucket), never bucket².
     *
     * Scale: explode to ~len windows/doc (the ExactSubstr price, same as
-    * [[qSpanDedup]]); one df agg; the suffix sort runs per bucket key —
-    * high cardinality, AQE-splittable when boilerplate makes one bucket
-    * hot; comparisons bounded by the 64-token cap. The oracle replays
-    * the identical bucket/sort/LCP pipeline in SQL. */
+    * [[qSpanDedup]]); one df agg; identical capped suffixes collapse
+    * FIRST through a hash agg + equi-join (both AQE-splittable — a
+    * window sort alone would be an unsplittable straggler on a
+    * boilerplate-hot bucket, since AQE cannot split a skewed window
+    * partition), so the per-bucket suffix sort runs over DISTINCT
+    * suffixes only; comparisons bounded by the 64-token cap. The oracle
+    * computes the same values through the plain sorted-neighbor
+    * formulation. */
   val qSpanMaxrep: Q = Q(
     "q_span_maxrep",
     Some {
@@ -353,11 +357,25 @@ object Corpus extends QueryPack {
     val df = sfx.groupBy("w8").agg(count(lit(1)).as("df"))
     val hot = sfx.join(df.where(col("df") >= 2), "w8")
       .withColumn("ss", array_join(col("st"), " "))
-    val win = Window.partitionBy("w8").orderBy("ss", "doc_id", "i")
-    val nb = hot.select(col("doc_id"),
+    // Collapse identical capped suffixes before the sort (tokens carry no
+    // spaces, so ss ↔ st is 1:1): a group of g ≥ 2 hands every member its
+    // own capped length — tlcp(a,a) = len(a), the maximum any comparison
+    // can reach — via a hash agg + equi-join that AQE splits under skew.
+    // The window then sorts only DISTINCT suffixes per bucket, so a
+    // 100k-occurrence boilerplate suffix costs one row in the sort
+    // instead of an unsplittable 100k-row window partition. Exact: for
+    // unique suffixes the distinct-neighbor LCP equals the full-order
+    // neighbor LCP (duplicates of a neighbor never change a prefix).
+    val grp = hot.groupBy("w8", "ss")
+      .agg(count(lit(1)).as("g"), first("st").as("st"))
+    val win = Window.partitionBy("w8").orderBy("ss")
+    val nbDistinct = grp.select(col("w8"), col("ss"),
       greatest(
         tlcp(col("st"), lag(col("st"), 1).over(win)),
-        tlcp(col("st"), lead(col("st"), 1).over(win))).as("l"))
+        tlcp(col("st"), lead(col("st"), 1).over(win)),
+        when(col("g") >= 2, size(col("st"))).otherwise(lit(0))).as("l"))
+    val nb = hot.join(nbDistinct, Seq("w8", "ss"))
+      .select(col("doc_id"), col("l"))
     val mx = nb.groupBy("doc_id").agg(max("l").as("max_rep"))
     w.select("doc_id").join(mx, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -75,13 +75,29 @@ object CurationView {
   }
 
   /** The maintained view: one verdict row per document seen so far.
-    * Retries across the swap's brief between-renames not-found window. */
+    * Retries around the read ITSELF (not just an existence pre-check —
+    * a swap starting after the check would still hit the between-renames
+    * not-found window; ADVICE r6), and eagerly resolves the file listing
+    * so a pass here means the snapshot is readable. The returned frame
+    * still re-lists lazily on action; callers racing a continuous writer
+    * should consume it promptly, as the spec does. */
   def readVerdicts(spark: SparkSession, baseDir: String): DataFrame = {
     val path = s"$baseDir/verdicts"
     var attempt = 0
-    while (attempt < 50 && !java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-      Thread.sleep(20); attempt += 1
+    while (true) {
+      try {
+        val df = spark.read.parquet(path)
+        df.schema // forces file listing — the not-found surfaces HERE
+        return df
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          attempt += 1
+          if (attempt >= 50) throw new IllegalStateException(
+            s"verdicts table at $path unreadable after $attempt retries " +
+              s"(is the maintainer running?)", e)
+          Thread.sleep(20)
+      }
     }
-    spark.read.parquet(path)
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -127,7 +127,7 @@ class BucketingSpec extends SparkSpec {
 
   test("one file per bucket: the layout that also skips the merge sort") {
     Bucketing.bucketedJoin(spark, sf) // ensure tables exist
-    val files = spark.table(Bucketing.ordersTable(sf)).inputFiles
+    val files = spark.table(Bucketing.ordersTable(spark, sf)).inputFiles
     assert(files.length == Bucketing.NBuckets,
       s"expected ${Bucketing.NBuckets} bucket files, got ${files.length}")
   }

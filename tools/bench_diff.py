@@ -3,7 +3,7 @@
 
 Usage: python3 tools/bench_diff.py [old.json] <new.json> [ratio_flag]
 
-With a single file argument the old side defaults to BENCH_r05.json (the
+With a single file argument the old side defaults to BENCH_r06.json (the
 operative baseline pinned in BASELINE.md).
 
 Prints per-query deltas for queries present in both files, sorted by
@@ -43,11 +43,25 @@ def load(path):
 
 def main():
     import os
+
+    def is_float(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
     args = sys.argv[1:]
-    if len(args) == 1 or (len(args) == 2 and not os.path.exists(args[1])):
+    # Shift to the default baseline ONLY when the extra argument is a
+    # ratio flag — a typoed second file path must report file-not-found,
+    # not be misread as a ratio (ADVICE r6).
+    if len(args) == 1 or (len(args) == 2 and is_float(args[1])):
         default_old = os.path.join(os.path.dirname(__file__), "..",
-                                   "BENCH_r05.json")
+                                   "BENCH_r06.json")
         args = [default_old] + args
+    for p in args[:2]:
+        if not os.path.exists(p):
+            raise SystemExit(f"bench file not found: {p}")
     old, new = load(args[0]), load(args[1])
     flag = float(args[2]) if len(args) > 2 else 1.3
     oq, nq = old["queries"], new["queries"]
