@@ -57,7 +57,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     val nodes = (1L to 200L).toSeq
     val edges = Seq.fill(120)((rnd.nextInt(200).toLong + 1, rnd.nextInt(200).toLong + 1))
       .filter { case (a, b) => a != b }
-    assert(run(nodes, edges) == unionFind(nodes, edges))
+    val got = run(nodes, edges)
+    assert(got == unionFind(nodes, edges))
+    // non-vacuity guard: a mergeless fixture (every node its own label)
+    // would pass the equality without exercising label propagation
+    assert(got.exists { case (n, l) => n != l },
+      "fixture produced no multi-node component")
   }
 
   test("reliable=true without a checkpoint dir fails fast with a clear message") {

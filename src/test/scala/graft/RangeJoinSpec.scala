@@ -52,6 +52,9 @@ class RangeJoinSpec extends SparkSpec {
     val naive = lhs.crossJoin(rhs)
       .where(col("lhi") >= col("rlo") && col("rhi") >= col("llo"))
       .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // non-vacuity guard: an overlap-free fixture would make the equality
+    // below trivially true (and not exercise the operator at all)
+    assert(naive.nonEmpty, "fixture produced no overlapping intervals")
     for (bw <- Seq(1L, 8L, 64L)) {
       val got = RangeJoin.intervalOverlap(
           lhs, col("llo"), col("lhi"), rhs, col("rlo"), col("rhi"), bw)

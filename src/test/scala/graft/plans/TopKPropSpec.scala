@@ -30,6 +30,10 @@ class TopKPropSpec extends SparkSpec {
       assert(custom.count() == stock.count(), s"trial $trial (k=$k) count")
       assert(custom.exceptAll(stock).isEmpty && stock.exceptAll(custom).isEmpty,
         s"trial $trial (k=$k, groups=$nGroups) rows differ")
+      // non-vacuity guard: pruning must actually bite — a fixture with
+      // n <= groups×k would make perGroup the identity and the equality
+      // above trivially true
+      assert(stock.count() < n, s"trial $trial: top-k never pruned ($n rows)")
     }
   }
 }
