@@ -41,7 +41,10 @@ class ScaleLintSpec extends SparkSpec {
   // ≤ 1+rounds·l candidates as projection literals — no join at all)
   private val boundedBroadcastByDesign =
     Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8", "q_kmeans_step",
-      "q_semantic_dedup")
+      "q_semantic_dedup",
+      // same n × K centroid-assignment shape, centroids from k-means||
+      // seeds instead of first-K (the seeding itself is literal-fused)
+      "q_semantic_dedup_seeded")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
