@@ -205,7 +205,14 @@ object Aggregates extends QueryPack {
   }
 
   /** Exact percentiles (type-7 linear interpolation in both engines);
-    * the exact form is the oracle for any approx-sketch variant. */
+    * the exact form is the oracle for any approx-sketch variant.
+    *
+    * Scale: Spark's `percentile` buffers a per-group counts map of all
+    * DISTINCT values and ships it through the shuffle (bench plan
+    * metrics: ~21 MB for 6 partial rows at sf0.1) — exactness priced in
+    * memory. At 100 TB the pipeline path is [[qQuantileHist]]'s
+    * constant-size binned sketch; this query is its exactness oracle,
+    * same baseline/twin split as q_embed_neardup vs the LSH gate. */
   val qPercentile: Q = Q(
     "q_percentile",
     Some("""
