@@ -37,6 +37,18 @@ final case class CdcReplayPartition(
 /** Shared wire-string → Catalyst row conversion (raw vs typed modes,
   * SURVEY.md §1.2). */
 private[cdc] object CdcRowCodec {
+  /** Select `idx` positions from a wire row; identity when idx is null
+    * (the unpruned fast path — no per-row allocation). */
+  def project[T](a: Array[T], idx: Array[Int])(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] =
+    if (idx == null) a
+    else {
+      val out = new Array[T](idx.length)
+      var i = 0
+      while (i < idx.length) { out(i) = a(idx(i)); i += 1 }
+      out
+    }
+
   def toInternalRow(
       values: Array[String],
       nulls: Array[Boolean],
@@ -65,7 +77,11 @@ private[cdc] object CdcRowCodec {
 final class CdcReplayReader(
     p: CdcReplayPartition,
     dts: Array[DataType],
-    typed: Boolean) extends PartitionReader[InternalRow] {
+    typed: Boolean,
+    // wire-row indices of the (possibly pruned) output columns; null =
+    // emit the full wire row. GTID extraction below always reads the
+    // full row, so pruning `sequence` away never breaks range replay.
+    projection: Array[Int] = null) extends PartitionReader[InternalRow] {
 
   private val start: Option[Gtid] = p.startExclusive.map(Gtid.parse)
   private val end: Gtid = Gtid.parse(p.endInclusive)
@@ -147,7 +163,9 @@ final class CdcReplayReader(
           // re-delivery below the last emitted position after a reconnect
           if (lastEmitted.forall(g > _)) {
             if (g > end) { done = true; return false } // past range: defensive
-            current = CdcRowCodec.toInternalRow(values, nulls, dts, typed)
+            current = CdcRowCodec.toInternalRow(
+              CdcRowCodec.project(values, projection),
+              CdcRowCodec.project(nulls, projection), dts, typed)
             lastEmitted = Some(g)
             reconnects = 0 // forward progress resets the budget (like the tailer)
             if (g == end) done = true // emit this row, then stop

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,15 +154,29 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
 
+  /** Column pruning (`SupportsPushDownRequiredColumns`): a changelog
+    * consumer rarely reads every column, and at 100 TB decoding unused
+    * fields on every event is pure waste. The WIRE schema stays full —
+    * the server sends whole rows, the tailer/replay readers still need
+    * the GTID trio for offsets and range filtering — but each emitted
+    * InternalRow carries only the requested columns (decode-then-project
+    * at the reader, so typed casting also skips pruned fields). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // Spark passes the needed subset in table-schema order; an empty
+        // prune (count-only queries) still needs ONE column to frame rows
+        required =
+          if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
+          else requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           if (opts.allTables.size > 1)
-            new MultiCdcMicroBatchStream(schema, opts, checkpointLocation)
+            new MultiCdcMicroBatchStream(schema, required, opts, checkpointLocation)
           else
-            new CdcMicroBatchStream(schema, opts, checkpointLocation)
+            new CdcMicroBatchStream(schema, opts, checkpointLocation, required)
       }
     }
 }
@@ -182,15 +196,28 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   * the tailer's inclusive-skip dedupes, giving each batch exactly its
   * range (SURVEY.md §7 hard-part 2).
   */
-class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocation: String)
+class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
+    checkpointLocation: String, required: StructType = null)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  /** Wire fields are ALWAYS the full table schema: the server sends whole
+    * rows, and the tailer/replay readers extract GTIDs by position in
+    * this list regardless of what the query projects. */
   private val fields: Seq[CdcField] =
     schema.fields.toSeq.map { f =>
       val t = if (f.metadata.contains("cdc.sqlType"))
         f.metadata.getString("cdc.sqlType") else f.dataType.simpleString
       CdcField(f.name, t)
     }
+
+  /** Output schema after column pruning (null `required` = no pruning). */
+  private val outSchema: StructType =
+    if (required == null) schema else required
+  /** Indices of the pruned columns in the wire row, or null when the
+    * query reads everything (the fast path allocates nothing extra). */
+  private val projection: Array[Int] =
+    if (outSchema == schema) null
+    else outSchema.fields.map(f => schema.fieldIndex(f.name))
 
   private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
   /** Last committed position (checkpoint-persisted) — the tailer's resume
@@ -282,7 +309,7 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions, checkpointLocati
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcPartitionReaderFactory(schema, opts.typed)
+    new CdcPartitionReaderFactory(outSchema, opts.typed, projection)
 
   /** Monotone commit: both the in-memory resume hint and the durable
     * watermark file only ever advance. A stale end offset (re-delivered
@@ -312,17 +339,22 @@ final case class CdcInputPartition(
     values: Array[Array[String]],
     nulls: Array[Array[Boolean]]) extends InputPartition
 
-class CdcPartitionReaderFactory(schema: StructType, typed: Boolean)
+/** `schema` is the OUTPUT (possibly pruned) schema; `projection` maps its
+  * columns to wire-row indices, null when output = wire. */
+class CdcPartitionReaderFactory(schema: StructType, typed: Boolean,
+    projection: Array[Int] = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     partition match {
-      case rp: CdcReplayPartition => new CdcReplayReader(rp, dts, typed)
+      case rp: CdcReplayPartition => new CdcReplayReader(rp, dts, typed, projection)
       case p: CdcInputPartition => new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < p.values.length }
         override def get(): InternalRow =
-          CdcRowCodec.toInternalRow(p.values(i), p.nulls(i), dts, typed)
+          CdcRowCodec.toInternalRow(
+            CdcRowCodec.project(p.values(i), projection),
+            CdcRowCodec.project(p.nulls(i), projection), dts, typed)
         override def close(): Unit = ()
       }
       case other => throw new IllegalArgumentException(

@@ -55,12 +55,29 @@ object MultiGtidOffset {
   * executor-replay path.
   */
 class MultiCdcMicroBatchStream(
-    schema: StructType, opts: CdcOptions, checkpointLocation: String)
+    schema: StructType, required: StructType, opts: CdcOptions,
+    checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
     s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
   private val baseSchema = StructType(schema.fields.dropRight(1))
+  /** Whether the (possibly pruned) output still carries `_table`. */
+  private val appendTable: Boolean =
+    required.fieldNames.contains(MultiCdc.TableColumn)
+  /** Whether any base column survived the prune; when false (a
+    * `_table`-only projection) the reader emits the tag alone — the
+    * inner reader still runs, but only to frame rows / drive replay. */
+  private val emitBase: Boolean =
+    required.fields.exists(_.name != MultiCdc.TableColumn)
+  /** The pruned base-row schema each delegate decodes; a `_table`-only
+    * projection still decodes one base column for row framing (its
+    * values are discarded — see [[TaggedCdcReaderFactory]]). */
+  private val baseRequired: StructType = {
+    val base = StructType(
+      required.fields.filterNot(_.name == MultiCdc.TableColumn))
+    if (base.fields.isEmpty) StructType(baseSchema.fields.take(1)) else base
+  }
   private val tables = opts.allTables
 
   /** Per-table checkpoint scope for the committed-GTID watermark file —
@@ -70,7 +87,8 @@ class MultiCdcMicroBatchStream(
 
   private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
     t -> new CdcMicroBatchStream(
-      baseSchema, opts.copy(table = t, tables = Seq.empty), subCheckpoint(t))
+      baseSchema, opts.copy(table = t, tables = Seq.empty), subCheckpoint(t),
+      baseRequired)
   }
 
   private def gtidOf(o: Offset, t: String): GtidOffset = o match {
@@ -113,7 +131,8 @@ class MultiCdcMicroBatchStream(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TaggedCdcReaderFactory(baseSchema, opts.typed)
+    new TaggedCdcReaderFactory(
+      baseSchema, baseRequired, opts.typed, appendTable, emitBase)
 
   override def commit(end: Offset): Unit =
     streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
@@ -125,25 +144,43 @@ class MultiCdcMicroBatchStream(
 final case class TaggedCdcPartition(inner: InputPartition, table: String)
     extends InputPartition
 
-/** Delegates to the single-table reader and appends the constant
-  * `_table` value — a mutable JoinedRow over the inner row, the standard
-  * append-a-column source pattern (rows are projected/copied by the scan
-  * exec before buffering). */
-class TaggedCdcReaderFactory(baseSchema: StructType, typed: Boolean)
+/** Delegates to the single-table reader (pruned to `baseRequired`) and,
+  * when the projection kept `_table`, appends the constant table value —
+  * a mutable JoinedRow over the inner row, the standard append-a-column
+  * source pattern (rows are projected/copied by the scan exec before
+  * buffering). A `_table`-only projection (`emitBase` false) emits the
+  * tag alone: the inner reader still frames rows and drives GTID
+  * replay, but its one decoded framing column is discarded so the row
+  * width matches `readSchema()`. */
+class TaggedCdcReaderFactory(baseSchema: StructType, baseRequired: StructType,
+    typed: Boolean, appendTable: Boolean, emitBase: Boolean = true)
     extends PartitionReaderFactory {
-  private val inner = new CdcPartitionReaderFactory(baseSchema, typed)
+  private val projection: Array[Int] =
+    if (baseRequired == baseSchema) null
+    else baseRequired.fields.map(f => baseSchema.fieldIndex(f.name))
+  private val inner = new CdcPartitionReaderFactory(baseRequired, typed, projection)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case TaggedCdcPartition(p, t) =>
         val r = inner.createReader(p)
-        val tag = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(t)))
-        new PartitionReader[InternalRow] {
-          private val joined = new JoinedRow
-          override def next(): Boolean = r.next()
-          override def get(): InternalRow = joined(r.get(), tag)
-          override def close(): Unit = r.close()
+        if (!appendTable) r
+        else {
+          val tag = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(t)))
+          if (!emitBase)
+            new PartitionReader[InternalRow] {
+              override def next(): Boolean = r.next()
+              override def get(): InternalRow = tag
+              override def close(): Unit = r.close()
+            }
+          else
+            new PartitionReader[InternalRow] {
+              private val joined = new JoinedRow
+              override def next(): Boolean = r.next()
+              override def get(): InternalRow = joined(r.get(), tag)
+              override def close(): Unit = r.close()
+            }
         }
       case other => throw new IllegalArgumentException(
         s"unexpected partition type ${other.getClass}")

@@ -109,6 +109,50 @@ class CdcSourceSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("column pruning: ScanBuilder honors pruneColumns; projected stream " +
+      "delivers correct values with GTID replay intact") {
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 10, "alice"), event(2, "insert", 11, "bob")))
+    try {
+      // unit: the DSv2 contract — readSchema shrinks to the required set
+      val optMap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
+          "user" -> "u", "password" -> "p", "table" -> "db.t",
+          "timeoutSeconds" -> "1").asJava)
+      val provider = new MaxScaleCdcTableProvider
+      val schema = provider.inferSchema(optMap)
+      val table = provider.getTable(schema, Array.empty,
+          optMap.asCaseSensitiveMap())
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      val sb = table.newScanBuilder(optMap)
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(StructType(Seq(schema("id"), schema("name"))))
+      assert(sb.build().readSchema().fieldNames.toSeq == Seq("id", "name"),
+        "pruneColumns must shrink readSchema")
+      // and an empty prune (count-only query) still frames rows
+      val sb2 = table.newScanBuilder(optMap)
+      sb2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(StructType(Nil))
+      assert(sb2.build().readSchema().fields.length == 1)
+
+      // e2e: a projecting query delivers the right values even though the
+      // pruned row no longer carries the GTID columns the replay uses
+      val q = reader(srv).select("id", "name").writeStream.format("memory")
+        .queryName("cdc_pruned").outputMode("append").start()
+      try {
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("cdc_pruned").count() == 2)
+        }
+        assert(spark.table("cdc_pruned").schema.fieldNames.toSeq ==
+          Seq("id", "name"))
+        val rows = spark.table("cdc_pruned").orderBy("id")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows == Seq((10, "alice"), (11, "bob")))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("checkpointed GTID resume: restart continues with no duplicates") {
     // memory sink can't recover from a checkpoint; foreachBatch can
     val ckpt = Files.createTempDirectory("cdc_ckpt").toString

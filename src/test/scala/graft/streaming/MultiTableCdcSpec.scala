@@ -123,6 +123,53 @@ class MultiTableCdcSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("multi-table column pruning: a [_table, name] projection and a " +
+      "_table-only projection both deliver correct, correctly-shaped rows") {
+    import MockMaxScaleServer.{Schema, event}
+    val srv = new MockMaxScaleServer(Schema,
+      tableSchemas = Map("db.t1" -> Schema, "db.t2" -> Schema))
+    srv.pushTo("db.t1", event(1, "insert", 1, "a1"))
+    srv.pushTo("db.t2", event(1, "insert", 100, "b1"))
+    def stream() =
+      spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.t1,db.t2").option("timeoutSeconds", 1)
+        .load()
+    try {
+      // mixed projection: some base columns pruned, _table kept
+      val q1 = stream().select(col("_table"), col("name"))
+        .writeStream.format("memory").queryName("mt_pruned")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q1.processAllAvailable()
+          assert(spark.table("mt_pruned").count() == 2)
+        }
+        assert(spark.table("mt_pruned").schema.fieldNames.toSeq ==
+          Seq("_table", "name"))
+        assert(spark.table("mt_pruned").as[(String, String)].collect().toSet ==
+          Set(("db.t1", "a1"), ("db.t2", "b1")))
+      } finally q1.stop()
+
+      // _table-only projection: no base column survives the prune; the
+      // emitted row must be exactly one column wide (the regression this
+      // pins: a forced framing column must NOT leak into the output)
+      val q2 = stream().select(col("_table"))
+        .writeStream.format("memory").queryName("mt_tag_only")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q2.processAllAvailable()
+          assert(spark.table("mt_tag_only").count() == 2)
+        }
+        assert(spark.table("mt_tag_only").schema.fieldNames.toSeq == Seq("_table"))
+        assert(spark.table("mt_tag_only").as[String].collect().toSet ==
+          Set("db.t1", "db.t2"))
+      } finally q2.stop()
+    } finally srv.close()
+  }
+
   test("two maxscale-cdc streams compose into one checkpointed joined view " +
       "that survives a restart") {
     val srvOrders = new MockMaxScaleServer(ordersSchema, Seq(
