@@ -49,16 +49,21 @@ private[cdc] object CdcRowCodec {
       out
     }
 
+  /** `mask(j)` false ⇒ the plan provably never reads output column j
+    * (per the streaming pushdown rule), so skip its cast/allocation and
+    * emit null there; null mask ⇒ decode everything. */
   def toInternalRow(
       values: Array[String],
       nulls: Array[Boolean],
       dts: Array[DataType],
-      typed: Boolean): InternalRow = {
+      typed: Boolean,
+      mask: Array[Boolean] = null): InternalRow = {
     val out = new Array[Any](values.length)
     var j = 0
     while (j < values.length) {
       out(j) =
-        if (typed) SqlTypes.cast(values(j), nulls(j), dts(j))
+        if (mask != null && !mask(j)) null
+        else if (typed) SqlTypes.cast(values(j), nulls(j), dts(j))
         // raw mode: null→"" exactly like the reference's
         // json_to_string (cdc_connector.cpp:106-107)
         else UTF8String.fromString(values(j))
@@ -81,7 +86,13 @@ final class CdcReplayReader(
     // wire-row indices of the (possibly pruned) output columns; null =
     // emit the full wire row. GTID extraction below always reads the
     // full row, so pruning `sequence` away never breaks range replay.
-    projection: Array[Int] = null) extends PartitionReader[InternalRow] {
+    projection: Array[Int] = null,
+    // pushed-filter predicate over the FULL wire row (null = none);
+    // evaluated AFTER the GTID range/dedupe bookkeeping, so replay
+    // positions advance identically whether or not a row is emitted.
+    pred: WirePred = null,
+    // decode-skip mask over the OUTPUT columns (null = decode all)
+    mask: Array[Boolean] = null) extends PartitionReader[InternalRow] {
 
   private val start: Option[Gtid] = p.startExclusive.map(Gtid.parse)
   private val end: Gtid = Gtid.parse(p.endInclusive)
@@ -163,13 +174,17 @@ final class CdcReplayReader(
           // re-delivery below the last emitted position after a reconnect
           if (lastEmitted.forall(g > _)) {
             if (g > end) { done = true; return false } // past range: defensive
-            current = CdcRowCodec.toInternalRow(
-              CdcRowCodec.project(values, projection),
-              CdcRowCodec.project(nulls, projection), dts, typed)
-            lastEmitted = Some(g)
+            lastEmitted = Some(g) // position advances even for filtered rows
             reconnects = 0 // forward progress resets the budget (like the tailer)
-            if (g == end) done = true // emit this row, then stop
-            return true
+            if (g == end) done = true // last row of the range, pass or not
+            if (pred == null || pred.eval(values, nulls)) {
+              current = CdcRowCodec.toInternalRow(
+                CdcRowCodec.project(values, projection),
+                CdcRowCodec.project(nulls, projection), dts, typed, mask)
+              return true
+            }
+            if (done) return false // range exhausted on a filtered row
+            // else: filtered mid-range — keep reading
           }
         case CdcTimeout =>
           if (System.nanoTime() > deadlineNanos)

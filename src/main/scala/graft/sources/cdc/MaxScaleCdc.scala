@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -41,6 +41,20 @@ final case class CdcOptions(
 }
 
 private[cdc] object CdcRedact { val Mask = "*****" }
+
+/** Test instrumentation: records the accepted filters of the most recent
+  * pushFilters call so specs can assert Spark's STREAMING planner really
+  * drives DSv2 pushdown into this source — from results alone that is
+  * invisible, because every pushed filter stays residual and Spark
+  * re-applies it. Never read by production code. */
+private[sources] object CdcPushdownProbe {
+  @volatile var lastSeen: Seq[String] = Nil
+  @volatile var lastPushed: Seq[String] = Nil
+  /** Set by pushRuntime: filters/referenced-columns the optimizer rule
+    * delivered to a live stream (the operative streaming path). */
+  @volatile var lastRuntimeFilters: Seq[String] = Nil
+  @volatile var lastRuntimeReferenced: Option[Set[String]] = None
+}
 
 object CdcOptions {
   def apply(m: CaseInsensitiveStringMap): CdcOptions = {
@@ -142,9 +156,15 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // self-register the streaming pushdown rule: Spark's micro-batch
+    // planner never drives the DSv2 pushdown interfaces, so the source
+    // hooks the session's optimizer on first use instead
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(org.apache.spark.sql.graft.CdcStreamingPushdown.register)
     new MaxScaleCdcTable(schema,
       CdcOptions(new CaseInsensitiveStringMap(properties)))
+  }
 }
 
 class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
@@ -154,16 +174,62 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
 
-  /** Column pruning (`SupportsPushDownRequiredColumns`): a changelog
-    * consumer rarely reads every column, and at 100 TB decoding unused
-    * fields on every event is pure waste. The WIRE schema stays full —
-    * the server sends whole rows, the tailer/replay readers still need
-    * the GTID trio for offsets and range filtering — but each emitted
-    * InternalRow carries only the requested columns (decode-then-project
-    * at the reader, so typed casting also skips pruned fields). */
+  /** DSv2 pushdown contract (`SupportsPushDownRequiredColumns` +
+    * `SupportsPushDownFilters`): a changelog consumer rarely reads every
+    * column or event type, and at 100 TB decoding unused fields — or
+    * whole filtered-out rows — is pure waste. The WIRE schema stays full
+    * (the server sends whole rows; the tailer/replay readers need the
+    * GTID trio for offsets and range filtering), but emitted rows carry
+    * only the requested columns, and translatable conjuncts (see
+    * [[CdcWireFilters]]) drop rows BEFORE the typed cast + InternalRow
+    * allocation. Every filter is also returned as residual: Spark
+    * re-applies it post-scan, so the wire predicate only has to be exact
+    * in the drop direction.
+    *
+    * HONESTY NOTE on activation: Spark 4.1's micro-batch planner builds
+    * streaming scans with a bare `newScanBuilder(options).build()` and
+    * never calls these interfaces (verified against the shipped
+    * bytecode) — they are implemented here because they are the standard
+    * contract (a future Spark that drives them gets the fast path for
+    * free, and the specs pin the semantics). The OPERATIVE streaming
+    * path is the session-side optimizer rule
+    * `org.apache.spark.sql.graft.CdcStreamingPushdown`, which the
+    * provider self-registers: it delivers the same filters + the
+    * referenced-column set to the live stream each micro-batch
+    * ([[CdcPushdownSupport]]), where they become the identical wire
+    * predicate plus a decode-skip mask. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = schema
+      private var pushed: Array[Filter] = Array.empty
+
+      private val multi = opts.allTables.size > 1
+      private val baseSchema =
+        if (multi) StructType(schema.fields.dropRight(1)) else schema
+      private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+        .StructField(MultiCdc.TableColumn,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+
+      /** A conjunct is pushable when it compiles against the wire row —
+        * or, in multi-table mode, when it references ONLY `_table` and
+        * compiles against the one-column tag schema (those prune whole
+        * table delegates at plan time). Mixed `_table`+base conjuncts
+        * stay with Spark. */
+      private def pushable(f: Filter): Boolean =
+        if (multi && f.references.contains(MultiCdc.TableColumn))
+          f.references.forall(_ == MultiCdc.TableColumn) &&
+            CdcWireFilters.compile(f, tagSchema, typed = true).isDefined
+        else CdcWireFilters.compile(f, baseSchema, opts.typed).isDefined
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(pushable)
+        CdcPushdownProbe.lastSeen = filters.map(_.toString).toSeq
+        CdcPushdownProbe.lastPushed = pushed.map(_.toString).toSeq
+        filters // ALL residual — Spark re-applies, under-filtering is safe
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def pruneColumns(requiredSchema: StructType): Unit =
         // Spark passes the needed subset in table-schema order; an empty
         // prune (count-only queries) still needs ONE column to frame rows
@@ -173,10 +239,12 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          if (opts.allTables.size > 1)
-            new MultiCdcMicroBatchStream(schema, required, opts, checkpointLocation)
+          if (multi)
+            new MultiCdcMicroBatchStream(schema, required, opts,
+              checkpointLocation, pushed)
           else
-            new CdcMicroBatchStream(schema, opts, checkpointLocation, required)
+            new CdcMicroBatchStream(schema, opts, checkpointLocation,
+              required, pushed)
       }
     }
 }
@@ -197,8 +265,10 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   * range (SURVEY.md §7 hard-part 2).
   */
 class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
-    checkpointLocation: String, required: StructType = null)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    checkpointLocation: String, required: StructType = null,
+    pushed: Array[Filter] = Array.empty)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with CdcPushdownSupport {
 
   /** Wire fields are ALWAYS the full table schema: the server sends whole
     * rows, and the tailer/replay readers extract GTIDs by position in
@@ -219,6 +289,33 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     if (outSchema == schema) null
     else outSchema.fields.map(f => schema.fieldIndex(f.name))
 
+  /** Pushed filters compiled (on the driver) to a serializable wire-row
+    * predicate; null = no pushed filters (readers' fast path). Admission
+    * control deliberately still counts WIRE events — a batch is a GTID
+    * range, whatever fraction of it the predicate emits. */
+  private val wirePred: WirePred =
+    CdcWireFilters.compileAll(pushed.toSeq, schema, opts.typed)
+
+  /** Runtime pushdown state, set per micro-batch by the session-side
+    * optimizer rule (CdcStreamingPushdown) — Spark's streaming planner
+    * never calls the DSv2 pushdown interfaces, so this is the operative
+    * path. Read by createReaderFactory (invoked per batch AFTER the
+    * optimizer ran), and advisory by contract: a raced first batch just
+    * runs unfiltered. */
+  @volatile private var runtimePred: WirePred = null
+  @volatile private var runtimeMask: Array[Boolean] = null
+  override def pushRuntime(
+      filters: Seq[Filter], referenced: Option[Set[String]]): Unit = {
+    CdcPushdownProbe.lastRuntimeFilters = filters.map(_.toString)
+    CdcPushdownProbe.lastRuntimeReferenced = referenced
+    runtimePred = CdcWireFilters.compileAll(filters, schema, opts.typed)
+    runtimeMask = referenced match {
+      case Some(refs) if !outSchema.fields.forall(f => refs.contains(f.name)) =>
+        outSchema.fields.map(f => refs.contains(f.name))
+      case _ => null
+    }
+  }
+
   private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
   /** Last committed position (checkpoint-persisted) — the tailer's resume
     * point. Always >= startingGtid, never past an uncommitted batch. */
@@ -237,6 +334,14 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
       tailer.start()
     }
     tailer
+  }
+
+  /** Shut the tailer down (idempotent, recreatable): multi-table mode
+    * idles a delegate when runtime `_table` pruning excludes it, so an
+    * excluded table holds NO connection from the next batch on; a later
+    * filter change simply recreates the tailer at the resume hint. */
+  private[cdc] def idle(): Unit = synchronized {
+    if (tailer != null) { tailer.shutdown(); tailer = null }
   }
 
   override def initialOffset(): Offset = GtidOffset(startGtid)
@@ -308,8 +413,18 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CdcPartitionReaderFactory(outSchema, opts.typed, projection)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // static (ScanBuilder) and runtime (optimizer rule) predicates are
+    // both conservative over-approximations of the same query filters —
+    // AND is correct and de-duplicates nothing worse than a re-check
+    val pred = (wirePred, runtimePred) match {
+      case (null, r) => r
+      case (s, null) => s
+      case (s, r)    => WirePred.AndP(s, r)
+    }
+    new CdcPartitionReaderFactory(outSchema, opts.typed, projection, pred,
+      runtimeMask)
+  }
 
   /** Monotone commit: both the in-memory resume hint and the durable
     * watermark file only ever advance. A stale end offset (re-delivered
@@ -340,21 +455,31 @@ final case class CdcInputPartition(
     nulls: Array[Array[Boolean]]) extends InputPartition
 
 /** `schema` is the OUTPUT (possibly pruned) schema; `projection` maps its
-  * columns to wire-row indices, null when output = wire. */
+  * columns to wire-row indices, null when output = wire; `pred` is the
+  * compiled pushed-filter predicate over the FULL wire row (null = none);
+  * `mask` marks output columns the plan never reads (decode-skip). */
 class CdcPartitionReaderFactory(schema: StructType, typed: Boolean,
-    projection: Array[Int] = null)
+    projection: Array[Int] = null, pred: WirePred = null,
+    mask: Array[Boolean] = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     partition match {
-      case rp: CdcReplayPartition => new CdcReplayReader(rp, dts, typed, projection)
+      case rp: CdcReplayPartition =>
+        new CdcReplayReader(rp, dts, typed, projection, pred, mask)
       case p: CdcInputPartition => new PartitionReader[InternalRow] {
         private var i = -1
-        override def next(): Boolean = { i += 1; i < p.values.length }
+        override def next(): Boolean = {
+          i += 1
+          // pushed-filter skip: rows that can't pass never decode
+          while (i < p.values.length &&
+              pred != null && !pred.eval(p.values(i), p.nulls(i))) i += 1
+          i < p.values.length
+        }
         override def get(): InternalRow =
           CdcRowCodec.toInternalRow(
             CdcRowCodec.project(p.values(i), projection),
-            CdcRowCodec.project(p.nulls(i), projection), dts, typed)
+            CdcRowCodec.project(p.nulls(i), projection), dts, typed, mask)
         override def close(): Unit = ()
       }
       case other => throw new IllegalArgumentException(

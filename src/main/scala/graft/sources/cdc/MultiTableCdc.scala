@@ -56,8 +56,10 @@ object MultiGtidOffset {
   */
 class MultiCdcMicroBatchStream(
     schema: StructType, required: StructType, opts: CdcOptions,
-    checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    checkpointLocation: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with CdcPushdownSupport {
 
   require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
     s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
@@ -79,6 +81,52 @@ class MultiCdcMicroBatchStream(
     if (base.fields.isEmpty) StructType(baseSchema.fields.take(1)) else base
   }
   private val tables = opts.allTables
+
+  /** Pushed `_table` conjuncts become PLAN-TIME table pruning: an
+    * excluded table gets no tailer, no connection, no partitions, and a
+    * frozen offset (its composite-offset entry never advances — the safe
+    * direction: dropping the filter later replays from the freeze point,
+    * duplicating rather than losing). Base-column conjuncts compile into
+    * the per-row wire predicate the tagged readers apply. */
+  private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+    .StructField(MultiCdc.TableColumn,
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  private val (tableConjuncts, rowConjuncts) =
+    pushed.partition(_.references.forall(_ == MultiCdc.TableColumn))
+  private val tablePred: WirePred =
+    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+  private val rowPred: WirePred =
+    CdcWireFilters.compileAll(rowConjuncts.toSeq, baseSchema, opts.typed)
+
+  /** Runtime pushdown (the operative path — see CdcStreamingPushdown):
+    * split exactly like the static conjuncts. All advisory: a raced
+    * batch runs unpruned, never incorrectly. */
+  @volatile private var runtimeTablePred: WirePred = null
+  @volatile private var runtimeRowPred: WirePred = null
+  @volatile private var runtimeMask: Array[Boolean] = null
+  override def pushRuntime(
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      referenced: Option[Set[String]]): Unit = {
+    CdcPushdownProbe.lastRuntimeFilters = filters.map(_.toString)
+    CdcPushdownProbe.lastRuntimeReferenced = referenced
+    val (tf, rf) =
+      filters.partition(_.references.forall(_ == MultiCdc.TableColumn))
+    runtimeTablePred = CdcWireFilters.compileAll(tf, tagSchema, typed = true)
+    runtimeRowPred = CdcWireFilters.compileAll(
+      rf.filterNot(_.references.contains(MultiCdc.TableColumn)),
+      baseSchema, opts.typed)
+    runtimeMask = referenced match {
+      case Some(refs) if !baseRequired.fields.forall(f => refs.contains(f.name)) =>
+        baseRequired.fields.map(f => refs.contains(f.name))
+      case _ => null
+    }
+  }
+
+  private def included(t: String): Boolean = {
+    val row = Array(t); val noNull = Array(false)
+    (tablePred == null || tablePred.eval(row, noNull)) &&
+      (runtimeTablePred == null || runtimeTablePred.eval(row, noNull))
+  }
 
   /** Per-table checkpoint scope for the committed-GTID watermark file —
     * URL-encoded so `db.table` never introduces path separators. */
@@ -114,10 +162,16 @@ class MultiCdcMicroBatchStream(
       case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue).toInt
       case _ => opts.maxEventsPerBatch
     }
-    val perTable = math.max(1, max / tables.size)
+    val nIncluded = math.max(1, tables.count(included))
+    val perTable = math.max(1, max / nIncluded)
     MultiGtidOffset(streams.map { case (t, s) =>
-      t -> s.latestOffset(gtidOf(start, t), ReadLimit.maxRows(perTable))
-        .asInstanceOf[GtidOffset].gtid
+      // excluded tables freeze at their current position and idle their
+      // tailer: no connection, no buffered backlog. (Runtime `_table`
+      // pruning arrives with the first batch's optimization, so batch 0
+      // may tail every table once — unoptimized, never incorrect.)
+      t -> (if (!included(t)) { s.idle(); gtidOf(start, t).gtid }
+            else s.latestOffset(gtidOf(start, t), ReadLimit.maxRows(perTable))
+              .asInstanceOf[GtidOffset].gtid)
     })
   }
 
@@ -126,13 +180,21 @@ class MultiCdcMicroBatchStream(
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     streams.flatMap { case (t, s) =>
-      s.planInputPartitions(gtidOf(start, t), gtidOf(end, t))
+      if (!included(t)) Array.empty[InputPartition]
+      else s.planInputPartitions(gtidOf(start, t), gtidOf(end, t))
         .map(p => TaggedCdcPartition(p, t): InputPartition)
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pred = (rowPred, runtimeRowPred) match {
+      case (null, r) => r
+      case (s, null) => s
+      case (s, r)    => WirePred.AndP(s, r)
+    }
     new TaggedCdcReaderFactory(
-      baseSchema, baseRequired, opts.typed, appendTable, emitBase)
+      baseSchema, baseRequired, opts.typed, appendTable, emitBase, pred,
+      runtimeMask)
+  }
 
   override def commit(end: Offset): Unit =
     streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
@@ -153,12 +215,14 @@ final case class TaggedCdcPartition(inner: InputPartition, table: String)
   * replay, but its one decoded framing column is discarded so the row
   * width matches `readSchema()`. */
 class TaggedCdcReaderFactory(baseSchema: StructType, baseRequired: StructType,
-    typed: Boolean, appendTable: Boolean, emitBase: Boolean = true)
+    typed: Boolean, appendTable: Boolean, emitBase: Boolean = true,
+    rowPred: WirePred = null, mask: Array[Boolean] = null)
     extends PartitionReaderFactory {
   private val projection: Array[Int] =
     if (baseRequired == baseSchema) null
     else baseRequired.fields.map(f => baseSchema.fieldIndex(f.name))
-  private val inner = new CdcPartitionReaderFactory(baseRequired, typed, projection)
+  private val inner =
+    new CdcPartitionReaderFactory(baseRequired, typed, projection, rowPred, mask)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {

@@ -42,6 +42,13 @@ final class MockMaxScaleServer(
   @volatile var lastRequestData: String = _
   @volatile var lastAuth: String = _
 
+  /** REQUEST-DATA count per table — lets specs distinguish schema-probe
+    * connections (made once at load()) from streaming connections, e.g.
+    * to prove a `_table`-pruned table is never tailed. */
+  private val requests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def requestCount(table: String): Int =
+    Option(requests.get(table)).map(_.intValue).getOrElse(0)
+
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
 
@@ -111,6 +118,7 @@ final class MockMaxScaleServer(
       val fromSeq: Long =
         if (parts.length >= 3) parts(2).split("-")(2).toLong else Long.MinValue
       val reqTable = if (parts.length >= 2) parts(1) else ""
+      requests.merge(reqTable, 1, (a, b) => a + b)
       val perTable = tableSchemas.get(reqTable)
       val evList = perTable.map(_ => tableEvents.get(reqTable)).getOrElse(events)
 

@@ -170,6 +170,62 @@ class MultiTableCdcSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("multi-table _table filter prunes the excluded table's delegate: " +
+      "tailer idled, offset frozen, no further connections, correct rows") {
+    import MockMaxScaleServer.{Schema, event}
+    val srv = new MockMaxScaleServer(Schema,
+      tableSchemas = Map("db.t1" -> Schema, "db.t2" -> Schema))
+    srv.pushTo("db.t1", event(1, "insert", 1, "a1"))
+    srv.pushTo("db.t1", event(2, "insert", 2, "a2"))
+    srv.pushTo("db.t2", event(1, "insert", 100, "b1"))
+    try {
+      val df = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.t1,db.t2").option("timeoutSeconds", 1)
+        .load()
+      val q = df.where(col("_table") === "db.t1")
+        .select(col("_table"), col("id"), col("name"))
+        .writeStream.format("memory").queryName("mt_table_pruned")
+        .outputMode("append").start()
+      try {
+        // batch 0 may legitimately tail every table once: runtime `_table`
+        // pruning arrives with the first batch's optimization. Settle first.
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("mt_table_pruned").count() == 2)
+        }
+        assert(spark.table("mt_table_pruned")
+          .as[(String, Int, String)].collect().toSet ==
+          Set(("db.t1", 1, "a1"), ("db.t1", 2, "a2")))
+        q.processAllAvailable() // ensure a post-pushdown batch idled db.t2
+        val t2Conns = srv.requestCount("db.t2")
+        val t2Frozen = q.lastProgress.sources.head.endOffset
+
+        // from here on: db.t1 keeps flowing, db.t2 is never contacted
+        // again and its composite-offset entry never advances
+        srv.pushTo("db.t1", event(3, "insert", 3, "a3"))
+        srv.pushTo("db.t2", event(2, "insert", 101, "b2")) // must stay unseen
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("mt_table_pruned").count() == 3)
+        }
+        assert(spark.table("mt_table_pruned")
+          .as[(String, Int, String)].collect().toSet ==
+          Set(("db.t1", 1, "a1"), ("db.t1", 2, "a2"), ("db.t1", 3, "a3")))
+        assert(srv.requestCount("db.t2") == t2Conns,
+          s"db.t2 was re-contacted despite the _table filter " +
+            s"(${srv.requestCount("db.t2")} vs $t2Conns)")
+        def t2Entry(off: String): String =
+          off.split(',').find(_.startsWith("db.t2=")).getOrElse("?")
+        assert(t2Entry(q.lastProgress.sources.head.endOffset) ==
+          t2Entry(t2Frozen),
+          s"db.t2's offset advanced: ${q.lastProgress.sources.head.endOffset}" +
+            s" vs frozen $t2Frozen")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("two maxscale-cdc streams compose into one checkpointed joined view " +
       "that survives a restart") {
     val srvOrders = new MockMaxScaleServer(ordersSchema, Seq(
