@@ -122,5 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simhashDescription)
     ext.injectFunction(GraftFunctions.lshBandsDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // streaming DSv2 pushdown for the maxscale-cdc source (the source
+    // also self-registers via extraOptimizations on first use; injecting
+    // here covers sessions built with spark.sql.extensions before any
+    // source instantiation, e.g. cluster-wide deployment)
+    ext.injectOptimizerRule(_ => CdcStreamingPushdown)
   }
 }
