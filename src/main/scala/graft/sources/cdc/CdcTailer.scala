@@ -114,7 +114,7 @@ final class CdcTailer(
                 lastGtid = Some(g)
               }
               reconnects = 0 // healthy stream resets the budget
-            case CdcTimeout => () // quiet stream; keep polling
+            case CdcTimeout => quietOnce = true // no pending data right now
             case CdcClosed =>
               if (running) {
                 if (gtidIdx.isEmpty)
@@ -162,6 +162,24 @@ final class CdcTailer(
   }
 
   def checkFatal(): Unit = if (fatal != null) throw fatal
+
+  /** Set on the first read timeout: the server had no pending data at
+    * that moment — the changelog's notion of "caught up to now".
+    * Trigger.AvailableNow anchors its fixed target on this. */
+  @volatile private var quietOnce = false
+
+  /** Block until the stream has gone quiet once, or `waitMs` elapsed (a
+    * server busier than the poll timeout never goes quiet — then the
+    * caller anchors at whatever has been buffered, which is still a
+    * valid 'now' for a monotone changelog). */
+  def awaitQuiet(waitMs: Long): Unit = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (!quietOnce && System.nanoTime() < deadline) {
+      checkFatal()
+      Thread.sleep(20)
+    }
+    checkFatal()
+  }
 
   /** Highest delivered position, or the resume point if nothing new. */
   def latest: Option[Gtid] = lastGtid

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -268,7 +268,7 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     checkpointLocation: String, required: StructType = null,
     pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
-    with CdcPushdownSupport {
+    with SupportsTriggerAvailableNow with CdcPushdownSupport {
 
   /** Wire fields are ALWAYS the full table schema: the server sends whole
     * rows, and the tailer/replay readers extract GTIDs by position in
@@ -346,6 +346,20 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
 
   override def initialOffset(): Offset = GtidOffset(startGtid)
 
+  /** Trigger.AvailableNow: 'now' for a changelog is the position at the
+    * first moment the server goes quiet (one read timeout with nothing
+    * pending). prepare blocks until that happens (bounded — a server
+    * busier than the poll timeout anchors at the deadline's buffered
+    * position instead), then every batch is clamped to the anchored
+    * target, so the query drains exactly the pre-existing backlog in
+    * admission-capped batches and stops. */
+  @volatile private var availableNowTarget: Option[Gtid] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val t = ensureTailer()
+    t.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
+    availableNowTarget = t.latest
+  }
+
   override def deserializeOffset(json: String): Offset = GtidOffset.fromJson(json)
 
   /** End of the last batch this stream PLANNED (offsets advance ahead of
@@ -372,7 +386,12 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     }
     val after = (resumeHint.toSeq ++ lastPlannedEnd.toSeq ++ startG.toSeq)
       .reduceOption((a: Gtid, b: Gtid) => if (a >= b) a else b)
-    val end = t.cappedEnd(after, max).orElse(after)
+    val capped = t.cappedEnd(after, max).orElse(after)
+    // AvailableNow: never plan past the anchored target
+    val end = availableNowTarget match {
+      case Some(tg) => capped.map(c => if (c > tg) tg else c)
+      case None => capped
+    }
     lastPlannedEnd = end
     GtidOffset(end)
   }

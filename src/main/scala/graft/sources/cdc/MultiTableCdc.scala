@@ -2,7 +2,7 @@ package graft.sources.cdc
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,7 @@ class MultiCdcMicroBatchStream(
     checkpointLocation: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
-    with CdcPushdownSupport {
+    with SupportsTriggerAvailableNow with CdcPushdownSupport {
 
   require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
     s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
@@ -150,6 +150,12 @@ class MultiCdcMicroBatchStream(
     MultiGtidOffset(streams.map { case (t, s) =>
       t -> s.initialOffset().asInstanceOf[GtidOffset].gtid
     })
+
+  /** Trigger.AvailableNow: every delegate anchors its own 'now' (first
+    * quiet moment of its table's stream); the composite then drains to
+    * the per-table targets and stops. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    streams.foreach(_._2.prepareForTriggerAvailableNow())
 
   override def deserializeOffset(json: String): Offset =
     MultiGtidOffset.fromJson(json)

@@ -334,6 +334,54 @@ class CdcSourceSpec extends SparkSpec {
     (new CdcMicroBatchStream(schema, CdcOptions(m), ckpt), ckpt)
   }
 
+  test("Trigger.AvailableNow: drains the backlog in capped batches, then " +
+      "stops; a later run picks up from the checkpoint") {
+    // the catch-up shape: a backfill job runs to 'now' and exits, cron
+    // re-runs it later — Spark wraps the admission-controlled stream in
+    // its AvailableNow wrapper, which must compose with GTID offsets
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 25L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    val ckpt = Files.createTempDirectory("cdc_avnow").toString
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    def runOnce(): Unit = {
+      val q = reader(srv).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getInt(0)))
+        }.start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+    }
+    try {
+      // cap batches at 10 events: the 25-event backlog needs >=3 batches,
+      // proving the wrapper iterates instead of one-shotting
+      val qsrv = srv
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", qsrv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("maxEventsPerBatch", 10)
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getInt(0)))
+        }.start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      assert(got.asScala.toSet == (1 to 25).toSet, s"backlog not drained: $got")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected the 25-event backlog to drain in >=3 capped batches")
+
+      // events arriving after the run are NOT consumed until the next run
+      srv.push(event(26, "insert", 26, "n26"))
+      srv.push(event(27, "insert", 27, "n27"))
+      assert(!got.contains(26))
+      runOnce()
+      assert(got.asScala.toSet == (1 to 27).toSet,
+        s"second run should resume from the checkpoint: $got")
+    } finally srv.close()
+  }
+
   test("reader-level pushdown units: wire predicate drops rows before " +
       "decode, decode mask nulls unreferenced columns") {
     import graft.sources.cdc.{CdcWireFilters, WirePred}

@@ -226,6 +226,34 @@ class MultiTableCdcSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("Trigger.AvailableNow in multi-table mode drains every table's " +
+      "backlog and stops") {
+    import MockMaxScaleServer.{Schema, event}
+    val srv = new MockMaxScaleServer(Schema,
+      tableSchemas = Map("db.t1" -> Schema, "db.t2" -> Schema))
+    (1 to 4).foreach(i => srv.pushTo("db.t1", event(i, "insert", i, s"a$i")))
+    (1 to 3).foreach(i => srv.pushTo("db.t2", event(i, "insert", 100 + i, s"b$i")))
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+    try {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.t1,db.t2").option("timeoutSeconds", 1)
+        .load()
+        .select(col("_table"), col("id"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(String, Int)].collect().foreach(got.add)
+        }.start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      assert(got.asScala.toSet ==
+        ((1 to 4).map(i => ("db.t1", i)) ++
+          (1 to 3).map(i => ("db.t2", 100 + i))).toSet,
+        s"backlogs not drained: $got")
+    } finally srv.close()
+  }
+
   test("two maxscale-cdc streams compose into one checkpointed joined view " +
       "that survives a restart") {
     val srvOrders = new MockMaxScaleServer(ordersSchema, Seq(
