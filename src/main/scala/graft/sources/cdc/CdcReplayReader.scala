@@ -112,6 +112,8 @@ final class CdcReplayReader(
 
   private var client: CdcClient = _
   private var lastEmitted: Option[Gtid] = start
+  private var nFiltered = 0L
+  private var nEmitted = 0L
   private var current: InternalRow = _
   private var done = false
   private var reconnects = 0
@@ -181,8 +183,10 @@ final class CdcReplayReader(
               current = CdcRowCodec.toInternalRow(
                 CdcRowCodec.project(values, projection),
                 CdcRowCodec.project(nulls, projection), dts, typed, mask)
+              nEmitted += 1
               return true
             }
+            nFiltered += 1
             if (done) return false // range exhausted on a filtered row
             // else: filtered mid-range — keep reading
           }
@@ -209,6 +213,10 @@ final class CdcReplayReader(
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcTaskMetric(CdcMetrics.FilteredRows, nFiltered),
+      CdcTaskMetric(CdcMetrics.DecodedRows, nEmitted))
 
   override def close(): Unit = if (client != null) client.close()
 }

@@ -163,6 +163,9 @@ final class CdcTailer(
 
   def checkFatal(): Unit = if (fatal != null) throw fatal
 
+  /** Current uncommitted backlog depth (buffered positions). */
+  def bufferedCount: Int = lock.synchronized(positions.length)
+
   /** Set on the first read timeout: the server had no pending data at
     * that moment — the changelog's notion of "caught up to now".
     * Trigger.AvailableNow anchors its fixed target on this. */

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -238,6 +238,8 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           else requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
+        override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+          CdcMetrics.supported
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           if (multi)
             new MultiCdcMicroBatchStream(schema, required, opts,
@@ -268,7 +270,8 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     checkpointLocation: String, required: StructType = null,
     pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow with CdcPushdownSupport {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics
+    with CdcPushdownSupport {
 
   /** Wire fields are ALWAYS the full table schema: the server sends whole
     * rows, and the tailer/replay readers extract GTIDs by position in
@@ -462,6 +465,21 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
   override def stop(): Unit = synchronized {
     if (tailer != null) tailer.shutdown()
   }
+
+  /** Driver-side source metrics, surfaced per micro-batch in
+    * StreamingQueryProgress.sources[i].metrics — the operational signals
+    * a changelog consumer actually watches: backlog depth, the committed
+    * resume position, and whether runtime pushdown is engaged. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val t = tailer
+    m.put("bufferedEvents", if (t == null) "0" else t.bufferedCount.toString)
+    m.put("committedGtid", resumeHint.map(_.toString).getOrElse("-"))
+    m.put("pushdownFilterActive", (runtimePred != null || wirePred != null).toString)
+    m.put("decodeSkipActive", (runtimeMask != null).toString)
+    availableNowTarget.foreach(g => m.put("availableNowTarget", g.toString))
+    m
+  }
 }
 
 /** Driver-decoded slice — the SYNTHETIC-OFFSET fallback only (schemas
@@ -488,17 +506,26 @@ class CdcPartitionReaderFactory(schema: StructType, typed: Boolean,
         new CdcReplayReader(rp, dts, typed, projection, pred, mask)
       case p: CdcInputPartition => new PartitionReader[InternalRow] {
         private var i = -1
+        private var nFiltered = 0L
+        private var nEmitted = 0L
         override def next(): Boolean = {
           i += 1
           // pushed-filter skip: rows that can't pass never decode
           while (i < p.values.length &&
-              pred != null && !pred.eval(p.values(i), p.nulls(i))) i += 1
-          i < p.values.length
+              pred != null && !pred.eval(p.values(i), p.nulls(i))) {
+            i += 1; nFiltered += 1
+          }
+          val more = i < p.values.length
+          if (more) nEmitted += 1
+          more
         }
         override def get(): InternalRow =
           CdcRowCodec.toInternalRow(
             CdcRowCodec.project(p.values(i), projection),
             CdcRowCodec.project(p.nulls(i), projection), dts, typed, mask)
+        override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(CdcTaskMetric(CdcMetrics.FilteredRows, nFiltered),
+            CdcTaskMetric(CdcMetrics.DecodedRows, nEmitted))
         override def close(): Unit = ()
       }
       case other => throw new IllegalArgumentException(

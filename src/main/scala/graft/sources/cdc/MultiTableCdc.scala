@@ -2,7 +2,7 @@ package graft.sources.cdc
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,8 @@ class MultiCdcMicroBatchStream(
     checkpointLocation: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow with CdcPushdownSupport {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics
+    with CdcPushdownSupport {
 
   require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
     s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
@@ -206,6 +207,18 @@ class MultiCdcMicroBatchStream(
     streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
 
   override def stop(): Unit = streams.foreach(_._2.stop())
+
+  /** Per-table driver-side metrics (delegate maps, table-prefixed keys)
+    * plus the composite pruning state. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    streams.foreach { case (t, s) =>
+      m.put(s"$t.included", included(t).toString)
+      s.metrics(java.util.Optional.empty[Offset]()).forEach((k, v) =>
+        m.put(s"$t.$k", v))
+    }
+    m
+  }
 }
 
 /** A single-table partition plus the table it came from. */
@@ -242,6 +255,8 @@ class TaggedCdcReaderFactory(baseSchema: StructType, baseRequired: StructType,
             new PartitionReader[InternalRow] {
               override def next(): Boolean = r.next()
               override def get(): InternalRow = tag
+              override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+                r.currentMetricsValues()
               override def close(): Unit = r.close()
             }
           else
@@ -249,6 +264,8 @@ class TaggedCdcReaderFactory(baseSchema: StructType, baseRequired: StructType,
               private val joined = new JoinedRow
               override def next(): Boolean = r.next()
               override def get(): InternalRow = joined(r.get(), tag)
+              override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+                r.currentMetricsValues()
               override def close(): Unit = r.close()
             }
         }

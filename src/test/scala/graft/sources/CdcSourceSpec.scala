@@ -198,6 +198,13 @@ class CdcSourceSpec extends SparkSpec {
           assert(end != null && end.contains("0-1-4"),
             s"end offset should reach the filtered seq 4, got $end")
         }
+        // driver-side source metrics report the engaged pushdown
+        eventually(timeout(Span(20, Seconds))) {
+          q.processAllAvailable()
+          val m = q.lastProgress.sources.head.metrics
+          assert(m != null && m.get("pushdownFilterActive") == "true",
+            s"source metrics missing pushdown state: $m")
+        }
       } finally q.stop()
     } finally srv.close()
   }
@@ -422,6 +429,18 @@ class CdcSourceSpec extends SparkSpec {
         }
         // the update_after row never surfaced; masked name came out null
         assert(got.toSeq == Seq((10, true), (11, true)), s"got $got")
+        // task metrics: 1 filtered, 2 decoded across the range's readers
+        val metrics = parts.map { p =>
+          val r = factory.createReader(p)
+          try { while (r.next()) (); r.currentMetricsValues() }
+          finally r.close()
+        }.flatten
+        def total(n: String) =
+          metrics.filter(_.name == n).map(_.value).sum
+        assert(total(graft.sources.cdc.CdcMetrics.FilteredRows) == 1,
+          s"filtered-rows metric: ${metrics.toSeq}")
+        assert(total(graft.sources.cdc.CdcMetrics.DecodedRows) == 2,
+          s"decoded-rows metric: ${metrics.toSeq}")
       } finally stream.stop()
     } finally srv.close()
   }

@@ -222,6 +222,11 @@ class MultiTableCdcSpec extends SparkSpec {
           t2Entry(t2Frozen),
           s"db.t2's offset advanced: ${q.lastProgress.sources.head.endOffset}" +
             s" vs frozen $t2Frozen")
+        // source metrics expose the per-table pruning state
+        val m = q.lastProgress.sources.head.metrics
+        assert(m != null && m.get("db.t2.included") == "false" &&
+          m.get("db.t1.included") == "true",
+          s"per-table inclusion metrics wrong: $m")
       } finally q.stop()
     } finally srv.close()
   }
