@@ -67,6 +67,41 @@ class CdcThroughputSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test(s"filtered replay sustains the wire floor: the pushed predicate " +
+      "skips decode, so selective filters must not slow the hot loop") {
+    // 90% of events fail the predicate — the pushdown sweet spot. The
+    // assertion is the SAME 5000 rows/s floor over WIRE rows (not emitted
+    // rows): filtering adds a string compare per row but removes the
+    // typed cast + row allocation for the 90%, so anything below the
+    // unfiltered floor means the predicate went quadratic or similar.
+    val events = (1L to N).map(i =>
+      event(i, if (i % 10 == 0) "insert" else "update_after",
+        (i % 1000).toInt, s"name_$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fields = CdcClient.parseSchemaFields(mapper.readTree(Schema))
+      val schema = SqlTypes.toStructType(fields, typed = true)
+      val dts = schema.fields.map(_.dataType)
+      val pred = CdcWireFilters.compileAll(
+        Seq(org.apache.spark.sql.sources.EqualTo("event_type", "insert")),
+        schema, typed = true)
+      val part = CdcReplayPartition("127.0.0.1", srv.port, "u", "p", "db.t",
+        fields, startExclusive = None, endInclusive = s"0-1-$N", timeoutMs = 5000)
+      val r = new CdcReplayReader(part, dts, typed = true, pred = pred)
+      val t0 = System.nanoTime()
+      var n = 0
+      try while (r.next()) n += 1
+      finally r.close()
+      val wireRate = N / ((System.nanoTime() - t0) / 1e9)
+      info(f"filtered replay wire rate: $wireRate%.0f rows/s " +
+        f"($n emitted of $N wire rows)")
+      assert(n == N / 10)
+      assert(wireRate > 5000,
+        f"filtered path slower than the unfiltered floor: $wireRate%.0f rows/s")
+    } finally srv.close()
+  }
+
   test(s"2-partition parallel replay: aggregate ingest at >=1.5x the single floor") {
     // replayPartitions > 1 shards a batch into disjoint contiguous GTID
     // subranges, one server connection per task. Ordering semantics: rows
