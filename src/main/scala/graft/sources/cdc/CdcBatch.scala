@@ -1,0 +1,235 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** `spark.read.format("maxscale-cdc")` — one-shot bounded changelog pull
+  * as a DataFrame.
+  *
+  * The reference client has no batch mode, but its consumers build one
+  * constantly: "replay the table's changelog from GTID X to GTID Y (or to
+  * now) and hand the rows to a batch job" is the loop in the reference's
+  * own usage example (cdc_connector.h:40-50 — connect, read until
+  * timeout, process). This scan is that loop as a first-class Spark
+  * batch source, reusing the streaming source's executor-side GTID-range
+  * replay so the data plane never passes through the driver.
+  *
+  * Bound semantics:
+  *   - `endGtid` given → the scan is exactly `(startingGtid, endGtid]`;
+  *     naming a position the server has not produced yet blocks (bounded)
+  *     and then fails loudly — a batch result must not silently truncate.
+  *   - no `endGtid` → the scan anchors at the stream's first quiet moment
+  *     (one read timeout with nothing pending), the same "now" that
+  *     `Trigger.AvailableNow` uses. Each ACTION on the DataFrame re-plans
+  *     and therefore re-anchors — two actions can see different data, as
+  *     with any live external table; `.cache()` pins one anchor.
+  *
+  * Planning walks the backlog once on the driver, but keeps only a
+  * bounded sample of positions ([[PosMarks]]) for partition splitting —
+  * O(1) driver memory in the backlog size. Executors then replay their
+  * `(start, end]` subranges straight from the server, in parallel when
+  * `replayPartitions` > 1. Spark's batch planner natively drives the
+  * DSv2 pushdown interfaces (unlike its streaming planner — see the
+  * HONESTY NOTE in [[MaxScaleCdcTable]]), so column pruning and wire
+  * filters arrive here through the standard contract with no session
+  * rule involved: `explain` shows the pruned ReadSchema and
+  * PushedFilters, and pushed conjuncts drop rows before decode on the
+  * executors ([[CdcWireFilters]]).
+  *
+  * Multi-table mode (`tables=db.a,db.b`) plans each table's ranges
+  * independently (its own anchor) and tags partitions for the `_table`
+  * provenance column; pushed `_table`-only conjuncts prune whole tables
+  * at plan time — an excluded table gets no probe and no connection.
+  * `endGtid` then takes the composite `db.a=0-1-5,db.b=-` form (entries
+  * optional; `-` or absence means anchor-at-quiet for that table).
+  */
+final class CdcBatch(
+    schema: StructType,
+    required: StructType,
+    opts: CdcOptions,
+    pushed: Array[Filter]) extends Batch {
+
+  private val multi = opts.allTables.size > 1
+  private val baseSchema: StructType =
+    if (multi) StructType(schema.fields.dropRight(1)) else schema
+
+  /** Wire fields are always the full table schema (the server sends
+    * whole rows; replay needs the GTID trio regardless of projection). */
+  private val fields: Seq[CdcField] = baseSchema.fields.toSeq.map { f =>
+    val t = if (f.metadata.contains("cdc.sqlType"))
+      f.metadata.getString("cdc.sqlType") else f.dataType.simpleString
+    CdcField(f.name, t)
+  }
+
+  private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
+
+  private def endFor(table: String): Option[Gtid] = opts.endGtid match {
+    case None => None
+    case Some(s) if !multi => Some(Gtid.parse(s))
+    case Some(s) => MultiGtidOffset.fromJson(s).of(table)
+  }
+
+  /** Pushed `_table`-only conjuncts → plan-time table pruning (multi
+    * mode), exactly like [[MultiCdcMicroBatchStream]]. */
+  private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+    .StructField(MultiCdc.TableColumn,
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  private val (tableConjuncts, rowConjuncts) =
+    pushed.partition(f =>
+      multi && f.references.forall(_ == MultiCdc.TableColumn))
+  private val tablePred: WirePred =
+    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+  private val rowPred: WirePred = CdcWireFilters.compileAll(
+    rowConjuncts.toSeq.filterNot(_.references.contains(MultiCdc.TableColumn)),
+    baseSchema, opts.typed)
+
+  private def included(t: String): Boolean = {
+    val row = Array(t); val noNull = Array(false)
+    tablePred == null || tablePred.eval(row, noNull)
+  }
+
+  /** Probe buffer cap: in GTID mode the drain loop keeps it near-empty;
+    * in synthetic (GTID-less) mode it is a hard batch-size bound because
+    * decoded rows cannot be released before planning completes. */
+  private val ProbeBuffer = 1 << 20
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (!multi) planTable(opts.table, endFor(opts.table))
+    else opts.allTables.toArray.flatMap { t =>
+      if (!included(t)) Array.empty[InputPartition]
+      else planTable(t, endFor(t))
+        .map(p => TaggedCdcPartition(p, t): InputPartition)
+    }
+
+  private def planTable(table: String, endBound: Option[Gtid]): Array[InputPartition] = {
+    val tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
+      table, fields, startGtid, opts.timeoutMs, maxBuffered = ProbeBuffer)
+    tailer.start()
+    try {
+      if (tailer.hasGtidColumns) planReplay(table, endBound, tailer)
+      else planSynthetic(table, endBound, tailer)
+    } finally tailer.shutdown()
+  }
+
+  /** Bounded-memory position sample: every `sampleEvery`-th position,
+    * with resolution halved whenever the sample exceeds 64k marks —
+    * ≤ ~64k (count, gtid) pairs however large the backlog. */
+  private final class PosMarks {
+    var count = 0L
+    private var sampleEvery = 64L
+    val marks = ArrayBuffer.empty[(Long, Gtid)]
+    var last: Option[Gtid] = None
+    def add(g: Gtid): Unit = {
+      count += 1
+      if (count % sampleEvery == 0) {
+        marks += ((count, g))
+        if (marks.length > 65536) {
+          val kept = marks.zipWithIndex
+            .collect { case (m, i) if i % 2 == 1 => m }
+          marks.clear(); marks ++= kept
+          sampleEvery *= 2
+        }
+      }
+      last = Some(g)
+    }
+  }
+
+  private def planReplay(table: String, endBound: Option[Gtid],
+      tailer: CdcTailer): Array[InputPartition] = {
+    // known-to-exist ranges get replay-reader patience; open-ended
+    // anchoring gets AvailableNow's prepare budget
+    val waitMs =
+      if (endBound.isDefined) math.max(60000L, 8L * opts.timeoutMs)
+      else math.max(60000L, 4L * opts.timeoutMs)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    val pm = new PosMarks
+    def reachedEnd: Boolean = endBound.exists(e => pm.last.exists(_ >= e))
+    while (!reachedEnd && !(endBound.isEmpty && tailer.wentQuiet) &&
+        System.nanoTime() < deadline) {
+      tailer.checkFatal()
+      tailer.drainPositions().foreach(pm.add)
+      Thread.sleep(10)
+    }
+    tailer.drainPositions().foreach(pm.add)
+    tailer.checkFatal()
+    endBound.foreach { e =>
+      if (pm.last.forall(_ < e)) throw new CdcProtocolException(
+        s"batch endGtid $e not reached within ${waitMs}ms (stream at " +
+          s"${pm.last.getOrElse("start")}) — a bounded batch result must " +
+          "not silently truncate")
+    }
+    endBound.orElse(pm.last) match {
+      case None => Array.empty
+      case Some(e) if startGtid.exists(_ >= e) => Array.empty
+      case Some(e) =>
+        val useful = pm.marks.takeWhile(_._2 < e)
+        val n = opts.replayPartitions
+        val total =
+          if (endBound.isEmpty) pm.count
+          else useful.lastOption.map(_._1).getOrElse(0L)
+        val cuts =
+          if (n <= 1 || useful.isEmpty) Seq.empty
+          else (1 until n).flatMap { i =>
+            val target = i.toLong * total / n
+            useful.find(_._1 >= target).map(_._2)
+          }.distinct.filter(g => startGtid.forall(g > _) && g < e).sorted
+        var lo = startGtid
+        (cuts :+ e).map { hi =>
+          val p = CdcReplayPartition(opts.host, opts.port, opts.user,
+            opts.password, table, fields, lo.map(_.toString), hi.toString,
+            opts.timeoutMs): InputPartition
+          lo = Some(hi)
+          p
+        }.toArray
+    }
+  }
+
+  /** GTID-less schemas have no server-side resume token, so executor
+    * replay is impossible and rows must flow through the driver (the
+    * streaming source's documented degraded mode) — bounded by the probe
+    * buffer, failing loudly rather than truncating past it. */
+  private def planSynthetic(table: String, endBound: Option[Gtid],
+      tailer: CdcTailer): Array[InputPartition] = {
+    val waitMs = math.max(60000L, 4L * opts.timeoutMs)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    def reachedEnd: Boolean = endBound.exists(e => tailer.latest.exists(_ >= e))
+    while (!reachedEnd && !tailer.wentQuiet && System.nanoTime() < deadline) {
+      tailer.checkFatal()
+      if (tailer.bufferedCount >= ProbeBuffer) throw new CdcProtocolException(
+        s"batch read of GTID-less stream $table exceeded the $ProbeBuffer-row " +
+          "driver buffer; bound the read with endGtid or add the " +
+          "domain/server_id/sequence columns for executor-side replay")
+      Thread.sleep(10)
+    }
+    tailer.checkFatal()
+    endBound.orElse(tailer.latest) match {
+      case None => Array.empty
+      case Some(e) =>
+        val events = tailer.slice(None, e)
+        if (events.isEmpty) Array.empty
+        else Array(CdcInputPartition(
+          events.map(_.values), events.map(_.nulls)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (!multi) {
+      val projection: Array[Int] =
+        if (required == schema) null
+        else required.fields.map(f => schema.fieldIndex(f.name))
+      new CdcPartitionReaderFactory(required, opts.typed, projection, rowPred)
+    } else {
+      val appendTable = required.fieldNames.contains(MultiCdc.TableColumn)
+      val emitBase = required.fields.exists(_.name != MultiCdc.TableColumn)
+      val baseRequired = {
+        val base = StructType(
+          required.fields.filterNot(_.name == MultiCdc.TableColumn))
+        if (base.fields.isEmpty) StructType(baseSchema.fields.take(1)) else base
+      }
+      new TaggedCdcReaderFactory(baseSchema, baseRequired, opts.typed,
+        appendTable, emitBase, rowPred)
+    }
+}

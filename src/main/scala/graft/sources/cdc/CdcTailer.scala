@@ -187,6 +187,25 @@ final class CdcTailer(
   /** Highest delivered position, or the resume point if nothing new. */
   def latest: Option[Gtid] = lastGtid
 
+  /** Whether the stream has gone quiet at least once (non-blocking twin
+    * of [[awaitQuiet]] — the batch planner's drain loop polls this
+    * between position drains instead of blocking). */
+  def wentQuiet: Boolean = quietOnce
+
+  /** Return and clear the buffered positions, in stream order — the
+    * batch planner's bounded-memory drain. GTID-mode tailers buffer only
+    * positions, and clearing them releases the maxBuffered backpressure
+    * without touching `lastGtid` or the inclusive-replay dedupe, so a
+    * batch probe can walk an arbitrarily large backlog with O(drain
+    * interval) driver memory. Dedicated-probe use only: a streaming
+    * tailer's positions feed cappedEnd/splitRanges and must not be
+    * drained out from under it. */
+  def drainPositions(): Array[Gtid] = lock.synchronized {
+    val out = positions.toArray
+    positions.clear()
+    out
+  }
+
   /** Block until the stream has delivered at least up to `target` — the
     * synthetic-mode recovery contract: a restart re-plans the last
     * uncommitted batch with its logged (start, end] range, and the batch

@@ -26,7 +26,8 @@ final case class CdcOptions(
     typed: Boolean,
     maxEventsPerBatch: Int,
     replayPartitions: Int,
-    tables: Seq[String] = Seq.empty) {
+    tables: Seq[String] = Seq.empty,
+    endGtid: Option[String] = None) {
   def timeoutMs: Int = timeoutSeconds * 1000
 
   /** All subscribed tables: the `tables` option when present (multi-table
@@ -37,7 +38,8 @@ final case class CdcOptions(
     * renders the options (stream progress, plan dumps) — mask it. */
   override def toString: String =
     s"CdcOptions($host,$port,$user,${CdcRedact.Mask},${allTables.mkString("+")}," +
-      s"$startingGtid,$timeoutSeconds,$typed,$maxEventsPerBatch,$replayPartitions)"
+      s"$startingGtid,$timeoutSeconds,$typed,$maxEventsPerBatch," +
+      s"$replayPartitions,$endGtid)"
 }
 
 private[cdc] object CdcRedact { val Mask = "*****" }
@@ -95,7 +97,11 @@ object CdcOptions {
       // raise it when downstream reshuffles anyway (agg/join on key) and
       // ingest should scale with executors, not one socket.
       replayPartitions = m.getInt("replayPartitions", 1),
-      tables = if (multi.size > 1) multi else Seq.empty)
+      tables = if (multi.size > 1) multi else Seq.empty,
+      // batch-read upper bound (inclusive). Single-table: a plain GTID;
+      // multi-table: the composite `db.a=0-1-5,db.b=-` form (missing or
+      // `-` entries anchor at that table's quiet point).
+      endGtid = Option(m.get("endGtid")).filter(_.nonEmpty))
   }
 }
 
@@ -172,7 +178,7 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
   override def name(): String = s"maxscale-cdc:${opts.allTables.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   /** DSv2 pushdown contract (`SupportsPushDownRequiredColumns` +
     * `SupportsPushDownFilters`): a changelog consumer rarely reads every
@@ -240,13 +246,22 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
         override def readSchema(): StructType = required
         override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
           CdcMetrics.supported
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(opts.endGtid.isEmpty,
+            "maxscale-cdc: endGtid is a batch-read option; bound a stream " +
+              "with Trigger.AvailableNow instead")
           if (multi)
             new MultiCdcMicroBatchStream(schema, required, opts,
               checkpointLocation, pushed)
           else
             new CdcMicroBatchStream(schema, opts, checkpointLocation,
               required, pushed)
+        }
+        // one-shot bounded pull, `spark.read.format("maxscale-cdc")` —
+        // the batch planner drives pruneColumns/pushFilters natively
+        // here, so `required`/`pushed` arrive via the standard contract
+        override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+          new CdcBatch(schema, required, opts, pushed)
       }
     }
 }

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.cdc.CdcProtocolException
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import MockMaxScaleServer.{Schema, event}
+
+/** `spark.read.format("maxscale-cdc")` — the one-shot bounded changelog
+  * pull. Covers: anchor-at-quiet scans, exact (start, end] GTID bounds,
+  * parallel range splitting, batch-planner-driven column pruning + filter
+  * pushdown (the standard DSv2 contract the STREAMING planner never
+  * drives — here it is operative with no session rule), multi-table
+  * plan-time `_table` pruning, and the loud-failure contracts (future
+  * endGtid, endGtid on a stream). */
+class CdcBatchSpec extends SparkSpec {
+
+  private def reader(srv: MockMaxScaleServer): org.apache.spark.sql.DataFrameReader =
+    spark.read.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", srv.port)
+      .option("user", "u").option("password", "p")
+      .option("table", "db.t")
+      .option("timeoutSeconds", 1)
+
+  test("anchor-at-quiet: a plain batch read returns the whole backlog, typed") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 20L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv).load()
+      assert(df.schema("id").dataType == IntegerType)
+      val rows = df.orderBy("sequence").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Int]("id")).toSeq == (1 to 20))
+      assert(rows.head.getAs[String]("name") == "n1")
+    } finally srv.close()
+  }
+
+  test("endGtid + startingGtid slice exactly (start, end]") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 30L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv)
+        .option("startingGtid", "0-1-5")
+        .option("endGtid", "0-1-25")
+        .load()
+      assert(df.orderBy("sequence").collect()
+        .map(_.getAs[Int]("sequence")).toSeq == (6 to 25))
+    } finally srv.close()
+  }
+
+  test("a dead server fails the bounded-endGtid batch loudly, fast") {
+    // The full future-endGtid deadline is the 60s floor — too slow for
+    // the suite — but its failure path (checkFatal in the drain loop) is
+    // the same one a dead server hits immediately: plan after schema
+    // discovery, then kill the server; the probe tailer's connect fails
+    // fatal and planning surfaces it instead of returning an empty
+    // (silently truncated) result.
+    val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 1, "a")))
+    val df = reader(srv).option("endGtid", "0-1-999999").load()
+    srv.close()
+    val e = intercept[Exception] { df.count() }
+    assert(e.getMessage != null)
+  }
+
+  test("replayPartitions splits the scan into parallel GTID ranges, no loss") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 1000L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv).option("replayPartitions", 4).load()
+      assert(df.rdd.getNumPartitions == 4)
+      assert(df.count() == 1000)
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == 1000L * 1001 / 2)
+    } finally srv.close()
+  }
+
+  test("batch planner drives DSv2 pruning + pushdown: explain shows both, " +
+      "and the wire predicate drops rows before decode") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 100L).map(i =>
+        event(i, if (i % 10 == 0) "delete" else "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv).load()
+        .filter(org.apache.spark.sql.functions.col("event_type") === "delete")
+        .select("sequence", "id")
+      val rows = df.orderBy("sequence").collect()
+      assert(rows.map(_.getAs[Int]("sequence")).toSeq ==
+        (10 to 100 by 10))
+      // the batch planner drove pushFilters (probe records the call)...
+      assert(graft.sources.cdc.CdcPushdownProbe.lastPushed
+        .exists(_.contains("event_type")),
+        s"batch pushdown not driven: ${graft.sources.cdc.CdcPushdownProbe.lastPushed}")
+      // ...and pruneColumns: the physical scan's output is the pruned
+      // column set (event_type survives as the filter's input)
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      assert(scan.output.map(_.name).toSet ==
+        Set("sequence", "id", "event_type"),
+        s"column pruning missed: ${scan.output.map(_.name)}")
+    } finally srv.close()
+  }
+
+  test("multi-table batch: per-table anchors, _table column, and a pushed " +
+      "_table filter prunes the other table's probe entirely") {
+    val schemas = Map("db.a" -> Schema, "db.b" -> Schema)
+    val srv = new MockMaxScaleServer(Schema, Nil, tableSchemas = schemas)
+    try {
+      (1L to 5L).foreach(i => srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i")))
+      (1L to 3L).foreach(i => srv.pushTo("db.b", event(i, "insert", i.toInt, s"b$i")))
+      val base = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b")
+        .option("timeoutSeconds", 1)
+      val all = base.load()
+      assert(all.schema.fieldNames.last == "_table")
+      val counts = all.groupBy("_table").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("db.a" -> 5L, "db.b" -> 3L))
+
+      // load() itself schema-probes every table; capture AFTER load so
+      // the assertion isolates the SCAN's connections
+      val onlyA = base.load()
+        .filter(org.apache.spark.sql.functions.col("_table") === "db.a")
+      val before = srv.requestCount("db.b")
+      assert(onlyA.count() == 5)
+      // plan-time pruning: the filtered scan never probed db.b
+      assert(srv.requestCount("db.b") == before,
+        "pruned table was still probed by the batch scan")
+    } finally srv.close()
+  }
+
+  test("multi-table composite endGtid bounds one table and anchors the other") {
+    val schemas = Map("db.a" -> Schema, "db.b" -> Schema)
+    val srv = new MockMaxScaleServer(Schema, Nil, tableSchemas = schemas)
+    try {
+      (1L to 6L).foreach(i => srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i")))
+      (1L to 4L).foreach(i => srv.pushTo("db.b", event(i, "insert", i.toInt, s"b$i")))
+      val df = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b")
+        .option("timeoutSeconds", 1)
+        .option("endGtid", "db.a=0-1-2,db.b=-")
+        .load()
+      val counts = df.groupBy("_table").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("db.a" -> 2L, "db.b" -> 4L))
+    } finally srv.close()
+  }
+
+  test("endGtid on a STREAMING read is rejected loudly") {
+    val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 1, "a")))
+    try {
+      val e = intercept[Exception] {
+        spark.readStream.format("maxscale-cdc")
+          .option("host", "127.0.0.1").option("port", srv.port)
+          .option("user", "u").option("password", "p")
+          .option("table", "db.t").option("timeoutSeconds", 1)
+          .option("endGtid", "0-1-1")
+          .load().writeStream.format("memory").queryName("cdc_endgtid_stream")
+          .start().processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("endGtid is a batch-read option")),
+        s"unexpected error chain: ${chain(e)}")
+    } finally srv.close()
+  }
+
+  test("batch and stream agree: same mock backlog, same rows") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 50L).map(i => event(i, if (i % 2 == 0) "update_after" else "insert",
+        (i % 7).toInt, s"n$i")))
+    try {
+      val batch = reader(srv).load().orderBy("sequence").collect()
+
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .load()
+        .writeStream.format("memory").queryName("cdc_batch_vs_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("cdc_batch_vs_stream")
+          .orderBy("sequence").collect()
+        assert(batch.length == 50 && streamed.length == 50)
+        assert(batch.map(_.toSeq).toSeq == streamed.map(_.toSeq).toSeq)
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
