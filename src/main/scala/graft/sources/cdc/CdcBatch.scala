@@ -139,6 +139,11 @@ final class CdcBatch(
 
   private def planReplay(table: String, endBound: Option[Gtid],
       tailer: CdcTailer): Array[InputPartition] = {
+    // degenerate (g, g'] with g >= g' is empty BY THE BOUNDS — return
+    // without waiting on the wire (the snapshot/follow bootstrap leans
+    // on this: an empty-changelog snapshot is endGtid == startingGtid)
+    if (endBound.exists(e => startGtid.exists(_ >= e)))
+      return Array.empty
     // known-to-exist ranges get replay-reader patience; open-ended
     // anchoring gets AvailableNow's prepare budget
     val waitMs =

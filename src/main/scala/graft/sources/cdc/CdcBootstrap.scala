@@ -1,0 +1,106 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Gap-free bootstrap: snapshot the changelog as a batch, then follow it
+  * as a stream from exactly where the snapshot ended.
+  *
+  * The classic CDC consumer bootstrap — "process the history, then stay
+  * current" — has a seam bug when written by hand: a plain batch read
+  * anchors at SOME position, but the anchor lives inside the scan (and
+  * re-anchors on every action), so the follow-up stream's `startingGtid`
+  * is a guess, and a guess is either a gap (events lost between anchor
+  * and stream start) or an overlap (events processed twice). The fix is
+  * to pick the anchor FIRST, outside any scan:
+  *
+  *   1. [[anchor]] probes the table to its first quiet moment and
+  *      returns the last produced GTID — a stable position, chosen once.
+  *   2. The snapshot is a batch read bounded by `endGtid = anchor`
+  *      (exact, repeatable: every action re-reads the same closed range).
+  *   3. The stream starts at `startingGtid = anchor` — the batch bound
+  *      is inclusive and the stream's start is exclusive (reference
+  *      resume semantics, cdc_connector.cpp:199-213), so the two
+  *      partition the changelog with no gap and no overlap.
+  *
+  * {{{
+  * val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, Map(
+  *   "host" -> h, "port" -> "4001", "user" -> u, "password" -> pw,
+  *   "table" -> "db.t"))
+  * snapshot.write.parquet(dir)                  // history, exactly once
+  * follow.writeStream.foreachBatch(...).start() // everything after
+  * }}}
+  */
+object CdcBootstrap {
+
+  /** The table's current position: tail from `startingGtid` (or the
+    * stream start) until the server first goes quiet, and return the
+    * last produced GTID — `None` for an empty changelog. This is the
+    * same "now" that `Trigger.AvailableNow` and the unbounded batch
+    * scan anchor on, reified so callers can hold it stable across the
+    * snapshot/follow seam. Requires the GTID metadata columns (without
+    * a server-side resume token there is no seam to coordinate). */
+  def anchor(options: Map[String, String]): Option[String] = {
+    val opts = CdcOptions(new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(scala.jdk.CollectionConverters
+        .MapHasAsJava(options).asJava))
+    require(opts.allTables.size == 1,
+      "anchor() probes one table; call it per table in multi-table setups")
+    val client = new CdcClient(opts.host, opts.port, opts.user,
+      opts.password, opts.timeoutMs)
+    val fields: Seq[CdcField] =
+      try {
+        client.connect()
+        client.requestData(opts.table, opts.startingGtid)
+        var f: Seq[CdcField] = null
+        while (f == null) client.readMessage() match {
+          case CdcSchemaMsg(ff, _) => f = ff
+          case CdcTimeout => throw new CdcProtocolException(
+            s"no schema from ${opts.host}:${opts.port} for ${opts.table}")
+          case CdcClosed => throw new CdcProtocolException(
+            "server closed the connection before sending a schema")
+          case _: CdcRowMsg => throw new CdcProtocolException(
+            "data row received before schema")
+        }
+        f
+      } finally client.close()
+    val tailer = new CdcTailer(opts.host, opts.port, opts.user,
+      opts.password, opts.table, fields, opts.startingGtid.map(Gtid.parse),
+      opts.timeoutMs)
+    if (!tailer.hasGtidColumns) throw new CdcProtocolException(
+      s"${opts.table} has no domain/server_id/sequence columns — no " +
+        "server-side position exists to anchor a snapshot/follow seam on")
+    tailer.start()
+    try {
+      tailer.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
+      tailer.latest.map(_.toString)
+    } finally tailer.shutdown()
+  }
+
+  /** One stable anchor, two DataFrames: the bounded snapshot batch
+    * `(startingGtid, anchor]` and the follow stream starting at the
+    * anchor. An empty changelog yields an empty-range snapshot (bounded
+    * at `startingGtid`, or unbounded-empty at stream start) and a
+    * stream from the same position — still seam-free. */
+  def snapshotAndFollow(
+      spark: SparkSession,
+      options: Map[String, String]): (DataFrame, DataFrame) = {
+    val a = anchor(options)
+    val snapshot = a match {
+      case Some(g) =>
+        spark.read.format("maxscale-cdc")
+          .options(options + ("endGtid" -> g)).load()
+      case None =>
+        // nothing existed at anchor time; an UNbounded batch would
+        // re-anchor per action and overlap the stream — the seam-free
+        // snapshot of an empty changelog is a pinned-empty DataFrame
+        // with the source's schema
+        val schema = spark.read.format("maxscale-cdc")
+          .options(options).load().schema
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
+    val follow = spark.readStream.format("maxscale-cdc")
+      .options(a.fold(options)(g => options + ("startingGtid" -> g))).load()
+    (snapshot, follow)
+  }
+}

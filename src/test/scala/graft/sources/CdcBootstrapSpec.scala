@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.cdc.CdcBootstrap
+
+import MockMaxScaleServer.{Schema, event}
+
+/** The snapshot/follow seam: one stable anchor partitions the changelog
+  * into a repeatable bounded batch and a stream that starts exactly
+  * where the batch ended — no gap, no overlap, even with events landing
+  * between the two reads. */
+class CdcBootstrapSpec extends SparkSpec {
+
+  private def opts(srv: MockMaxScaleServer): Map[String, String] = Map(
+    "host" -> "127.0.0.1", "port" -> srv.port.toString,
+    "user" -> "u", "password" -> "p",
+    "table" -> "db.t", "timeoutSeconds" -> "1")
+
+  test("anchor probes to the last produced GTID; respects startingGtid") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 7L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      assert(CdcBootstrap.anchor(opts(srv)) == Some("0-1-7"))
+      // resume-positioned probe with nothing new anchors AT the resume
+      assert(CdcBootstrap.anchor(opts(srv) + ("startingGtid" -> "0-1-7"))
+        == Some("0-1-7"))
+    } finally srv.close()
+  }
+
+  test("snapshotAndFollow: events landing between snapshot and stream " +
+      "start are seen exactly once, by the stream") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 10L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, opts(srv))
+      // the seam moment: new events arrive AFTER the anchor was chosen
+      // but BEFORE either side runs
+      (11L to 15L).foreach(i => srv.push(event(i, "insert", i.toInt, s"n$i")))
+
+      val snapRows = snapshot.orderBy("sequence").collect()
+      assert(snapRows.map(_.getAs[Int]("sequence")).toSeq == (1 to 10),
+        "snapshot must stop at the anchor, not re-anchor past it")
+      // bounded range ⇒ repeatable: a second action sees the same rows
+      assert(snapshot.count() == 10)
+
+      val q = follow.writeStream.format("memory")
+        .queryName("cdc_bootstrap_follow").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("cdc_bootstrap_follow")
+          .orderBy("sequence").collect()
+        assert(streamed.map(_.getAs[Int]("sequence")).toSeq == (11 to 15),
+          "stream must start exactly after the anchor")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("empty changelog: pinned-empty snapshot, stream from the start") {
+    val srv = new MockMaxScaleServer(Schema, Nil)
+    try {
+      assert(CdcBootstrap.anchor(opts(srv)).isEmpty)
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, opts(srv))
+      srv.push(event(1, "insert", 1, "late"))
+      // the pinned-empty snapshot cannot re-anchor onto the late event
+      assert(snapshot.count() == 0)
+      assert(snapshot.schema.fieldNames.contains("sequence"))
+      val q = follow.writeStream.format("memory")
+        .queryName("cdc_bootstrap_empty").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("cdc_bootstrap_empty").count() == 1)
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
