@@ -170,6 +170,29 @@ class CdcBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SQL-first consumption: CREATE TABLE USING maxscale-cdc, then SELECT") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 12L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      spark.sql("DROP TABLE IF EXISTS cdc_sql_t")
+      spark.sql(
+        s"""CREATE TABLE cdc_sql_t USING `maxscale-cdc` OPTIONS (
+           |  host '127.0.0.1', port '${srv.port}',
+           |  user 'u', password 'p', table 'db.t', timeoutSeconds '1')
+           |""".stripMargin)
+      try {
+        val n = spark.sql(
+          "SELECT count(*) AS n FROM cdc_sql_t WHERE event_type = 'insert'")
+          .head.getLong(0)
+        assert(n == 12)
+        val top = spark.sql(
+          "SELECT id, name FROM cdc_sql_t ORDER BY sequence DESC LIMIT 1")
+          .head
+        assert(top.getInt(0) == 12 && top.getString(1) == "n12")
+      } finally spark.sql("DROP TABLE IF EXISTS cdc_sql_t")
+    } finally srv.close()
+  }
+
   test("batch and stream agree: same mock backlog, same rows") {
     val srv = new MockMaxScaleServer(Schema,
       (1L to 50L).map(i => event(i, if (i % 2 == 0) "update_after" else "insert",
