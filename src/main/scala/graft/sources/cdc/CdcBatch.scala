@@ -64,12 +64,19 @@ final class CdcBatch(
     CdcField(f.name, t)
   }
 
-  private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
+  /** Per-table start: plain `startingGtid` applies to every table; the
+    * composite `db.a=0-1-5,db.b=-` form names each table's own position
+    * (the multi-table bootstrap shape). */
+  private def startFor(table: String): Option[Gtid] = opts.startFor(table)
 
   private def endFor(table: String): Option[Gtid] = opts.endGtid match {
     case None => None
     case Some(s) if !multi => Some(Gtid.parse(s))
-    case Some(s) => MultiGtidOffset.fromJson(s).of(table)
+    case Some(s) =>
+      require(s.contains('='),
+        s"maxscale-cdc: multi-table endGtid must use the composite " +
+          s"'db.a=0-1-5,db.b=-' form, got '$s'")
+      MultiGtidOffset.fromJson(s).of(table)
   }
 
   /** Pushed `_table`-only conjuncts → plan-time table pruning (multi
@@ -106,7 +113,7 @@ final class CdcBatch(
 
   private def planTable(table: String, endBound: Option[Gtid]): Array[InputPartition] = {
     val tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
-      table, fields, startGtid, opts.timeoutMs, maxBuffered = ProbeBuffer)
+      table, fields, startFor(table), opts.timeoutMs, maxBuffered = ProbeBuffer)
     tailer.start()
     try {
       if (tailer.hasGtidColumns) planReplay(table, endBound, tailer)
@@ -139,10 +146,11 @@ final class CdcBatch(
 
   private def planReplay(table: String, endBound: Option[Gtid],
       tailer: CdcTailer): Array[InputPartition] = {
-    // degenerate (g, g'] with g >= g' is empty BY THE BOUNDS — return
-    // without waiting on the wire (the snapshot/follow bootstrap leans
-    // on this: an empty-changelog snapshot is endGtid == startingGtid)
-    if (endBound.exists(e => startGtid.exists(_ >= e)))
+    val startGtid = startFor(table)
+    // degenerate bounds are empty WITHOUT waiting on the wire: an end at
+    // or below the start, or at the universal floor (the bootstrap pins
+    // an empty-at-anchor-time table's slice as endGtid = 0-0-0)
+    if (endBound.exists(e => startGtid.exists(_ >= e) || e == Gtid.Floor))
       return Array.empty
     // known-to-exist ranges get replay-reader patience; open-ended
     // anchoring gets AvailableNow's prepare budget

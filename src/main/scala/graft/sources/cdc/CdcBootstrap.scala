@@ -40,22 +40,37 @@ object CdcBootstrap {
     * snapshot/follow seam. Requires the GTID metadata columns (without
     * a server-side resume token there is no seam to coordinate). */
   def anchor(options: Map[String, String]): Option[String] = {
-    val opts = CdcOptions(new org.apache.spark.sql.util
+    val opts = parse(options)
+    require(opts.allTables.size == 1,
+      "anchor() probes one table; multi-table setups use anchors()")
+    anchorOf(opts, opts.table).map(_.toString)
+  }
+
+  /** Per-table anchors for a multi-table (or single-table) setup, in
+    * `tables` order — each table probed to its own quiet point. */
+  def anchors(options: Map[String, String]): Seq[(String, Option[String])] = {
+    val opts = parse(options)
+    opts.allTables.map(t => t -> anchorOf(opts, t).map(_.toString))
+  }
+
+  private def parse(options: Map[String, String]): CdcOptions =
+    CdcOptions(new org.apache.spark.sql.util
       .CaseInsensitiveStringMap(scala.jdk.CollectionConverters
         .MapHasAsJava(options).asJava))
-    require(opts.allTables.size == 1,
-      "anchor() probes one table; call it per table in multi-table setups")
+
+  private def anchorOf(opts: CdcOptions, table: String): Option[Gtid] = {
+    val start = opts.startFor(table)
     val client = new CdcClient(opts.host, opts.port, opts.user,
       opts.password, opts.timeoutMs)
     val fields: Seq[CdcField] =
       try {
         client.connect()
-        client.requestData(opts.table, opts.startingGtid)
+        client.requestData(table, start.map(_.toString))
         var f: Seq[CdcField] = null
         while (f == null) client.readMessage() match {
           case CdcSchemaMsg(ff, _) => f = ff
           case CdcTimeout => throw new CdcProtocolException(
-            s"no schema from ${opts.host}:${opts.port} for ${opts.table}")
+            s"no schema from ${opts.host}:${opts.port} for $table")
           case CdcClosed => throw new CdcProtocolException(
             "server closed the connection before sending a schema")
           case _: CdcRowMsg => throw new CdcProtocolException(
@@ -64,15 +79,14 @@ object CdcBootstrap {
         f
       } finally client.close()
     val tailer = new CdcTailer(opts.host, opts.port, opts.user,
-      opts.password, opts.table, fields, opts.startingGtid.map(Gtid.parse),
-      opts.timeoutMs)
+      opts.password, table, fields, start, opts.timeoutMs)
     if (!tailer.hasGtidColumns) throw new CdcProtocolException(
-      s"${opts.table} has no domain/server_id/sequence columns — no " +
+      s"$table has no domain/server_id/sequence columns — no " +
         "server-side position exists to anchor a snapshot/follow seam on")
     tailer.start()
     try {
       tailer.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
-      tailer.latest.map(_.toString)
+      tailer.latest
     } finally tailer.shutdown()
   }
 
@@ -84,6 +98,8 @@ object CdcBootstrap {
   def snapshotAndFollow(
       spark: SparkSession,
       options: Map[String, String]): (DataFrame, DataFrame) = {
+    val opts = parse(options)
+    if (opts.allTables.size > 1) return snapshotAndFollowMulti(spark, options)
     val a = anchor(options)
     val snapshot = a match {
       case Some(g) =>
@@ -101,6 +117,31 @@ object CdcBootstrap {
     }
     val follow = spark.readStream.format("maxscale-cdc")
       .options(a.fold(options)(g => options + ("startingGtid" -> g))).load()
+    (snapshot, follow)
+  }
+
+  /** Multi-table seam: each table anchors independently, composed via
+    * the composite GTID forms. A table empty at anchor time snapshots
+    * as the pinned-empty `endGtid = 0-0-0` slice ([[Gtid.Floor]]) and
+    * streams from its configured start — per table, the same
+    * no-gap/no-overlap partition as the single-table path. */
+  private def snapshotAndFollowMulti(
+      spark: SparkSession,
+      options: Map[String, String]): (DataFrame, DataFrame) = {
+    val opts = parse(options)
+    val as: Seq[(String, Option[Gtid])] =
+      opts.allTables.map(t => t -> anchorOf(opts, t))
+    val endComposite = as.map { case (t, a) =>
+      s"$t=${a.getOrElse(Gtid.Floor)}"
+    }.mkString(",")
+    val startComposite = as.map { case (t, a) =>
+      val pos = a.orElse(opts.startFor(t))
+      s"$t=${pos.map(_.toString).getOrElse(GtidOffset.StartJson)}"
+    }.mkString(",")
+    val snapshot = spark.read.format("maxscale-cdc")
+      .options(options + ("endGtid" -> endComposite)).load()
+    val follow = spark.readStream.format("maxscale-cdc")
+      .options(options + ("startingGtid" -> startComposite)).load()
     (snapshot, follow)
   }
 }

@@ -26,6 +26,15 @@ final case class Gtid(domain: Long, serverId: Long, sequence: Long)
 }
 
 object Gtid {
+  /** `0-0-0` — the universal floor position: domains are non-negative
+    * and event sequences start at 1, so every real event compares
+    * strictly greater. As a batch `endGtid` it denotes a pinned-EMPTY
+    * slice (the scan returns without touching the wire); as a stream
+    * `startingGtid` it is equivalent to stream start. The multi-table
+    * bootstrap uses it for tables whose changelog was empty at anchor
+    * time. */
+  val Floor: Gtid = Gtid(0, 0, 0)
+
   def parse(s: String): Gtid = s.split("-") match {
     case Array(d, sv, sq) => Gtid(d.toLong, sv.toLong, sq.toLong)
     case _ => throw new IllegalArgumentException(

@@ -34,6 +34,20 @@ final case class CdcOptions(
     * mode, one stream + composite offset), else the single `table`. */
   def allTables: Seq[String] = if (tables.nonEmpty) tables else Seq(table)
 
+  /** Start position for one table. `startingGtid` is a plain GTID (same
+    * position for every table — the single-table case and the uniform
+    * multi-table case) or, in multi-table mode, the composite
+    * `db.a=0-1-5,db.b=-` form for PER-TABLE starts (a multi-table
+    * bootstrap needs them: each shard anchors at its own position). */
+  def startFor(t: String): Option[Gtid] = startingGtid match {
+    case None => None
+    case Some(s) if s.contains('=') =>
+      require(allTables.size > 1,
+        s"maxscale-cdc: composite startingGtid '$s' needs multi-table mode")
+      MultiGtidOffset.fromJson(s).of(t)
+    case Some(s) => Some(Gtid.parse(s))
+  }
+
   /** Case-class toString would print the password into any log line that
     * renders the options (stream progress, plan dumps) — mask it. */
   override def toString: String =
@@ -119,7 +133,7 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
     val client = new CdcClient(o.host, o.port, o.user, o.password, o.timeoutMs)
     try {
       client.connect()
-      client.requestData(table, o.startingGtid)
+      client.requestData(table, o.startFor(table).map(_.toString))
       var fields: Seq[CdcField] = null
       var tries = 0
       while (fields == null) {
@@ -334,7 +348,7 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     }
   }
 
-  private val startGtid: Option[Gtid] = opts.startingGtid.map(Gtid.parse)
+  private val startGtid: Option[Gtid] = opts.startFor(opts.table)
   /** Last committed position (checkpoint-persisted) — the tailer's resume
     * point. Always >= startingGtid, never past an uncommitted batch. */
   @volatile private var resumeHint: Option[Gtid] = {

@@ -135,8 +135,11 @@ class MultiCdcMicroBatchStream(
     checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
 
   private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
+    // resolve a composite startingGtid to THIS table's entry before the
+    // copy narrows the options to single-table mode
     t -> new CdcMicroBatchStream(
-      baseSchema, opts.copy(table = t, tables = Seq.empty), subCheckpoint(t),
+      baseSchema, opts.copy(table = t, tables = Seq.empty,
+        startingGtid = opts.startFor(t).map(_.toString)), subCheckpoint(t),
       baseRequired)
   }
 

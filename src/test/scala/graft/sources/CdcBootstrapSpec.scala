@@ -55,6 +55,62 @@ class CdcBootstrapSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("multi-table seam: per-table anchors, one empty-at-anchor table; " +
+      "seam events land in the stream only") {
+    val schemas = Map("db.a" -> Schema, "db.b" -> Schema)
+    val srv = new MockMaxScaleServer(Schema, Nil, tableSchemas = schemas)
+    try {
+      (1L to 4L).foreach(i => srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i")))
+      // db.b is EMPTY at anchor time
+      val o = Map(
+        "host" -> "127.0.0.1", "port" -> srv.port.toString,
+        "user" -> "u", "password" -> "p",
+        "tables" -> "db.a,db.b", "timeoutSeconds" -> "1")
+      assert(CdcBootstrap.anchors(o).toMap ==
+        Map("db.a" -> Some("0-1-4"), "db.b" -> None))
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, o)
+      // the seam moment: both tables gain events after anchoring
+      srv.pushTo("db.a", event(5, "insert", 5, "a5"))
+      srv.pushTo("db.b", event(1, "insert", 1, "b1"))
+
+      val snapCounts = snapshot.groupBy("_table").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(snapCounts == Map("db.a" -> 4L),
+        s"snapshot must hold the anchored slices only, got $snapCounts")
+
+      val q = follow.writeStream.format("memory")
+        .queryName("cdc_bootstrap_multi").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("cdc_bootstrap_multi")
+          .select("_table", "sequence").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+        assert(streamed == Set(("db.a", 5), ("db.b", 1)),
+          "stream must carry exactly the post-anchor events")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("composite startingGtid positions each table independently") {
+    val schemas = Map("db.a" -> Schema, "db.b" -> Schema)
+    val srv = new MockMaxScaleServer(Schema, Nil, tableSchemas = schemas)
+    try {
+      (1L to 5L).foreach(i => srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i")))
+      (1L to 5L).foreach(i => srv.pushTo("db.b", event(i, "insert", i.toInt, s"b$i")))
+      val df = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b").option("timeoutSeconds", 1)
+        .option("startingGtid", "db.a=0-1-3,db.b=-")
+        .load()
+      val got = df.select("_table", "sequence").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got == (Set(4, 5).map(("db.a", _)) ++
+        Set(1, 2, 3, 4, 5).map(("db.b", _))),
+        s"per-table starts not honored: $got")
+    } finally srv.close()
+  }
+
   test("empty changelog: pinned-empty snapshot, stream from the start") {
     val srv = new MockMaxScaleServer(Schema, Nil)
     try {
