@@ -27,11 +27,14 @@ import scala.collection.mutable.ArrayBuffer
   *     and therefore re-anchors — two actions can see different data, as
   *     with any live external table; `.cache()` pins one anchor.
   *
-  * Planning walks the backlog once on the driver, but keeps only a
-  * bounded sample of positions ([[PosMarks]]) for partition splitting —
-  * O(1) driver memory in the backlog size. Executors then replay their
-  * `(start, end]` subranges straight from the server, in parallel when
-  * `replayPartitions` > 1. Spark's batch planner natively drives the
+  * An explicitly-bounded scan plans with ZERO driver wire I/O
+  * ([[planBounded]]: sequence-arithmetic cuts) — at a 10⁹-event backlog
+  * the alternative is hours of driver tailing before the first task.
+  * Anchor-at-quiet planning walks the backlog once on the driver, but
+  * keeps only a bounded sample of positions ([[PosMarks]]) for exact
+  * partition splitting — O(1) driver memory in the backlog size.
+  * Executors then replay their `(start, end]` subranges straight from
+  * the server, in parallel when `replayPartitions` > 1. Spark's batch planner natively drives the
   * DSv2 pushdown interfaces (unlike its streaming planner — see the
   * HONESTY NOTE in [[MaxScaleCdcTable]]), so column pruning and wire
   * filters arrive here through the standard contract with no session
@@ -111,14 +114,71 @@ final class CdcBatch(
         .map(p => TaggedCdcPartition(p, t): InputPartition)
     }
 
-  private def planTable(table: String, endBound: Option[Gtid]): Array[InputPartition] = {
-    val tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
-      table, fields, startFor(table), opts.timeoutMs, maxBuffered = ProbeBuffer)
-    tailer.start()
-    try {
-      if (tailer.hasGtidColumns) planReplay(table, endBound, tailer)
-      else planSynthetic(table, endBound, tailer)
-    } finally tailer.shutdown()
+  /** Whether the wire schema carries the GTID trio (server-side resume
+    * token exists ⇒ executor replay is possible). */
+  private val hasGtidColumns: Boolean =
+    Seq("domain", "server_id", "sequence").forall(n => fields.exists(_.name == n))
+
+  private def planTable(table: String, endBound: Option[Gtid]): Array[InputPartition] =
+    endBound match {
+      case Some(e) if hasGtidColumns =>
+        // explicitly bounded range: ZERO driver wire I/O — the range is
+        // named, the executors replay it (and fail loudly, bounded, if
+        // the server cannot produce it)
+        planBounded(table, e)
+      case _ =>
+        val tailer = new CdcTailer(opts.host, opts.port, opts.user,
+          opts.password, table, fields, startFor(table), opts.timeoutMs,
+          maxBuffered = ProbeBuffer)
+        tailer.start()
+        try {
+          if (tailer.hasGtidColumns) planReplay(table, tailer)
+          else planSynthetic(table, endBound, tailer)
+        } finally tailer.shutdown()
+    }
+
+  /** Partitions for a named `(start, end]` range without touching the
+    * wire at plan time. Parallel cuts are SEQUENCE-ARITHMETIC: GTID
+    * order is `(domain, sequence, serverId)` ([[Gtid]]), so any
+    * fabricated boundary position still yields disjoint-and-covering
+    * subranges — balance depends on how densely the domain's sequence
+    * numbers land in this table (the probe path's observed-position
+    * marks are exact; this path trades balance for zero driver I/O,
+    * the right trade when the caller already knows the bound, e.g. the
+    * bootstrap's snapshot or an operator re-pulling a recorded range).
+    * A bound the server never produced surfaces as a bounded-deadline
+    * task failure in [[CdcReplayReader]] — still loud, just
+    * executor-side. Fabricated interior boundaries lean on the
+    * reference's inclusive-replay contract (the server replays from
+    * at-or-before the requested position and the reader dedupes below
+    * it, cdc_connector.cpp:199-213); `replayPartitions = 1` issues only
+    * caller-supplied positions. */
+  private def planBounded(table: String, e: Gtid): Array[InputPartition] = {
+    val start = startFor(table)
+    if (start.exists(_ >= e) || e == Gtid.Floor) return Array.empty
+    start.foreach { s =>
+      require(s.domain == e.domain,
+        s"maxscale-cdc: startingGtid $s and endGtid $e are in different " +
+          "replication domains — GTID order is only defined within one " +
+          "domain; run one query per domain")
+    }
+    val n = opts.replayPartitions
+    val lowSeq = start.map(_.sequence).getOrElse(0L)
+    val cuts =
+      if (n <= 1) Seq.empty
+      else (1 until n)
+        .map(i => lowSeq + (e.sequence - lowSeq) * i / n)
+        .distinct
+        .filter(s => s > lowSeq && s < e.sequence)
+        .map(s => Gtid(e.domain, e.serverId, s))
+    var lo = start
+    (cuts :+ e).map { hi =>
+      val p = CdcReplayPartition(opts.host, opts.port, opts.user,
+        opts.password, table, fields, lo.map(_.toString), hi.toString,
+        opts.timeoutMs): InputPartition
+      lo = Some(hi)
+      p
+    }.toArray
   }
 
   /** Bounded-memory position sample: every `sampleEvery`-th position,
@@ -144,50 +204,32 @@ final class CdcBatch(
     }
   }
 
-  private def planReplay(table: String, endBound: Option[Gtid],
+  /** Anchor-at-quiet planning (no `endGtid`): walk the backlog once on
+    * the driver, anchoring at the first quiet moment; the position
+    * marks make the parallel cuts EXACT (equal observed-event counts
+    * per range, unlike [[planBounded]]'s arithmetic cuts). */
+  private def planReplay(table: String,
       tailer: CdcTailer): Array[InputPartition] = {
     val startGtid = startFor(table)
-    // degenerate bounds are empty WITHOUT waiting on the wire: an end at
-    // or below the start, or at the universal floor (the bootstrap pins
-    // an empty-at-anchor-time table's slice as endGtid = 0-0-0)
-    if (endBound.exists(e => startGtid.exists(_ >= e) || e == Gtid.Floor))
-      return Array.empty
-    // known-to-exist ranges get replay-reader patience; open-ended
-    // anchoring gets AvailableNow's prepare budget
-    val waitMs =
-      if (endBound.isDefined) math.max(60000L, 8L * opts.timeoutMs)
-      else math.max(60000L, 4L * opts.timeoutMs)
+    val waitMs = math.max(60000L, 4L * opts.timeoutMs)
     val deadline = System.nanoTime() + waitMs * 1000000L
     val pm = new PosMarks
-    def reachedEnd: Boolean = endBound.exists(e => pm.last.exists(_ >= e))
-    while (!reachedEnd && !(endBound.isEmpty && tailer.wentQuiet) &&
-        System.nanoTime() < deadline) {
+    while (!tailer.wentQuiet && System.nanoTime() < deadline) {
       tailer.checkFatal()
       tailer.drainPositions().foreach(pm.add)
       Thread.sleep(10)
     }
     tailer.drainPositions().foreach(pm.add)
     tailer.checkFatal()
-    endBound.foreach { e =>
-      if (pm.last.forall(_ < e)) throw new CdcProtocolException(
-        s"batch endGtid $e not reached within ${waitMs}ms (stream at " +
-          s"${pm.last.getOrElse("start")}) — a bounded batch result must " +
-          "not silently truncate")
-    }
-    endBound.orElse(pm.last) match {
+    pm.last match {
       case None => Array.empty
-      case Some(e) if startGtid.exists(_ >= e) => Array.empty
       case Some(e) =>
-        val useful = pm.marks.takeWhile(_._2 < e)
         val n = opts.replayPartitions
-        val total =
-          if (endBound.isEmpty) pm.count
-          else useful.lastOption.map(_._1).getOrElse(0L)
         val cuts =
-          if (n <= 1 || useful.isEmpty) Seq.empty
+          if (n <= 1 || pm.marks.isEmpty) Seq.empty
           else (1 until n).flatMap { i =>
-            val target = i.toLong * total / n
-            useful.find(_._1 >= target).map(_._2)
+            val target = i.toLong * pm.count / n
+            pm.marks.find(_._1 >= target).map(_._2)
           }.distinct.filter(g => startGtid.forall(g > _) && g < e).sorted
         var lo = startGtid
         (cuts :+ e).map { hi =>

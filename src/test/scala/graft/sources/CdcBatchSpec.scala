@@ -76,6 +76,31 @@ class CdcBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("explicitly bounded scan plans with zero driver wire I/O and " +
+      "splits by sequence arithmetic, no loss") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 1000L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv)
+        .option("endGtid", "0-1-1000")
+        .option("replayPartitions", 4).load()
+      val before = srv.requestCount("db.t")
+      assert(df.rdd.getNumPartitions == 4)
+      // planning a named range opens NO probe connection; only the 4
+      // executor replays touch the wire
+      assert(srv.requestCount("db.t") == before,
+        "bounded planning must not tail the range on the driver")
+      val counts = df.groupBy(org.apache.spark.sql.functions
+        .spark_partition_id().as("p")).count().collect()
+        .map(_.getLong(1)).sorted
+      assert(counts.sum == 1000)
+      // mock GTIDs are dense 1..1000, so arithmetic cuts are exact
+      assert(counts.toSeq == Seq(250L, 250L, 250L, 250L),
+        s"unbalanced bounded split: ${counts.toSeq}")
+      assert(srv.requestCount("db.t") == before + 4)
+    } finally srv.close()
+  }
+
   test("batch planner drives DSv2 pruning + pushdown: explain shows both, " +
       "and the wire predicate drops rows before decode") {
     val srv = new MockMaxScaleServer(Schema,
