@@ -667,6 +667,29 @@ class CdcSourceSpec extends SparkSpec {
     assert(opts.maxEventsPerBatch == 100000)
     assert(opts.replayPartitions == 1)
     assert(opts.startingGtid.isEmpty)
+    assert(opts.endGtid.isEmpty)                // batch-only bound, off by default
+    assert(opts.tables.isEmpty && opts.allTables == Seq("db.t"))
+
+    // composite per-table GTID forms (multi-table mode): startingGtid /
+    // endGtid entries as db.x=gtid with `-` = stream start / anchor
+    val multi = CdcOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("host" -> "h", "tables" -> "db.a,db.b",
+        "startingGtid" -> "db.a=0-1-5,db.b=-").asJava))
+    assert(multi.startFor("db.a").map(_.toString) == Some("0-1-5"))
+    assert(multi.startFor("db.b").isEmpty)
+    // plain form applies the same position to every table
+    val uniform = CdcOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("host" -> "h", "tables" -> "db.a,db.b",
+        "startingGtid" -> "0-1-9").asJava))
+    assert(uniform.startFor("db.a") == uniform.startFor("db.b") &&
+      uniform.startFor("db.a").map(_.toString) == Some("0-1-9"))
+    // composite form in single-table mode is a loud error
+    val bad = intercept[IllegalArgumentException] {
+      CdcOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("host" -> "h", "table" -> "db.t",
+          "startingGtid" -> "db.t=0-1-5").asJava)).startFor("db.t")
+    }
+    assert(bad.getMessage.contains("multi-table"))
     val missing = intercept[IllegalArgumentException] {
       CdcOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         Map("host" -> "h").asJava))
@@ -679,5 +702,21 @@ class CdcSourceSpec extends SparkSpec {
     assert(GtidOffset.Start.json() == "-")      // stream-start sentinel
     assert(GtidOffset.fromJson("-") == GtidOffset.Start)
     assert(GtidOffset.fromJson("").json() == "-")
+
+    // composite offsets round-trip, including awkward-but-legal table
+    // names ('=' inside the name: the value-side parse is rightmost-'=')
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val names = Seq("db.t", "d=b.t2", "a-b.c_d", "x.y").distinct
+        .take(1 + rnd.nextInt(4))
+      val off = graft.sources.cdc.MultiGtidOffset(names.map { t =>
+        t -> (if (rnd.nextBoolean()) None
+              else Some(graft.sources.cdc.Gtid(
+                rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong,
+                1L + rnd.nextInt(1 << 20))))
+      })
+      assert(graft.sources.cdc.MultiGtidOffset.fromJson(off.json()) == off,
+        s"composite offset round-trip broke for ${off.json()}")
+    }
   }
 }
