@@ -34,7 +34,9 @@ import scala.collection.mutable.ArrayBuffer
   * keeps only a bounded sample of positions ([[PosMarks]]) for exact
   * partition splitting — O(1) driver memory in the backlog size.
   * Executors then replay their `(start, end]` subranges straight from
-  * the server, in parallel when `replayPartitions` > 1. Spark's batch planner natively drives the
+  * the server, in parallel when `replayPartitions` > 1.
+  *
+  * Spark's batch planner natively drives the
   * DSv2 pushdown interfaces (unlike its streaming planner — see the
   * HONESTY NOTE in [[MaxScaleCdcTable]]), so column pruning and wire
   * filters arrive here through the standard contract with no session
@@ -164,11 +166,13 @@ final class CdcBatch(
     }
     val n = opts.replayPartitions
     val lowSeq = start.map(_.sequence).getOrElse(0L)
+    // per-range width first (diff/n*i never exceeds diff, so the cut
+    // arithmetic cannot overflow whatever the sequence magnitudes)
+    val step = (e.sequence - lowSeq) / math.max(1, n)
     val cuts =
-      if (n <= 1) Seq.empty
+      if (n <= 1 || step == 0) Seq.empty
       else (1 until n)
-        .map(i => lowSeq + (e.sequence - lowSeq) * i / n)
-        .distinct
+        .map(i => lowSeq + step * i)
         .filter(s => s > lowSeq && s < e.sequence)
         .map(s => Gtid(e.domain, e.serverId, s))
     var lo = start
