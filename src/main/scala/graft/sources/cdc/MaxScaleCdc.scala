@@ -256,10 +256,43 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
         required =
           if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
           else requiredSchema
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
           CdcMetrics.supported
+
+        /** Explicitly-bounded batch slices report a row-count UPPER
+          * bound from the GTID sequence span (a domain's sequence is
+          * dense across tables, so a table's slice holds at most
+          * span events) — without it Spark assumes defaultSizeInBytes
+          * (≈∞) and a small pulled slice can never be broadcast in the
+          * pull-and-join pattern. Unbounded/anchor scans stay unknown:
+          * a changelog has no cheap cardinality oracle before the
+          * anchor probe runs. */
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+          new org.apache.spark.sql.connector.read.Statistics {
+            private val span: Option[Long] = opts.endGtid.flatMap { s =>
+              val spans = opts.allTables.map { t =>
+                val end =
+                  if (s.contains('=')) MultiGtidOffset.fromJson(s).of(t)
+                  else Some(Gtid.parse(s))
+                end.map(e =>
+                  math.max(0L, e.sequence -
+                    opts.startFor(t).map(_.sequence).getOrElse(0L)))
+              }
+              // every table must be explicitly bounded for the total to
+              // be an upper bound (an anchor-at-quiet entry is unknown)
+              if (spans.forall(_.isDefined)) Some(spans.flatten.sum) else None
+            }
+            override def numRows(): java.util.OptionalLong =
+              span.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def sizeInBytes(): java.util.OptionalLong =
+              span.map(s => java.util.OptionalLong.of(
+                s * (required.defaultSize.toLong + 16L)))
+                .getOrElse(java.util.OptionalLong.empty())
+          }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           require(opts.endGtid.isEmpty,
             "maxscale-cdc: endGtid is a batch-read option; bound a stream " +

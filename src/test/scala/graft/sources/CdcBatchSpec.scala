@@ -195,6 +195,33 @@ class CdcBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("bounded slices report sequence-span statistics, so a pulled " +
+      "slice broadcasts in the pull-and-join pattern") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 40L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val slice = reader(srv)
+        .option("startingGtid", "0-1-10").option("endGtid", "0-1-40").load()
+      // span upper bound surfaces through the V2 relation's stats
+      val stats = slice.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(30)),
+        s"expected span row count 30, got ${stats.rowCount}")
+      assert(stats.sizeInBytes < 100000, s"size not derived: ${stats.sizeInBytes}")
+      // ...which is what lets the join planner broadcast the slice
+      val dim = spark.range(1000).selectExpr("CAST(id AS INT) AS id",
+        "concat('d', id) AS dim_name")
+      val joined = dim.join(slice, "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bounded slice not broadcast:\n$plan")
+      assert(joined.count() == 30)
+
+      // unbounded (anchor) scans stay unknown-size: no spurious broadcast
+      val anchored = reader(srv).load()
+      assert(anchored.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+    } finally srv.close()
+  }
+
   test("SQL-first consumption: CREATE TABLE USING maxscale-cdc, then SELECT") {
     val srv = new MockMaxScaleServer(Schema,
       (1L to 12L).map(i => event(i, "insert", i.toInt, s"n$i")))
