@@ -55,7 +55,12 @@ final class CdcBatch(
     schema: StructType,
     required: StructType,
     opts: CdcOptions,
-    pushed: Array[Filter]) extends Batch {
+    pushed: Array[Filter],
+    // runtime filters delivered to the Scan AFTER construction
+    // (SupportsRuntimeFiltering: e.g. a DPP subquery's In() over the join
+    // keys) — re-read at each planInputPartitions/createReaderFactory
+    // call, which Spark re-invokes after filter() fires
+    runtime: () => Array[Filter] = () => Array.empty) extends Batch {
 
   private val multi = opts.allTables.size > 1
   private val baseSchema: StructType =
@@ -85,22 +90,35 @@ final class CdcBatch(
   }
 
   /** Pushed `_table`-only conjuncts → plan-time table pruning (multi
-    * mode), exactly like [[MultiCdcMicroBatchStream]]. */
+    * mode), exactly like [[MultiCdcMicroBatchStream]]. Recomputed per
+    * use: runtime filters arrive after construction. */
   private val tagSchema = StructType(Seq(org.apache.spark.sql.types
     .StructField(MultiCdc.TableColumn,
       org.apache.spark.sql.types.StringType, nullable = false)))
-  private val (tableConjuncts, rowConjuncts) =
-    pushed.partition(f =>
-      multi && f.references.forall(_ == MultiCdc.TableColumn))
-  private val tablePred: WirePred =
-    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+  private def allFilters: Array[Filter] = pushed ++ runtime()
+  private def tablePred: WirePred =
+    CdcWireFilters.compileAll(
+      allFilters.filter(f =>
+        multi && f.references.forall(_ == MultiCdc.TableColumn)).toSeq,
+      tagSchema, typed = true)
+  /** Static pushed-filter predicate — baked into the reader factory,
+    * which Spark materializes at PLANNING time (supportsColumnar). */
   private val rowPred: WirePred = CdcWireFilters.compileAll(
-    rowConjuncts.toSeq.filterNot(_.references.contains(MultiCdc.TableColumn)),
+    pushed.toSeq.filterNot(_.references.contains(MultiCdc.TableColumn)),
+    baseSchema, opts.typed)
+  /** Runtime-filter predicate — arrives AFTER the factory exists, so it
+    * rides the partitions instead ([[RuntimeFilteredCdcPartition]]):
+    * BatchScanExec re-plans partitions after `filter()` fires but not
+    * the factory, and partitions serialize per task with current
+    * state. */
+  private def runtimeRowPred: WirePred = CdcWireFilters.compileAll(
+    runtime().toSeq.filterNot(_.references.contains(MultiCdc.TableColumn)),
     baseSchema, opts.typed)
 
   private def included(t: String): Boolean = {
+    val pred = tablePred
     val row = Array(t); val noNull = Array(false)
-    tablePred == null || tablePred.eval(row, noNull)
+    pred == null || pred.eval(row, noNull)
   }
 
   /** Probe buffer cap: in GTID mode the drain loop keeps it near-empty;
@@ -108,13 +126,17 @@ final class CdcBatch(
     * decoded rows cannot be released before planning completes. */
   private val ProbeBuffer = 1 << 20
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (!multi) planTable(opts.table, endFor(opts.table))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rt = runtimeRowPred
+    def withRt(p: InputPartition): InputPartition =
+      if (rt == null) p else RuntimeFilteredCdcPartition(p, rt)
+    if (!multi) planTable(opts.table, endFor(opts.table)).map(withRt)
     else opts.allTables.toArray.flatMap { t =>
       if (!included(t)) Array.empty[InputPartition]
       else planTable(t, endFor(t))
-        .map(p => TaggedCdcPartition(p, t): InputPartition)
+        .map(p => TaggedCdcPartition(withRt(p), t): InputPartition)
     }
+  }
 
   /** Whether the wire schema carries the GTID trio (server-side resume
     * token exists ⇒ executor replay is possible). */

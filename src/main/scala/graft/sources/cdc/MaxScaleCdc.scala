@@ -70,6 +70,9 @@ private[sources] object CdcPushdownProbe {
     * delivered to a live stream (the operative streaming path). */
   @volatile var lastRuntimeFilters: Seq[String] = Nil
   @volatile var lastRuntimeReferenced: Option[Set[String]] = None
+  /** Set by the batch Scan's SupportsRuntimeFiltering.filter — the
+    * DPP-style runtime filters Spark delivered after planning. */
+  @volatile var lastBatchRuntimeFilters: Seq[String] = Nil
 }
 
 object CdcOptions {
@@ -257,8 +260,25 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
           else requiredSchema
       override def build(): Scan = new Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics
+          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
         override def readSchema(): StructType = required
+
+        /** Runtime filtering (DPP-style): a dynamic-pruning subquery over
+          * the join keys delivers In()/EqualTo() AFTER planning; they
+          * fold into the same wire predicate as static pushdown, so a
+          * joined slice skips decoding rows whose keys the other side
+          * already eliminated. Every column is eligible — the wire
+          * compiler keeps what it can translate and the rest is dropped
+          * (under-filtering is always safe: Spark re-applies). */
+        @volatile private var runtimeFilters: Array[Filter] = Array.empty
+        override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          required.fields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+        override def filter(filters: Array[Filter]): Unit = {
+          runtimeFilters = filters
+          CdcPushdownProbe.lastBatchRuntimeFilters = filters.map(_.toString).toSeq
+        }
         override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
           CdcMetrics.supported
 
@@ -308,7 +328,7 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
         // the batch planner drives pruneColumns/pushFilters natively
         // here, so `required`/`pushed` arrive via the standard contract
         override def toBatch(): org.apache.spark.sql.connector.read.Batch =
-          new CdcBatch(schema, required, opts, pushed)
+          new CdcBatch(schema, required, opts, pushed, () => runtimeFilters)
       }
     }
 }
@@ -544,6 +564,14 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
   }
 }
 
+/** A partition plus a RUNTIME wire predicate (SupportsRuntimeFiltering):
+  * runtime filters arrive after Spark has already materialized the
+  * reader factory (planning-time supportsColumnar), but partitions are
+  * re-planned after `filter()` fires and serialize per task — so the
+  * runtime predicate rides here and the factory ANDs it in. */
+private[sources] final case class RuntimeFilteredCdcPartition(
+    inner: InputPartition, pred: WirePred) extends InputPartition
+
 /** Driver-decoded slice — the SYNTHETIC-OFFSET fallback only (schemas
   * without domain/server_id/sequence have no server-side resume token, so
   * executor replay is impossible). Streams with real GTIDs plan
@@ -564,6 +592,12 @@ class CdcPartitionReaderFactory(schema: StructType, typed: Boolean,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     partition match {
+      case RuntimeFilteredCdcPartition(inner, rt) =>
+        // runtime filters ride the partition (see the case class doc);
+        // AND them into this factory's static predicate for the reader
+        val combined = if (pred == null) rt else WirePred.AndP(pred, rt)
+        new CdcPartitionReaderFactory(schema, typed, projection, combined, mask)
+          .createReader(inner)
       case rp: CdcReplayPartition =>
         new CdcReplayReader(rp, dts, typed, projection, pred, mask)
       case p: CdcInputPartition => new PartitionReader[InternalRow] {

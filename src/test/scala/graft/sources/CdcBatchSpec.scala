@@ -222,6 +222,40 @@ class CdcBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SupportsRuntimeFiltering: a post-planning filter() folds into " +
+      "the wire predicate and the scan decodes only matching rows") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 100L).map(i =>
+        event(i, if (i % 10 == 0) "delete" else "insert", i.toInt, s"n$i")))
+    try {
+      val df = reader(srv).option("endGtid", "0-1-100").load()
+      val scanExec = df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      val scan = scanExec.scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      assert(scan.filterAttributes().map(_.describe()).contains("event_type"))
+      // what a DPP subquery delivers after the other join side evaluates;
+      // BatchScanExec's own post-filter sequence is filter() then a FRESH
+      // planInputPartitions() on the batch (the planning-time partitions
+      // and reader factory are stale by contract — the runtime predicate
+      // rides the re-planned partitions)
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("event_type", "delete")))
+      assert(graft.sources.cdc.CdcPushdownProbe.lastBatchRuntimeFilters
+        .exists(_.contains("event_type")))
+      val batch = scan.toBatch()
+      val parts = batch.planInputPartitions()
+      val factory = batch.createReaderFactory()
+      var n = 0
+      parts.foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) n += 1
+        finally r.close()
+      }
+      assert(n == 10, s"runtime filter not applied: $n of 100 rows dropped")
+    } finally srv.close()
+  }
+
   test("SQL-first consumption: CREATE TABLE USING maxscale-cdc, then SELECT") {
     val srv = new MockMaxScaleServer(Schema,
       (1L to 12L).map(i => event(i, "insert", i.toInt, s"n$i")))
