@@ -185,8 +185,8 @@ final class CdcClient(
     * decoded and adopted (and surfaced to the caller — unlike the
     * reference's silent recursion, so the source can fail fast on
     * mid-stream re-schema, SURVEY.md §1.3). */
-  def readMessage(): CdcMessage = readLine() match {
-    case None => if (bufEnd > bufStart && looksLikeErr(pending)) {
+  def readMessage(): CdcMessage = readLineSlice() match {
+    case -1 => if (bufEnd > bufStart && looksLikeErr(pending)) {
         // MaxScale quirk: ERR payloads may lack the trailing newline
         // (reference is_error workaround, cdc_connector.cpp:445-457).
         val err = new String(pending, UTF_8)
@@ -194,15 +194,21 @@ final class CdcClient(
         throw new CdcProtocolException(err)
       } else if (eofSeen) CdcClosed // dead connection + partial line ≠ quiet stream
       else CdcTimeout
-    case Some(null) => CdcClosed
-    case Some(line) =>
-      if (line.isEmpty) readMessage()
-      else if (looksLikeErr(line.getBytes(UTF_8)))
-        throw new CdcProtocolException(line)
+    case -2 => CdcClosed
+    case 0 => readMessage()
+    case len =>
+      if (len >= 3 &&
+          (buf(lineOff) == 'E' || buf(lineOff) == 'e') &&
+          (buf(lineOff + 1) == 'R' || buf(lineOff + 1) == 'r') &&
+          (buf(lineOff + 2) == 'R' || buf(lineOff + 2) == 'r'))
+        throw new CdcProtocolException(new String(buf, lineOff, len, UTF_8))
       else {
-        val fast = decodeRowStreaming(line)
+        // hot loop decodes straight from the buffer slice; the String
+        // materializes only on the slow paths below
+        val fast = decodeRowStreaming(buf, lineOff, len)
         if (fast != null) fast
         else {
+          val line = new String(buf, lineOff, len, UTF_8)
           // slow path: schema messages, malformed lines, and any unusual
           // shape (nested values, over-long ints, missing keys) — the
           // tree walk is the semantics of record; the fast path only
@@ -233,7 +239,7 @@ final class CdcClient(
     * null ⇒ the caller re-parses the SAME line via the tree path, so
     * this path can only ever change speed, not semantics. */
   private var keyIndex: java.util.HashMap[String, Integer] = _
-  private def decodeRowStreaming(line: String): CdcRowMsg = {
+  private def decodeRowStreaming(b: Array[Byte], off: Int, len: Int): CdcRowMsg = {
     import com.fasterxml.jackson.core.JsonToken._
     if (schemaFields.isEmpty) return null
     if (keyIndex == null) {
@@ -246,7 +252,7 @@ final class CdcClient(
     val nulls = new Array[Boolean](n)
     val seen = new Array[Boolean](n)
     var filled = 0
-    val p = mapper.createParser(line)
+    val p = mapper.createParser(b, off, len)
     try {
       if (p.nextToken() != START_OBJECT) return null
       var tok = p.nextToken()
@@ -362,34 +368,50 @@ final class CdcClient(
     }
   }
 
-  /** One '\n'-framed line. None = timeout (partial bytes stay buffered for
-    * the next call); Some(null) = EOF. */
-  private def readLine(): Option[String] = {
+  /** Slice coordinates of the line [[readLineSlice]] last framed. The
+    * slice stays valid until the NEXT read fills the buffer (consuming a
+    * line only advances indices; the bytes are untouched), which lets
+    * the hot loop decode straight from `buf` and allocate a String only
+    * on the slow paths. */
+  private var lineOff = 0
+
+  /** One '\n'-framed line as a slice of `buf`: returns its LENGTH with
+    * `lineOff` set (0 = empty line), `-1` on timeout (partial bytes stay
+    * buffered for the next call), `-2` on EOF. */
+  private def readLineSlice(): Int = {
     val start = System.nanoTime()
     while (true) {
       var i = math.max(scanPos, bufStart)
       while (i < bufEnd && buf(i) != '\n') i += 1
       if (i < bufEnd) {
-        val line = new String(buf, bufStart, i - bufStart, UTF_8)
+        lineOff = bufStart
+        val len = i - bufStart
         bufStart = i + 1
         scanPos = bufStart
-        if (bufStart == bufEnd) clearPending()
-        return Some(line)
+        if (bufStart == bufEnd) clearPending() // resets indices, not bytes
+        return len
       }
       scanPos = i
       val remainMs = timeoutMs - (System.nanoTime() - start) / 1000000
-      if (remainMs <= 0) return None
+      if (remainMs <= 0) return -1
       socket.setSoTimeout(math.max(1, remainMs.toInt))
       ensureRoom(16 * 1024)
       val got =
         try in.read(buf, bufEnd, buf.length - bufEnd)
-        catch { case _: SocketTimeoutException => return None }
+        catch { case _: SocketTimeoutException => return -1 }
       if (got < 0) {
         eofSeen = true
-        return if (bufEnd == bufStart) Some(null) else None
+        return if (bufEnd == bufStart) -2 else -1
       }
       bufEnd += got
     }
-    None // unreachable
+    -1 // unreachable
+  }
+
+  /** One '\n'-framed line. None = timeout; Some(null) = EOF. */
+  private def readLine(): Option[String] = readLineSlice() match {
+    case -1 => None
+    case -2 => Some(null)
+    case len => Some(new String(buf, lineOff, len, UTF_8))
   }
 }
