@@ -18,9 +18,14 @@ import scala.collection.mutable.ArrayBuffer
   * replay so the data plane never passes through the driver.
   *
   * Bound semantics:
-  *   - `endGtid` given → the scan is exactly `(startingGtid, endGtid]`;
-  *     naming a position the server has not produced yet blocks (bounded)
-  *     and then fails loudly — a batch result must not silently truncate.
+  *   - `endGtid` given → the scan is `(startingGtid, endGtid]` as of the
+  *     scan's quiet point: a BOUND, not a rendezvous. GTID positions are
+  *     domain-global, so a named bound need not be an event of this
+  *     table (another shard's position, a round number past the tail) —
+  *     executors replay until they pass the bound or the stream goes
+  *     quiet below it, exactly how a SQL range scan returns the rows
+  *     that exist at scan time. Dead or faulting servers still fail
+  *     loudly (reconnect budget / stall deadline).
   *   - no `endGtid` → the scan anchors at the stream's first quiet moment
   *     (one read timeout with nothing pending), the same "now" that
   *     `Trigger.AvailableNow` uses. Each ACTION on the DataFrame re-plans
@@ -86,7 +91,7 @@ final class CdcBatch(
       require(s.contains('='),
         s"maxscale-cdc: multi-table endGtid must use the composite " +
           s"'db.a=0-1-5,db.b=-' form, got '$s'")
-      MultiGtidOffset.fromJson(s).of(table)
+      opts.compositeOf(s).of(table)
   }
 
   /** Pushed `_table`-only conjuncts → plan-time table pruning (multi
@@ -131,10 +136,25 @@ final class CdcBatch(
     def withRt(p: InputPartition): InputPartition =
       if (rt == null) p else RuntimeFilteredCdcPartition(p, rt)
     if (!multi) planTable(opts.table, endFor(opts.table)).map(withRt)
-    else opts.allTables.toArray.flatMap { t =>
-      if (!included(t)) Array.empty[InputPartition]
-      else planTable(t, endFor(t))
-        .map(p => TaggedCdcPartition(withRt(p), t): InputPartition)
+    else {
+      // probe tables CONCURRENTLY: each un-bounded table blocks up to
+      // its quiet deadline, and the probes are independent connections —
+      // sequential planning would cost N tables × quiet-wait
+      val ts = opts.allTables.filter(included)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(ts.size, 8)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = ts.map { t =>
+          scala.concurrent.Future(planTable(t, endFor(t))
+            .map(p => TaggedCdcPartition(withRt(p), t): InputPartition))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf // planTable deadlines bound this
+        ).flatten.toArray
+      } finally pool.shutdown()
     }
   }
 
@@ -170,12 +190,14 @@ final class CdcBatch(
     * marks are exact; this path trades balance for zero driver I/O,
     * the right trade when the caller already knows the bound, e.g. the
     * bootstrap's snapshot or an operator re-pulling a recorded range).
-    * A bound the server never produced surfaces as a bounded-deadline
-    * task failure in [[CdcReplayReader]] — still loud, just
-    * executor-side. Fabricated interior boundaries lean on the
-    * reference's inclusive-replay contract (the server replays from
-    * at-or-before the requested position and the reader dedupes below
-    * it, cdc_connector.cpp:199-213); `replayPartitions = 1` issues only
+    * Ranges run with `completeOnQuiet`: a bound past the table's tail
+    * completes at the stream's quiet point with the events that exist
+    * (the bound-not-rendezvous semantics above) instead of stalling a
+    * task against a position the table never carries. Fabricated
+    * interior boundaries lean on the reference's inclusive-replay
+    * contract (the server replays from at-or-before the requested
+    * position and the reader dedupes below it,
+    * cdc_connector.cpp:199-213); `replayPartitions = 1` issues only
     * caller-supplied positions. */
   private def planBounded(table: String, e: Gtid): Array[InputPartition] = {
     val start = startFor(table)
@@ -201,7 +223,7 @@ final class CdcBatch(
     (cuts :+ e).map { hi =>
       val p = CdcReplayPartition(opts.host, opts.port, opts.user,
         opts.password, table, fields, lo.map(_.toString), hi.toString,
-        opts.timeoutMs): InputPartition
+        opts.timeoutMs, completeOnQuiet = true): InputPartition
       lo = Some(hi)
       p
     }.toArray
@@ -271,7 +293,10 @@ final class CdcBatch(
   /** GTID-less schemas have no server-side resume token, so executor
     * replay is impossible and rows must flow through the driver (the
     * streaming source's documented degraded mode) — bounded by the probe
-    * buffer, failing loudly rather than truncating past it. */
+    * buffer, failing loudly when the buffer overflows. An `endGtid`
+    * here follows the same bound-not-rendezvous semantics as
+    * [[planBounded]]: quiet below the bound completes with what
+    * exists. */
   private def planSynthetic(table: String, endBound: Option[Gtid],
       tailer: CdcTailer): Array[InputPartition] = {
     val waitMs = math.max(60000L, 4L * opts.timeoutMs)

@@ -47,10 +47,26 @@ object CdcBootstrap {
   }
 
   /** Per-table anchors for a multi-table (or single-table) setup, in
-    * `tables` order — each table probed to its own quiet point. */
+    * `tables` order — each table probed to its own quiet point, probes
+    * running concurrently (independent connections; sequential probing
+    * would cost N tables × quiet-wait). */
   def anchors(options: Map[String, String]): Seq[(String, Option[String])] = {
     val opts = parse(options)
-    opts.allTables.map(t => t -> anchorOf(opts, t).map(_.toString))
+    anchorsOf(opts).map { case (t, g) => t -> g.map(_.toString) }
+  }
+
+  private def anchorsOf(opts: CdcOptions): Seq[(String, Option[Gtid])] = {
+    val ts = opts.allTables
+    if (ts.size == 1) return ts.map(t => t -> anchorOf(opts, t))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ts.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        ts.map(t => scala.concurrent.Future(t -> anchorOf(opts, t)))),
+      scala.concurrent.duration.Duration.Inf) // anchorOf deadlines bound this
+    finally pool.shutdown()
   }
 
   private def parse(options: Map[String, String]): CdcOptions =
@@ -60,24 +76,7 @@ object CdcBootstrap {
 
   private def anchorOf(opts: CdcOptions, table: String): Option[Gtid] = {
     val start = opts.startFor(table)
-    val client = new CdcClient(opts.host, opts.port, opts.user,
-      opts.password, opts.timeoutMs)
-    val fields: Seq[CdcField] =
-      try {
-        client.connect()
-        client.requestData(table, start.map(_.toString))
-        var f: Seq[CdcField] = null
-        while (f == null) client.readMessage() match {
-          case CdcSchemaMsg(ff, _) => f = ff
-          case CdcTimeout => throw new CdcProtocolException(
-            s"no schema from ${opts.host}:${opts.port} for $table")
-          case CdcClosed => throw new CdcProtocolException(
-            "server closed the connection before sending a schema")
-          case _: CdcRowMsg => throw new CdcProtocolException(
-            "data row received before schema")
-        }
-        f
-      } finally client.close()
+    val fields = CdcProbe.schemaFields(opts, table)
     val tailer = new CdcTailer(opts.host, opts.port, opts.user,
       opts.password, table, fields, start, opts.timeoutMs)
     if (!tailer.hasGtidColumns) throw new CdcProtocolException(
@@ -85,7 +84,17 @@ object CdcBootstrap {
         "server-side position exists to anchor a snapshot/follow seam on")
     tailer.start()
     try {
-      tailer.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
+      // drain as we wait: a backlog larger than the tailer's buffer
+      // would otherwise hit backpressure and never reach quiet (the
+      // same bounded-memory walk the batch planner's probe does)
+      val deadline =
+        System.nanoTime() + math.max(60000L, 4L * opts.timeoutMs) * 1000000L
+      while (!tailer.wentQuiet && System.nanoTime() < deadline) {
+        tailer.checkFatal()
+        tailer.drainPositions()
+        Thread.sleep(10)
+      }
+      tailer.checkFatal()
       tailer.latest
     } finally tailer.shutdown()
   }
@@ -129,8 +138,7 @@ object CdcBootstrap {
       spark: SparkSession,
       options: Map[String, String]): (DataFrame, DataFrame) = {
     val opts = parse(options)
-    val as: Seq[(String, Option[Gtid])] =
-      opts.allTables.map(t => t -> anchorOf(opts, t))
+    val as: Seq[(String, Option[Gtid])] = anchorsOf(opts)
     val endComposite = as.map { case (t, a) =>
       s"$t=${a.getOrElse(Gtid.Floor)}"
     }.mkString(",")

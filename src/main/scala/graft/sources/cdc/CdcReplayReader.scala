@@ -25,7 +25,13 @@ final case class CdcReplayPartition(
     expected: Seq[CdcField],
     startExclusive: Option[String],
     endInclusive: String,
-    timeoutMs: Int) extends InputPartition {
+    timeoutMs: Int,
+    // USER-NAMED bound (batch endGtid): the end is a domain position,
+    // not necessarily an event of this table — complete when the stream
+    // goes quiet below it (a bound, not a rendezvous). Streaming ranges
+    // and anchored batch ranges end at OBSERVED events, where quiet
+    // mid-range is a server fault and stays a loud deadline failure.
+    completeOnQuiet: Boolean = false) extends InputPartition {
 
   /** Task descriptors get rendered into logs and the Spark UI; the default
     * case-class toString would leak the password there. */
@@ -144,9 +150,10 @@ final class CdcReplayReader(
         catch {
           case e: CdcProtocolException => throw e
           case e: java.io.IOException => // mid-read drop → reconnect path
-            reconnectOrFail(e.toString); CdcTimeout
+            reconnectOrFail(e.toString)
+            null // NOT CdcTimeout: a reconnect is not a quiet stream
         }
-      msg match {
+      if (msg != null) msg match {
         case CdcSchemaMsg(fields, _) =>
           if (fields == p.expected) remap = null
           else {
@@ -191,6 +198,17 @@ final class CdcReplayReader(
             // else: filtered mid-range — keep reading
           }
         case CdcTimeout =>
+          if (p.completeOnQuiet) {
+            // user-named bound: one genuine quiet window (a full read
+            // timeout with nothing pending) below the bound means the
+            // range holds no more events AS OF NOW — done, same "now"
+            // the anchor-at-quiet scan and Trigger.AvailableNow use. A
+            // bound past the stream's tail thus yields what exists,
+            // like any SQL range scan; dead/faulting servers still fail
+            // loudly via the reconnect budget.
+            done = true
+            return false
+          }
           if (System.nanoTime() > deadlineNanos)
             throw new CdcProtocolException(
               s"replay of range (${start.getOrElse("start")}, $end] stalled at " +

@@ -44,8 +44,21 @@ final case class CdcOptions(
     case Some(s) if s.contains('=') =>
       require(allTables.size > 1,
         s"maxscale-cdc: composite startingGtid '$s' needs multi-table mode")
-      MultiGtidOffset.fromJson(s).of(t)
+      compositeOf(s).of(t)
     case Some(s) => Some(Gtid.parse(s))
+  }
+
+  /** Parse a composite per-table GTID line, rejecting entries that name
+    * tables this source is not subscribed to — a typo'd entry would
+    * otherwise silently fall back to that table's default (stream start
+    * / anchor-at-quiet), the dangerous direction. */
+  private[cdc] def compositeOf(s: String): MultiGtidOffset = {
+    val off = MultiGtidOffset.fromJson(s)
+    val unknown = off.gtids.map(_._1).filterNot(allTables.contains)
+    require(unknown.isEmpty,
+      s"maxscale-cdc: composite GTID entries name unsubscribed tables " +
+        s"[${unknown.mkString(",")}] (subscribed: ${allTables.mkString(",")})")
+    off
   }
 
   /** Case-class toString would print the password into any log line that
@@ -129,10 +142,13 @@ object CdcOptions {
   * cdc_connector.cpp:214-218, which likewise forces the schema to arrive
   * before the first row).
   */
-class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
-  override def shortName(): String = "maxscale-cdc"
-
-  private def probeSchema(o: CdcOptions, table: String): StructType = {
+/** Connect-time schema pre-read, shared by the provider's inferSchema
+  * and the bootstrap's anchor probe (the reference's own connect-time
+  * pre-read, cdc_connector.cpp:214-218, which likewise forces the schema
+  * to arrive before the first row). Tolerates one empty timeout window
+  * before failing — slow servers pass handshake but lag the schema. */
+private[cdc] object CdcProbe {
+  def schemaFields(o: CdcOptions, table: String): Seq[CdcField] = {
     val client = new CdcClient(o.host, o.port, o.user, o.password, o.timeoutMs)
     try {
       client.connect()
@@ -153,9 +169,16 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
             throw new CdcProtocolException("data row received before schema")
         }
       }
-      SqlTypes.toStructType(fields, o.typed)
+      fields
     } finally client.close()
   }
+}
+
+class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "maxscale-cdc"
+
+  private def probeSchema(o: CdcOptions, table: String): StructType =
+    SqlTypes.toStructType(CdcProbe.schemaFields(o, table), o.typed)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val o = CdcOptions(options)
@@ -292,10 +315,19 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           * anchor probe runs. */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
           new org.apache.spark.sql.connector.read.Statistics {
+            // saturating arithmetic throughout: a typo'd huge sequence
+            // must surface as "huge" (never broadcast), not wrap
+            // negative (which would ALWAYS broadcast)
+            private def satAdd(a: Long, b: Long): Long =
+              try Math.addExact(a, b)
+              catch { case _: ArithmeticException => Long.MaxValue }
+            private def satMul(a: Long, b: Long): Long =
+              try Math.multiplyExact(a, b)
+              catch { case _: ArithmeticException => Long.MaxValue }
             private val span: Option[Long] = opts.endGtid.flatMap { s =>
               val spans = opts.allTables.map { t =>
                 val end =
-                  if (s.contains('=')) MultiGtidOffset.fromJson(s).of(t)
+                  if (s.contains('=')) opts.compositeOf(s).of(t)
                   else Some(Gtid.parse(s))
                 end.map(e =>
                   math.max(0L, e.sequence -
@@ -303,14 +335,16 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
               }
               // every table must be explicitly bounded for the total to
               // be an upper bound (an anchor-at-quiet entry is unknown)
-              if (spans.forall(_.isDefined)) Some(spans.flatten.sum) else None
+              if (spans.forall(_.isDefined))
+                Some(spans.flatten.foldLeft(0L)(satAdd))
+              else None
             }
             override def numRows(): java.util.OptionalLong =
               span.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty())
             override def sizeInBytes(): java.util.OptionalLong =
               span.map(s => java.util.OptionalLong.of(
-                s * (required.defaultSize.toLong + 16L)))
+                satMul(s, required.defaultSize.toLong + 16L)))
                 .getOrElse(java.util.OptionalLong.empty())
           }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {

@@ -39,10 +39,13 @@ final case class MultiGtidOffset(gtids: Seq[(String, Option[Gtid])]) extends Off
 
 object MultiGtidOffset {
   def fromJson(s: String): MultiGtidOffset =
-    MultiGtidOffset(s.split(',').toSeq.filter(_.nonEmpty).map { part =>
+    // trim each entry: checkpoint round-trips never carry spaces, but
+    // the composite form doubles as the user-facing startingGtid/endGtid
+    // syntax, where "db.a=0-1-5, db.b=-" is the natural spelling
+    MultiGtidOffset(s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
       val i = part.lastIndexOf('=')
       require(i > 0, s"malformed multi-table offset entry '$part'")
-      part.substring(0, i) -> GtidOffset.fromJson(part.substring(i + 1)).gtid
+      part.substring(0, i).trim -> GtidOffset.fromJson(part.substring(i + 1).trim).gtid
     })
 }
 

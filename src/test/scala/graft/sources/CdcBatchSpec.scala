@@ -51,17 +51,32 @@ class CdcBatchSpec extends SparkSpec {
   }
 
   test("a dead server fails the bounded-endGtid batch loudly, fast") {
-    // The full future-endGtid deadline is the 60s floor — too slow for
-    // the suite — but its failure path (checkFatal in the drain loop) is
-    // the same one a dead server hits immediately: plan after schema
-    // discovery, then kill the server; the probe tailer's connect fails
-    // fatal and planning surfaces it instead of returning an empty
-    // (silently truncated) result.
+    // bound-not-rendezvous semantics complete on QUIET streams, but a
+    // DEAD server is a fault: the replay reader's connect fails through
+    // the reconnect budget and the task surfaces it loudly.
     val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 1, "a")))
     val df = reader(srv).option("endGtid", "0-1-999999").load()
     srv.close()
     val e = intercept[Exception] { df.count() }
     assert(e.getMessage != null)
+  }
+
+  test("endGtid is a bound, not a rendezvous: past-tail and not-an-event " +
+      "bounds complete at the quiet point with exactly the range's events") {
+    // odd sequences only — the domain interleaves this table with others
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 99L by 2).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      // bound is another shard's position (50 is not an event here):
+      // the replay overshoots to 51 and stops — no stall, exact range
+      val mid = reader(srv).option("endGtid", "0-1-50").load()
+      assert(mid.collect().map(_.getAs[Int]("sequence")).sorted.toSeq ==
+        (1 to 49 by 2))
+      // bound past the stream's tail: one quiet window completes with
+      // what exists — the SQL range-scan behavior
+      val past = reader(srv).option("endGtid", "0-1-1000").load()
+      assert(past.count() == 50)
+    } finally srv.close()
   }
 
   test("replayPartitions splits the scan into parallel GTID ranges, no loss") {
@@ -175,6 +190,34 @@ class CdcBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("composite entries tolerate spaces and reject unsubscribed tables") {
+    val schemas = Map("db.a" -> Schema, "db.b" -> Schema)
+    val srv = new MockMaxScaleServer(Schema, Nil, tableSchemas = schemas)
+    try {
+      (1L to 4L).foreach(i => srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i")))
+      (1L to 2L).foreach(i => srv.pushTo("db.b", event(i, "insert", i.toInt, s"b$i")))
+      val base = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b").option("timeoutSeconds", 1)
+      // the natural spelling with a space after the comma must not
+      // silently drop the second entry
+      val counts = base.option("endGtid", "db.a=0-1-2, db.b=-").load()
+        .groupBy("_table").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("db.a" -> 2L, "db.b" -> 2L))
+      // a typo'd table name would silently become anchor-at-quiet — the
+      // dangerous direction — so it is rejected by name
+      val e = intercept[Exception] {
+        base.option("endGtid", "db.a=0-1-2,db.x=0-1-5").load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("unsubscribed")), s"got: ${chain(e)}")
+    } finally srv.close()
+  }
+
   test("endGtid on a STREAMING read is rejected loudly") {
     val srv = new MockMaxScaleServer(Schema, Seq(event(1, "insert", 1, "a")))
     try {
@@ -253,6 +296,32 @@ class CdcBatchSpec extends SparkSpec {
         finally r.close()
       }
       assert(n == 10, s"runtime filter not applied: $n of 100 rows dropped")
+    } finally srv.close()
+  }
+
+  test("GTID-less (synthetic) batch: driver-decoded single partition, " +
+      "session-local endGtid bounds respected, quiet-below-bound completes") {
+    // no domain/server_id/sequence → no server-side resume token: rows
+    // flow through the driver probe (the documented degraded mode)
+    val schema =
+      """{"namespace":"MaxScaleChangeDataSchema.avro","type":"record",""" +
+        """"name":"ChangeRecord","fields":[""" +
+        """{"name":"id","type":"int","real_type":"int","length":-1},""" +
+        """{"name":"name","type":"string","real_type":"varchar","length":64}]}"""
+    def ev(id: Int) = s"""{"id":$id,"name":"n$id"}"""
+    val srv = new MockMaxScaleServer(schema, (1 to 8).map(ev))
+    try {
+      val base = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+      val all = base.load()
+      assert(all.rdd.getNumPartitions == 1)
+      assert(all.collect().map(_.getAs[Int]("id")).sorted.toSeq == (1 to 8))
+      // synthetic positions are session-local 0-0-N: a bound slices them
+      assert(base.option("endGtid", "0-0-5").load().count() == 5)
+      // bound past the tail: quiet completes with what exists
+      assert(base.option("endGtid", "0-0-100").load().count() == 8)
     } finally srv.close()
   }
 
