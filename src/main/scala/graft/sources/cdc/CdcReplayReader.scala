@@ -122,6 +122,10 @@ final class CdcReplayReader(
   private var nEmitted = 0L
   private var current: InternalRow = _
   private var done = false
+  /** The server always sends its schema before any data; quiet-completion
+    * (user-named bounds) requires it — a server too slow to even produce
+    * the schema is a fault, not an empty range. */
+  private var sawSchema = false
   private var reconnects = 0
   private val MaxReconnects = 3
 
@@ -155,6 +159,7 @@ final class CdcReplayReader(
         }
       if (msg != null) msg match {
         case CdcSchemaMsg(fields, _) =>
+          sawSchema = true
           if (fields == p.expected) remap = null
           else {
             val names = fields.map(_.name)
@@ -198,7 +203,7 @@ final class CdcReplayReader(
             // else: filtered mid-range — keep reading
           }
         case CdcTimeout =>
-          if (p.completeOnQuiet) {
+          if (p.completeOnQuiet && sawSchema) {
             // user-named bound: one genuine quiet window (a full read
             // timeout with nothing pending) below the bound means the
             // range holds no more events AS OF NOW — done, same "now"
