@@ -43,7 +43,7 @@ object CdcBootstrap {
     val opts = parse(options)
     require(opts.allTables.size == 1,
       "anchor() probes one table; multi-table setups use anchors()")
-    anchorOf(opts, opts.table).map(_.toString)
+    probeAnchor(opts, opts.table)._2.map(_.toString)
   }
 
   /** Per-table anchors for a multi-table (or single-table) setup, in
@@ -52,20 +52,21 @@ object CdcBootstrap {
     * would cost N tables × quiet-wait). */
   def anchors(options: Map[String, String]): Seq[(String, Option[String])] = {
     val opts = parse(options)
-    anchorsOf(opts).map { case (t, g) => t -> g.map(_.toString) }
+    anchorsOf(opts).map { case (t, (_, g)) => t -> g.map(_.toString) }
   }
 
-  private def anchorsOf(opts: CdcOptions): Seq[(String, Option[Gtid])] = {
+  private def anchorsOf(
+      opts: CdcOptions): Seq[(String, (Seq[CdcField], Option[Gtid]))] = {
     val ts = opts.allTables
-    if (ts.size == 1) return ts.map(t => t -> anchorOf(opts, t))
+    if (ts.size == 1) return ts.map(t => t -> probeAnchor(opts, t))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(ts.size, 8))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(
-        ts.map(t => scala.concurrent.Future(t -> anchorOf(opts, t)))),
-      scala.concurrent.duration.Duration.Inf) // anchorOf deadlines bound this
+        ts.map(t => scala.concurrent.Future(t -> probeAnchor(opts, t)))),
+      scala.concurrent.duration.Duration.Inf) // probe deadlines bound this
     finally pool.shutdown()
   }
 
@@ -74,7 +75,11 @@ object CdcBootstrap {
       .CaseInsensitiveStringMap(scala.jdk.CollectionConverters
         .MapHasAsJava(options).asJava))
 
-  private def anchorOf(opts: CdcOptions, table: String): Option[Gtid] = {
+  /** One probe pass per table: the schema pre-read AND the quiet-point
+    * anchor. The fields feed `spark.read.schema(...)` downstream so the
+    * snapshot/follow loads skip their inference connections. */
+  private def probeAnchor(
+      opts: CdcOptions, table: String): (Seq[CdcField], Option[Gtid]) = {
     val start = opts.startFor(table)
     val fields = CdcProbe.schemaFields(opts, table)
     val tailer = new CdcTailer(opts.host, opts.port, opts.user,
@@ -95,7 +100,7 @@ object CdcBootstrap {
         Thread.sleep(10)
       }
       tailer.checkFatal()
-      tailer.latest
+      (fields, tailer.latest)
     } finally tailer.shutdown()
   }
 
@@ -109,22 +114,24 @@ object CdcBootstrap {
       options: Map[String, String]): (DataFrame, DataFrame) = {
     val opts = parse(options)
     if (opts.allTables.size > 1) return snapshotAndFollowMulti(spark, options)
-    val a = anchor(options)
+    val (fields, a0) = probeAnchor(opts, opts.table)
+    val a = a0.map(_.toString)
+    // the probe's schema rides spark.read.schema(...): the snapshot and
+    // follow loads open no inference connections of their own
+    val struct = SqlTypes.toStructType(fields, opts.typed)
     val snapshot = a match {
       case Some(g) =>
-        spark.read.format("maxscale-cdc")
+        spark.read.format("maxscale-cdc").schema(struct)
           .options(options + ("endGtid" -> g)).load()
       case None =>
         // nothing existed at anchor time; an UNbounded batch would
         // re-anchor per action and overlap the stream — the seam-free
         // snapshot of an empty changelog is a pinned-empty DataFrame
         // with the source's schema
-        val schema = spark.read.format("maxscale-cdc")
-          .options(options).load().schema
         spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), struct)
     }
-    val follow = spark.readStream.format("maxscale-cdc")
+    val follow = spark.readStream.format("maxscale-cdc").schema(struct)
       .options(a.fold(options)(g => options + ("startingGtid" -> g))).load()
     (snapshot, follow)
   }
@@ -138,7 +145,20 @@ object CdcBootstrap {
       spark: SparkSession,
       options: Map[String, String]): (DataFrame, DataFrame) = {
     val opts = parse(options)
-    val as: Seq[(String, Option[Gtid])] = anchorsOf(opts)
+    val probed = anchorsOf(opts)
+    // the per-table probes double as the same-schema validation the
+    // inference path would have done (the user-specified schema below
+    // skips it)
+    val base = probed.head._2._1
+    probed.tail.foreach { case (t, (f, _)) =>
+      if (f != base) throw new CdcProtocolException(
+        s"maxscale-cdc: tables must share one schema; '$t' differs from " +
+          s"'${probed.head._1}': $f vs $base")
+    }
+    val struct = SqlTypes.toStructType(base, opts.typed)
+      .add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
+        nullable = false)
+    val as = probed.map { case (t, (_, a)) => t -> a }
     val endComposite = as.map { case (t, a) =>
       s"$t=${a.getOrElse(Gtid.Floor)}"
     }.mkString(",")
@@ -146,9 +166,9 @@ object CdcBootstrap {
       val pos = a.orElse(opts.startFor(t))
       s"$t=${pos.map(_.toString).getOrElse(GtidOffset.StartJson)}"
     }.mkString(",")
-    val snapshot = spark.read.format("maxscale-cdc")
+    val snapshot = spark.read.format("maxscale-cdc").schema(struct)
       .options(options + ("endGtid" -> endComposite)).load()
-    val follow = spark.readStream.format("maxscale-cdc")
+    val follow = spark.readStream.format("maxscale-cdc").schema(struct)
       .options(options + ("startingGtid" -> startComposite)).load()
     (snapshot, follow)
   }

@@ -177,6 +177,16 @@ private[cdc] object CdcProbe {
 class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "maxscale-cdc"
 
+  /** A caller who already knows the table's schema (a prior probe, a
+    * schema registry, the bootstrap's anchor pre-read) can pass it via
+    * `spark.read.schema(...)` and skip the inference connection
+    * entirely. The schema must come from a prior inference — its fields
+    * carry the declared SQL type in `cdc.sqlType` metadata, which the
+    * wire-schema validation compares against the server's in-band
+    * schema (a hand-written DDL schema lacks it and is rejected loudly
+    * at stream/replay start, as is any genuinely wrong schema). */
+  override def supportsExternalMetadata(): Boolean = true
+
   private def probeSchema(o: CdcOptions, table: String): StructType =
     SqlTypes.toStructType(CdcProbe.schemaFields(o, table), o.typed)
 

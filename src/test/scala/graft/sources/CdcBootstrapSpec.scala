@@ -111,6 +111,40 @@ class CdcBootstrapSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("one probe pass per table: the snapshot/follow loads reuse the " +
+      "probed schema and open no inference connections") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 5L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      val before = srv.requestCount("db.t")
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, opts(srv))
+      // exactly two connections: the schema pre-read + the anchor tailer
+      assert(srv.requestCount("db.t") == before + 2,
+        s"loads opened extra probes: ${srv.requestCount("db.t") - before}")
+      assert(snapshot.schema.fieldNames.contains("sequence"))
+      assert(snapshot.count() == 5)
+      assert(follow.isStreaming)
+    } finally srv.close()
+  }
+
+  test("user-specified schema (a prior inference) skips the probe, and " +
+      "the replay validates it against the server's in-band schema") {
+    val srv = new MockMaxScaleServer(Schema,
+      (1L to 6L).map(i => event(i, "insert", i.toInt, s"n$i")))
+    try {
+      def rd = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+      val inferred = rd.load().schema // one probe
+      val before = srv.requestCount("db.t")
+      val df = rd.schema(inferred).option("endGtid", "0-1-4").load()
+      assert(srv.requestCount("db.t") == before, "schema() still probed")
+      assert(df.count() == 4) // the one replay connection
+      assert(srv.requestCount("db.t") == before + 1)
+    } finally srv.close()
+  }
+
   test("empty changelog: pinned-empty snapshot, stream from the start") {
     val srv = new MockMaxScaleServer(Schema, Nil)
     try {
