@@ -90,13 +90,15 @@ object Bench {
         c.connect()
         c.requestData("db.t", None)
         var n = 0
+        var broken = false
         val t0 = System.nanoTime()
-        while (n < events) c.readMessage() match {
+        while (n < events && !broken) c.readMessage() match {
           case _: graft.sources.cdc.CdcRowMsg => n += 1
           case _: graft.sources.cdc.CdcSchemaMsg => ()
-          case _ => n = events // timeout/closed: stop, rate reflects it
+          case _ => broken = true // timeout/closed mid-stream
         }
-        events / ((System.nanoTime() - t0) / 1e9)
+        // a partial stream must not fabricate a rate — sentinel instead
+        if (broken) -1.0 else events / ((System.nanoTime() - t0) / 1e9)
       } finally { c.close(); server.close() }
     } catch { case _: Throwable => -1.0 }
 

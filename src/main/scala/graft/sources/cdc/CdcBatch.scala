@@ -84,14 +84,20 @@ final class CdcBatch(
     * (the multi-table bootstrap shape). */
   private def startFor(table: String): Option[Gtid] = opts.startFor(table)
 
-  private def endFor(table: String): Option[Gtid] = opts.endGtid match {
-    case None => None
-    case Some(s) if !multi => Some(Gtid.parse(s))
-    case Some(s) =>
+  /** Parsed (and table-validated) composite endGtid, once — `endFor` is
+    * called per table. */
+  private lazy val endComposite: Option[MultiGtidOffset] =
+    opts.endGtid.filter(_ => multi).map { s =>
       require(s.contains('='),
         s"maxscale-cdc: multi-table endGtid must use the composite " +
           s"'db.a=0-1-5,db.b=-' form, got '$s'")
-      opts.compositeOf(s).of(table)
+      opts.compositeOf(s)
+    }
+
+  private def endFor(table: String): Option[Gtid] = opts.endGtid match {
+    case None => None
+    case Some(s) if !multi => Some(Gtid.parse(s))
+    case Some(_) => endComposite.flatMap(_.of(table))
   }
 
   /** Pushed `_table`-only conjuncts → plan-time table pruning (multi
@@ -136,26 +142,10 @@ final class CdcBatch(
     def withRt(p: InputPartition): InputPartition =
       if (rt == null) p else RuntimeFilteredCdcPartition(p, rt)
     if (!multi) planTable(opts.table, endFor(opts.table)).map(withRt)
-    else {
-      // probe tables CONCURRENTLY: each un-bounded table blocks up to
-      // its quiet deadline, and the probes are independent connections —
-      // sequential planning would cost N tables × quiet-wait
-      val ts = opts.allTables.filter(included)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(ts.size, 8)))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try {
-        val fs = ts.map { t =>
-          scala.concurrent.Future(planTable(t, endFor(t))
-            .map(p => TaggedCdcPartition(withRt(p), t): InputPartition))
-        }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(fs),
-          scala.concurrent.duration.Duration.Inf // planTable deadlines bound this
-        ).flatten.toArray
-      } finally pool.shutdown()
-    }
+    else CdcConcurrent.map(opts.allTables.filter(included)) { t =>
+      planTable(t, endFor(t))
+        .map(p => TaggedCdcPartition(withRt(p), t): InputPartition)
+    }.flatten.toArray
   }
 
   /** Whether the wire schema carries the GTID trio (server-side resume
@@ -221,9 +211,11 @@ final class CdcBatch(
         .map(s => Gtid(e.domain, e.serverId, s))
     var lo = start
     (cuts :+ e).map { hi =>
+      // endGtidObserved: the caller saw the bound produced, so the whole
+      // range exists — strict stall semantics for every subrange
       val p = CdcReplayPartition(opts.host, opts.port, opts.user,
         opts.password, table, fields, lo.map(_.toString), hi.toString,
-        opts.timeoutMs, completeOnQuiet = true): InputPartition
+        opts.timeoutMs, completeOnQuiet = !opts.endGtidObserved): InputPartition
       lo = Some(hi)
       p
     }.toArray

@@ -56,19 +56,8 @@ object CdcBootstrap {
   }
 
   private def anchorsOf(
-      opts: CdcOptions): Seq[(String, (Seq[CdcField], Option[Gtid]))] = {
-    val ts = opts.allTables
-    if (ts.size == 1) return ts.map(t => t -> probeAnchor(opts, t))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(ts.size, 8))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(
-        ts.map(t => scala.concurrent.Future(t -> probeAnchor(opts, t)))),
-      scala.concurrent.duration.Duration.Inf) // probe deadlines bound this
-    finally pool.shutdown()
-  }
+      opts: CdcOptions): Seq[(String, (Seq[CdcField], Option[Gtid]))] =
+    CdcConcurrent.map(opts.allTables)(t => t -> probeAnchor(opts, t))
 
   private def parse(options: Map[String, String]): CdcOptions =
     CdcOptions(new org.apache.spark.sql.util
@@ -121,8 +110,11 @@ object CdcBootstrap {
     val struct = SqlTypes.toStructType(fields, opts.typed)
     val snapshot = a match {
       case Some(g) =>
+        // the anchor was OBSERVED, so the snapshot range is known to
+        // exist in full — strict stall semantics, never quiet-truncation
         spark.read.format("maxscale-cdc").schema(struct)
-          .options(options + ("endGtid" -> g)).load()
+          .options(options + ("endGtid" -> g) +
+            ("endGtidObserved" -> "true")).load()
       case None =>
         // nothing existed at anchor time; an UNbounded batch would
         // re-anchor per action and overlap the stream — the seam-free
@@ -149,13 +141,8 @@ object CdcBootstrap {
     // the per-table probes double as the same-schema validation the
     // inference path would have done (the user-specified schema below
     // skips it)
-    val base = probed.head._2._1
-    probed.tail.foreach { case (t, (f, _)) =>
-      if (f != base) throw new CdcProtocolException(
-        s"maxscale-cdc: tables must share one schema; '$t' differs from " +
-          s"'${probed.head._1}': $f vs $base")
-    }
-    val struct = SqlTypes.toStructType(base, opts.typed)
+    MultiCdc.requireSameSchema(probed.map { case (t, (f, _)) => t -> f })
+    val struct = SqlTypes.toStructType(probed.head._2._1, opts.typed)
       .add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
         nullable = false)
     val as = probed.map { case (t, (_, a)) => t -> a }
@@ -166,8 +153,11 @@ object CdcBootstrap {
       val pos = a.orElse(opts.startFor(t))
       s"$t=${pos.map(_.toString).getOrElse(GtidOffset.StartJson)}"
     }.mkString(",")
+    // anchors were OBSERVED (floor entries never touch the wire), so the
+    // snapshot ranges are known to exist in full — strict stall semantics
     val snapshot = spark.read.format("maxscale-cdc").schema(struct)
-      .options(options + ("endGtid" -> endComposite)).load()
+      .options(options + ("endGtid" -> endComposite) +
+        ("endGtidObserved" -> "true")).load()
     val follow = spark.readStream.format("maxscale-cdc").schema(struct)
       .options(options + ("startingGtid" -> startComposite)).load()
     (snapshot, follow)

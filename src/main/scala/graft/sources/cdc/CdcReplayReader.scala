@@ -123,9 +123,13 @@ final class CdcReplayReader(
   private var current: InternalRow = _
   private var done = false
   /** The server always sends its schema before any data; quiet-completion
-    * (user-named bounds) requires it — a server too slow to even produce
-    * the schema is a fault, not an empty range. */
+    * (user-named bounds) requires it ON THE CURRENT connection (reset per
+    * connect) — a server too slow to even produce the schema is a fault,
+    * not an empty range. */
   private var sawSchema = false
+  /** A quiet window was already observed and the connection was rebuilt
+    * to verify it; cleared by any forward progress. */
+  private var quietVerified = false
   private var reconnects = 0
   private val MaxReconnects = 3
 
@@ -143,6 +147,7 @@ final class CdcReplayReader(
     client = new CdcClient(p.host, p.port, p.user, p.password, p.timeoutMs)
     client.connect()
     client.requestData(p.table, g.map(_.toString))
+    sawSchema = false // each connection must re-prove liveness
   }
 
   override def next(): Boolean = {
@@ -190,6 +195,7 @@ final class CdcReplayReader(
             if (g > end) { done = true; return false } // past range: defensive
             lastEmitted = Some(g) // position advances even for filtered rows
             reconnects = 0 // forward progress resets the budget (like the tailer)
+            quietVerified = false // data flowed: any earlier quiet was transient
             if (g == end) done = true // last row of the range, pass or not
             if (pred == null || pred.eval(values, nulls)) {
               current = CdcRowCodec.toInternalRow(
@@ -204,17 +210,19 @@ final class CdcReplayReader(
           }
         case CdcTimeout =>
           if (p.completeOnQuiet && sawSchema) {
-            // user-named bound: one genuine quiet window (a full read
-            // timeout with nothing pending) below the bound means the
-            // range holds no more events AS OF NOW — done, same "now"
-            // the anchor-at-quiet scan and Trigger.AvailableNow use. A
-            // bound past the stream's tail thus yields what exists,
-            // like any SQL range scan; dead/faulting servers still fail
-            // loudly via the reconnect budget.
-            done = true
-            return false
-          }
-          if (System.nanoTime() > deadlineNanos)
+            // user-named bound, quiet stream: the range holds no more
+            // events AS OF NOW — but one quiet window could also be a
+            // transient server stall mid-replay, and completing then
+            // would silently truncate. VERIFY before completing: tear
+            // the connection down and replay again from lastEmitted — a
+            // recovered server delivers the missing rows on the fresh
+            // connection; only a second quiet window on a connection
+            // that proved itself live (schema seen) completes. Dead
+            // servers fail loudly via the reconnect budget.
+            if (quietVerified) { done = true; return false }
+            quietVerified = true
+            reconnectOrFail("verifying the quiet end of a user-named range")
+          } else if (System.nanoTime() > deadlineNanos)
             throw new CdcProtocolException(
               s"replay of range (${start.getOrElse("start")}, $end] stalled at " +
                 s"${lastEmitted.getOrElse("start")} — server stopped replaying " +

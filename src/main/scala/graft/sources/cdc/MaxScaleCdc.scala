@@ -27,7 +27,12 @@ final case class CdcOptions(
     maxEventsPerBatch: Int,
     replayPartitions: Int,
     tables: Seq[String] = Seq.empty,
-    endGtid: Option[String] = None) {
+    endGtid: Option[String] = None,
+    // the caller OBSERVED endGtid as a produced event (e.g. the
+    // bootstrap's anchor): quiet-below-bound is then a server fault
+    // (strict stall deadline), not completion — the range is known to
+    // exist in full
+    endGtidObserved: Boolean = false) {
   def timeoutMs: Int = timeoutSeconds * 1000
 
   /** All subscribed tables: the `tables` option when present (multi-table
@@ -131,7 +136,8 @@ object CdcOptions {
       // batch-read upper bound (inclusive). Single-table: a plain GTID;
       // multi-table: the composite `db.a=0-1-5,db.b=-` form (missing or
       // `-` entries anchor at that table's quiet point).
-      endGtid = Option(m.get("endGtid")).filter(_.nonEmpty))
+      endGtid = Option(m.get("endGtid")).filter(_.nonEmpty),
+      endGtidObserved = m.getBoolean("endGtidObserved", false))
   }
 }
 
@@ -192,20 +198,17 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val o = CdcOptions(options)
-    val base = probeSchema(o, o.allTables.head)
-    if (o.allTables.size == 1) base
+    if (o.allTables.size == 1) probeSchema(o, o.table)
     else {
-      // multi-table mode: every table must share the base schema (the
-      // sharded-upstream shape this mode exists for) — fail loudly at
-      // plan time, not row-decode time, on a mismatch
-      o.allTables.tail.foreach { t =>
-        val s = probeSchema(o, t)
-        if (s != base) throw new CdcProtocolException(
-          s"maxscale-cdc: tables must share one schema; '$t' differs from " +
-            s"'${o.allTables.head}': $s vs $base")
-      }
-      base.add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
-        nullable = false)
+      // multi-table mode: probe concurrently, and every table must share
+      // the base schema (the sharded-upstream shape this mode exists
+      // for) — fail loudly at plan time, not row-decode time
+      val fieldsByTable = CdcConcurrent.map(o.allTables)(t =>
+        t -> CdcProbe.schemaFields(o, t))
+      MultiCdc.requireSameSchema(fieldsByTable)
+      SqlTypes.toStructType(fieldsByTable.head._2, o.typed)
+        .add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
+          nullable = false)
     }
   }
 
@@ -335,10 +338,12 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
               try Math.multiplyExact(a, b)
               catch { case _: ArithmeticException => Long.MaxValue }
             private val span: Option[Long] = opts.endGtid.flatMap { s =>
+              // parse the composite once, not once per table
+              val comp =
+                if (s.contains('=')) Some(opts.compositeOf(s)) else None
+              val plain = if (comp.isEmpty) Some(Gtid.parse(s)) else None
               val spans = opts.allTables.map { t =>
-                val end =
-                  if (s.contains('=')) opts.compositeOf(s).of(t)
-                  else Some(Gtid.parse(s))
+                val end = comp.map(_.of(t)).getOrElse(plain)
                 end.map(e =>
                   math.max(0L, e.sequence -
                     opts.startFor(t).map(_.sequence).getOrElse(0L)))

@@ -20,6 +20,41 @@ import org.apache.spark.unsafe.types.UTF8String
 object MultiCdc {
   /** Name of the appended provenance column in multi-table mode. */
   val TableColumn = "_table"
+
+  /** Multi-table mode exists for same-schema shards — fail loudly at
+    * plan time (not row-decode time) when a table's wire schema
+    * differs. Shared by schema inference and the bootstrap's probes. */
+  private[cdc] def requireSameSchema(
+      fieldsByTable: Seq[(String, Seq[CdcField])]): Unit = {
+    val (t0, base) = fieldsByTable.head
+    fieldsByTable.tail.foreach { case (t, f) =>
+      if (f != base) throw new CdcProtocolException(
+        s"maxscale-cdc: tables must share one schema; '$t' differs from " +
+          s"'$t0': $f vs $base")
+    }
+  }
+}
+
+/** Driver-side fan-out over independent per-table probes (schema
+  * inference, anchors, batch planning): each probe opens its own
+  * connection and blocks up to its quiet deadline, so sequential
+  * probing would cost N tables × quiet-wait. First failure aborts the
+  * rest (shutdownNow interrupts queued and running probes). */
+private[cdc] object CdcConcurrent {
+  def map[A, B](items: Seq[A], maxThreads: Int = 8)(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.size, maxThreads))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          items.map(a => scala.concurrent.Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf) // f's deadlines bound this
+    catch { case t: Throwable => pool.shutdownNow(); throw t }
+    finally pool.shutdown()
+  }
 }
 
 /** Composite offset: one GTID position per subscribed table, serialized
