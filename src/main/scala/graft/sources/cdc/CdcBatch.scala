@@ -157,8 +157,8 @@ final class CdcBatch(
     endBound match {
       case Some(e) if hasGtidColumns =>
         // explicitly bounded range: ZERO driver wire I/O — the range is
-        // named, the executors replay it (and fail loudly, bounded, if
-        // the server cannot produce it)
+        // named, the executors replay it (completing at a verified quiet
+        // point below the bound, or strictly when endGtidObserved)
         planBounded(table, e)
       case _ =>
         val tailer = new CdcTailer(opts.host, opts.port, opts.user,
