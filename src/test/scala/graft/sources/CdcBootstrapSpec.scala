@@ -145,6 +145,45 @@ class CdcBootstrapSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("capstone: wire -> bootstrap -> CdcSink latest-state table, the " +
+      "follow stream keeping it current — the full migration story") {
+    // a consumer of the reference maintaining a latest-state table
+    // switches to: snapshot seeds the table once, the follow stream
+    // keeps it current, with the seam guaranteeing exactly-once
+    val srv = new MockMaxScaleServer(Schema, Seq(
+      event(1, "insert", 1, "a1"), event(2, "insert", 2, "b1"),
+      event(3, "update_after", 1, "a2"), event(4, "insert", 3, "c1"),
+      event(5, "update_after", 2, "b2")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-capstone")
+    try {
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, opts(srv))
+      // history, exactly once: the snapshot seeds the state table
+      graft.streaming.CdcSink.applyChangelog(
+        snapshot, s"$dir/state", keyCol = "id", orderCols = Seq("sequence"))
+      val seeded = graft.streaming.CdcSink.readState(spark, s"$dir/state")
+        .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
+      assert(seeded == Map(1 -> "a2", 2 -> "b2", 3 -> "c1"))
+
+      val q = follow.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(graft.streaming.CdcSink.writer(
+          s"$dir/state", keyCol = "id", orderCols = Seq("sequence")))
+        .start()
+      try {
+        // live seam traffic: an update to an existing key + a new key
+        srv.push(event(6, "update_after", 1, "a3"))
+        srv.push(event(7, "insert", 4, "d1"))
+        q.processAllAvailable()
+        val state = graft.streaming.CdcSink.readState(spark, s"$dir/state")
+          .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
+        assert(state == Map(1 -> "a3", 2 -> "b2", 3 -> "c1", 4 -> "d1"))
+      } finally q.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("empty changelog: pinned-empty snapshot, stream from the start") {
     val srv = new MockMaxScaleServer(Schema, Nil)
     try {
