@@ -88,6 +88,19 @@ private[sources] object WirePred {
         catch { case _: NumberFormatException => true })
   }
 
+  /** Float comparison at FLOAT precision. The typed decode rounds the
+    * wire text through `toFloat` (SqlTypes.cast), so comparing the
+    * double-parsed text against the double-widened float literal can
+    * disagree with SQL exactly at the rounding boundary — wire "0.1"
+    * decodes to 0.1f and SQL-equals the literal 0.1f, but as doubles
+    * 0.1 != 0.10000000149, and EQ would DROP the SQL-true row. Parse
+    * and compare as floats, mirroring the decode bit-for-bit. */
+  final case class FloatCmp(i: Int, rhs: Float, op: Int) extends WirePred {
+    def eval(v: Array[String], n: Array[Boolean]): Boolean =
+      !n(i) && (try cmpHolds(java.lang.Float.compare(v(i).toFloat, rhs), op)
+        catch { case _: NumberFormatException => true })
+  }
+
   /** Null tests. Raw mode never decodes a SQL null (null → ""), so
     * IsNull is constant-false / IsNotNull constant-true there. */
   final case class NullTest(i: Int, isNull: Boolean, raw: Boolean)
@@ -161,7 +174,14 @@ private[sources] object CdcWireFilters {
       // string order disagree on supplementary characters
       case (i, ByteType | ShortType | IntegerType | LongType) =>
         longOf(v).map(LongCmp(i, _, op))
-      case (i, FloatType | DoubleType) => dblOf(v).map(DblCmp(i, _, op))
+      // FloatType compares at float precision (see FloatCmp). Only a
+      // Float literal reaches a FloatType column un-Cast (anything else
+      // sits under a Cast Spark doesn't push), so refuse other shapes.
+      case (i, FloatType) => v match {
+        case f: java.lang.Float => Some(FloatCmp(i, f.floatValue, op))
+        case _ => None
+      }
+      case (i, DoubleType) => dblOf(v).map(DblCmp(i, _, op))
       case _ => None
     }
     f match {

@@ -30,11 +30,18 @@ class CdcFilterPropSpec extends AnyFunSuite {
   private val typedSchema = StructType(Seq(
     StructField("seq", IntegerType),
     StructField("name", StringType),
-    StructField("score", DoubleType)))
+    StructField("score", DoubleType),
+    StructField("ratio", FloatType)))
   private val rawSchema = StructType(Seq(
     StructField("seq", StringType),
     StructField("name", StringType),
-    StructField("score", StringType)))
+    StructField("score", StringType),
+    StructField("ratio", StringType)))
+
+  /** Float literals chosen to straddle the float/double rounding
+    * boundary: 0.1f widened to double is 0.10000000149, so a predicate
+    * compiled at double precision drops wire "0.1" (ADVICE r7). */
+  private val floatLits = Array(0.1f, 0.3f, 1.5f, -0.0f, 3.7f)
 
   /** Mirror a pushable source Filter into Catalyst (the oracle side). */
   private def catalyst(f: Filter, schema: StructType): Expression = {
@@ -79,6 +86,7 @@ class CdcFilterPropSpec extends AnyFunSuite {
     val seqNull = rnd.nextInt(6) == 0
     val nameNull = rnd.nextInt(6) == 0
     val scoreNull = rnd.nextInt(6) == 0
+    val ratioNull = rnd.nextInt(6) == 0
     val seqV = rnd.nextInt(5) match {
       case 0 => "007" // non-canonical int rendering
       case 1 => (-rnd.nextInt(10)).toString
@@ -89,16 +97,23 @@ class CdcFilterPropSpec extends AnyFunSuite {
       case 1 => "-0.0"
       case _ => (rnd.nextInt(40) / 10.0).toString
     }
+    val ratioV = rnd.nextInt(5) match {
+      case 0 => "0.1"        // float-rounding boundary (the ADVICE case)
+      case 1 => "0.30000001" // rounds to 0.3f
+      case 2 => "-0.0"
+      case _ => (rnd.nextInt(40) / 10.0).toString
+    }
     (Array(if (seqNull) "" else seqV,
         if (nameNull) "" else names(rnd.nextInt(names.length)),
-        if (scoreNull) "" else scoreV),
-      Array(seqNull, nameNull, scoreNull))
+        if (scoreNull) "" else scoreV,
+        if (ratioNull) "" else ratioV),
+      Array(seqNull, nameNull, scoreNull, ratioNull))
   }
 
   private def atom(rnd: Random, raw: Boolean): Filter = {
     val strCol: String =
-      if (raw) Seq("seq", "name", "score")(rnd.nextInt(3)) else "name"
-    rnd.nextInt(if (raw) 8 else 12) match {
+      if (raw) Seq("seq", "name", "score", "ratio")(rnd.nextInt(4)) else "name"
+    rnd.nextInt(if (raw) 8 else 13) match {
       case 0 => EqualTo(strCol, names(rnd.nextInt(names.length)))
       case 1 => In(strCol, Array.fill(1 + rnd.nextInt(3))(
         names(rnd.nextInt(names.length))).map(identity[Any]))
@@ -117,6 +132,10 @@ class CdcFilterPropSpec extends AnyFunSuite {
         rnd.nextInt(12): Any))
       case 10 => Seq(GreaterThan("score", rnd.nextInt(40) / 10.0: Any),
         LessThanOrEqual("score", rnd.nextInt(40) / 10.0: Any))(rnd.nextInt(2))
+      case 11 =>
+        val f = floatLits(rnd.nextInt(floatLits.length)): Any
+        Seq(EqualTo("ratio", f), GreaterThan("ratio", f),
+          LessThan("ratio", f), GreaterThanOrEqual("ratio", f))(rnd.nextInt(4))
       case _ => EqualTo("seq", rnd.nextInt(12): Any)
     }
   }
@@ -181,7 +200,27 @@ class CdcFilterPropSpec extends AnyFunSuite {
       "wire-rejected (both directions provably exercised)") {
     val p = CdcWireFilters.compileAll(
       Seq(EqualTo("name", "alice")), typedSchema, typed = true)
-    assert(p.eval(Array("1", "alice", "0.5"), Array(false, false, false)))
-    assert(!p.eval(Array("1", "bob", "0.5"), Array(false, false, false)))
+    assert(p.eval(Array("1", "alice", "0.5", "1.0"),
+      Array(false, false, false, false)))
+    assert(!p.eval(Array("1", "bob", "0.5", "1.0"),
+      Array(false, false, false, false)))
+  }
+
+  test("float column EQ at the rounding boundary: wire '0.1' decodes to " +
+      "0.1f and SQL-equals the 0.1f literal, so the wire predicate must " +
+      "keep it (ADVICE r7: double-widened compare dropped it)") {
+    val none = Array(false, false, false, false)
+    val p = CdcWireFilters.compileAll(
+      Seq(EqualTo("ratio", 0.1f)), typedSchema, typed = true)
+    assert(p != null, "float EQ should compile")
+    assert(p.eval(Array("1", "alice", "0.5", "0.1"), none),
+      "wire '0.1' vs literal 0.1f must be kept (SQL-true at float precision)")
+    // and the predicate still filters: a genuinely different value drops
+    assert(!p.eval(Array("1", "alice", "0.5", "0.2"), none))
+    // ordering at float precision: 0.30000001 rounds to 0.3f, so > 0.3f
+    // is SQL-false AND wire-false (no over-keep turning into Not-drop)
+    val gt = CdcWireFilters.compileAll(
+      Seq(GreaterThan("ratio", 0.3f)), typedSchema, typed = true)
+    assert(!gt.eval(Array("1", "alice", "0.5", "0.30000001"), none))
   }
 }
