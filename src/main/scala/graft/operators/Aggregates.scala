@@ -207,12 +207,15 @@ object Aggregates extends QueryPack {
   /** Exact percentiles (type-7 linear interpolation in both engines);
     * the exact form is the oracle for any approx-sketch variant.
     *
-    * Scale: Spark's `percentile` buffers a per-group counts map of all
-    * DISTINCT values and ships it through the shuffle (bench plan
-    * metrics: ~21 MB for 6 partial rows at sf0.1) — exactness priced in
-    * memory. At 100 TB the pipeline path is [[qQuantileHist]]'s
-    * constant-size binned sketch; this query is its exactness oracle,
-    * same baseline/twin split as q_embed_neardup vs the LSH gate. */
+    * Scale (VERDICT r7 item 1): computed by [[BinnedPercentile]]'s
+    * two-level binned narrowing — every shuffled state is O(groups ×
+    * bins), never the per-group distinct-value map Spark's `percentile`
+    * buffers (21.5 MB through the shuffle at sf0.1; an OOM at 100 TB).
+    * Output doubles are bit-identical to `percentile()` (same
+    * `PercentileBase.getPercentile` arithmetic, pinned by
+    * BinnedPercentileSpec), so the DuckDB oracle is unchanged. The
+    * one-pass sketch twin for when 4 scans are too many remains
+    * [[qQuantileHist]]. */
   val qPercentile: Q = Q(
     "q_percentile",
     Some("""
@@ -227,14 +230,15 @@ object Aggregates extends QueryPack {
       ORDER BY l_returnflag
       """.stripMargin.trim)
   ) { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"),
-        count(lit(1)).as("n"))
+    val li = Tables.lineitem(s, dir)
+    val pct = BinnedPercentile.wide(
+      BinnedPercentile.perGroup(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.9, 0.99)),
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    n.join(broadcast(pct), n("l_returnflag") === pct("g"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p90"),
+        col("p99"), col("n"))
       .orderBy("l_returnflag")
   }
 
@@ -559,10 +563,11 @@ object Aggregates extends QueryPack {
     * (same type-7 arithmetic, pinned by q_percentile); clipped values go
     * through DECIMAL(18,6) so the mean is order-independent.
     *
-    * Scale: percentile pass + broadcast of the per-group cutoffs back
-    * over the scan — two passes, one shuffle each, no window. (Exact
-    * per-group percentile buffers whole groups; at 100 TB swap in
-    * approx_percentile — the clip/aggregate shape is unchanged.) */
+    * Scale (VERDICT r7 item 1): the p5/p95 cutoffs come from
+    * [[BinnedPercentile]]'s bounded-memory narrowing (O(bins) shuffled
+    * state, bit-identical doubles), then broadcast back over the scan
+    * for the clip/aggregate pass — no per-group value buffer anywhere
+    * in the plan, so the same shape holds at 100 TB. */
   val qWinsorize: Q = Q(
     "q_winsorize",
     Some("""
@@ -584,9 +589,11 @@ object Aggregates extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val pct = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.05)").as("p5"),
-      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    val pct = BinnedPercentile.wide(
+      BinnedPercentile.perGroup(li, "l_returnflag", "l_extendedprice",
+        Seq(0.05, 0.95)),
+      Seq(0.05 -> "p5", 0.95 -> "p95"))
+      .withColumnRenamed("g", "l_returnflag")
     li.join(broadcast(pct), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(

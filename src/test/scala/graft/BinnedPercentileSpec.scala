@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.BinnedPercentile
+import org.apache.spark.sql.functions._
+
+/** Pins [[BinnedPercentile]] to Spark's own `percentile` BIT-FOR-BIT —
+  * the whole point of the bounded-memory rewrite (VERDICT r7 item 1) is
+  * that the declared q_percentile/q_winsorize results must not move by
+  * one ULP while the per-group distinct-value buffer disappears from
+  * the plan. `java.lang.Double.compare` distinguishes every bit pattern
+  * (±0.0, NaN), so equality here is bit equality.
+  */
+class BinnedPercentileSpec extends SparkSpec {
+
+  // 0.45 lands BOTH bounding ranks inside the 'sign' group's −0.0 run:
+  // the correct answer there is −0.0 itself, not just a value that
+  // compares equal to it
+  private val ps =
+    Seq(0.0, 0.01, 0.05, 0.25, 0.45, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0)
+
+  private def compare(df: org.apache.spark.sql.DataFrame, g: String,
+      v: String, bins: Int = 2048): Unit = {
+    val mine = BinnedPercentile.perGroup(df, g, v, ps, bins)
+      .collect().map(r => (r.getAs[Any]("g"), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(cast($v as double), $p)").as(s"q$i") }
+    val ref = df.where(col(v).isNotNull).groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        ps.zipWithIndex.map { case (p, i) =>
+          (r.getAs[Any](0), p) -> r.getDouble(i + 1) } }.toMap
+    assert(mine.keySet == ref.keySet,
+      s"group/percentile key sets differ: ${mine.keySet.size} vs ${ref.keySet.size}")
+    val diffs = ref.collect {
+      case (k, want) if java.lang.Double.compare(want, mine(k)) != 0 =>
+        s"$k: percentile()=$want binned=${mine(k)}"
+    }
+    assert(diffs.isEmpty, s"bit mismatches:\n${diffs.mkString("\n")}")
+  }
+
+  test("lineitem fixture: every group x 10 percentiles is bit-identical " +
+      "to percentile()") {
+    compare(Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice")
+  }
+
+  test("degenerate shapes: constant group, singleton, pair, heavy ties, " +
+      "sub-ULP-ish clustering — all bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows =
+      // constant column: every level-1 bin short-circuits (bmn = bmx)
+      Seq.fill(500)(("const", 42.0)) ++
+      // singleton and pair groups: n=1 / n=2 interpolation edges
+      Seq(("one", 3.14)) ++ Seq(("two", 1.0), ("two", 2.0)) ++
+      // 90% ties + 10% spread: ties resolve at histograms, spread at exact
+      Seq.fill(900)(("ties", 5.0)) ++ Seq.fill(100)(("ties", rnd.nextDouble() * 10)) ++
+      // values clustered in a tiny range far from zero: the level-2
+      // re-bin on the ACTUAL bin range must still separate them
+      Seq.fill(300)(("tight", 1e15 + rnd.nextDouble())) ++
+      // mixed signs incl. -0.0 vs 0.0 (same SQL-equality class)
+      Seq.fill(50)(("sign", -0.0)) ++ Seq.fill(50)(("sign", 0.0)) ++
+      Seq.tabulate(100)(i => ("sign", (i - 50).toDouble / 7))
+    compare(rows.toDF("g0", "v0"), "g0", "v0")
+  }
+
+  test("tiny bin count forces the exact step everywhere and still matches " +
+      "(stress the rank arithmetic, not the bin luck)") {
+    compare(Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
+      bins = 4)
+  }
+
+  test("nulls are ignored exactly like percentile()") {
+    import spark.implicits._
+    val rows = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("a", Some(3.0)), ("b", None), ("b", Some(9.0)))
+    compare(rows.toDF("g0", "v0"), "g0", "v0")
+  }
+}
