@@ -325,7 +325,17 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           * (≈∞) and a small pulled slice can never be broadcast in the
           * pull-and-join pattern. Unbounded/anchor scans stay unknown:
           * a changelog has no cheap cardinality oracle before the
-          * anchor probe runs. */
+          * anchor probe runs.
+          *
+          * Looseness: a table with no explicit start position counts
+          * from sequence 0, which is still a correct upper bound (the
+          * pull really does read from the beginning) but can be very
+          * loose — a domain's sequence is shared across its tables, so
+          * a table whose events are a sliver of the domain reports the
+          * whole span. The bound errs only toward "too big to
+          * broadcast", never the reverse, so a missed broadcast is the
+          * worst case; callers who care pass explicit per-table starts
+          * (the composite form), which tighten each span to its slice. */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
           new org.apache.spark.sql.connector.read.Statistics {
             // saturating arithmetic throughout: a typo'd huge sequence
@@ -488,10 +498,17 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     * target, so the query drains exactly the pre-existing backlog in
     * admission-capped batches and stops. */
   @volatile private var availableNowTarget: Option[Gtid] = None
+  /** Distinguishes "no clamp" (normal trigger) from "clamp to nothing"
+    * (AvailableNow prepared against a changelog that was EMPTY at the
+    * quiet point — `latest` is None, yet events arriving after query
+    * start must still be excluded or termination would depend on the
+    * stream going quiet a second time). */
+  @volatile private var availableNowPrepared = false
   override def prepareForTriggerAvailableNow(): Unit = {
     val t = ensureTailer()
     t.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
     availableNowTarget = t.latest
+    availableNowPrepared = true
   }
 
   override def deserializeOffset(json: String): Offset = GtidOffset.fromJson(json)
@@ -521,11 +538,16 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     val after = (resumeHint.toSeq ++ lastPlannedEnd.toSeq ++ startG.toSeq)
       .reduceOption((a: Gtid, b: Gtid) => if (a >= b) a else b)
     val capped = t.cappedEnd(after, max).orElse(after)
-    // AvailableNow: never plan past the anchored target
-    val end = availableNowTarget match {
-      case Some(tg) => capped.map(c => if (c > tg) tg else c)
-      case None => capped
-    }
+    // AvailableNow: never plan past the anchored target; an
+    // initially-empty changelog (target None after prepare) plans
+    // NOTHING — the offset stays at the resume point and the query
+    // terminates with zero batches
+    val end =
+      if (!availableNowPrepared) capped
+      else availableNowTarget match {
+        case Some(tg) => capped.map(c => if (c > tg) tg else c)
+        case None => after
+      }
     lastPlannedEnd = end
     GtidOffset(end)
   }

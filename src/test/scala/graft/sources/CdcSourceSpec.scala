@@ -389,6 +389,37 @@ class CdcSourceSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("Trigger.AvailableNow on an initially-empty changelog: prepare " +
+      "anchors at 'nothing' and later events are never planned") {
+    // the clamp must distinguish "no clamp" from "clamp to nothing":
+    // before r8 an empty-at-prepare changelog left availableNowTarget at
+    // None, so events arriving after query start were planned and
+    // termination depended on the stream going quiet a second time
+    val srv = new MockMaxScaleServer(Schema, Seq.empty)
+    try {
+      val (stream, _) = streamFor(srv)
+      try {
+        stream.prepareForTriggerAvailableNow() // quiet immediately: empty
+        srv.push(event(1, "insert", 1, "late"))
+        srv.push(event(2, "insert", 2, "later"))
+        // wait until the tailer has demonstrably BUFFERED the late
+        // events — only then does "not planned" prove the clamp
+        eventually(timeout(Span(20, Seconds)), interval(Span(1, Seconds))) {
+          assert(stream.metrics(java.util.Optional.empty())
+            .get("bufferedEvents").toInt >= 2)
+        }
+        val end = stream.latestOffset(GtidOffset.Start,
+          stream.getDefaultReadLimit)
+        // the offset never advances past the (empty) anchor…
+        assert(end.asInstanceOf[GtidOffset].gtid.isEmpty,
+          s"late events leaked into an AvailableNow run anchored at empty: $end")
+        // …and an empty offset range plans zero partitions (termination)
+        assert(stream.planInputPartitions(GtidOffset.Start,
+          GtidOffset(None)).isEmpty)
+      } finally stream.stop()
+    } finally srv.close()
+  }
+
   test("reader-level pushdown units: wire predicate drops rows before " +
       "decode, decode mask nulls unreferenced columns") {
     import graft.sources.cdc.{CdcWireFilters, WirePred}
