@@ -15,10 +15,16 @@ import json
 import sys
 
 
+PLAN_METRIC_RE = (r'"(q_\w+)":\{"scan_rows":(\d+),'
+                  r'"shuffle_records":(\d+),"shuffle_bytes":(\d+)\}')
+
+
 def load(path):
     """Accept either Bench's own one-line JSON (possibly sbt-prefixed) or
     the driver's BENCH_r{N}.json wrapper, whose `tail` embeds
-    `"name":[run1,run2]` fragments (best-of-n semantics: take min)."""
+    `"name":[run1,run2]` timing fragments (best-of-n semantics: take min)
+    and, when the tail window reaches them, per-query plan_metrics
+    fragments."""
     import re
     text = open(path).read()
     for line in text.splitlines():
@@ -36,9 +42,46 @@ def load(path):
         name: min(float(x) for x in runs.split(","))
         for name, runs in re.findall(r'"(q_\w+)":\[([\d.,]+)\]', tail)
     }
-    if not queries:
+    plan_metrics = {
+        name: {"scan_rows": int(sr), "shuffle_records": int(rec),
+               "shuffle_bytes": int(sb)}
+        for name, sr, rec, sb in re.findall(PLAN_METRIC_RE, tail)
+    }
+    if not queries and not plan_metrics:
         raise SystemExit(f"no per-query runs found in {path}")
-    return {"queries": queries}
+    return {"queries": queries, "plan_metrics": plan_metrics}
+
+
+def diff_plan_metrics(old, new, flag):
+    """Plan-shape drift gate (VERDICT r7 #5): plan metrics are
+    deterministic (records/bytes through each exchange, rows scanned),
+    so unlike wall-clock they admit a hard threshold. Flags any common
+    query whose shuffle_bytes grew more than `flag`x at equal sf, once
+    past a 64 KiB floor that ignores constant-overhead jitter (empty
+    exchanges, map-status framing) on queries that shuffle almost
+    nothing."""
+    opm = old.get("plan_metrics") or {}
+    npm = new.get("plan_metrics") or {}
+    common = sorted(set(opm) & set(npm))
+    if not common:
+        print("\nplan metrics: not present on both sides, drift gate "
+              "skipped")
+        return 0
+    floor = 64 * 1024
+    regressions = 0
+    rows = []
+    for k in common:
+        o, n = opm[k]["shuffle_bytes"], npm[k]["shuffle_bytes"]
+        ratio = n / o if o > 0 else (float("inf") if n > floor else 1.0)
+        if ratio > flag and n > floor:
+            rows.append((ratio, k, o, n))
+            regressions += 1
+    print(f"\nplan metrics: {len(common)} queries compared, "
+          f"{regressions} shuffle_bytes regression(s) above {flag}x")
+    for ratio, k, o, n in sorted(rows, reverse=True):
+        print(f"{k:34s} {o:>12d} {n:>12d} {ratio:7.2f}"
+              "  <-- PLAN REGRESSION (shuffle_bytes)")
+    return regressions
 
 
 def main():
@@ -79,10 +122,14 @@ def main():
         print(f"{k:34s} {o:8.3f} {n:8.3f} {ratio:7.2f}{mark}")
     ot = sum(oq[k] for k in common)
     nt = sum(nq[k] for k in common)
-    print(f"\ncommon queries: {len(common)}  old total {ot:.1f}s  "
-          f"new total {nt:.1f}s  ratio {nt / ot:.2f}")
+    if common:
+        print(f"\ncommon queries: {len(common)}  old total {ot:.1f}s  "
+              f"new total {nt:.1f}s  ratio {nt / ot:.2f}")
     print(f"only-old: {sorted(set(oq) - set(nq))}")
     print(f"only-new: {len(set(nq) - set(oq))} new queries")
+    # Plan drift uses a 1.5x threshold regardless of the wall-clock flag:
+    # metrics are deterministic, so the flag needs no noise margin.
+    regressions += diff_plan_metrics(old, new, 1.5)
     sys.exit(1 if regressions else 0)
 
 
