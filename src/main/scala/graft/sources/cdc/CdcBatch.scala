@@ -198,26 +198,14 @@ final class CdcBatch(
           "replication domains — GTID order is only defined within one " +
           "domain; run one query per domain")
     }
-    val n = opts.replayPartitions
-    val lowSeq = start.map(_.sequence).getOrElse(0L)
-    // per-range width first (diff/n*i never exceeds diff, so the cut
-    // arithmetic cannot overflow whatever the sequence magnitudes)
-    val step = (e.sequence - lowSeq) / math.max(1, n)
-    val cuts =
-      if (n <= 1 || step == 0) Seq.empty
-      else (1 until n)
-        .map(i => lowSeq + step * i)
-        .filter(s => s > lowSeq && s < e.sequence)
-        .map(s => Gtid(e.domain, e.serverId, s))
-    var lo = start
-    (cuts :+ e).map { hi =>
-      // endGtidObserved: the caller saw the bound produced, so the whole
-      // range exists — strict stall semantics for every subrange
-      val p = CdcReplayPartition(opts.host, opts.port, opts.user,
-        opts.password, table, fields, lo.map(_.toString), hi.toString,
-        opts.timeoutMs, completeOnQuiet = !opts.endGtidObserved): InputPartition
-      lo = Some(hi)
-      p
+    GtidRangeCuts.sequenceCuts(start, e, opts.replayPartitions).map {
+      case (lo, hi) =>
+        // endGtidObserved: the caller saw the bound produced, so the whole
+        // range exists — strict stall semantics for every subrange
+        CdcReplayPartition(opts.host, opts.port, opts.user,
+          opts.password, table, fields, lo.map(_.toString), hi.toString,
+          opts.timeoutMs,
+          completeOnQuiet = !opts.endGtidObserved): InputPartition
     }.toArray
   }
 

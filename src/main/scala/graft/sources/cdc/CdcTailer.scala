@@ -5,6 +5,15 @@ import scala.collection.mutable.ArrayBuffer
 /** One buffered change event with its stream position. */
 final case class CdcEvent(gtid: Gtid, values: Array[String], nulls: Array[Boolean])
 
+/** Test instrumentation: counts how often [[CdcTailer.splitRanges]] took
+  * the sequence-arithmetic fallback (range not covered by buffered
+  * positions), so specs can pin WHICH planning path produced their
+  * partitions — from descriptors alone the two are indistinguishable.
+  * Never read by production code. */
+private[sources] object CdcSplitProbe {
+  @volatile var arithmeticFallbacks: Long = 0L
+}
+
 /** Driver-side stream tailer for the micro-batch source.
   *
   * The CDC protocol is a single push socket per table (SURVEY.md §3.4):
@@ -232,16 +241,24 @@ final class CdcTailer(
   }
 
   /** Split the events of (start, end] into up to `n` contiguous GTID
-    * subranges for parallel executor-side replay. Falls back to the whole
-    * range as one chunk when the positions buffer no longer covers it
-    * (recovery re-plan after restart — the executor replays from the
-    * server, so coverage here is an optimization, not a correctness need). */
+    * subranges for parallel executor-side replay. Live batches cut at
+    * OBSERVED positions (exact balance). When the positions buffer does
+    * not cover the range — a recovery re-plan after restart, or a deep
+    * catch-up where the tailer lags the logged offset — fall back to the
+    * bounded batch planner's sequence-arithmetic cuts instead of one
+    * serial chunk: the end of a streaming range is always an event the
+    * driver OBSERVED before logging the offset, so every fabricated
+    * subrange terminates (the reader completes on the first event past
+    * its bound, and the observed end is past every interior cut). */
   def splitRanges(start: Option[Gtid], end: Gtid, n: Int): Seq[(Option[Gtid], Gtid)] =
     lock.synchronized {
       val inRange = positions.iterator
         .filter(g => start.forall(g > _) && g <= end).toArray
-      if (n <= 1 || inRange.length < 2 * n || inRange.lastOption.forall(_ != end))
-        Seq((start, end))
+      if (n <= 1) Seq((start, end))
+      else if (inRange.lastOption.forall(_ != end)) {
+        CdcSplitProbe.arithmeticFallbacks += 1
+        GtidRangeCuts.sequenceCuts(start, end, n)
+      } else if (inRange.length < 2 * n) Seq((start, end))
       else {
         val per = math.ceil(inRange.length.toDouble / n).toInt
         val bounds = inRange.grouped(per).map(_.last).toSeq

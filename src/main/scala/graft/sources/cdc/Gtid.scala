@@ -42,6 +42,39 @@ object Gtid {
   }
 }
 
+/** Sequence-arithmetic parallel cuts for a named `(start, end]` GTID
+  * range — shared by the bounded batch planner ([[CdcBatch]]) and the
+  * streaming tailer's catch-up fallback ([[CdcTailer.splitRanges]]).
+  *
+  * Cuts are FABRICATED boundary positions at equal sequence spacing:
+  * GTID order is `(domain, sequence, serverId)` ([[Gtid]]), so any
+  * fabricated boundary still yields disjoint-and-covering subranges.
+  * Safe because the server's inclusive replay + the reader's dedupe
+  * tolerate a boundary that is not an event of this table
+  * (cdc_connector.cpp:199-213); balance depends on how densely the
+  * domain's sequence numbers land in the table. Zero wire I/O.
+  */
+object GtidRangeCuts {
+  /** Up to `n` contiguous subranges of `(start, end]`. Degenerate spans
+    * (n <= 1, or fewer sequence numbers than ranges) collapse to the
+    * whole range as one chunk. per-range width first: `step * i` never
+    * exceeds the span, so the cut arithmetic cannot overflow whatever
+    * the sequence magnitudes. */
+  def sequenceCuts(start: Option[Gtid], end: Gtid,
+      n: Int): Seq[(Option[Gtid], Gtid)] = {
+    val lowSeq = start.map(_.sequence).getOrElse(0L)
+    val step = (end.sequence - lowSeq) / math.max(1, n)
+    val cuts =
+      if (n <= 1 || step == 0) Seq.empty
+      else (1 until n)
+        .map(i => lowSeq + step * i)
+        .filter(s => s > lowSeq && s < end.sequence)
+        .map(s => Gtid(end.domain, end.serverId, s))
+    var lo = start
+    (cuts :+ end).map { hi => val r = (lo, hi); lo = Some(hi); r }
+  }
+}
+
 /** Structured Streaming offset = GTID string, exactly the resume token the
   * reference's `connect(table, gtid)` takes (SURVEY.md §3.4). `None` means
   * "from stream start" (the reference's default gtid="", cdc_connector.h:69).

@@ -117,6 +117,39 @@ class CdcProtocolSpec extends AnyFunSuite {
     assert(Gtid(1, 1, 1) > Gtid(0, 9, 999))
   }
 
+  test("GtidRangeCuts: disjoint, covering, degenerate-safe") {
+    import graft.sources.cdc.GtidRangeCuts.sequenceCuts
+    def covers(rs: Seq[(Option[Gtid], Gtid)], start: Option[Gtid], end: Gtid): Unit = {
+      assert(rs.head._1 == start)
+      assert(rs.last._2 == end)
+      rs.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(lo2.contains(hi))
+        case _ => ()
+      }
+      rs.foreach { case (lo, hi) => assert(lo.forall(_ < hi)) }
+    }
+    // even split from stream start
+    val a = sequenceCuts(None, Gtid(0, 1, 100), 4)
+    assert(a.length == 4)
+    covers(a, None, Gtid(0, 1, 100))
+    assert(a.map(_._2.sequence) == Seq(25L, 50L, 75L, 100L))
+    // explicit start: cuts measure the (start, end] span, not [0, end]
+    val b = sequenceCuts(Some(Gtid(0, 1, 60)), Gtid(0, 1, 100), 4)
+    covers(b, Some(Gtid(0, 1, 60)), Gtid(0, 1, 100))
+    assert(b.map(_._2.sequence) == Seq(70L, 80L, 90L, 100L))
+    // span narrower than n collapses to one chunk (step == 0)
+    assert(sequenceCuts(Some(Gtid(0, 1, 98)), Gtid(0, 1, 100), 4)
+      == Seq((Some(Gtid(0, 1, 98)), Gtid(0, 1, 100))))
+    // n <= 1 is the identity
+    assert(sequenceCuts(None, Gtid(0, 1, 100), 1)
+      == Seq((None, Gtid(0, 1, 100))))
+    // huge sequences: the cut arithmetic must not overflow
+    val big = sequenceCuts(Some(Gtid(0, 1, Long.MaxValue - 100)),
+      Gtid(0, 1, Long.MaxValue), 4)
+    covers(big, Some(Gtid(0, 1, Long.MaxValue - 100)), Gtid(0, 1, Long.MaxValue))
+    assert(big.length == 4)
+  }
+
   test("credentials never appear in rendered options or task descriptors") {
     val secret = "s3cr3t-hunter2"
     val opts = CdcOptions("h", 4001, "u", secret, "db.t", None, 10,
