@@ -98,7 +98,11 @@ final class CdcReplayReader(
     // positions advance identically whether or not a row is emitted.
     pred: WirePred = null,
     // decode-skip mask over the OUTPUT columns (null = decode all)
-    mask: Array[Boolean] = null) extends PartitionReader[InternalRow] {
+    mask: Array[Boolean] = null,
+    // normalized-changelog emission (schemaMode=normalized): when set,
+    // rows materialize through the table's [[WireNormalizer]] instead
+    // of the positional codec; dts/projection/mask are then unused
+    normalizer: WireNormalizer = null) extends PartitionReader[InternalRow] {
 
   private val start: Option[Gtid] = p.startExclusive.map(Gtid.parse)
   private val end: Gtid = Gtid.parse(p.endInclusive)
@@ -198,9 +202,11 @@ final class CdcReplayReader(
             quietVerified = false // data flowed: any earlier quiet was transient
             if (g == end) done = true // last row of the range, pass or not
             if (pred == null || pred.eval(values, nulls)) {
-              current = CdcRowCodec.toInternalRow(
-                CdcRowCodec.project(values, projection),
-                CdcRowCodec.project(nulls, projection), dts, typed, mask)
+              current =
+                if (normalizer != null) normalizer.toRow(values, nulls)
+                else CdcRowCodec.toInternalRow(
+                  CdcRowCodec.project(values, projection),
+                  CdcRowCodec.project(nulls, projection), dts, typed, mask)
               nEmitted += 1
               return true
             }

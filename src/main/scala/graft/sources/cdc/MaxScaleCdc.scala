@@ -32,7 +32,12 @@ final case class CdcOptions(
     // bootstrap's anchor): quiet-below-bound is then a server fault
     // (strict stall deadline), not completion — the range is known to
     // exist in full
-    endGtidObserved: Boolean = false) {
+    endGtidObserved: Boolean = false,
+    // schemaMode=normalized: heterogeneous tables fan in to one
+    // normalized changelog (GTID/event metadata + `payload` JSON +
+    // `_table`) instead of requiring one shared schema — see
+    // [[NormalizedCdc]]
+    normalized: Boolean = false) {
   def timeoutMs: Int = timeoutSeconds * 1000
 
   /** All subscribed tables: the `tables` option when present (multi-table
@@ -137,7 +142,14 @@ object CdcOptions {
       // multi-table: the composite `db.a=0-1-5,db.b=-` form (missing or
       // `-` entries anchor at that table's quiet point).
       endGtid = Option(m.get("endGtid")).filter(_.nonEmpty),
-      endGtidObserved = m.getBoolean("endGtidObserved", false))
+      endGtidObserved = m.getBoolean("endGtidObserved", false),
+      normalized = m.getOrDefault("schemaMode", "uniform") match {
+        case "uniform"    => false
+        case "normalized" => true
+        case other => throw new IllegalArgumentException(
+          s"maxscale-cdc: schemaMode must be 'uniform' or 'normalized', " +
+            s"got '$other'")
+      })
   }
 }
 
@@ -198,7 +210,13 @@ class MaxScaleCdcTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val o = CdcOptions(options)
-    if (o.allTables.size == 1) probeSchema(o, o.table)
+    if (o.normalized)
+      // heterogeneous fan-in: per-table schemas stay free; the output is
+      // the fixed normalized-changelog shape (metadata + payload + _table)
+      NormalizedCdc.schemaFor(
+        CdcConcurrent.map(o.allTables)(t => t -> CdcProbe.schemaFields(o, t)),
+        o.typed)
+    else if (o.allTables.size == 1) probeSchema(o, o.table)
     else {
       // multi-table mode: probe concurrently, and every table must share
       // the base schema (the sharded-upstream shape this mode exists
@@ -258,7 +276,8 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
     * ([[CdcPushdownSupport]]), where they become the identical wire
     * predicate plus a decode-skip mask. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns
+    if (opts.normalized) normalizedScanBuilder()
+    else new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters {
       private var required: StructType = schema
       private var pushed: Array[Filter] = Array.empty
@@ -388,6 +407,59 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
         // here, so `required`/`pushed` arrive via the standard contract
         override def toBatch(): org.apache.spark.sql.connector.read.Batch =
           new CdcBatch(schema, required, opts, pushed, () => runtimeFilters)
+      }
+    }
+
+  /** ScanBuilder for `schemaMode=normalized` ([[NormalizedCdc]]). The
+    * pushable set here is structural, not per-table: `_table`-only
+    * conjuncts prune whole table delegates; metadata-only conjuncts are
+    * recompiled per table inside the stream (wire positions differ
+    * between heterogeneous schemas). `payload` conjuncts stay with
+    * Spark entirely. All filters remain residual. */
+  private def normalizedScanBuilder(): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var required: StructType = schema
+      private var pushed: Array[Filter] = Array.empty
+      private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+        .StructField(MultiCdc.TableColumn,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      private val metaSchema =
+        StructType(schema.fields.filter(f => NormalizedCdc.Meta.contains(f.name)))
+
+      private def pushable(f: Filter): Boolean =
+        if (f.references.forall(_ == MultiCdc.TableColumn))
+          CdcWireFilters.compile(f, tagSchema, typed = true).isDefined
+        else f.references.forall(NormalizedCdc.Meta.contains) &&
+          CdcWireFilters.compile(f, metaSchema, opts.typed).isDefined
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(pushable)
+        CdcPushdownProbe.lastSeen = filters.map(_.toString).toSeq
+        CdcPushdownProbe.lastPushed = pushed.map(_.toString).toSeq
+        filters // all residual — Spark re-applies
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required =
+          if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
+          else requiredSchema
+
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(opts.endGtid.isEmpty,
+            "maxscale-cdc: endGtid is a batch-read option; bound a stream " +
+              "with Trigger.AvailableNow instead")
+          new NormalizedCdcMicroBatchStream(schema, required, opts,
+            checkpointLocation, pushed)
+        }
+        override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+          throw new UnsupportedOperationException(
+            "maxscale-cdc: schemaMode=normalized is streaming-only; for a " +
+              "one-shot pull read each table with its own batch scan and " +
+              "union the normalized projections")
       }
     }
 }

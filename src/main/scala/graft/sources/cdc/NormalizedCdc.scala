@@ -1,0 +1,413 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `schemaMode=normalized`: N DIFFERENT-schema tables in one streaming
+  * query, fanned in to a normalized changelog.
+  *
+  * Uniform multi-table mode (`tables=db.a,db.b`, [[MultiCdc]]) exists
+  * for same-schema shards; the next consumer ask is "every table of
+  * this database in one stream" — inherently heterogeneous. A union
+  * schema cannot work (Spark plans carry one fixed row shape), so the
+  * normalized row keeps what every MaxScale CDC stream shares and
+  * packs the rest:
+  *
+  *   domain, server_id, sequence,          -- GTID (replay/offsets)
+  *   event_number, timestamp, event_type,  -- event metadata
+  *   payload STRING,                       -- table columns as a JSON object
+  *   _table STRING                         -- provenance
+  *
+  * The six metadata columns are injected by the server into every
+  * table's stream (reference cdc_connector.cpp:250-286 reads them from
+  * the avro schema's leading fields), which is what makes this shape
+  * universal. Consumers unpack `payload` per table with
+  * `get_json_object`/`from_json` after routing on `_table` — the
+  * standard normalized-changelog consumption pattern.
+  *
+  * Everything operational is inherited from the uniform composite:
+  * one checkpoint, one [[MultiGtidOffset]] line, per-table
+  * committed-GTID watermarks, per-table admission-control split,
+  * Trigger.AvailableNow per-table anchors, `_table`-pushdown table
+  * pruning, and executor-side GTID-range replay (the data plane never
+  * touches the driver). Payload encoding happens executor-side in the
+  * replay readers.
+  */
+object NormalizedCdc {
+  /** Server-injected metadata columns every CDC stream carries, in
+    * their wire order. */
+  val Meta: Seq[String] =
+    Seq("domain", "server_id", "sequence", "event_number", "timestamp",
+      "event_type")
+
+  val PayloadColumn = "payload"
+
+  /** Validate per-table probes: each table must carry the six metadata
+    * columns (the GTID trio drives replay; the rest are the normalized
+    * row), declared with the SAME SQL types everywhere — plan-time
+    * failure, not row-decode surprise. */
+  private[sources] def validate(fieldsByTable: Seq[(String, Seq[CdcField])]): Unit = {
+    fieldsByTable.foreach { case (t, fs) =>
+      val names = fs.map(_.name)
+      val missing = Meta.filterNot(names.contains)
+      if (missing.nonEmpty) throw new CdcProtocolException(
+        s"maxscale-cdc: schemaMode=normalized needs the server metadata " +
+          s"columns; '$t' is missing [${missing.mkString(",")}]")
+    }
+    val metaOf: Seq[CdcField] => Seq[CdcField] =
+      fs => Meta.map(n => fs.find(_.name == n).get)
+    val (t0, f0) = fieldsByTable.head
+    val base = metaOf(f0)
+    fieldsByTable.tail.foreach { case (t, fs) =>
+      val m = metaOf(fs)
+      if (m != base) throw new CdcProtocolException(
+        s"maxscale-cdc: metadata columns must share one declared type; " +
+          s"'$t' differs from '$t0': $m vs $base")
+    }
+  }
+
+  /** The normalized output schema for a set of per-table probes. */
+  private[sources] def schemaFor(fieldsByTable: Seq[(String, Seq[CdcField])],
+      typed: Boolean): StructType = {
+    validate(fieldsByTable)
+    val metaFields = Meta.map(n => fieldsByTable.head._2.find(_.name == n).get)
+    SqlTypes.toStructType(metaFields, typed)
+      .add(PayloadColumn, StringType, nullable = false)
+      .add(MultiCdc.TableColumn, StringType, nullable = false)
+  }
+
+  /** Minimal JSON string escape (quote, backslash, control chars) —
+    * the wire values arrived as decoded JSON scalars, so this is the
+    * only re-encoding needed. */
+  private[sources] def jsonEscape(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case ctrl if ctrl < ' ' => sb.append(f"\\u${ctrl.toInt}%04x")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+  }
+}
+
+/** Executor-side wire-row → normalized-row conversion for one table.
+  * Serialized into the reader factory; all lookups precomputed to
+  * index arithmetic.
+  */
+final case class WireNormalizer(
+    table: String,
+    wireFields: Seq[CdcField],
+    typed: Boolean,
+    required: StructType) extends Serializable {
+
+  /** Output-column plan: wire index for a metadata column, -1 for
+    * `payload`, -2 for `_table`. */
+  private val outWireIdx: Array[Int] = required.fields.map { f =>
+    f.name match {
+      case NormalizedCdc.PayloadColumn => -1
+      case MultiCdc.TableColumn        => -2
+      case n                           => wireFields.indexWhere(_.name == n)
+    }
+  }
+  private val outDts: Array[DataType] = required.fields.map(_.dataType)
+
+  /** Wire indices of the table-specific (non-metadata) columns, in wire
+    * order — the payload keys. */
+  private val payloadIdx: Array[Int] = wireFields.zipWithIndex
+    .filterNot { case (f, _) => NormalizedCdc.Meta.contains(f.name) }
+    .map(_._2).toArray
+  /** Pre-rendered `"name":` fragments (names come from the server's
+    * schema — escape anyway, never trust the wire). */
+  private val payloadKey: Array[String] = payloadIdx.map { i =>
+    val sb = new java.lang.StringBuilder
+    sb.append('"')
+    NormalizedCdc.jsonEscape(sb, wireFields(i).name)
+    sb.append("\":")
+    sb.toString
+  }
+  /** Whether column j's declared SQL type admits an UNQUOTED JSON
+    * literal (numeric / boolean); the value text is still checked
+    * against the literal grammar per row — a corrupt wire value must
+    * degrade to a quoted string, not break the payload's JSON. */
+  private val payloadNumeric: Array[Boolean] = payloadIdx.map { i =>
+    SqlTypes.toSpark(wireFields(i).sqlType) match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+  }
+  private val payloadBool: Array[Boolean] = payloadIdx.map { i =>
+    SqlTypes.toSpark(wireFields(i).sqlType) == org.apache.spark.sql.types.BooleanType
+  }
+
+  private def isJsonNumber(s: String): Boolean = {
+    // JSON number grammar: -?int(.frac)?(exp)? — hand-rolled to keep
+    // the per-row hot path regex-free
+    var i = 0
+    val n = s.length
+    if (n == 0) return false
+    if (s.charAt(i) == '-') i += 1
+    val dStart = i
+    while (i < n && s.charAt(i).isDigit) i += 1
+    if (i == dStart) return false
+    if (i < n && s.charAt(i) == '.') {
+      i += 1
+      val fStart = i
+      while (i < n && s.charAt(i).isDigit) i += 1
+      if (i == fStart) return false
+    }
+    if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+      i += 1
+      if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      val eStart = i
+      while (i < n && s.charAt(i).isDigit) i += 1
+      if (i == eStart) return false
+    }
+    i == n
+  }
+
+  private def payloadJson(values: Array[String], nulls: Array[Boolean]): UTF8String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var k = 0
+    while (k < payloadIdx.length) {
+      if (k > 0) sb.append(',')
+      sb.append(payloadKey(k))
+      val i = payloadIdx(k)
+      if (nulls(i) || values(i) == null) sb.append("null")
+      else {
+        val v = values(i)
+        if (payloadNumeric(k) && isJsonNumber(v)) sb.append(v)
+        else if (payloadBool(k) && (v == "1" || v.equalsIgnoreCase("true")))
+          sb.append("true")
+        else if (payloadBool(k) && (v == "0" || v.equalsIgnoreCase("false")))
+          sb.append("false")
+        else {
+          sb.append('"')
+          NormalizedCdc.jsonEscape(sb, v)
+          sb.append('"')
+        }
+      }
+      k += 1
+    }
+    sb.append('}')
+    UTF8String.fromString(sb.toString)
+  }
+
+  private val tag: UTF8String = UTF8String.fromString(table)
+
+  def toRow(values: Array[String], nulls: Array[Boolean]): InternalRow = {
+    val out = new Array[Any](outWireIdx.length)
+    var j = 0
+    while (j < outWireIdx.length) {
+      out(j) = outWireIdx(j) match {
+        case -1 => payloadJson(values, nulls)
+        case -2 => tag
+        case i =>
+          if (typed) SqlTypes.cast(values(i), nulls(i), outDts(j))
+          else UTF8String.fromString(values(i))
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** A single-table replay partition plus its table's normalizer key. */
+final case class NormalizedCdcPartition(inner: InputPartition, table: String)
+    extends InputPartition
+
+/** Creates replay readers that emit NORMALIZED rows: the inner
+  * [[CdcReplayReader]] does the GTID-range replay/dedupe/reconnect work
+  * and hands each wire row to the table's [[WireNormalizer]]. Per-table
+  * wire predicates (metadata-column conjuncts compiled against each
+  * table's own schema) drop rows before any payload is built. */
+class NormalizedCdcReaderFactory(
+    normalizers: Map[String, WireNormalizer],
+    preds: Map[String, WirePred]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case NormalizedCdcPartition(rp: CdcReplayPartition, t) =>
+        new CdcReplayReader(rp, Array.empty, typed = true,
+          pred = preds.getOrElse(t, null),
+          normalizer = normalizers(t))
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass}")
+    }
+}
+
+/** One [[CdcMicroBatchStream]] per (heterogeneous) table behind the
+  * composite [[MultiGtidOffset]] — the normalized twin of
+  * [[MultiCdcMicroBatchStream]]. Delegates plan replay descriptors
+  * against their OWN wire schema; only the reader factory differs.
+  *
+  * The output schema cannot carry N wire schemas, so the stream
+  * re-probes each table at construction (one connection per table,
+  * concurrent — the same cost as planning-time inference) and fails
+  * loudly on drift against the planning schema, the single-table
+  * restart contract.
+  */
+class NormalizedCdcMicroBatchStream(
+    schema: StructType, required: StructType, opts: CdcOptions,
+    checkpointLocation: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics
+    with CdcPushdownSupport {
+
+  private val tables = opts.allTables
+
+  private val fieldsByTable: Seq[(String, Seq[CdcField])] =
+    CdcConcurrent.map(tables)(t => t -> CdcProbe.schemaFields(opts, t))
+  locally {
+    val now = NormalizedCdc.schemaFor(fieldsByTable, opts.typed)
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(now) != shape(schema)) throw new CdcProtocolException(
+      s"schema drift between planning and stream start: normalized schema " +
+        s"was ${shape(schema)}, probes now give ${shape(now)} — restart " +
+        "the query")
+  }
+  private val wireStructs: Map[String, StructType] = fieldsByTable.map {
+    case (t, fs) => t -> SqlTypes.toStructType(fs, opts.typed)
+  }.toMap
+
+  /** `_table`-only conjuncts prune whole tables at plan time (no
+    * tailer, no connection, frozen offset — same contract as the
+    * uniform composite); metadata-only conjuncts compile per table
+    * against that table's wire schema and drop rows before payload
+    * encoding. Everything else stays with Spark (all filters are
+    * residual). */
+  private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+    .StructField(MultiCdc.TableColumn, StringType, nullable = false)))
+  private val (tableConjuncts, restConjuncts) =
+    pushed.partition(_.references.forall(_ == MultiCdc.TableColumn))
+  private val metaConjuncts = restConjuncts.filter(
+    _.references.forall(NormalizedCdc.Meta.contains))
+  private val tablePred: WirePred =
+    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+
+  @volatile private var runtimeTablePred: WirePred = null
+  @volatile private var runtimeMetaConjuncts:
+    Seq[org.apache.spark.sql.sources.Filter] = Nil
+  override def pushRuntime(
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      referenced: Option[Set[String]]): Unit = {
+    CdcPushdownProbe.lastRuntimeFilters = filters.map(_.toString)
+    CdcPushdownProbe.lastRuntimeReferenced = referenced
+    val (tf, rf) =
+      filters.partition(_.references.forall(_ == MultiCdc.TableColumn))
+    runtimeTablePred = CdcWireFilters.compileAll(tf, tagSchema, typed = true)
+    runtimeMetaConjuncts =
+      rf.filter(_.references.forall(NormalizedCdc.Meta.contains))
+  }
+
+  private def predFor(t: String): WirePred = {
+    val static = CdcWireFilters.compileAll(
+      metaConjuncts.toSeq, wireStructs(t), opts.typed)
+    val runtime = CdcWireFilters.compileAll(
+      runtimeMetaConjuncts, wireStructs(t), opts.typed)
+    (static, runtime) match {
+      case (null, r) => r
+      case (s, null) => s
+      case (s, r)    => WirePred.AndP(s, r)
+    }
+  }
+
+  private def included(t: String): Boolean = {
+    val row = Array(t); val noNull = Array(false)
+    (tablePred == null || tablePred.eval(row, noNull)) &&
+      (runtimeTablePred == null || runtimeTablePred.eval(row, noNull))
+  }
+
+  private def subCheckpoint(t: String): String =
+    checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
+
+  private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
+    t -> new CdcMicroBatchStream(
+      wireStructs(t), opts.copy(table = t, tables = Seq.empty,
+        startingGtid = opts.startFor(t).map(_.toString),
+        normalized = false), subCheckpoint(t), wireStructs(t))
+  }
+
+  private def gtidOf(o: Offset, t: String): GtidOffset = o match {
+    case m: MultiGtidOffset => GtidOffset(m.of(t))
+    case g: GtidOffset      => g
+    case other => throw new IllegalArgumentException(
+      s"unexpected offset type ${other.getClass}")
+  }
+
+  override def initialOffset(): Offset =
+    MultiGtidOffset(streams.map { case (t, s) =>
+      t -> s.initialOffset().asInstanceOf[GtidOffset].gtid
+    })
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    streams.foreach(_._2.prepareForTriggerAvailableNow())
+
+  override def deserializeOffset(json: String): Offset =
+    MultiGtidOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(opts.maxEventsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val max = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue).toInt
+      case _ => opts.maxEventsPerBatch
+    }
+    val nIncluded = math.max(1, tables.count(included))
+    val perTable = math.max(1, max / nIncluded)
+    MultiGtidOffset(streams.map { case (t, s) =>
+      t -> (if (!included(t)) { s.idle(); gtidOf(start, t).gtid }
+            else s.latestOffset(gtidOf(start, t), ReadLimit.maxRows(perTable))
+              .asInstanceOf[GtidOffset].gtid)
+    })
+  }
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    streams.flatMap { case (t, s) =>
+      if (!included(t)) Array.empty[InputPartition]
+      else s.planInputPartitions(gtidOf(start, t), gtidOf(end, t))
+        .map(p => NormalizedCdcPartition(p, t): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NormalizedCdcReaderFactory(
+      fieldsByTable.map { case (t, fs) =>
+        t -> WireNormalizer(t, fs, opts.typed, required)
+      }.toMap,
+      tables.map(t => t -> predFor(t)).filter(_._2 != null).toMap)
+
+  override def commit(end: Offset): Unit =
+    streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
+
+  override def stop(): Unit = streams.foreach(_._2.stop())
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    streams.foreach { case (t, s) =>
+      m.put(s"$t.included", included(t).toString)
+      s.metrics(java.util.Optional.empty[Offset]()).forEach((k, v) =>
+        m.put(s"$t.$k", v))
+    }
+    m
+  }
+}

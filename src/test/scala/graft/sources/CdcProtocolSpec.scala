@@ -150,6 +150,69 @@ class CdcProtocolSpec extends AnyFunSuite {
     assert(big.length == 4)
   }
 
+  test("WireNormalizer payload: typed quoting, null, escaping, corrupt " +
+      "numerics degrade to strings") {
+    import graft.sources.cdc.{NormalizedCdc, WireNormalizer, MultiCdc}
+    import org.apache.spark.sql.types.{StringType, StructType, StructField}
+    val meta = Seq(
+      CdcField("domain", "int"), CdcField("server_id", "int"),
+      CdcField("sequence", "int"), CdcField("event_number", "int"),
+      CdcField("timestamp", "int"), CdcField("event_type", "varchar(32)"))
+    val wire = meta ++ Seq(
+      CdcField("id", "int"), CdcField("price", "decimal(10,2)"),
+      CdcField("ok", "bool"), CdcField("note", "text"))
+    val required = StructType(Seq(
+      StructField("sequence", org.apache.spark.sql.types.IntegerType),
+      StructField(NormalizedCdc.PayloadColumn, StringType),
+      StructField(MultiCdc.TableColumn, StringType)))
+    val nz = WireNormalizer("db.x", wire, typed = true, required)
+    def row(id: String, price: String, ok: String, note: String,
+        nulls: Array[Boolean]) = {
+      val values = Array("0", "1", "7", "1", "1700", "insert",
+        id, price, ok, note)
+      nz.toRow(values, Array.fill(6)(false) ++ nulls)
+    }
+    // declared-numeric stays a JSON number; bool lowers; strings quote
+    val r1 = row("42", "19.99", "1", "plain", Array(false, false, false, false))
+    assert(r1.getInt(0) == 7)
+    assert(r1.getUTF8String(1).toString ==
+      """{"id":42,"price":19.99,"ok":true,"note":"plain"}""")
+    assert(r1.getUTF8String(2).toString == "db.x")
+    // JSON null survives; escaping covers quote/backslash/control
+    val r2 = row("42", "19.99", "0", "a\"b\\c\nd" + 1.toChar,
+      Array(false, false, false, false))
+    assert(r2.getUTF8String(1).toString ==
+      """{"id":42,"price":19.99,"ok":false,"note":"a\"b\\c\nd@CTRL"}"""
+        .replace("@CTRL", "\\u0001"))
+    val r3 = row(null, "19.99", "1", "x", Array(true, false, false, false))
+    assert(r3.getUTF8String(1).toString ==
+      """{"id":null,"price":19.99,"ok":true,"note":"x"}""")
+    // a corrupt numeric wire value must not break the payload's JSON
+    val r4 = row("12abc", "-1.5e3", "maybe", "x", Array(false, false, false, false))
+    assert(r4.getUTF8String(1).toString ==
+      """{"id":"12abc","price":-1.5e3,"ok":"maybe","note":"x"}""")
+  }
+
+  test("NormalizedCdc.validate: missing metadata and mismatched meta types " +
+      "fail at plan time") {
+    import graft.sources.cdc.NormalizedCdc
+    val ok = Seq(
+      CdcField("domain", "int"), CdcField("server_id", "int"),
+      CdcField("sequence", "int"), CdcField("event_number", "int"),
+      CdcField("timestamp", "int"), CdcField("event_type", "varchar(32)"),
+      CdcField("id", "int"))
+    NormalizedCdc.validate(Seq("db.a" -> ok, "db.b" -> (ok :+ CdcField("x", "text"))))
+    val noGtid = ok.filterNot(_.name == "sequence")
+    val e1 = intercept[CdcProtocolException](
+      NormalizedCdc.validate(Seq("db.a" -> ok, "db.b" -> noGtid)))
+    assert(e1.getMessage.contains("missing [sequence]"))
+    val drifted = ok.map(f =>
+      if (f.name == "timestamp") CdcField("timestamp", "bigint") else f)
+    val e2 = intercept[CdcProtocolException](
+      NormalizedCdc.validate(Seq("db.a" -> ok, "db.b" -> drifted)))
+    assert(e2.getMessage.contains("share one declared type"))
+  }
+
   test("credentials never appear in rendered options or task descriptors") {
     val secret = "s3cr3t-hunter2"
     val opts = CdcOptions("h", 4001, "u", secret, "db.t", None, 10,
