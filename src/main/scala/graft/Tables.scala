@@ -32,17 +32,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * to read as a timestamp. Read nanos as long (legacy conf) and truncate
-    * to Spark's native µs precision with exact integer arithmetic —
-    * ns-since-epoch (~1.7e18) exceeds 2^53, so `DIV`, never double math.
+  /** `events.ts` arrives in whatever timestamp encoding the generator used
+    * this round, so normalize every variant to Spark's native TIMESTAMP:
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp,
+    *    so read nanos as long (legacy conf) and truncate to µs with exact
+    *    integer arithmetic — ns-since-epoch (~1.7e18) exceeds 2^53, so
+    *    `DIV`, never double math;
+    *  - µs without timezone (TIMESTAMP_NTZ): cast to TIMESTAMP. The session
+    *    timezone is pinned to UTC everywhere (Verify/Bench/specs), so the
+    *    naive wall clock is interpreted as the same UTC instant DuckDB's
+    *    `epoch_us(CAST(ts AS TIMESTAMP))` oracle sees;
+    *  - tz-aware µs: already TIMESTAMP, the cast is a no-op.
+    * Downstream operators can then rely on TIMESTAMP-only functions
+    * (`unix_micros`, `to_utc_timestamp`) regardless of the round's parquet.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    else df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
