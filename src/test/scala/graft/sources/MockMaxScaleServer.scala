@@ -26,6 +26,13 @@ final class MockMaxScaleServer(
     errOnRequest: Option[String] = None,
     midStreamSchemaAfter: Option[(Int, String)] = None,
     closeAfterEvents: Option[Int] = None,
+    // fault-injection schedule: the i-th DATA connection (0-based, counted
+    // across REQUEST-DATA accepts) is abruptly closed after sending
+    // dropSchedule(i) events (0 = right after the schema line); connections
+    // past the end of the schedule are never dropped. Generalizes
+    // closeAfterEvents (which drops EVERY connection at the same point) to
+    // the arbitrary per-connection drop points a reconnect soak needs.
+    dropSchedule: Seq[Int] = Nil,
     // per-table overrides: REQUEST-DATA for a key here serves that
     // schema + its own event list (pushTo) — the multi-table shape;
     // unknown tables fall back to the default schema/events
@@ -48,6 +55,10 @@ final class MockMaxScaleServer(
   private val requests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   def requestCount(table: String): Int =
     Option(requests.get(table)).map(_.intValue).getOrElse(0)
+
+  /** Total DATA connections accepted (indexes into dropSchedule). */
+  private val dataConns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def dataConnCount: Int = dataConns.get()
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -119,10 +130,14 @@ final class MockMaxScaleServer(
         if (parts.length >= 3) parts(2).split("-")(2).toLong else Long.MinValue
       val reqTable = if (parts.length >= 2) parts(1) else ""
       requests.merge(reqTable, 1, (a, b) => a + b)
+      val connIdx = dataConns.getAndIncrement()
+      val dropAfter: Int =
+        if (connIdx < dropSchedule.length) dropSchedule(connIdx) else Int.MaxValue
       val perTable = tableSchemas.get(reqTable)
       val evList = perTable.map(_ => tableEvents.get(reqTable)).getOrElse(events)
 
       write(out, perTable.getOrElse(schema) + "\n")
+      if (dropAfter == 0) { s.close(); return } // schema-only connection
       var sent = 0
       var idx = 0
       var schemaSwapped = false
@@ -142,6 +157,7 @@ final class MockMaxScaleServer(
               }
             }
             closeAfterEvents.foreach { n => if (sent >= n) { s.close(); return } }
+            if (sent >= dropAfter) { s.close(); return } // injected fault
             write(out, ev + "\n")
             sent += 1
           }
