@@ -133,7 +133,11 @@ final class CdcConnection(
         types = fields.map(_.sqlType).toVector
         rawSchema = raw
         readInternal()
-      case CdcRowMsg(values, nulls) =>
+      case m @ CdcRowMsg(values, nulls, _) =>
+        // this row is being DELIVERED to the caller: reference A10 — a
+        // schema key absent from the JSON is an error (process_row,
+        // cdc_connector.cpp:288-319)
+        m.requireComplete()
         // raw-mode value semantics: null→"" (cdc_connector.cpp:106-107)
         err = ""
         Some(new CdcRow(keys, types, values.toVector))

@@ -26,8 +26,24 @@ final case class CdcSchemaMsg(fields: Seq[CdcField], rawJson: String) extends Cd
   * (reference `process_row`, cdc_connector.cpp:288-319). `values(i)` is the
   * stringified scalar for schema key i; `nulls(i)` marks JSON null — kept
   * distinct so typed mode can emit SQL NULL while raw mode reproduces the
-  * reference's null→"" conflation (cdc_connector.cpp:106-107). */
-final case class CdcRowMsg(values: Array[String], nulls: Array[Boolean]) extends CdcMessage
+  * reference's null→"" conflation (cdc_connector.cpp:106-107).
+  *
+  * `missingKey` records the first schema key absent from the row's JSON
+  * (null when complete). The reference errors on the missing key when it
+  * DELIVERS the row to its caller; decode here is one layer earlier, and
+  * deferring the error to delivery ([[CdcRowMsg.requireComplete]]) lets
+  * rows that are discarded anyway — the server's inclusive replay of an
+  * already-committed position, whose JSON may predate a column-add DDL —
+  * pass through the dedupe without killing a resumed stream. Every path
+  * that emits a row downstream calls requireComplete first, so delivered
+  * rows keep the reference's exact error behavior (A10). */
+final case class CdcRowMsg(values: Array[String], nulls: Array[Boolean],
+    missingKey: String = null) extends CdcMessage {
+  /** Raise the reference's A10 missing-key error (at delivery time). */
+  def requireComplete(): Unit =
+    if (missingKey != null)
+      throw new CdcProtocolException(s"No value for key found: $missingKey")
+}
 /** Poll timeout with no buffered payload — end of micro-batch, not failure
   * (reference cdc_connector.cpp:487-491). */
 case object CdcTimeout extends CdcMessage
@@ -292,24 +308,30 @@ final class CdcClient(
 
   /** A10 row decode (reference `process_row`, cdc_connector.cpp:288-319):
     * project the JSON object onto the current schema keys, in order; a
-    * missing key is an error. */
+    * missing key is an error — raised at DELIVERY via
+    * [[CdcRowMsg.requireComplete]] (missing slots are marked null here so
+    * dedupe bookkeeping over discarded rows still works). */
   private def decodeRow(node: JsonNode): CdcRowMsg = {
     if (schemaFields.isEmpty)
       throw new CdcProtocolException("data row received before any schema message")
     val n = schemaFields.length
     val values = new Array[String](n)
     val nulls = new Array[Boolean](n)
+    var missing: String = null
     var i = 0
     while (i < n) {
       val key = schemaFields(i).name
       val v = node.get(key)
-      if (v == null)
-        throw new CdcProtocolException(s"No value for key found: $key")
-      val s = scalarToString(v)
-      if (s == null) { nulls(i) = true; values(i) = "" } else values(i) = s
+      if (v == null) {
+        if (missing == null) missing = key
+        nulls(i) = true; values(i) = ""
+      } else {
+        val s = scalarToString(v)
+        if (s == null) { nulls(i) = true; values(i) = "" } else values(i) = s
+      }
       i += 1
     }
-    CdcRowMsg(values, nulls)
+    CdcRowMsg(values, nulls, missing)
   }
 
   /** Sends CLOSE then closes the socket; idempotent (reference

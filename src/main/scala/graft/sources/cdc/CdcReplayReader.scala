@@ -179,7 +179,11 @@ final class CdcReplayReader(
                   s"server sent $fields — restart the query")
             remap = idx.toArray
           }
-        case CdcRowMsg(values0, nulls0) =>
+        case m @ CdcRowMsg(values0, nulls0, _) =>
+          // a row missing one of its GTID columns cannot even be
+          // positioned for dedupe — the delivery error is immediate
+          if (m.missingKey == "domain" || m.missingKey == "server_id" ||
+              m.missingKey == "sequence") m.requireComplete()
           val (values, nulls) =
             if (remap == null) (values0, nulls0)
             else {
@@ -197,6 +201,11 @@ final class CdcReplayReader(
           // re-delivery below the last emitted position after a reconnect
           if (lastEmitted.forall(g > _)) {
             if (g > end) { done = true; return false } // past range: defensive
+            // the row WILL be delivered (or predicated) — reference A10:
+            // a missing schema key is an error at delivery. Rows at or
+            // below the dedupe floor never reach here, so the inclusive
+            // replay of a pre-DDL boundary event stays survivable.
+            m.requireComplete()
             lastEmitted = Some(g) // position advances even for filtered rows
             reconnects = 0 // forward progress resets the budget (like the tailer)
             quietVerified = false // data flowed: any earlier quiet was transient

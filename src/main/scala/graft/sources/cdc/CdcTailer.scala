@@ -114,12 +114,20 @@ final class CdcTailer(
                 throw new CdcProtocolException(
                   "mid-stream schema change detected; restart the query to adopt " +
                     s"the new schema (was $expectedFields, now $fields)")
-            case CdcRowMsg(values, nulls) =>
+            case m @ CdcRowMsg(values, nulls, _) =>
+              // a row missing one of its GTID columns cannot be
+              // positioned — raise the delivery error immediately
+              if (hasGtidColumns && (m.missingKey == "domain" ||
+                  m.missingKey == "server_id" || m.missingKey == "sequence"))
+                m.requireComplete()
               val g = eventGtid(values)
               // inclusive-replay dedupe on resume/reconnect
               if (from.orElse(resumeAfter).forall(g > _)) lock.synchronized {
+                // replay mode keeps POSITIONS only (the executor re-reads
+                // and enforces completeness at emit); synthetic mode
+                // buffers the row itself = delivery → reference A10 error
+                if (!hasGtidColumns) { m.requireComplete(); rows += CdcEvent(g, values, nulls) }
                 positions += g
-                if (!hasGtidColumns) rows += CdcEvent(g, values, nulls)
                 lastGtid = Some(g)
               }
               reconnects = 0 // healthy stream resets the budget

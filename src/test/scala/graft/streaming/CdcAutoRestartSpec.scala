@@ -92,6 +92,95 @@ class CdcAutoRestartSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("consumer journey: DDL adds a column mid-stream — the restarted " +
+      "query feeds a latest-state table that carries the new column, " +
+      "old rows null-extended") {
+    // the full path a reference consumer walks across a DDL: typed CDC
+    // stream -> CdcSink latest-state table; ALTER TABLE ADD COLUMN lands
+    // mid-stream; the query auto-restarts under the widened schema and
+    // the state table evolves in place. The replayed boundary event
+    // (inclusive GTID replay of committed 0-1-2, whose JSON predates the
+    // column) must pass through the resume dedupe without tripping the
+    // missing-key delivery error.
+    val schemaV2 = Schema.replace(
+      """{"name":"name","type":"string","real_type":"varchar","length":64}""",
+      """{"name":"name","type":"string","real_type":"varchar","length":64},""" +
+        """{"name":"score","type":"int","real_type":"int","length":-1}""")
+    def eventV2(seq: Long, eventType: String, id: Int, name: String, score: Int) =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${1700000000 + seq},"event_type":"$eventType",""" +
+        s""""id":$id,"name":"$name","score":$score}"""
+
+    val srv = new MockMaxScaleServer(Schema,
+      Seq(event(1, "insert", 1, "a1"), event(2, "insert", 2, "b1")),
+      midStreamSchemaAfter = Some((2, schemaV2)))
+    val dir = Files.createTempDirectory("cdc_journey")
+    val stateDir = s"$dir/state"
+    try {
+      val qRef = new AtomicReference[StreamingQuery]
+      val restartsRef = new AtomicReference[Integer](-1)
+      val failure = new AtomicReference[Throwable]
+      val runner = new Thread(() => {
+        try restartsRef.set(CdcAutoRestart.runWithSchemaRestarts(spark,
+          Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
+            "user" -> "u", "password" -> "p", "table" -> "db.t",
+            "timeoutSeconds" -> "1"),
+          df => {
+            val q = df.writeStream
+              .option("checkpointLocation", s"$dir/ckpt")
+              .foreachBatch(CdcSink.writer(stateDir, keyCol = "id",
+                orderCols = Seq("sequence")))
+              .start()
+            qRef.set(q)
+            q
+          }))
+        catch { case t: Throwable => failure.set(t) }
+      }, "cdc-journey-runner")
+      runner.setDaemon(true)
+      runner.start()
+
+      // phase 1: pre-DDL state materializes without a score column
+      eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+        assert(failure.get() == null, s"runner failed: ${failure.get()}")
+        Option(qRef.get()).foreach(_.processAllAvailable())
+        val st = CdcSink.readState(spark, stateDir)
+        assert(!st.columns.contains("score"))
+        assert(st.select("id", "name").collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+          Map(1 -> "a1", 2 -> "b1"))
+      }
+
+      // phase 2: the DDL fires in-band before event 3; post-DDL traffic
+      // updates an old key and inserts new ones
+      srv.push(eventV2(3, "insert", 3, "c1", 30))
+      srv.push(eventV2(4, "update_after", 1, "a2", 10))
+      srv.push(eventV2(5, "insert", 4, "d1", 40))
+
+      eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
+        assert(failure.get() == null, s"runner failed: ${failure.get()}")
+        val st = CdcSink.readState(spark, stateDir)
+        assert(st.columns.contains("score"), "state table did not evolve")
+        val got = st.select("id", "name", "score").collect()
+          .map(r => r.getInt(0) -> ((r.getString(1),
+            if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2))))).toMap
+        assert(got == Map(
+          1 -> ("a2", Integer.valueOf(10)),   // updated post-DDL
+          2 -> ("b1", null),                  // pre-DDL row, null-extended
+          3 -> ("c1", Integer.valueOf(30)),
+          4 -> ("d1", Integer.valueOf(40))), s"state=$got")
+      }
+
+      qRef.get().stop()
+      runner.join(30000)
+      assert(!runner.isAlive)
+      assert(failure.get() == null, s"runner failed: ${failure.get()}")
+      assert(restartsRef.get() >= 1)
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("non-schema failures are not swallowed") {
     val srv = new MockMaxScaleServer(Schema, Nil, rejectAuth = true)
     try {
