@@ -121,6 +121,111 @@ class CurationViewSpec extends SparkSpec {
     }
   }
 
+  test("migration capstone: bootstrap snapshot seeds the verdict table, " +
+      "the follow stream curates the seam and beyond — view ≡ batch " +
+      "verdict over the union") {
+    import graft.sources.MockMaxScaleServer
+    import graft.sources.cdc.CdcBootstrap
+    import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    // the full switch-over story a consumer of the reference walks: the
+    // existing corpus arrives as ONE bounded batch pull (snapshot), live
+    // traffic follows on the stream that starts exactly at the anchor —
+    // and the maintained verdict table must equal the batch
+    // q_dedup_verdict semantics over snapshot ∪ stream, including docs
+    // that land in the anchor/stream seam.
+    val docsSchema =
+      """{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","fields":[
+        |{"name":"domain","type":"int","real_type":"int","length":-1},
+        |{"name":"server_id","type":"int","real_type":"int","length":-1},
+        |{"name":"sequence","type":"int","real_type":"int","length":-1},
+        |{"name":"event_number","type":"int","real_type":"int","length":-1},
+        |{"name":"timestamp","type":"int","real_type":"int","length":-1},
+        |{"name":"event_type","type":"string","real_type":"varchar","length":32},
+        |{"name":"doc_id","type":"int","real_type":"int","length":-1},
+        |{"name":"text","type":"string","real_type":"varchar","length":256},
+        |{"name":"lang","type":"string","real_type":"varchar","length":8},
+        |{"name":"source","type":"string","real_type":"varchar","length":16},
+        |{"name":"n_chars","type":"int","real_type":"int","length":-1}
+        |]}""".stripMargin.replace("\n", "")
+    def doc(seq: Long, id: Int, text: String): String =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${1700000000 + seq},"event_type":"insert","doc_id":$id,""" +
+        s""""text":"$text","lang":"en","source":"src0","n_chars":${text.length}}"""
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val benchText = "held out benchmark span one two three four five six"
+    // history half: an exact-dup pair, a unique doc, the benchmark doc
+    val srv = new MockMaxScaleServer(docsSchema, Seq(
+      doc(1, 1, dup),
+      doc(2, 2, dup),
+      doc(3, 3, "an entirely different document about spark engines and scale"),
+      doc(4, 29, benchText)))
+    val base = java.nio.file.Files.createTempDirectory("graft-capstone-cur").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-capstone-ckpt")
+    try {
+      val opts = Map(
+        "host" -> "127.0.0.1", "port" -> srv.port.toString,
+        "user" -> "u", "password" -> "p",
+        "table" -> "db.docs", "timeoutSeconds" -> "1")
+      val (snapshot, follow) = CdcBootstrap.snapshotAndFollow(spark, opts)
+      // the seam moment: live traffic lands after the anchor was chosen —
+      // a third copy of the dup text and a benchmark-contaminated doc,
+      // both of which must flow through the STREAM, exactly once
+      val contamText = "prefix words then benchmark span one two three four stolen"
+      srv.push(doc(5, 5, contamText))
+      srv.push(doc(6, 6, dup))
+
+      def curationCols(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").cast("long"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("long"))
+
+      // history, exactly once: the snapshot seeds the verdict table
+      CurationView.applyBatch(curationCols(snapshot), batchId = -1L,
+        base.getAbsolutePath)
+      val seeded = CurationView.readVerdicts(spark, base.getAbsolutePath)
+        .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+        .map(t => t._1 -> t._5).toMap
+      assert(seeded == Map(1L -> "keep", 2L -> "drop_exact",
+        3L -> "keep", 29L -> "keep"), s"seeded=$seeded")
+
+      val q = curationCols(follow).writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(CurationView.writer(base.getAbsolutePath))
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          val v = CurationView.readVerdicts(spark, base.getAbsolutePath)
+            .as[(Long, Boolean, Boolean, Boolean, String)].collect()
+            .map(t => t._1 -> t._5).toMap
+          assert(v.keySet == Set(1L, 2L, 3L, 5L, 6L, 29L), s"got $v")
+          assert(v(5L) == "drop_contam", s"seam contamination drops: $v")
+          assert(v(6L) == "drop_exact", s"seam third copy drops: $v")
+        }
+        // exactly-once across the seam: the accumulated doc log holds each
+        // doc exactly once (an overlap would also corrupt dup verdicts)
+        val log = spark.read.parquet(s"${base.getAbsolutePath}/docs")
+        assert(log.count() == 6 &&
+          log.select("doc_id").distinct().count() == 6)
+        // the maintained view ≡ the batch verdict over snapshot ∪ stream
+        val union = curationCols(snapshot).unionByName(
+          spark.read.parquet(s"${base.getAbsolutePath}/docs")
+            .where(col("doc_id").isin(5L, 6L)))
+        val expect = graft.operators.TextOps.dedupVerdictFrom(
+          union, graft.operators.TextOps.labelsFrom(union))
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect().toSet
+        val got = CurationView.readVerdicts(spark, base.getAbsolutePath)
+          .as[(Long, Boolean, Boolean, Boolean, String)].collect().toSet
+        assert(got == expect,
+          s"extra=${got.diff(expect).take(5)} missing=${expect.diff(got).take(5)}")
+      } finally q.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   test("a late benchmark arrival retroactively contaminates an older doc") {
     val base = java.nio.file.Files.createTempDirectory("graft-curation3").toFile
     try {
