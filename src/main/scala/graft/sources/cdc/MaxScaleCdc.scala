@@ -446,8 +446,24 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           if (requiredSchema.fields.isEmpty) StructType(schema.fields.take(1))
           else requiredSchema
 
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
         override def readSchema(): StructType = required
+
+        /** Runtime filtering mirrors the uniform batch scan; the
+          * high-value case here is a DPP-style In()/EqualTo() over
+          * `_table`, which prunes whole tables at re-plan time (no
+          * probe, no connection). Metadata-column filters compile per
+          * table inside the batch planner. */
+        @volatile private var runtimeFilters: Array[Filter] = Array.empty
+        override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          required.fields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+        override def filter(filters: Array[Filter]): Unit = {
+          runtimeFilters = filters
+          CdcPushdownProbe.lastBatchRuntimeFilters = filters.map(_.toString).toSeq
+        }
+
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           require(opts.endGtid.isEmpty,
             "maxscale-cdc: endGtid is a batch-read option; bound a stream " +
@@ -455,11 +471,10 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           new NormalizedCdcMicroBatchStream(schema, required, opts,
             checkpointLocation, pushed)
         }
+        // one-shot normalized pull — the batch twin of the normalized
+        // stream (whole-database bootstrap in one DataFrame)
         override def toBatch(): org.apache.spark.sql.connector.read.Batch =
-          throw new UnsupportedOperationException(
-            "maxscale-cdc: schemaMode=normalized is streaming-only; for a " +
-              "one-shot pull read each table with its own batch scan and " +
-              "union the normalized projections")
+          new NormalizedCdcBatch(required, opts, pushed, () => runtimeFilters)
       }
     }
 }

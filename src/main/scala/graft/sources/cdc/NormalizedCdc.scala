@@ -236,12 +236,20 @@ final case class NormalizedCdcPartition(inner: InputPartition, table: String)
   * [[CdcReplayReader]] does the GTID-range replay/dedupe/reconnect work
   * and hands each wire row to the table's [[WireNormalizer]]. Per-table
   * wire predicates (metadata-column conjuncts compiled against each
-  * table's own schema) drop rows before any payload is built. */
+  * table's own schema) drop rows before any payload is built. Runtime
+  * filters (batch DPP) arrive riding the partition
+  * ([[RuntimeFilteredCdcPartition]], compiled per table by the inner
+  * planner) and AND into the static predicate. */
 class NormalizedCdcReaderFactory(
     normalizers: Map[String, WireNormalizer],
     preds: Map[String, WirePred]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case NormalizedCdcPartition(RuntimeFilteredCdcPartition(rp: CdcReplayPartition, rt), t) =>
+        val static = preds.getOrElse(t, null)
+        new CdcReplayReader(rp, Array.empty, typed = true,
+          pred = if (static == null) rt else WirePred.AndP(static, rt),
+          normalizer = normalizers(t))
       case NormalizedCdcPartition(rp: CdcReplayPartition, t) =>
         new CdcReplayReader(rp, Array.empty, typed = true,
           pred = preds.getOrElse(t, null),
@@ -249,6 +257,112 @@ class NormalizedCdcReaderFactory(
       case other => throw new IllegalArgumentException(
         s"unexpected partition type ${other.getClass}")
     }
+}
+
+/** Bounded one-shot pull of N heterogeneous tables into the normalized
+  * changelog shape — the batch twin of [[NormalizedCdcMicroBatchStream]]
+  * (`spark.read.format("maxscale-cdc").option("schemaMode",
+  * "normalized")`), completing the {uniform, normalized} × {batch,
+  * stream} matrix. The bootstrap story this serves: snapshot a whole
+  * database's history as ONE DataFrame, then follow with the normalized
+  * stream from the same per-table anchors.
+  *
+  * Planning delegates to one single-table [[CdcBatch]] per included
+  * table, so every batch-planning behavior is inherited: anchor-at-quiet
+  * or composite-`endGtid` bounds, zero-driver-I/O sequence-cut slices
+  * for explicit bounds, bounded position sampling otherwise, parallel
+  * executor-side replay. Partitions come back tagged with their table
+  * and materialize through its [[WireNormalizer]].
+  *
+  * Filter routing matches the streaming twin: `_table`-only conjuncts
+  * (static or runtime) prune whole tables at plan time — an excluded
+  * table gets no probe connection and no replay; metadata-only conjuncts
+  * compile per table against its own wire schema and drop rows before
+  * payload encoding; `payload` conjuncts stay with Spark.
+  */
+final class NormalizedCdcBatch(
+    required: StructType,
+    opts: CdcOptions,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    runtime: () => Array[org.apache.spark.sql.sources.Filter] = () => Array.empty)
+    extends org.apache.spark.sql.connector.read.Batch {
+
+  private val tables = opts.allTables
+  private val multi = tables.size > 1
+
+  /** One schema probe per table, concurrent — deferred to first
+    * planning so `_table` pruning can exclude a table before it is
+    * ever probed. */
+  private lazy val fieldsByTable: Seq[(String, Seq[CdcField])] = {
+    val included = tables.filter(this.included)
+    val probed = CdcConcurrent.map(included)(t => t -> CdcProbe.schemaFields(opts, t))
+    NormalizedCdc.validate(probed)
+    probed
+  }
+  private lazy val wireStructs: Map[String, StructType] = fieldsByTable.map {
+    case (t, fs) => t -> SqlTypes.toStructType(fs, opts.typed)
+  }.toMap
+
+  private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+    .StructField(MultiCdc.TableColumn, StringType, nullable = false)))
+  private val (tableConjuncts, restConjuncts) =
+    pushed.partition(_.references.forall(_ == MultiCdc.TableColumn))
+  private val metaConjuncts = restConjuncts.filter(
+    _.references.forall(NormalizedCdc.Meta.contains))
+  private val tablePred: WirePred =
+    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+
+  private def runtimeTableConjuncts =
+    runtime().filter(_.references.forall(_ == MultiCdc.TableColumn))
+  private def runtimeMetaConjuncts =
+    runtime().filter(f => !f.references.forall(_ == MultiCdc.TableColumn) &&
+      f.references.forall(NormalizedCdc.Meta.contains))
+
+  private def included(t: String): Boolean = {
+    val row = Array(t); val noNull = Array(false)
+    val rtPred =
+      CdcWireFilters.compileAll(runtimeTableConjuncts.toSeq, tagSchema, typed = true)
+    (tablePred == null || tablePred.eval(row, noNull)) &&
+      (rtPred == null || rtPred.eval(row, noNull))
+  }
+
+  private def endFor(t: String): Option[Gtid] = opts.endGtid match {
+    case None => None
+    case Some(s) if !multi => Some(Gtid.parse(s))
+    case Some(s) =>
+      require(s.contains('='),
+        s"maxscale-cdc: multi-table endGtid must use the composite " +
+          s"'db.a=0-1-5,db.b=-' form, got '$s'")
+      opts.compositeOf(s).of(t)
+  }
+
+  /** Single-table planner for one table: the inner batch sees plain
+    * per-table bounds (resolved here from the composite forms) and
+    * compiles runtime metadata conjuncts against ITS wire schema, so
+    * the riding partition predicates are already per-table. */
+  private def innerFor(t: String): CdcBatch =
+    new CdcBatch(wireStructs(t), wireStructs(t),
+      opts.copy(table = t, tables = Seq.empty, normalized = false,
+        startingGtid = opts.startFor(t).map(_.toString),
+        endGtid = endFor(t).map(_.toString)),
+      pushed = Array.empty,
+      runtime = () => runtimeMetaConjuncts)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcConcurrent.map(fieldsByTable.map(_._1)) { t =>
+      innerFor(t).planInputPartitions()
+        .map(p => NormalizedCdcPartition(p, t): InputPartition)
+    }.flatten.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NormalizedCdcReaderFactory(
+      fieldsByTable.map { case (t, fs) =>
+        t -> WireNormalizer(t, fs, opts.typed, required)
+      }.toMap,
+      fieldsByTable.map { case (t, _) =>
+        t -> CdcWireFilters.compileAll(
+          metaConjuncts.toSeq, wireStructs(t), opts.typed)
+      }.filter(_._2 != null).toMap)
 }
 
 /** One [[CdcMicroBatchStream]] per (heterogeneous) table behind the
