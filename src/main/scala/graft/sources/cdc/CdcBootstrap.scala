@@ -107,7 +107,10 @@ object CdcBootstrap {
     val a = a0.map(_.toString)
     // the probe's schema rides spark.read.schema(...): the snapshot and
     // follow loads open no inference connections of their own
-    val struct = SqlTypes.toStructType(fields, opts.typed)
+    val struct =
+      if (opts.normalized)
+        NormalizedCdc.schemaFor(Seq(opts.table -> fields), opts.typed)
+      else SqlTypes.toStructType(fields, opts.typed)
     val snapshot = a match {
       case Some(g) =>
         // the anchor was OBSERVED, so the snapshot range is known to
@@ -132,19 +135,33 @@ object CdcBootstrap {
     * the composite GTID forms. A table empty at anchor time snapshots
     * as the pinned-empty `endGtid = 0-0-0` slice ([[Gtid.Floor]]) and
     * streams from its configured start — per table, the same
-    * no-gap/no-overlap partition as the single-table path. */
+    * no-gap/no-overlap partition as the single-table path.
+    *
+    * With `schemaMode=normalized` the same seam carries N
+    * DIFFERENT-schema tables: the per-table probes feed the normalized
+    * shape's validation instead of the uniform same-schema check, and
+    * both sides of the seam emit the normalized changelog — the
+    * whole-database bootstrap ("snapshot every table's history, then
+    * stay current") as one batch DataFrame plus one stream. */
   private def snapshotAndFollowMulti(
       spark: SparkSession,
       options: Map[String, String]): (DataFrame, DataFrame) = {
     val opts = parse(options)
     val probed = anchorsOf(opts)
-    // the per-table probes double as the same-schema validation the
+    // the per-table probes double as the schema validation the
     // inference path would have done (the user-specified schema below
-    // skips it)
-    MultiCdc.requireSameSchema(probed.map { case (t, (f, _)) => t -> f })
-    val struct = SqlTypes.toStructType(probed.head._2._1, opts.typed)
-      .add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
-        nullable = false)
+    // skips it): same-schema for uniform mode, metadata-column
+    // validation for normalized mode
+    val struct =
+      if (opts.normalized)
+        NormalizedCdc.schemaFor(probed.map { case (t, (f, _)) => t -> f },
+          opts.typed)
+      else {
+        MultiCdc.requireSameSchema(probed.map { case (t, (f, _)) => t -> f })
+        SqlTypes.toStructType(probed.head._2._1, opts.typed)
+          .add(MultiCdc.TableColumn, org.apache.spark.sql.types.StringType,
+            nullable = false)
+      }
     val as = probed.map { case (t, (_, a)) => t -> a }
     val endComposite = as.map { case (t, a) =>
       s"$t=${a.getOrElse(Gtid.Floor)}"

@@ -146,6 +146,44 @@ class NormalizedBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("whole-database bootstrap: normalized snapshotAndFollow partitions " +
+      "the heterogeneous changelog with no gap, no overlap") {
+    val srv = mkServer()
+    try {
+      val (snapshot, follow) = graft.sources.cdc.CdcBootstrap.snapshotAndFollow(
+        spark, Map(
+          "host" -> "127.0.0.1", "port" -> srv.port.toString,
+          "user" -> "u", "password" -> "p",
+          "tables" -> "db.orders,db.events",
+          "schemaMode" -> "normalized", "timeoutSeconds" -> "1"))
+      assert(snapshot.schema.fieldNames.toSeq == Seq("domain", "server_id",
+        "sequence", "event_number", "timestamp", "event_type", "payload",
+        "_table"))
+      // the seam moment: both tables gain events after anchoring
+      srv.pushTo("db.orders", order(3, 102, 3, 99))
+      srv.pushTo("db.events", ev(4, 903, 3, "view"))
+
+      val snap = snapshot.select(col("_table"), col("sequence"))
+        .as[(String, Int)].collect().toSet
+      assert(snap == Set(("db.orders", 1), ("db.orders", 2),
+        ("db.events", 1), ("db.events", 2), ("db.events", 3)), s"snap=$snap")
+
+      val q = follow
+        .select(col("_table"), col("sequence"),
+          get_json_object(col("payload"), "$.user_id").cast("int").as("uid"))
+        .writeStream.format("memory").queryName("norm_bootstrap")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("norm_bootstrap")
+          .select("_table", "sequence", "uid")
+          .as[(String, Int, Int)].collect().toSet
+        assert(streamed == Set(("db.orders", 3, 3), ("db.events", 4, 3)),
+          s"stream must carry exactly the post-anchor events: $streamed")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("normalized batch ≡ normalized stream over the same changelog") {
     val srv = mkServer()
     val ckpt = java.nio.file.Files.createTempDirectory("norm_twin").toString
