@@ -7,6 +7,38 @@ import java.lang.management.ManagementFactory
 
 object Bench {
 
+  /** Task-metric totals across EVERY job a query triggers — including
+    * the eagerly-materialized sub-jobs a plan-level walk cannot see
+    * (e.g. BinnedPercentile's pinned intermediates, broadcast builds):
+    * the whole-query scan/shuffle truth the `job_*` keys report. Events
+    * are posted async; [[snapshot]] drains with a bounded settle wait. */
+  private object JobTotals extends org.apache.spark.scheduler.SparkListener {
+    private val scan = new java.util.concurrent.atomic.AtomicLong
+    private val recs = new java.util.concurrent.atomic.AtomicLong
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        scan.addAndGet(m.inputMetrics.recordsRead)
+        recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { scan.set(0); recs.set(0); bytes.set(0) }
+    def snapshot(): (Long, Long, Long) = {
+      // settle: totals stop moving once the bus drained the last job
+      var last = (-1L, -1L, -1L)
+      var cur = (scan.get, recs.get, bytes.get)
+      var tries = 0
+      while (cur != last && tries < 50) {
+        last = cur; Thread.sleep(20)
+        cur = (scan.get, recs.get, bytes.get); tries += 1
+      }
+      cur
+    }
+  }
+
   /** One untimed execution of the query's physical plan, returning
     * (scan rows, shuffle records written, shuffle bytes written) from its
     * SQLMetrics — the plan-shape counters wall-clock noise hides: a lost
@@ -14,16 +46,20 @@ object Bench {
     * ±35%. Accumulators are consistent once the action returns (task
     * completion processes them before the job finishes), so reading the
     * traversed nodes is race-free. Rows never leave the executors — the
-    * action is a per-partition count. */
+    * action is a per-partition count. The second triple is the
+    * [[JobTotals]] whole-query job-level truth (diagnostic only — the
+    * drift gate compares the deterministic plan-level triple). */
   private def planMetrics(
       spark: SparkSession,
       fn: (SparkSession, String) => DataFrame,
-      sfDir: String): (Long, Long, Long) =
+      sfDir: String): ((Long, Long, Long), (Long, Long, Long)) =
     try {
+      JobTotals.reset()
       val qe = fn(spark, sfDir).queryExecution
       qe.executedPlan.execute().mapPartitions { it =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n)
       }.count()
+      val jobs = JobTotals.snapshot()
       def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
         case q: QueryStageExec => q +: nodes(q.plan)
@@ -33,10 +69,10 @@ object Bench {
       def metric(key: String, leafOnly: Boolean): Long =
         all.filter(n => !leafOnly || n.children.isEmpty)
           .flatMap(_.metrics.get(key)).map(_.value).sum
-      (metric("numOutputRows", leafOnly = true),
+      ((metric("numOutputRows", leafOnly = true),
         metric("shuffleRecordsWritten", leafOnly = false),
-        metric("shuffleBytesWritten", leafOnly = false))
-    } catch { case _: Throwable => (-1L, -1L, -1L) }
+        metric("shuffleBytesWritten", leafOnly = false)), jobs)
+    } catch { case _: Throwable => ((-1L, -1L, -1L), (-1L, -1L, -1L)) }
 
   /** Single-connection CDC wire-decode rate (rows/s) against an
     * in-process loopback emitter — the reference-comparable single-node
@@ -112,6 +148,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(JobTotals)
     val os = ManagementFactory.getOperatingSystemMXBean
     val loadBefore = os.getSystemLoadAverage
     // Untimed JVM warm-up: compiles the codegen/shuffle/parquet paths once
@@ -149,8 +186,9 @@ object Bench {
     val runs = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val mets = results.map { case (k, _, _, (sc, sr, sb)) =>
-      s"\"" + k + s"""":{"scan_rows":$sc,"shuffle_records":$sr,"shuffle_bytes":$sb}"""
+    val mets = results.map { case (k, _, _, ((sc, sr, sb), (jc, jr, jb))) =>
+      s"\"" + k + s"""":{"scan_rows":$sc,"shuffle_records":$sr,"shuffle_bytes":$sb,""" +
+        s""""job_scan_rows":$jc,"job_shuffle_records":$jr,"job_shuffle_bytes":$jb}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // reference-comparable single-socket ingest (best-of-2, rows/s)

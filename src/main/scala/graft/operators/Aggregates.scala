@@ -214,7 +214,7 @@ object Aggregates extends QueryPack {
     * Output doubles are bit-identical to `percentile()` (same
     * `PercentileBase.getPercentile` arithmetic, pinned by
     * BinnedPercentileSpec), so the DuckDB oracle is unchanged. The
-    * one-pass sketch twin for when 4 scans are too many remains
+    * one-pass sketch twin for when 3 scans are too many remains
     * [[qQuantileHist]]. */
   val qPercentile: Q = Q(
     "q_percentile",

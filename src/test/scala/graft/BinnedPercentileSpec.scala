@@ -19,8 +19,8 @@ class BinnedPercentileSpec extends SparkSpec {
     Seq(0.0, 0.01, 0.05, 0.25, 0.45, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0)
 
   private def compare(df: org.apache.spark.sql.DataFrame, g: String,
-      v: String, bins: Int = 2048): Unit = {
-    val mine = BinnedPercentile.perGroup(df, g, v, ps, bins)
+      v: String, b1Bits: Int = 16, b2Bits: Int = 12): Unit = {
+    val mine = BinnedPercentile.perGroup(df, g, v, ps, b1Bits, b2Bits)
       .collect().map(r => (r.getAs[Any]("g"), r.getDouble(1)) -> r.getDouble(2))
       .toMap
     val aggs = ps.zipWithIndex.map { case (p, i) =>
@@ -63,10 +63,10 @@ class BinnedPercentileSpec extends SparkSpec {
     compare(rows.toDF("g0", "v0"), "g0", "v0")
   }
 
-  test("tiny bin count forces the exact step everywhere and still matches " +
-      "(stress the rank arithmetic, not the bin luck)") {
+  test("tiny bucket widths force the exact step everywhere and still match " +
+      "(stress the rank arithmetic, not the bucket luck)") {
     compare(Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
-      bins = 4)
+      b1Bits = 2, b2Bits = 2)
   }
 
   test("nulls are ignored exactly like percentile()") {
