@@ -86,6 +86,36 @@ class ScaleLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no combinatorial plan explosion: every declared query's physical " +
+      "plan holds a bounded number of source scans") {
+    // The failure mode this guards (caught live in r8): a lazily-built
+    // helper whose tiny intermediates feed several broadcast sides
+    // re-embeds its whole upstream DAG once per consumer — the
+    // pre-optimization BinnedPercentile compiled to 76 parquet scans and
+    // 66 broadcast exchanges, ~6 s of pure stage latency independent of
+    // data size. Scan count is the cheapest static proxy for that
+    // explosion: real queries here touch ≤ a handful of tables a few
+    // times; dozens of scans is always a lineage-duplication bug.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val MaxScans = 16
+      val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val plan: SparkPlan = fn(spark, sf).queryExecution.executedPlan
+        val scans = plan.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }
+        name -> scans.length
+      }
+      info(s"max scans: ${counts.maxBy(_._2)}")
+      val offenders = counts.filter(_._2 > MaxScans)
+      assert(offenders.isEmpty,
+        s"plan-explosion suspects (> $MaxScans source scans):\n" +
+          offenders.map { case (n, c) => s"$n -> $c scans" }.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ground-truth all-pairs queries fail fast above the size guard") {
     val e = Tables.embeddings(spark, sf)
     // above the ceiling: refuse, and point at the scale twin
