@@ -181,9 +181,17 @@ final class CdcReplayReader(
           }
         case m @ CdcRowMsg(values0, nulls0, _) =>
           // a row missing one of its GTID columns cannot even be
-          // positioned for dedupe — the delivery error is immediate
-          if (m.missingKey == "domain" || m.missingKey == "server_id" ||
-              m.missingKey == "sequence") m.requireComplete()
+          // positioned for dedupe — the delivery error is immediate.
+          // (missingKey names only the FIRST absent key in schema order,
+          // so probe the GTID slots themselves: a missing slot decodes
+          // as the ""-marked null.)
+          if (m.missingKey != null && {
+              def bad(i: Int) = {
+                val w = if (remap == null) i else remap(i)
+                nulls0(w) && values0(w).isEmpty
+              }
+              bad(gtidIdx._1) || bad(gtidIdx._2) || bad(gtidIdx._3)
+            }) m.requireComplete()
           val (values, nulls) =
             if (remap == null) (values0, nulls0)
             else {

@@ -116,9 +116,12 @@ final class CdcTailer(
                     s"the new schema (was $expectedFields, now $fields)")
             case m @ CdcRowMsg(values, nulls, _) =>
               // a row missing one of its GTID columns cannot be
-              // positioned — raise the delivery error immediately
-              if (hasGtidColumns && (m.missingKey == "domain" ||
-                  m.missingKey == "server_id" || m.missingKey == "sequence"))
+              // positioned — raise the delivery error immediately.
+              // (missingKey names only the FIRST absent key in schema
+              // order, so probe the GTID slots themselves: a missing
+              // slot decodes as the ""-marked null.)
+              if (m.missingKey != null && gtidIdx.exists { case (d, s, q) =>
+                  Seq(d, s, q).exists(i => nulls(i) && values(i).isEmpty) })
                 m.requireComplete()
               val g = eventGtid(values)
               // inclusive-replay dedupe on resume/reconnect
