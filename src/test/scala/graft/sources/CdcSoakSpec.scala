@@ -149,6 +149,55 @@ class CdcSoakSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("soak e2e: a heterogeneous normalized stream survives randomized " +
+      "drops across its per-table connections, exactly once") {
+    // drops land on arbitrary connections — schema probes, per-table
+    // tailers, replay readers — and the composed source must still
+    // deliver every event of every table exactly once
+    val schemaB = Schema.replace("\"name\":\"id\"", "\"name\":\"bid\"")
+    val srv = new MockMaxScaleServer(Schema,
+      tableSchemas = Map("db.a" -> Schema, "db.b" -> schemaB),
+      dropSchedule = Seq.fill(8)(3 + new Random(77).nextInt(8)))
+    (1L to 40L).foreach { i =>
+      srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i"))
+      srv.pushTo("db.b",
+        s"""{"domain":0,"server_id":1,"sequence":$i,"event_number":1,""" +
+          s""""timestamp":${1700000000 + i},"event_type":"insert",""" +
+          s""""bid":${i.toInt},"name":"b$i"}""")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("norm_soak").toString
+    try {
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Int)]()
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b")
+        .option("schemaMode", "normalized")
+        .option("timeoutSeconds", 1)
+        .load()
+        .select("_table", "sequence")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => {
+            val added = got.add((r.getString(0), r.getInt(1)))
+            assert(added, s"duplicate delivery: ${(r.getString(0), r.getInt(1))}")
+          })
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val want = (1 to 40).flatMap(i =>
+          Seq(("db.a", i), ("db.b", i))).toSet
+        assert(scala.jdk.CollectionConverters.SetHasAsScala(got).asScala.toSet
+          == want, s"got ${got.size()} of ${want.size} events")
+      } finally q.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("soak e2e: a bounded DSv2 batch read survives randomized drops " +
       "across its parallel range slices") {
     val N = 300
