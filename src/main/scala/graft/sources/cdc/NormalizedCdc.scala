@@ -292,7 +292,9 @@ final class NormalizedCdcBatch(
 
   /** One schema probe per table, concurrent — deferred to first
     * planning so `_table` pruning can exclude a table before it is
-    * ever probed. */
+    * ever probed. Frozen at first access: runtime filters arriving
+    * later only ever NARROW the set, so this is a superset and
+    * [[planInputPartitions]] re-filters per plan. */
   private lazy val fieldsByTable: Seq[(String, Seq[CdcField])] = {
     val included = tables.filter(this.included)
     val probed = CdcConcurrent.map(included)(t => t -> CdcProbe.schemaFields(opts, t))
@@ -349,7 +351,10 @@ final class NormalizedCdcBatch(
       runtime = () => runtimeMetaConjuncts)
 
   override def planInputPartitions(): Array[InputPartition] =
-    CdcConcurrent.map(fieldsByTable.map(_._1)) { t =>
+    // re-filter on every plan: BatchScanExec re-plans partitions after a
+    // runtime filter() fires, and a `_table` DPP filter must prune the
+    // delegate HERE (fieldsByTable froze the static superset)
+    CdcConcurrent.map(fieldsByTable.map(_._1).filter(included)) { t =>
       innerFor(t).planInputPartitions()
         .map(p => NormalizedCdcPartition(p, t): InputPartition)
     }.flatten.toArray

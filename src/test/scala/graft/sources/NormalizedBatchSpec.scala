@@ -184,6 +184,71 @@ class NormalizedBatchSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SupportsRuntimeFiltering: a post-planning `_table` filter() " +
+      "prunes the delegate at the re-plan — no probe, no replay") {
+    val srv = mkServer()
+    try {
+      val df = read(srv).load()
+      val scanExec = df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      val scan = scanExec.scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      assert(scan.filterAttributes().map(_.describe()).contains("_table"))
+      // what a DPP subquery delivers after the other join side evaluates;
+      // BatchScanExec then re-plans partitions on the SAME batch
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("_table", "db.orders")))
+      val batch = scan.toBatch()
+      val before = srv.requestCount("db.events")
+      val parts = batch.planInputPartitions()
+      val factory = batch.createReaderFactory()
+      val got = scala.collection.mutable.Set[(String, Int)]()
+      parts.foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) {
+          val row = r.get()
+          got += ((row.getUTF8String(7).toString, row.getInt(2)))
+        } finally r.close()
+      }
+      assert(got == Set(("db.orders", 1), ("db.orders", 2)), s"got $got")
+      assert(srv.requestCount("db.events") == before,
+        "runtime-pruned table was still probed/replayed")
+    } finally srv.close()
+  }
+
+  test("runtime `_table` filter arriving AFTER an unfiltered plan still " +
+      "prunes the re-plan (the frozen probe superset is re-filtered)") {
+    val srv = mkServer()
+    try {
+      val df = read(srv).load()
+      val scanExec = df.queryExecution.executedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      val scan = scanExec.scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      val batch = scan.toBatch()
+      // plan once with no runtime filter: both tables planned
+      val unfiltered = batch.planInputPartitions()
+      assert(unfiltered.nonEmpty)
+      // the DPP filter lands; BatchScanExec re-plans the SAME batch —
+      // the already-probed superset must be re-filtered, not replayed
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("_table", "db.events")))
+      val parts = batch.planInputPartitions()
+      val factory = batch.createReaderFactory()
+      val got = scala.collection.mutable.Set[Int]()
+      parts.foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) {
+          val row = r.get()
+          assert(row.getUTF8String(7).toString == "db.events",
+            "pruned table leaked into the re-plan")
+          got += row.getInt(2)
+        } finally r.close()
+      }
+      assert(got == Set(1, 2, 3), s"got $got")
+    } finally srv.close()
+  }
+
   test("normalized batch ≡ normalized stream over the same changelog") {
     val srv = mkServer()
     val ckpt = java.nio.file.Files.createTempDirectory("norm_twin").toString
