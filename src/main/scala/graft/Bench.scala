@@ -54,6 +54,10 @@ object Bench {
       fn: (SparkSession, String) => DataFrame,
       sfDir: String): ((Long, Long, Long), (Long, Long, Long)) =
     try {
+      // the listener bus is async: task-end events from the preceding
+      // TIMED runs may still be queued — settle before zeroing, or they
+      // drain into this query's job_* totals
+      JobTotals.snapshot()
       JobTotals.reset()
       val qe = fn(spark, sfDir).queryExecution
       qe.executedPlan.execute().mapPartitions { it =>

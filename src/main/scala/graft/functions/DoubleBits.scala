@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * long: `a < b` in double TOTAL order (−∞ < … < −0.0 < 0.0 < … < +∞,
   * NaN above +∞ — `java.lang.Double.compare` order) iff
   * `ordered(a) < ordered(b)` as signed longs, and the map is INJECTIVE
-  * on bit patterns, so −0.0 and 0.0 stay distinct keys.
+  * on non-NaN bit patterns, so −0.0 and 0.0 stay distinct keys. All
+  * NaN bit patterns (including sign-bit NaNs, which a naive bit
+  * transform would send BELOW −∞) collapse to one key above +∞ —
+  * exactly `java.lang.Double`'s semantics, where `equals` canonicalizes
+  * every NaN to the same bits and `compare` sorts them all above +∞.
   *
   * This is the key that makes value-independent range narrowing
   * possible ([[graft.operators.BinnedPercentile]]): the top bits of the
@@ -44,8 +48,11 @@ case class DoubleOrderedBits(child: Expression) extends UnaryExpression {
 object DoubleBits {
   /** Positive doubles keep their bits (non-negative longs, ascending);
     * negatives map to `-1 - magnitudeBits` (negative longs, ascending
-    * from −∞ to −0.0 → −1). Public + JVM-static for generated code. */
+    * from −∞ to −0.0 → −1); every NaN maps to the canonical NaN bits
+    * (0x7ff8000000000000 > the +∞ image). Public + JVM-static for
+    * generated code. */
   def ordered(d: Double): Long = {
+    if (d != d) return 0x7ff8000000000000L // any NaN → the canonical key
     val b = java.lang.Double.doubleToRawLongBits(d)
     if (b >= 0) b else ~(b & Long.MaxValue)
   }

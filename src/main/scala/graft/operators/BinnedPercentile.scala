@@ -50,11 +50,15 @@ object BinnedPercentile {
 
   /** One row per (group, percentile): `(g, p, value)`; `value` is
     * bit-identical to `expr("percentile(v, p)")` over the same rows.
-    * `df` is scanned three times — pass a cheap (scan-backed) frame.
-    * `b1Bits`/`b2Bits` size the level-1/level-2 bucket keys (top /
-    * next bits of the ordered-key image); the defaults give 2^16 and
-    * 2^12 subdivisions, and tiny widths force the exact step broadly
-    * (the spec's stress shape). */
+    * EAGER: construction runs the three scans of `df` immediately (the
+    * narrowing is inherently multi-pass and its tiny intermediates must
+    * materialize to keep the result's plan shallow) — pass a cheap
+    * (scan-backed) frame, and construct once per query, not per action.
+    * The returned frame keeps two O(groups × percentiles) cached
+    * intermediates alive for its lifetime. `b1Bits`/`b2Bits` size the
+    * level-1/level-2 bucket keys (top / next bits of the ordered-key
+    * image); the defaults give 2^16 and 2^12 subdivisions, and tiny
+    * widths force the exact step broadly (the spec's stress shape). */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], b1Bits: Int = 16, b2Bits: Int = 12): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
@@ -97,14 +101,16 @@ object BinnedPercentile {
 
     // needed ranks: h = p·(n−1) as double (PercentileBase order of ops),
     // bounding ranks lo=⌊h⌋ / hi=⌈h⌉ — all derived from hist1 (no extra
-    // scan). Small sides below use DISJOINT column names and join by
-    // name: the frames share lineage, and attribute-id references
-    // across a self-join are ambiguous to the analyzer.
-    val ranks = hist1.groupBy("g").agg(sum("c1").as("n"))
+    // scan). Pinned so the final interpolation no longer needs hist1
+    // (which lets the histograms be unpersisted below). Small sides
+    // below use DISJOINT column names and join by name: the frames
+    // share lineage, and attribute-id references across a self-join are
+    // ambiguous to the analyzer.
+    val ranks = pin(hist1.groupBy("g").agg(sum("c1").as("n"))
       .select(col("g"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
       .withColumn("h", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("h")).cast("long"))
-      .withColumn("hi", ceil(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long")))
     val needed = ranks
       .select(col("g").as("ng"), explode(array(col("lo"), col("hi"))).as("nr"))
       .distinct()
@@ -162,6 +168,16 @@ object BinnedPercentile {
     // O(G × ranks) rows; consumed twice (lo/hi sides) — scan 3 must not
     // run twice
     val rankVals = pin(done1.unionAll(done2).unionAll(done3))
+
+    // NOTE on release: everything the RESULT's plan reads is in `ranks`
+    // + `rankVals`, but unpersisting the histogram scaffolding here
+    // measurably DOUBLES the query (Spark re-cascades dependent cache
+    // entries on uncache and the final action recomputes the narrowing
+    // from raw lineage). All four pinned frames are O(groups × buckets)
+    // / O(groups × ps) — bounded regardless of row count — and
+    // MEMORY_AND_DISK entries are LRU-evictable, so they stay cached
+    // for the session; a fresh construction re-pins fresh frames
+    // (callers construct once per query, not per action).
 
     // interpolate exactly like PercentileBase.getPercentile:
     //   lo == hi           → vlo

@@ -314,28 +314,46 @@ final class NormalizedCdcBatch(
   private val tablePred: WirePred =
     CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
 
-  private def runtimeTableConjuncts =
-    runtime().filter(_.references.forall(_ == MultiCdc.TableColumn))
   private def runtimeMetaConjuncts =
     runtime().filter(f => !f.references.forall(_ == MultiCdc.TableColumn) &&
       f.references.forall(NormalizedCdc.Meta.contains))
 
+  /** Runtime `_table` predicate, compiled once per distinct filter()
+    * delivery (runtime filters only ever arrive a handful of times per
+    * query, but included() runs per table per re-plan). */
+  private var rtPredFor: Seq[org.apache.spark.sql.sources.Filter] = null
+  private var rtPred: WirePred = null
+  private def runtimeTablePred: WirePred = synchronized {
+    val tf = runtime().filter(_.references.forall(_ == MultiCdc.TableColumn)).toSeq
+    if (tf != rtPredFor) {
+      rtPredFor = tf
+      rtPred = CdcWireFilters.compileAll(tf, tagSchema, typed = true)
+    }
+    rtPred
+  }
+
   private def included(t: String): Boolean = {
     val row = Array(t); val noNull = Array(false)
-    val rtPred =
-      CdcWireFilters.compileAll(runtimeTableConjuncts.toSeq, tagSchema, typed = true)
+    val rt = runtimeTablePred
     (tablePred == null || tablePred.eval(row, noNull)) &&
-      (rtPred == null || rtPred.eval(row, noNull))
+      (rt == null || rt.eval(row, noNull))
   }
+
+  /** Parsed (and table-validated) composite endGtid, once — `endFor`
+    * runs per table (the same memoization as [[CdcBatch.endComposite]],
+    * so the two batch planners' bound semantics stay aligned). */
+  private lazy val endComposite: Option[MultiGtidOffset] =
+    opts.endGtid.filter(_ => multi).map { s =>
+      require(s.contains('='),
+        s"maxscale-cdc: multi-table endGtid must use the composite " +
+          s"'db.a=0-1-5,db.b=-' form, got '$s'")
+      opts.compositeOf(s)
+    }
 
   private def endFor(t: String): Option[Gtid] = opts.endGtid match {
     case None => None
     case Some(s) if !multi => Some(Gtid.parse(s))
-    case Some(s) =>
-      require(s.contains('='),
-        s"maxscale-cdc: multi-table endGtid must use the composite " +
-          s"'db.a=0-1-5,db.b=-' form, got '$s'")
-      opts.compositeOf(s).of(t)
+    case Some(_) => endComposite.flatMap(_.of(t))
   }
 
   /** Single-table planner for one table: the inner batch sees plain

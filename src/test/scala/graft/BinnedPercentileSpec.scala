@@ -69,6 +69,25 @@ class BinnedPercentileSpec extends SparkSpec {
       b1Bits = 2, b2Bits = 2)
   }
 
+  test("NaN keys collapse and sort above +Inf, like java.lang.Double") {
+    // unit: the ordered-bits map, incl. the sign-bit NaN a naive bit
+    // transform would send below -Infinity
+    import graft.functions.DoubleBits.ordered
+    assert(ordered(Double.NaN) ==
+      ordered(java.lang.Double.longBitsToDouble(0xfff8000000000000L)))
+    assert(ordered(Double.NaN) > ordered(Double.PositiveInfinity))
+    assert(ordered(Double.PositiveInfinity) > ordered(Double.MaxValue))
+    assert(ordered(Double.NegativeInfinity) < ordered(Double.MinValue))
+    // end-to-end: a group with NaNs matches percentile() bit-for-bit
+    // (all NaN patterns are ONE key in percentile()'s boxed-Double map,
+    // sorted last — Double.compare order)
+    import spark.implicits._
+    val rows = Seq.tabulate(40)(i => ("nan", i.toDouble)) ++
+      Seq.fill(5)(("nan", Double.NaN)) ++
+      Seq(("nan", Double.PositiveInfinity), ("nan", Double.NegativeInfinity))
+    compare(rows.toDF("g0", "v0"), "g0", "v0")
+  }
+
   test("nulls are ignored exactly like percentile()") {
     import spark.implicits._
     val rows = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),

@@ -155,9 +155,10 @@ class CdcSoakSpec extends SparkSpec {
     // tailers, replay readers — and the composed source must still
     // deliver every event of every table exactly once
     val schemaB = Schema.replace("\"name\":\"id\"", "\"name\":\"bid\"")
+    val rng = new Random(77) // shared: Seq.fill re-evaluates its argument
     val srv = new MockMaxScaleServer(Schema,
       tableSchemas = Map("db.a" -> Schema, "db.b" -> schemaB),
-      dropSchedule = Seq.fill(8)(3 + new Random(77).nextInt(8)))
+      dropSchedule = Seq.fill(8)(3 + rng.nextInt(8)))
     (1L to 40L).foreach { i =>
       srv.pushTo("db.a", event(i, "insert", i.toInt, s"a$i"))
       srv.pushTo("db.b",
