@@ -72,10 +72,27 @@ object GraftFunctions {
       intLit(exprs(1), "numBands"), intLit(exprs(2), "bitsPerBand"))
   }
 
+  /** `graft_double_bits(d)` — total-order-preserving IEEE bit image of a
+    * double as a signed long (−0.0 < 0.0 distinct, NaNs collapse above
+    * +∞): the sortable key behind the bounded-memory percentile
+    * narrowing, exposed for SQL-level range bucketing / ordering of
+    * doubles by exact bit pattern. */
+  private def doubleBitsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_double_bits takes 1 argument, got ${exprs.length}")
+    graft.functions.DoubleOrderedBits(exprs(0))
+  }
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       builder)
+
+  val doubleBitsDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_double_bits"),
+      new ExpressionInfo(classOf[graft.functions.DoubleOrderedBits].getName,
+        "graft_double_bits"),
+      doubleBitsBuilder)
 
   val minhashDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_minhash"),
@@ -111,6 +128,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     registry.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
     registry.createOrReplaceTempFunction("graft_lsh_bands", lshBandsBuilder, "built-in")
+    registry.createOrReplaceTempFunction("graft_double_bits", doubleBitsBuilder, "built-in")
   }
 }
 
@@ -121,6 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashDescription)
     ext.injectFunction(GraftFunctions.simhashDescription)
     ext.injectFunction(GraftFunctions.lshBandsDescription)
+    ext.injectFunction(GraftFunctions.doubleBitsDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // streaming DSv2 pushdown for the maxscale-cdc source (the source
     // also self-registers via extraOptimizations on first use; injecting

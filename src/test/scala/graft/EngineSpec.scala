@@ -28,7 +28,7 @@ class EngineSpec extends SparkSpec {
     val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     GraftFunctions.registerInto(registry)
     Seq("graft_dot", "graft_zorder", "graft_minhash", "graft_simhash",
-      "graft_lsh_bands").foreach { fn =>
+      "graft_lsh_bands", "graft_double_bits").foreach { fn =>
       assert(registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), fn)
     }
@@ -57,6 +57,16 @@ class EngineSpec extends SparkSpec {
     val again = spark.sql(s"SELECT graft_lsh_bands($vecSql, 4, 8) AS b")
       .head().getSeq[Long](0)
     assert(bandsSql == again)
+  }
+
+  test("graft_double_bits is usable from SQL and orders like Double.compare") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_double_bits(-0.0d) AS a, graft_double_bits(0.0d) AS b, " +
+        "graft_double_bits(CAST('NaN' AS DOUBLE)) AS n, " +
+        "graft_double_bits(CAST('Infinity' AS DOUBLE)) AS inf").head()
+    assert(r.getLong(0) < r.getLong(1), "-0.0 must key below 0.0, distinctly")
+    assert(r.getLong(2) > r.getLong(3), "NaN must key above +Infinity")
   }
 
   test("graft_zorder is usable from SQL; bits must be a literal") {
