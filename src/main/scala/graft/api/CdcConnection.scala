@@ -133,14 +133,14 @@ final class CdcConnection(
         types = fields.map(_.sqlType).toVector
         rawSchema = raw
         readInternal()
-      case m @ CdcRowMsg(values, nulls, _) =>
+      case m: CdcRowMsg =>
         // this row is being DELIVERED to the caller: reference A10 — a
         // schema key absent from the JSON is an error (process_row,
         // cdc_connector.cpp:288-319)
         m.requireComplete()
         // raw-mode value semantics: null→"" (cdc_connector.cpp:106-107)
         err = ""
-        Some(new CdcRow(keys, types, values.toVector))
+        Some(new CdcRow(keys, types, m.values.toVector))
       case CdcTimeout => err = CDC.Timeout; None
       case CdcClosed  => err = "connection closed"; None
     } catch {

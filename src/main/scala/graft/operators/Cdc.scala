@@ -208,6 +208,56 @@ object Cdc extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Typed per-table view over a NORMALIZED changelog
+    * ([[graft.sources.cdc.NormalizedCdc.typedView]]): the events table is
+    * first re-shaped into the normalized row (six metadata columns +
+    * `payload` JSON + `_table` — what `schemaMode=normalized` streams),
+    * then typedView projects the payload back through the §1.3 SQL-type
+    * map. The oracle is the round-trip identity: encode→decode must hand
+    * back exactly the source columns.
+    *
+    * Scale: a pure projection — payload encode (`to_json`) and decode
+    * (`from_json`) are both codegen'd row-local expressions; no shuffle,
+    * no state. At 100 TB the cost is one pass over the changelog, which
+    * is the floor for any format conversion.
+    */
+  val qCdcTypedView: Q = Q(
+    "q_cdc_typed_view",
+    Some("""
+      SELECT CAST(0 AS BIGINT) AS domain,
+             CAST(3000 AS BIGINT) AS server_id,
+             event_id AS sequence,
+             CAST(1 AS BIGINT) AS event_number,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS "timestamp",
+             event_type,
+             user_id,
+             event_type AS etype,
+             value
+      FROM events
+      ORDER BY sequence
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import graft.sources.cdc.{CdcField, NormalizedCdc}
+    val norm = Tables.events(s, dir).select(
+      lit(0L).as("domain"),
+      lit(3000L).as("server_id"),
+      col("event_id").as("sequence"),
+      lit(1L).as("event_number"),
+      unix_micros(col("ts")).as("timestamp"),
+      col("event_type"),
+      to_json(struct(col("user_id"), col("event_type").as("etype"),
+        col("value"))).as("payload"),
+      lit("db.events").as("_table"))
+    val wire = Seq(
+      CdcField("domain", "bigint"), CdcField("server_id", "bigint"),
+      CdcField("sequence", "bigint"), CdcField("event_number", "bigint"),
+      CdcField("timestamp", "bigint"), CdcField("event_type", "varchar(32)"),
+      CdcField("user_id", "bigint"), CdcField("etype", "varchar(32)"),
+      CdcField("value", "double"))
+    NormalizedCdc.typedView(norm, "db.events", wire)
+      .orderBy("sequence")
+  }
+
   override def all: Seq[Q] =
-    Seq(qCdcSnapshot, qCdcGtid, qCdcTypedCast, qScd2, qCdcMerge)
+    Seq(qCdcSnapshot, qCdcGtid, qCdcTypedCast, qScd2, qCdcMerge, qCdcTypedView)
 }

@@ -163,7 +163,7 @@ final class CdcBatch(
       case _ =>
         val tailer = new CdcTailer(opts.host, opts.port, opts.user,
           opts.password, table, fields, startFor(table), opts.timeoutMs,
-          maxBuffered = ProbeBuffer)
+          maxBuffered = ProbeBuffer, tolerateReSchema = opts.normalized)
         tailer.start()
         try {
           if (tailer.hasGtidColumns) planReplay(table, tailer)
@@ -191,13 +191,13 @@ final class CdcBatch(
     * caller-supplied positions. */
   private def planBounded(table: String, e: Gtid): Array[InputPartition] = {
     val start = startFor(table)
+    // A start in a HIGHER domain than the end is an empty range under the
+    // (domain, sequence, serverId) total order — the start >= e check
+    // covers it. A start in a LOWER domain (the range spans a failover's
+    // domain switch) is valid and replays serially: sequenceCuts detects
+    // the mismatch and collapses to one chunk, because interpolated
+    // sequence cuts are only meaningful within one domain.
     if (start.exists(_ >= e) || e == Gtid.Floor) return Array.empty
-    start.foreach { s =>
-      require(s.domain == e.domain,
-        s"maxscale-cdc: startingGtid $s and endGtid $e are in different " +
-          "replication domains — GTID order is only defined within one " +
-          "domain; run one query per domain")
-    }
     GtidRangeCuts.sequenceCuts(start, e, opts.replayPartitions).map {
       case (lo, hi) =>
         // endGtidObserved: the caller saw the bound produced, so the whole

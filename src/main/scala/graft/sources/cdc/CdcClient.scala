@@ -29,20 +29,36 @@ final case class CdcSchemaMsg(fields: Seq[CdcField], rawJson: String) extends Cd
   * reference's null→"" conflation (cdc_connector.cpp:106-107).
   *
   * `missingKey` records the first schema key absent from the row's JSON
-  * (null when complete). The reference errors on the missing key when it
-  * DELIVERS the row to its caller; decode here is one layer earlier, and
-  * deferring the error to delivery ([[CdcRowMsg.requireComplete]]) lets
-  * rows that are discarded anyway — the server's inclusive replay of an
-  * already-committed position, whose JSON may predate a column-add DDL —
-  * pass through the dedupe without killing a resumed stream. Every path
-  * that emits a row downstream calls requireComplete first, so delivered
-  * rows keep the reference's exact error behavior (A10). */
+  * (null when complete), and `missingIdx` the schema positions of EVERY
+  * absent key — an explicit absence record, because the decoded arrays
+  * mark an absent slot exactly like a genuine JSON-null value
+  * (`nulls(i) && values(i).isEmpty`) and consumers probing specific
+  * slots (the GTID trio) must not confuse the two. The reference errors
+  * on the missing key when it DELIVERS the row to its caller; decode
+  * here is one layer earlier, and deferring the error to delivery
+  * ([[CdcRowMsg.requireComplete]]) lets rows that are discarded anyway —
+  * the server's inclusive replay of an already-committed position, whose
+  * JSON may predate a column-add DDL — pass through the dedupe without
+  * killing a resumed stream. Every path that emits a row downstream
+  * calls requireComplete first, so delivered rows keep the reference's
+  * exact error behavior (A10). */
 final case class CdcRowMsg(values: Array[String], nulls: Array[Boolean],
-    missingKey: String = null) extends CdcMessage {
+    missingKey: String = null, missingIdx: Array[Int] = null) extends CdcMessage {
   /** Raise the reference's A10 missing-key error (at delivery time). */
   def requireComplete(): Unit =
     if (missingKey != null)
       throw new CdcProtocolException(s"No value for key found: $missingKey")
+  /** Whether schema slot `i` was ABSENT from the row's JSON (as opposed
+    * to present with a JSON-null value). */
+  def slotMissing(i: Int): Boolean = {
+    if (missingIdx == null) return false
+    var k = 0
+    while (k < missingIdx.length) {
+      if (missingIdx(k) == i) return true
+      k += 1
+    }
+    false
+  }
 }
 /** Poll timeout with no buffered payload — end of micro-batch, not failure
   * (reference cdc_connector.cpp:487-491). */
@@ -318,12 +334,15 @@ final class CdcClient(
     val values = new Array[String](n)
     val nulls = new Array[Boolean](n)
     var missing: String = null
+    var missingIdx: ArrayBuffer[Int] = null
     var i = 0
     while (i < n) {
       val key = schemaFields(i).name
       val v = node.get(key)
       if (v == null) {
         if (missing == null) missing = key
+        if (missingIdx == null) missingIdx = ArrayBuffer.empty[Int]
+        missingIdx += i
         nulls(i) = true; values(i) = ""
       } else {
         val s = scalarToString(v)
@@ -331,7 +350,8 @@ final class CdcClient(
       }
       i += 1
     }
-    CdcRowMsg(values, nulls, missing)
+    CdcRowMsg(values, nulls, missing,
+      if (missingIdx == null) null else missingIdx.toArray)
   }
 
   /** Sends CLOSE then closes the socket; idempotent (reference

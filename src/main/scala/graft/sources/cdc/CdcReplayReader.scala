@@ -144,8 +144,24 @@ final class CdcReplayReader(
     * so an intermediate version that still CONTAINS every planned column —
     * reordered, renamed-type, or with extra columns — stays readable by
     * name; only a version missing a planned column is unrecoverable here
-    * and demands a query restart (graft.streaming.CdcAutoRestart). */
+    * and demands a query restart (graft.streaming.CdcAutoRestart).
+    *
+    * NORMALIZED mode (`normalizer != null`) goes further: payload rows are
+    * schema-free, so EVERY schema version that keeps the metadata columns
+    * is readable — the normalizer is rebuilt per version and rows
+    * materialize in their governing version's own shape (a pre-DDL row
+    * lacks the added key, a post-DDL row carries it — no restart). The
+    * remap then only serves GTID extraction and wire-predicate
+    * evaluation, which reference metadata columns exclusively; a planned
+    * USER column absent from the current version maps to -1 and reads as
+    * absent. */
   private var remap: Array[Int] = _
+  /** Wire schema currently governing decode (normalized mode). */
+  private var curFields: Seq[CdcField] = p.expected
+  /** Normalizer for the CURRENT schema version (normalized mode only;
+    * starts as the planning-schema normalizer, rebuilt on in-band
+    * re-schema). */
+  private var curNormalizer: WireNormalizer = normalizer
 
   private def connectFrom(g: Option[Gtid]): Unit = {
     client = new CdcClient(p.host, p.port, p.user, p.password, p.timeoutMs)
@@ -169,7 +185,25 @@ final class CdcReplayReader(
       if (msg != null) msg match {
         case CdcSchemaMsg(fields, _) =>
           sawSchema = true
-          if (fields == p.expected) remap = null
+          if (normalizer != null) {
+            // normalized mode: adopt ANY version that keeps the metadata
+            // columns — the payload reshapes itself; no restart.
+            if (fields != curFields) {
+              NormalizedCdc.validateEvolved(p.table, p.expected, fields)
+              curFields = fields
+              curNormalizer = WireNormalizer(p.table, fields,
+                normalizer.typed, normalizer.required)
+              remap =
+                if (fields == p.expected) null
+                else {
+                  val names = fields.map(_.name)
+                  // -1 for planned USER columns this version dropped:
+                  // only metadata positions are ever read through the
+                  // remap here (validateEvolved guarantees those exist)
+                  p.expected.map(f => names.indexOf(f.name)).toArray
+                }
+            }
+          } else if (fields == p.expected) remap = null
           else {
             val names = fields.map(_.name)
             val idx = p.expected.map(f => names.indexOf(f.name))
@@ -179,16 +213,18 @@ final class CdcReplayReader(
                   s"server sent $fields — restart the query")
             remap = idx.toArray
           }
-        case m @ CdcRowMsg(values0, nulls0, _) =>
+        case m: CdcRowMsg =>
+          val values0 = m.values
+          val nulls0 = m.nulls
           // a row missing one of its GTID columns cannot even be
           // positioned for dedupe — the delivery error is immediate.
-          // (missingKey names only the FIRST absent key in schema order,
-          // so probe the GTID slots themselves: a missing slot decodes
-          // as the ""-marked null.)
+          // (missingKey names only the FIRST absent key in schema order;
+          // the explicit absence record distinguishes a missing slot
+          // from a genuine JSON-null value.)
           if (m.missingKey != null && {
               def bad(i: Int) = {
                 val w = if (remap == null) i else remap(i)
-                nulls0(w) && values0(w).isEmpty
+                m.slotMissing(w)
               }
               bad(gtidIdx._1) || bad(gtidIdx._2) || bad(gtidIdx._3)
             }) m.requireComplete()
@@ -199,10 +235,24 @@ final class CdcReplayReader(
               val nu = new Array[Boolean](remap.length)
               var i = 0
               while (i < remap.length) {
-                v(i) = values0(remap(i)); nu(i) = nulls0(remap(i)); i += 1
+                val w = remap(i)
+                if (w < 0) { v(i) = ""; nu(i) = true }
+                else { v(i) = values0(w); nu(i) = nulls0(w) }
+                i += 1
               }
               (v, nu)
             }
+          // JSON-null GTID values decode as "" (distinct from ABSENT slots,
+          // probed above) — unpositionable either way; fail with the real
+          // problem, not a NumberFormatException
+          if (values(gtidIdx._1).isEmpty || values(gtidIdx._2).isEmpty ||
+              values(gtidIdx._3).isEmpty)
+            throw new CdcProtocolException(
+              s"replayed event carries a null/empty GTID column " +
+                s"(domain='${values(gtidIdx._1)}', " +
+                s"server_id='${values(gtidIdx._2)}', " +
+                s"sequence='${values(gtidIdx._3)}') — the row cannot be " +
+                "positioned within the replay range")
           val g = Gtid(values(gtidIdx._1).toLong, values(gtidIdx._2).toLong,
             values(gtidIdx._3).toLong)
           // skip the server's inclusive replay of the range start and any
@@ -220,7 +270,13 @@ final class CdcReplayReader(
             if (g == end) done = true // last row of the range, pass or not
             if (pred == null || pred.eval(values, nulls)) {
               current =
-                if (normalizer != null) normalizer.toRow(values, nulls)
+                // normalized mode materializes through the CURRENT
+                // version's normalizer over the RAW wire row — a row
+                // carries exactly the keys its governing schema version
+                // declares (pred/GTID read the remapped planned view;
+                // both only touch metadata columns, stable across
+                // versions)
+                if (normalizer != null) curNormalizer.toRow(values0, nulls0)
                 else CdcRowCodec.toInternalRow(
                   CdcRowCodec.project(values, projection),
                   CdcRowCodec.project(nulls, projection), dts, typed, mask)

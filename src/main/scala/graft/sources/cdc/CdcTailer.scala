@@ -42,7 +42,12 @@ final class CdcTailer(
     expectedFields: Seq[CdcField],
     resumeAfter: Option[Gtid],
     timeoutMs: Int,
-    maxBuffered: Int = 1 << 20) extends Thread(s"graft-cdc-tailer-$table") {
+    maxBuffered: Int = 1 << 20,
+    // schemaMode=normalized: payload rows are schema-free, so a mid-stream
+    // DDL re-schema is ABSORBED (GTID trio re-located by name, tailing
+    // continues) instead of failing the query — the reference re-schemas
+    // within one connection too (cdc_connector.cpp:339-344)
+    tolerateReSchema: Boolean = false) extends Thread(s"graft-cdc-tailer-$table") {
 
   setDaemon(true)
 
@@ -56,17 +61,25 @@ final class CdcTailer(
   @volatile private var running = true
   @volatile private var lastGtid: Option[Gtid] = resumeAfter
 
-  private val gtidIdx: Option[(Int, Int, Int)] = {
-    val names = expectedFields.map(_.name)
+  private def gtidIdxOf(fields: Seq[CdcField]): Option[(Int, Int, Int)] = {
+    val names = fields.map(_.name)
     val d = names.indexOf("domain")
     val s = names.indexOf("server_id")
     val q = names.indexOf("sequence")
     if (d >= 0 && s >= 0 && q >= 0) Some((d, s, q)) else None
   }
 
+  /** Wire schema currently governing decode — re-pointed on a tolerated
+    * mid-stream re-schema (normalized mode only; uniform mode never gets
+    * past the drift check). */
+  @volatile private var curFields: Seq[CdcField] = expectedFields
+  @volatile private var gtidIdx: Option[(Int, Int, Int)] = gtidIdxOf(expectedFields)
+
   /** True when the stream carries a server-side resume token, i.e. batches
-    * can be replayed executor-side and the driver keeps positions only. */
-  val hasGtidColumns: Boolean = gtidIdx.isDefined
+    * can be replayed executor-side and the driver keeps positions only.
+    * Pinned to the PLANNED schema: replay capability is a planning-time
+    * decision (a tolerated re-schema keeps the trio — validated). */
+  val hasGtidColumns: Boolean = gtidIdxOf(expectedFields).isDefined
 
   /** Without GTID metadata columns the stream still works, but offsets are
     * synthetic positions valid only within this run (documented: resume
@@ -101,27 +114,43 @@ final class CdcTailer(
           if (!running) throw new InterruptedException
           client.readMessage() match {
             case CdcSchemaMsg(fields, _) =>
-              if (!sawSchema || reconnects > 0) {
+              if (tolerateReSchema) {
+                // normalized mode: any schema version works as long as the
+                // server metadata columns survive with their declared types
+                // (the payload is schema-free; only the trio is structural).
+                // Covers both connection-start drift (a DDL happened while
+                // the query was down) and in-band mid-stream re-schema.
+                sawSchema = true
+                if (fields != curFields) {
+                  NormalizedCdc.validateEvolved(table, expectedFields, fields)
+                  curFields = fields
+                  gtidIdx = gtidIdxOf(fields)
+                }
+              } else if (!sawSchema || reconnects > 0) {
                 sawSchema = true
                 if (fields != expectedFields)
                   throw new CdcProtocolException(
                     s"schema drift between planning and stream start: expected " +
                       s"$expectedFields, server sent $fields — restart the query")
               } else if (fields != expectedFields)
-                // Mid-stream DDL re-schema: Spark plans have a fixed schema,
-                // so the controlled answer is fail-and-restart (SURVEY.md §1.3;
-                // graft.streaming.CdcAutoRestart automates the restart).
+                // Mid-stream DDL re-schema: uniform-mode Spark plans have a
+                // fixed schema, so the controlled answer is fail-and-restart
+                // (SURVEY.md §1.3; graft.streaming.CdcAutoRestart automates
+                // the restart). schemaMode=normalized absorbs the DDL
+                // instead — see the tolerateReSchema branch above.
                 throw new CdcProtocolException(
                   "mid-stream schema change detected; restart the query to adopt " +
                     s"the new schema (was $expectedFields, now $fields)")
-            case m @ CdcRowMsg(values, nulls, _) =>
+            case m: CdcRowMsg =>
+              val values = m.values
+              val nulls = m.nulls
               // a row missing one of its GTID columns cannot be
               // positioned — raise the delivery error immediately.
               // (missingKey names only the FIRST absent key in schema
-              // order, so probe the GTID slots themselves: a missing
-              // slot decodes as the ""-marked null.)
+              // order; the explicit absence record distinguishes a
+              // missing slot from a genuine JSON-null value.)
               if (m.missingKey != null && gtidIdx.exists { case (d, s, q) =>
-                  Seq(d, s, q).exists(i => nulls(i) && values(i).isEmpty) })
+                  m.slotMissing(d) || m.slotMissing(s) || m.slotMissing(q) })
                 m.requireComplete()
               val g = eventGtid(values)
               // inclusive-replay dedupe on resume/reconnect
@@ -158,20 +187,38 @@ final class CdcTailer(
     }
   }
 
-  /** Domain pinned by the resume position or the first event; GTID order is
-    * only total within one domain (see [[Gtid]]), so a domain switch makes
-    * resume/dedupe meaningless — fail fast rather than mis-order. */
+  /** Domain pinned by the resume position or the first event. GTID order
+    * is `(domain, sequence, serverId)` (see [[Gtid]]), so a domain SWITCH
+    * is tolerable exactly when it keeps the log order monotone under that
+    * total order — a failover onto a HIGHER domain id reads as a clean
+    * position advance (dedupe, range cuts and resume all stay exact,
+    * [[GtidRangeCuts]] then falls back to serial cuts across the switch).
+    * A switch that breaks monotonicity (lower domain id, or interleaved
+    * domains) has no total order to replay against — fail fast rather
+    * than mis-order. */
   @volatile private var streamDomain: Option[Long] = resumeAfter.map(_.domain)
 
   private def eventGtid(values: Array[String]): Gtid = gtidIdx match {
     case Some((d, s, q)) =>
+      // a JSON-null GTID value decodes as "" — distinct from an ABSENT
+      // slot (missingIdx), but equally unpositionable: name the real
+      // problem instead of tripping a misleading A10 missing-key error
+      // (or a bare NumberFormatException) downstream
+      if (values(d).isEmpty || values(s).isEmpty || values(q).isEmpty)
+        throw new CdcProtocolException(
+          s"event carries a null/empty GTID column (domain='${values(d)}', " +
+            s"server_id='${values(s)}', sequence='${values(q)}') — the row " +
+            "cannot be positioned for replay/resume")
       val g = Gtid(values(d).toLong, values(s).toLong, values(q).toLong)
       streamDomain match {
         case Some(dom) if dom != g.domain =>
-          throw new CdcProtocolException(
-            s"multi-domain stream: event domain ${g.domain} != stream domain $dom " +
-              "— GTID order is only defined within one replication domain; " +
-              "start one query per domain")
+          if (lastGtid.exists(g < _))
+            throw new CdcProtocolException(
+              s"multi-domain stream: event ${g} arrived after ${lastGtid.get} " +
+                s"(domain switch $dom → ${g.domain} breaks GTID order) — " +
+                "interleaved replication domains have no total order; " +
+                "start one query per domain")
+          streamDomain = Some(g.domain)
         case None => streamDomain = Some(g.domain)
         case _ => ()
       }

@@ -59,9 +59,21 @@ object GtidRangeCuts {
     * (n <= 1, or fewer sequence numbers than ranges) collapse to the
     * whole range as one chunk. per-range width first: `step * i` never
     * exceeds the span, so the cut arithmetic cannot overflow whatever
-    * the sequence magnitudes. */
+    * the sequence magnitudes.
+    *
+    * DOMAIN GUARD: fabricated cuts stamp `end.domain` and interpolate
+    * sequences between `start.sequence` and `end.sequence` — arithmetic
+    * that is only meaningful when both bounds sit in the SAME replication
+    * domain (sequences are per-domain; a changelog spanning a failover's
+    * domain switch restarts them). A start/end domain mismatch therefore
+    * collapses to one serial chunk: the range is still exact under the
+    * `(domain, sequence, serverId)` total order — the reader replays
+    * through the switch and completes past `end` — it just cannot be cut
+    * without knowing where the switch lands. Callers with observed
+    * positions (the streaming tailer's live path) cut exactly instead. */
   def sequenceCuts(start: Option[Gtid], end: Gtid,
       n: Int): Seq[(Option[Gtid], Gtid)] = {
+    if (start.exists(_.domain != end.domain)) return Seq((start, end))
     val lowSeq = start.map(_.sequence).getOrElse(0L)
     val step = (end.sequence - lowSeq) / math.max(1, n)
     val cuts =

@@ -454,11 +454,18 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           * high-value case here is a DPP-style In()/EqualTo() over
           * `_table`, which prunes whole tables at re-plan time (no
           * probe, no connection). Metadata-column filters compile per
-          * table inside the batch planner. */
+          * table inside the batch planner. ONLY those columns are
+          * advertised: the batch silently drops runtime filters over
+          * anything else (notably `payload`), so advertising them would
+          * invite Spark to build DPP subquery broadcasts that buy
+          * nothing. */
         @volatile private var runtimeFilters: Array[Filter] = Array.empty
         override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-          required.fields.map(f =>
-            org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+          required.fields
+            .filter(f => f.name == MultiCdc.TableColumn ||
+              NormalizedCdc.Meta.contains(f.name))
+            .map(f =>
+              org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
         override def filter(filters: Array[Filter]): Unit = {
           runtimeFilters = filters
           CdcPushdownProbe.lastBatchRuntimeFilters = filters.map(_.toString).toSeq
@@ -561,7 +568,10 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
     if (tailer == null) {
       tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
         opts.table, fields, resumeHint, opts.timeoutMs,
-        maxBuffered = math.max(2 * opts.maxEventsPerBatch, 10000))
+        maxBuffered = math.max(2 * opts.maxEventsPerBatch, 10000),
+        // normalized delegates absorb mid-stream DDL (schema-free payload
+        // rows); uniform mode keeps the documented fail-and-restart
+        tolerateReSchema = opts.normalized)
       tailer.start()
     }
     tailer

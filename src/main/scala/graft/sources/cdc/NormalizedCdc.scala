@@ -70,6 +70,29 @@ object NormalizedCdc {
     }
   }
 
+  /** Validate a MID-STREAM evolved wire schema (DDL absorbed without a
+    * query restart): the normalized row only depends structurally on the
+    * six server metadata columns, so any evolution that keeps them —
+    * column adds, drops, renames, reorders of USER columns — is
+    * tolerable; the payload simply reflects the new shape from the next
+    * row on. Losing a metadata column (or changing its declared type)
+    * would break replay positioning and the fixed output schema — that
+    * stays a loud restart-the-query failure. */
+  private[sources] def validateEvolved(table: String,
+      planned: Seq[CdcField], evolved: Seq[CdcField]): Unit = {
+    val missing = Meta.filterNot(n => evolved.exists(_.name == n))
+    if (missing.nonEmpty) throw new CdcProtocolException(
+      s"maxscale-cdc: mid-stream schema change on '$table' dropped the " +
+        s"server metadata columns [${missing.mkString(",")}] — the " +
+        "normalized changelog cannot absorb this; restart the query")
+    val metaOf: Seq[CdcField] => Seq[CdcField] =
+      fs => Meta.map(n => fs.find(_.name == n).get)
+    if (metaOf(evolved) != metaOf(planned)) throw new CdcProtocolException(
+      s"maxscale-cdc: mid-stream schema change on '$table' re-declared a " +
+        s"metadata column (${metaOf(planned)} vs ${metaOf(evolved)}) — " +
+        "restart the query")
+  }
+
   /** The normalized output schema for a set of per-table probes. */
   private[sources] def schemaFor(fieldsByTable: Seq[(String, Seq[CdcField])],
       typed: Boolean): StructType = {
@@ -79,6 +102,65 @@ object NormalizedCdc {
       .add(PayloadColumn, StringType, nullable = false)
       .add(MultiCdc.TableColumn, StringType, nullable = false)
   }
+
+  /** Typed per-table view over a normalized changelog frame (stream or
+    * batch — a pure DataFrame transform): routes on `_table` and projects
+    * `payload` back onto the table's wire schema via `from_json` with the
+    * §1.3 SQL-type mapping, so consumers stop hand-parsing payload JSON.
+    * Output column order is WIRE order (metadata columns ride through
+    * from the normalized frame; user columns unpack from the payload),
+    * i.e. exactly the shape uniform mode would stream for this table.
+    *
+    * Raw/typed discipline matches uniform mode (reference
+    * `json_to_string`, cdc_connector.cpp:80-115): typed mode maps each
+    * declared SQL type (JSON null / absent key → SQL NULL — a pre-DDL
+    * row under an added column reads as NULL, the null-extension
+    * contract); raw mode keeps every user column a string with the
+    * reference's null→"" conflation. Binary columns take the wire
+    * text's UTF-8 bytes, exactly like the replay readers' cast path
+    * ([[SqlTypes.cast]]); timestamps parse against UTC, the same fixed
+    * zone the cast path uses.
+    */
+  def typedView(df: org.apache.spark.sql.DataFrame, table: String,
+      wireFields: Seq[CdcField], typed: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, encode, from_json, lit}
+    validate(Seq(table -> wireFields))
+    val user = wireFields.filterNot(f => Meta.contains(f.name))
+    val parseSchema = StructType(user.map { f =>
+      val dt = if (typed) SqlTypes.toSpark(f.sqlType) else StringType
+      // binary parses as text first (JSON carries the wire string; the
+      // typed value is its UTF-8 bytes, not base64 — SqlTypes.cast parity)
+      val parseDt = dt match {
+        case org.apache.spark.sql.types.BinaryType => StringType
+        case other => other
+      }
+      org.apache.spark.sql.types.StructField(f.name, parseDt, nullable = true)
+    })
+    val parsed = from_json(col(PayloadColumn), parseSchema,
+      java.util.Map.of("timeZone", "UTC"))
+    val cols = wireFields.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("cdc.sqlType", f.sqlType).build()
+      if (Meta.contains(f.name)) col(f.name)
+      else {
+        val dt = if (typed) SqlTypes.toSpark(f.sqlType) else StringType
+        val c = parsed.getField(f.name)
+        val castC = dt match {
+          case org.apache.spark.sql.types.BinaryType => encode(c, "UTF-8")
+          case _ => c
+        }
+        (if (typed) castC else coalesce(castC, lit(""))).as(f.name, md)
+      }
+    }
+    df.filter(col(MultiCdc.TableColumn) === table).select(cols: _*)
+  }
+
+  /** [[typedView]] with the wire schema PROBED from the server — the
+    * consumer convenience: one call turns the normalized stream into
+    * this table's typed changelog view. */
+  def typedView(df: org.apache.spark.sql.DataFrame, opts: CdcOptions,
+      table: String): org.apache.spark.sql.DataFrame =
+    typedView(df, table, CdcProbe.schemaFields(opts, table), opts.typed)
 
   /** Minimal JSON string escape (quote, backslash, control chars) —
     * the wire values arrived as decoded JSON scalars, so this is the
@@ -361,8 +443,10 @@ final class NormalizedCdcBatch(
     * compiles runtime metadata conjuncts against ITS wire schema, so
     * the riding partition predicates are already per-table. */
   private def innerFor(t: String): CdcBatch =
+    // normalized stays TRUE: the inner planner's probe tailers then
+    // tolerate mid-stream re-schema (payload rows are schema-free)
     new CdcBatch(wireStructs(t), wireStructs(t),
-      opts.copy(table = t, tables = Seq.empty, normalized = false,
+      opts.copy(table = t, tables = Seq.empty,
         startingGtid = opts.startFor(t).map(_.toString),
         endGtid = endFor(t).map(_.toString)),
       pushed = Array.empty,
@@ -475,10 +559,15 @@ class NormalizedCdcMicroBatchStream(
     checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
 
   private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
+    // normalized stays TRUE: the delegate's tailer then ABSORBS mid-stream
+    // DDL re-schema (validateEvolved + GTID re-location) instead of
+    // failing the query — the one divergence from uniform mode's
+    // documented fail-and-restart (SURVEY.md §1.3), closed because
+    // normalized payload rows are schema-free
     t -> new CdcMicroBatchStream(
       wireStructs(t), opts.copy(table = t, tables = Seq.empty,
-        startingGtid = opts.startFor(t).map(_.toString),
-        normalized = false), subCheckpoint(t), wireStructs(t))
+        startingGtid = opts.startFor(t).map(_.toString)),
+      subCheckpoint(t), wireStructs(t))
   }
 
   private def gtidOf(o: Offset, t: String): GtidOffset = o match {

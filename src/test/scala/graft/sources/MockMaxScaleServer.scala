@@ -91,9 +91,21 @@ final class MockMaxScaleServer(
   }
   acceptor.start()
 
-  private def seqOf(json: String): Long = {
-    val n = mapper.readTree(json).get("sequence")
-    if (n == null) Long.MinValue else n.asLong()
+  /** Replay position of an event line as `(domain, sequence)` — GTID
+    * order is (domain, sequence, serverId), and the real server replays
+    * binlog from a position under that order, not by bare sequence (a
+    * multi-domain log would otherwise wrongly exclude a later domain's
+    * restarted sequence numbers). Schema lines (no `sequence`) sort
+    * below everything: always replayed, like the avro log's in-band
+    * historical schema records. */
+  private def posOf(json: String): (Long, Long) = {
+    val node = mapper.readTree(json)
+    val seq = node.get("sequence")
+    if (seq == null) (Long.MinValue, Long.MinValue)
+    else {
+      val dom = node.get("domain")
+      (if (dom == null) 0L else dom.asLong(), seq.asLong())
+    }
   }
 
   private def handle(s: Socket): Unit = {
@@ -125,9 +137,13 @@ final class MockMaxScaleServer(
       val parts = req.split("\\s+")
       require(parts(0) == "REQUEST-DATA", s"unexpected command '$req'")
       // GTID replay is INCLUSIVE of the requested position, like the real
-      // server replaying binlog from a GTID.
-      val fromSeq: Long =
-        if (parts.length >= 3) parts(2).split("-")(2).toLong else Long.MinValue
+      // server replaying binlog from a GTID — compared as (domain,
+      // sequence), the replay-relevant prefix of the GTID order.
+      val fromPos: (Long, Long) =
+        if (parts.length >= 3) {
+          val g = parts(2).split("-")
+          (g(0).toLong, g(2).toLong)
+        } else (Long.MinValue, Long.MinValue)
       val reqTable = if (parts.length >= 2) parts(1) else ""
       requests.merge(reqTable, 1, (a, b) => a + b)
       val connIdx = dataConns.getAndIncrement()
@@ -147,7 +163,10 @@ final class MockMaxScaleServer(
         while (idx < snapshot.length) {
           val ev = snapshot(idx)
           idx += 1
-          if (seqOf(ev) >= fromSeq || seqOf(ev) == Long.MinValue) {
+          val pos = posOf(ev)
+          val atOrPast = pos._1 > fromPos._1 ||
+            (pos._1 == fromPos._1 && pos._2 >= fromPos._2)
+          if (atOrPast || pos._2 == Long.MinValue) {
             midStreamSchemaAfter.foreach { case (n, s2) =>
               if (sent == n && !schemaSwapped) {
                 write(out, s2 + "\n"); schemaSwapped = true
