@@ -57,7 +57,8 @@ import json
 import socket
 import time
 
-__all__ = ["Connection", "Row", "TIMEOUT", "CONNECTOR_UUID"]
+__all__ = ["Connection", "Row", "TIMEOUT", "CONNECTOR_UUID",
+           "composite_gtid", "spark_options"]
 
 #: Reference ``CDC::TIMEOUT`` (cdc_connector.h:32).
 TIMEOUT = "Request timed out"
@@ -65,6 +66,112 @@ TIMEOUT = "Request timed out"
 #: Connector identity sent at registration; plays the role of the
 #: reference's CDC_CONNECTOR_VERSION UUID (cdc_connector.cpp:37,45).
 CONNECTOR_UUID = "GRAFT-CDC-CONNECTOR-1.0.0"
+
+
+def composite_gtid(starts: dict) -> str:
+    """Per-table GTID line for the Spark source's multi-table options
+    (``startingGtid``/``endGtid`` in the composite ``db.a=0-1-5,db.b=-``
+    form the Scala side parses, graft MultiGtidOffset). ``None`` (or
+    ``""``) for a table means "that table's default" — stream start for
+    a start position, anchor-at-quiet for an end bound — and renders as
+    ``-``. Ordering is insertion order; the parser is order-insensitive.
+
+    >>> composite_gtid({"db.orders": "0-1-5", "db.events": None})
+    'db.orders=0-1-5,db.events=-'
+    """
+    if not starts:
+        raise ValueError("composite_gtid needs at least one table")
+    parts = []
+    for table, gtid in starts.items():
+        if not table or "=" in table or "," in table:
+            raise ValueError("bad table name %r" % table)
+        g = gtid if gtid else "-"
+        if g != "-" and len(g.split("-")) != 3:
+            raise ValueError(
+                "bad GTID %r for %s (want domain-server_id-sequence)"
+                % (gtid, table))
+        parts.append("%s=%s" % (table, g))
+    return ",".join(parts)
+
+
+def spark_options(host, user, password, *, port=4001, table=None,
+                  tables=None, starting_gtid=None, end_gtid=None,
+                  end_gtid_observed=False, schema_mode="uniform",
+                  mode="typed", timeout=10, max_events_per_batch=None,
+                  replay_partitions=None) -> dict:
+    """Option dict for the scale path — ``spark.readStream`` (or
+    ``spark.read`` for a bounded pull) with ``format("maxscale-cdc")``:
+
+        spark.readStream.format("maxscale-cdc") \\
+             .options(**cdc.spark_options(h, u, pw, tables=[...],
+                                          schema_mode="normalized")) \\
+             .load()
+
+    Covers the full source surface the facade's imperative loop cannot:
+    ``tables=[...]`` subscribes several tables in ONE stream (composite
+    per-table GTID offsets); ``schema_mode="normalized"`` fans
+    heterogeneous tables into the normalized changelog (six metadata
+    columns + ``payload`` JSON + ``_table`` — and DDL is absorbed with
+    NO query restart); ``end_gtid`` bounds a batch pull (inclusive;
+    composite dict form for multi-table); ``starting_gtid`` takes a
+    plain GTID or a per-table dict (rendered via [[composite_gtid]]).
+    Validation mirrors the Scala option parser (graft CdcOptions) so
+    mistakes fail HERE, not at plan time on the cluster.
+    """
+    if (table is None) == (tables is None):
+        raise ValueError("exactly one of table= / tables= is required")
+    if schema_mode not in ("uniform", "normalized"):
+        raise ValueError("schema_mode must be 'uniform' or 'normalized', "
+                         "got %r" % schema_mode)
+    if mode not in ("typed", "raw"):
+        raise ValueError("mode must be 'typed' or 'raw', got %r" % mode)
+    opts = {"host": host, "port": str(int(port)), "user": user,
+            "password": password, "mode": mode,
+            "timeoutSeconds": str(int(timeout))}
+    names = [table] if table is not None else list(tables)
+    if len(names) != len(set(names)):
+        raise ValueError("duplicate table in tables=%r" % (names,))
+    if table is not None:
+        opts["table"] = table
+    else:
+        opts["tables"] = ",".join(names)
+    if schema_mode == "normalized":
+        opts["schemaMode"] = "normalized"
+
+    def _gtid_opt(value, what):
+        if isinstance(value, dict):
+            if len(names) < 2:
+                raise ValueError(
+                    "composite %s needs multi-table mode (tables=)" % what)
+            unknown = [t for t in value if t not in names]
+            if unknown:
+                raise ValueError(
+                    "composite %s names unsubscribed tables %r "
+                    "(subscribed: %r)" % (what, unknown, names))
+            return composite_gtid(value)
+        if value and value != "-" and len(str(value).split("-")) != 3:
+            raise ValueError(
+                "bad %s %r (want domain-server_id-sequence)" % (what, value))
+        return str(value)
+
+    if starting_gtid is not None:
+        opts["startingGtid"] = _gtid_opt(starting_gtid, "starting_gtid")
+    if end_gtid is not None:
+        if len(names) > 1 and not isinstance(end_gtid, dict):
+            # the Scala parser requires the composite form here — a plain
+            # bound would silently mean different things per table
+            raise ValueError("multi-table end_gtid must be a per-table "
+                             "dict (composite form)")
+        opts["endGtid"] = _gtid_opt(end_gtid, "end_gtid")
+        if end_gtid_observed:
+            opts["endGtidObserved"] = "true"
+    elif end_gtid_observed:
+        raise ValueError("end_gtid_observed without end_gtid")
+    if max_events_per_batch is not None:
+        opts["maxEventsPerBatch"] = str(int(max_events_per_batch))
+    if replay_partitions is not None:
+        opts["replayPartitions"] = str(int(replay_partitions))
+    return opts
 
 
 def _auth_message(user: str, password: str) -> bytes:

@@ -332,5 +332,92 @@ class CdcConnectorTest(unittest.TestCase):
         self.assertEqual(conn.fields()["b"], "undefined")
 
 
+class SparkOptionsTest(unittest.TestCase):
+    """Pins the facade's Spark-source passthroughs to the exact option
+    keys/values the Scala parser (graft CdcOptions) accepts — the
+    r7/r8 source surface: multi-table subscriptions, normalized schema
+    mode, bounded batch pulls, per-table composite starts."""
+
+    def test_minimal_single_table(self):
+        o = cdc.spark_options("h", "u", "pw", table="db.t")
+        self.assertEqual(o, {
+            "host": "h", "port": "4001", "user": "u", "password": "pw",
+            "mode": "typed", "timeoutSeconds": "10", "table": "db.t"})
+
+    def test_full_surface_keys_match_scala(self):
+        o = cdc.spark_options(
+            "h", "u", "pw", port=4009, tables=["db.a", "db.b"],
+            schema_mode="normalized", mode="raw", timeout=3,
+            starting_gtid={"db.a": "0-1-5", "db.b": None},
+            max_events_per_batch=5000, replay_partitions=8)
+        self.assertEqual(o["tables"], "db.a,db.b")
+        self.assertEqual(o["schemaMode"], "normalized")
+        self.assertEqual(o["mode"], "raw")
+        self.assertEqual(o["startingGtid"], "db.a=0-1-5,db.b=-")
+        self.assertEqual(o["maxEventsPerBatch"], "5000")
+        self.assertEqual(o["replayPartitions"], "8")
+        self.assertEqual(o["port"], "4009")
+
+    def test_bounded_batch_pull(self):
+        o = cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid="0-1-42", end_gtid="0-1-9000",
+                              end_gtid_observed=True)
+        self.assertEqual(o["startingGtid"], "0-1-42")
+        self.assertEqual(o["endGtid"], "0-1-9000")
+        self.assertEqual(o["endGtidObserved"], "true")
+
+    def test_multi_table_end_gtid_must_be_composite(self):
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
+                              end_gtid="0-1-9")
+        o = cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
+                              end_gtid={"db.a": "0-1-9", "db.b": None})
+        self.assertEqual(o["endGtid"], "db.a=0-1-9,db.b=-")
+
+    def test_validation_mirrors_scala_parser(self):
+        # exactly one of table/tables
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw")
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t", tables=["db.a"])
+        # enum values
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              schema_mode="wide")
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t", mode="json")
+        # duplicate subscriptions
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", tables=["db.a", "db.a"])
+        # composite start needs multi-table mode
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid={"db.t": "0-1-5"})
+        # composite entries must name subscribed tables
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
+                              starting_gtid={"db.zzz": "0-1-5"})
+        # malformed GTIDs fail client-side
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid="0-1")
+        # observed flag without a bound is meaningless
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              end_gtid_observed=True)
+
+    def test_composite_gtid_helper(self):
+        self.assertEqual(
+            cdc.composite_gtid({"db.a": "0-1-5", "db.b": None}),
+            "db.a=0-1-5,db.b=-")
+        self.assertEqual(cdc.composite_gtid({"db.a": ""}), "db.a=-")
+        with self.assertRaises(ValueError):
+            cdc.composite_gtid({})
+        with self.assertRaises(ValueError):
+            cdc.composite_gtid({"db.a": "1-2"})
+        with self.assertRaises(ValueError):
+            cdc.composite_gtid({"db=a": "0-1-5"})
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -26,16 +26,15 @@ object Bench {
       }
     }
     def reset(): Unit = { scan.set(0); recs.set(0); bytes.set(0) }
-    def snapshot(): (Long, Long, Long) = {
-      // settle: totals stop moving once the bus drained the last job
-      var last = (-1L, -1L, -1L)
-      var cur = (scan.get, recs.get, bytes.get)
-      var tries = 0
-      while (cur != last && tries < 50) {
-        last = cur; Thread.sleep(20)
-        cur = (scan.get, recs.get, bytes.get); tries += 1
-      }
-      cur
+    /** Deterministic read: drain the async listener bus first — every
+      * task-end event posted so far dispatches before the totals are
+      * read, so a lagging bus can neither under-count this query nor
+      * leak its tail into the next (ADVICE r8; replaces the 20 ms
+      * settle-poll heuristic, which raced a bus more than one poll
+      * behind). */
+    def snapshot(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
+      org.apache.spark.sql.graft.ListenerBus.drain(sc)
+      (scan.get, recs.get, bytes.get)
     }
   }
 
@@ -55,15 +54,15 @@ object Bench {
       sfDir: String): ((Long, Long, Long), (Long, Long, Long)) =
     try {
       // the listener bus is async: task-end events from the preceding
-      // TIMED runs may still be queued — settle before zeroing, or they
-      // drain into this query's job_* totals
-      JobTotals.snapshot()
+      // TIMED runs may still be queued — drain before zeroing, or they
+      // land in this query's job_* totals
+      JobTotals.snapshot(spark.sparkContext)
       JobTotals.reset()
       val qe = fn(spark, sfDir).queryExecution
       qe.executedPlan.execute().mapPartitions { it =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n)
       }.count()
-      val jobs = JobTotals.snapshot()
+      val jobs = JobTotals.snapshot(spark.sparkContext)
       def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
         case q: QueryStageExec => q +: nodes(q.plan)
@@ -142,6 +141,108 @@ object Bench {
       } finally { c.close(); server.close() }
     } catch { case _: Throwable => -1.0 }
 
+  /** Deep-backlog catch-up drain rate (rows/s): a planted `events`-row
+    * backlog behind a replay-capable loopback emitter, drained through
+    * EXACTLY the streaming catch-up machinery — [[CdcTailer.splitRanges]]
+    * with an empty positions buffer (the recovery-re-plan / deep-lag
+    * shape) falls back to sequence-arithmetic cuts, and one
+    * [[CdcReplayReader]] per subrange replays concurrently. `partitions
+    * = 1` is the serial single-connection figure; the N-partition rate
+    * against it is the measured win of the r8 catch-up split. */
+  private def catchupRate(events: Int, partitions: Int): Double =
+    try {
+      import graft.sources.cdc._
+      val fields = Seq(
+        CdcField("domain", "int"), CdcField("server_id", "int"),
+        CdcField("sequence", "int"), CdcField("event_type", "varchar(32)"),
+        CdcField("id", "int"), CdcField("name", "varchar(64)"))
+      val schemaLine =
+        """{"type":"record","name":"ChangeRecord","fields":[""" +
+          """{"name":"domain","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"server_id","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"sequence","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"event_type","type":"string","real_type":"varchar","length":32},""" +
+          """{"name":"id","type":"int","real_type":"int","length":-1},""" +
+          """{"name":"name","type":"string","real_type":"varchar","length":64}]}""" + "\n"
+      // pre-rendered event lines: the emitter must not be the bottleneck
+      val lines: Array[Array[Byte]] = (1 to events).map { i =>
+        (s"""{"domain":0,"server_id":1,"sequence":$i,""" +
+          s""""event_type":"update_after","id":${i % 1000},""" +
+          s""""name":"name_$i"}""" + "\n").getBytes
+      }.toArray
+      val server = new java.net.ServerSocket(
+        0, partitions + 2, java.net.InetAddress.getLoopbackAddress)
+      @volatile var accepting = true
+      val acceptor = new Thread("bench-catchup-emitter") {
+        setDaemon(true)
+        override def run(): Unit = while (accepting) {
+          val s = try server.accept() catch { case _: Throwable => return }
+          val h = new Thread(() => {
+            try {
+              s.setSoTimeout(10000)
+              val in = s.getInputStream
+              val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 16)
+              val buf = new Array[Byte](65536)
+              def chunk(): String = {
+                val n = in.read(buf)
+                if (n < 0) "" else {
+                  Thread.sleep(2)
+                  var total = new String(buf, 0, n)
+                  while (in.available() > 0) {
+                    val m = in.read(buf)
+                    if (m > 0) total += new String(buf, 0, m)
+                  }
+                  total
+                }
+              }
+              chunk(); out.write("OK\n".getBytes); out.flush() // auth
+              chunk(); out.write("OK\n".getBytes); out.flush() // REGISTER
+              val req = chunk()                                // REQUEST-DATA
+              val parts = req.trim.split("\\s+")
+              // inclusive GTID replay, like the real server
+              val from =
+                if (parts.length >= 3) parts(2).split("-")(2).toLong else 0L
+              out.write(schemaLine.getBytes)
+              var i = math.max(0L, from - 1).toInt
+              while (i < lines.length) { out.write(lines(i)); i += 1 }
+              out.flush()
+              // stay open (quiet) until the reader closes: streaming
+              // ranges end at observed events, not at EOF
+              try in.read(buf) catch { case _: Throwable => () }
+            } catch { case _: Throwable => () }
+            finally (try s.close() catch { case _: Throwable => () })
+          })
+          h.setDaemon(true)
+          h.start()
+        }
+      }
+      acceptor.start()
+      // un-started tailer == empty positions buffer: splitRanges takes the
+      // same arithmetic fallback a deep catch-up takes
+      val tailer = new CdcTailer("127.0.0.1", server.getLocalPort, "u", "p",
+        "db.t", fields, resumeAfter = None, timeoutMs = 10000)
+      val ranges = tailer.splitRanges(None, Gtid(0, 1, events.toLong), partitions)
+      val dts = SqlTypes.toStructType(fields, typed = true).fields.map(_.dataType)
+      val counts = ranges.map(_ => new java.util.concurrent.atomic.AtomicLong)
+      val t0 = System.nanoTime()
+      val threads = ranges.zip(counts).map { case ((lo, hi), slot) =>
+        val th = new Thread(() => {
+          val r = new CdcReplayReader(
+            CdcReplayPartition("127.0.0.1", server.getLocalPort, "u", "p",
+              "db.t", fields, lo.map(_.toString), hi.toString,
+              timeoutMs = 10000), dts, typed = true)
+          try { while (r.next()) slot.incrementAndGet() } finally r.close()
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      threads.foreach(_.join(120000))
+      val secs = (System.nanoTime() - t0) / 1e9
+      accepting = false
+      try server.close() catch { case _: Throwable => () }
+      // a partial drain must not fabricate a rate
+      if (counts.map(_.get).sum != events) -1.0 else events / secs
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -197,7 +298,11 @@ object Bench {
     val total = results.map(_._2).sum
     // reference-comparable single-socket ingest (best-of-2, rows/s)
     val ingest = math.max(cdcIngestRate(100000), cdcIngestRate(100000))
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"cdc_ingest_rows_per_sec":${"%.0f".format(ingest)},"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
+    // measured catch-up-parallelism win on a planted 100k-event backlog:
+    // 8-way splitRanges drain vs the serial single-connection drain
+    val catchupPar = math.max(catchupRate(100000, 8), catchupRate(100000, 8))
+    val catchupSer = math.max(catchupRate(100000, 1), catchupRate(100000, 1))
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"cdc_ingest_rows_per_sec":${"%.0f".format(ingest)},"catchup_rows_per_sec":${"%.0f".format(catchupPar)},"catchup_serial_rows_per_sec":${"%.0f".format(catchupSer)},"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

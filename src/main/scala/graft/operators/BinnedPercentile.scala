@@ -48,6 +48,37 @@ import org.apache.spark.sql.functions._
   */
 object BinnedPercentile {
 
+  /** Pinned intermediates per construction, keyed by the RESULT frame
+    * (identity — DataFrames don't define value equality). Weak keys: a
+    * caller who drops the result without releasing falls back to the
+    * pre-release behavior (entries stay cached, LRU-evictable) instead
+    * of this registry pinning the frame forever. */
+  private val pinnedByResult =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
+
+  /** Release the four pinned intermediates of one [[perGroup]]
+    * construction — the cache-lifecycle valve for long-lived sessions
+    * constructing many ad-hoc percentile frames (ADVICE r8). Call AFTER
+    * the result has materialized (collected/written) and will not be
+    * re-executed: the result's plan reads two of the pinned frames, so
+    * a later action on it would recompute the whole narrowing from raw
+    * lineage (the documented doubling — which is also why declared
+    * bench queries deliberately never release). Unpersists run in
+    * reverse dependency order (rankVals → hist2 → ranks → hist1), so
+    * the CacheManager never re-caches a still-cached dependent of an
+    * uncached parent — release itself runs zero Spark jobs. Returns the
+    * number of frames released (0 if already released / not a perGroup
+    * result). */
+  def release(result: DataFrame): Int = {
+    val frames = pinnedByResult.remove(result)
+    if (frames == null) 0
+    else {
+      frames.reverse.foreach(_.unpersist(blocking = true))
+      frames.size
+    }
+  }
+
   /** One row per (group, percentile): `(g, p, value)`; `value` is
     * bit-identical to `expr("percentile(v, p)")` over the same rows.
     * EAGER: construction runs the three scans of `df` immediately (the
@@ -177,7 +208,9 @@ object BinnedPercentile {
     // / O(groups × ps) — bounded regardless of row count — and
     // MEMORY_AND_DISK entries are LRU-evictable, so they stay cached
     // for the session; a fresh construction re-pins fresh frames
-    // (callers construct once per query, not per action).
+    // (callers construct once per query, not per action). Long-lived
+    // sessions constructing MANY ad-hoc frames call [[release]] once a
+    // result has materialized — the frames register below.
 
     // interpolate exactly like PercentileBase.getPercentile:
     //   lo == hi           → vlo
@@ -191,7 +224,7 @@ object BinnedPercentile {
       col("rv").as("vlo"))
     val highs = rankVals.select(col("g").as("hg"), col("r").as("hr"),
       col("rv").as("vhi"))
-    ranks
+    val result = ranks
       .join(broadcast(lows), col("g") === col("lg") && col("lo") === col("lr"))
       .join(broadcast(highs), col("g") === col("hg") && col("hi") === col("hr"))
       .select(col("g"), col("p"),
@@ -201,6 +234,8 @@ object BinnedPercentile {
             (col("hi").cast("double") - col("h")) * col("vlo") +
             (col("h") - col("lo").cast("double")) * col("vhi"))
           .as("value"))
+    pinnedByResult.put(result, Seq(hist1, ranks, hist2, rankVals))
+    result
   }
 
   /** Pivot the long form to one column per requested percentile —

@@ -23,21 +23,63 @@ import org.apache.spark.sql.functions._
   * format; the atomic-directory-swap here is the single-writer stand-in
   * for that commit protocol — the MERGE computation is identical.
   */
+/** Commit protocol for publishing one new GENERATION of a materialized
+  * table: `write` materializes the complete new contents into a fresh
+  * staging location of the impl's choosing; after `publish` returns,
+  * readers of `tableDir` see exactly the new generation. Contract:
+  * readers never observe a mix of generations, and a failure anywhere
+  * leaves the old generation intact and visible.
+  *
+  * [[RenameSwap]] is the filesystem stand-in (two renames — the
+  * single-writer protocol this sink ships with); at 100 TB the same
+  * merge drives a transactional table format whose metadata commit IS
+  * `publish` (CdcSinkSpec's transactional fake pins the seam with an
+  * atomic pointer swap over immutable generation directories). */
+trait TableSwap {
+  def publish(tableDir: String, write: String => Unit): Unit
+}
+
+/** Two-rename swap on a real filesystem: write `<dir>.next-<nanos>`,
+  * retire the live dir to `<dir>.old-<nanos>`, promote next, delete old.
+  * A reader never observes a half-written table; a crash mid-swap leaves
+  * either the old or the new table, both complete. */
+object RenameSwap extends TableSwap {
+  override def publish(tableDir: String, write: String => Unit): Unit = {
+    val dir  = java.nio.file.Paths.get(tableDir)
+    val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
+    val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
+    write(next.toString)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(next, dir)
+    if (java.nio.file.Files.exists(old))
+      deleteRecursively(old)
+  }
+
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
+
 object CdcSink {
 
   /** One micro-batch application: merge `batch` (a static DataFrame, as
     * foreachBatch hands it over) into the parquet table at `tableDir`.
     *
-    * The write goes to a fresh `<tableDir>.next-<nanos>` directory and is
-    * swapped in with two renames, so a reader never observes a
-    * half-written table and a crash mid-swap leaves either the old or
-    * the new table, both complete. */
+    * Publication goes through `swap` ([[TableSwap]]): the default
+    * [[RenameSwap]] stages to `<tableDir>.next-<nanos>` and swaps with
+    * two renames; a transactional deployment passes its own impl and the
+    * merge computation is untouched. */
   def applyChangelog(
       batch: DataFrame,
       tableDir: String,
       keyCol: String,
       orderCols: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      swap: TableSwap = RenameSwap): Unit = {
     val spark = batch.sparkSession
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col(_).desc): _*)
@@ -61,26 +103,18 @@ object CdcSink {
     // carries the new row).
     val merged = merged0
 
-    val dir  = java.nio.file.Paths.get(tableDir)
-    val next = java.nio.file.Paths.get(
-      tableDir + ".next-" + System.nanoTime())
-    val old  = java.nio.file.Paths.get(
-      tableDir + ".old-" + System.nanoTime())
-    merged.write.mode(SaveMode.Overwrite).parquet(next.toString)
-    if (java.nio.file.Files.exists(dir))
-      java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(next, dir)
-    if (java.nio.file.Files.exists(old))
-      deleteRecursively(old)
+    swap.publish(tableDir,
+      next => merged.write.mode(SaveMode.Overwrite).parquet(next))
   }
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(
     * CdcSink.writer(dir, "user_id", Seq("ts", "event_id"))).start()`. */
   def writer(tableDir: String, keyCol: String, orderCols: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column] = None)
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      swap: TableSwap = RenameSwap)
       : (DataFrame, Long) => Unit =
     (batch, _) =>
-      applyChangelog(batch, tableDir, keyCol, orderCols, deleteWhen)
+      applyChangelog(batch, tableDir, keyCol, orderCols, deleteWhen, swap)
 
   /** Current materialized state: tombstoned keys are invisible. */
   def readState(spark: SparkSession, tableDir: String): DataFrame = {
@@ -100,7 +134,8 @@ object CdcSink {
     * schedule, not the hot foreachBatch path. */
   def compact(
       spark: SparkSession, tableDir: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20,
+      swap: TableSwap = RenameSwap): Unit = {
     val dir = java.nio.file.Paths.get(tableDir)
     if (!java.nio.file.Files.exists(dir)) return
     import scala.jdk.CollectionConverters._
@@ -116,33 +151,27 @@ object CdcSink {
     val df =
       if (bucketed) raw.repartition(nFiles, col("__bucket"))
       else raw.repartition(nFiles)
-    val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
-    val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (bucketed) w.partitionBy("__bucket") else w).parquet(next.toString)
-    java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(next, dir)
-    deleteRecursively(old)
+    swap.publish(tableDir, { next =>
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (bucketed) w.partitionBy("__bucket") else w).parquet(next)
+    })
   }
 
   /** Drop retained tombstone rows — run once the source's committed-GTID
     * watermark guarantees no replay can deliver events older than the
     * deletes (until then a tombstone is what stops a replayed older
     * insert from resurrecting its key). */
-  def purgeTombstones(spark: SparkSession, tableDir: String): Unit = {
+  def purgeTombstones(spark: SparkSession, tableDir: String,
+      swap: TableSwap = RenameSwap): Unit = {
     val df = spark.read.parquet(tableDir)
     if (df.columns.contains("__tombstone")) {
       val live = df.where(!col("__tombstone"))
-      val dir  = java.nio.file.Paths.get(tableDir)
-      val next = java.nio.file.Paths.get(tableDir + ".next-" + System.nanoTime())
-      val old  = java.nio.file.Paths.get(tableDir + ".old-" + System.nanoTime())
-      val w = live.write.mode(SaveMode.Overwrite)
-      // keep the hash-bucket layout (and its pruning) when present
-      (if (live.columns.contains("__bucket")) w.partitionBy("__bucket") else w)
-        .parquet(next.toString)
-      java.nio.file.Files.move(dir, old)
-      java.nio.file.Files.move(next, dir)
-      deleteRecursively(old)
+      swap.publish(tableDir, { next =>
+        val w = live.write.mode(SaveMode.Overwrite)
+        // keep the hash-bucket layout (and its pruning) when present
+        (if (live.columns.contains("__bucket")) w.partitionBy("__bucket")
+         else w).parquet(next)
+      })
     }
   }
 
@@ -231,11 +260,4 @@ object CdcSink {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir)))
       spark.read.schema(batch.schema).parquet(tableDir)
     else batch.limit(0)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
 }

@@ -94,4 +94,40 @@ class BinnedPercentileSpec extends SparkSpec {
       ("a", Some(3.0)), ("b", None), ("b", Some(9.0)))
     compare(rows.toDF("g0", "v0"), "g0", "v0")
   }
+
+  test("release() after materialization frees the four pinned " +
+      "intermediates without any recompute cascade (ADVICE r8)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val cachedBefore = sc.getPersistentRDDs.size
+    val df = Seq.tabulate(200)(i => (s"g${i % 4}", i.toDouble))
+      .toDF("g0", "v0")
+    val res = graft.operators.BinnedPercentile
+      .perGroup(df, "g0", "v0", Seq(0.25, 0.5, 0.9))
+    // construction pins four frames (eager)
+    assert(sc.getPersistentRDDs.size >= cachedBefore + 4,
+      s"expected 4 new cache entries, have ${sc.getPersistentRDDs.size}")
+    val got = res.collect() // the owning query materializes
+    assert(got.length == 4 * 3)
+
+    // release must unpersist WITHOUT running jobs (reverse dependency
+    // order means the CacheManager never re-caches a dependent) — a
+    // recompute cascade here would show up as job starts
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(counter)
+    try {
+      assert(graft.operators.BinnedPercentile.release(res) == 4)
+      // idempotent: a second release finds nothing
+      assert(graft.operators.BinnedPercentile.release(res) == 0)
+      org.apache.spark.sql.graft.ListenerBus.drain(sc)
+      assert(jobs.get() == 0, s"release ran ${jobs.get()} Spark jobs")
+    } finally sc.removeSparkListener(counter)
+    assert(sc.getPersistentRDDs.size == cachedBefore,
+      s"cache entries leaked: ${sc.getPersistentRDDs.size} vs $cachedBefore")
+  }
 }

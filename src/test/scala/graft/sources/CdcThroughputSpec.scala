@@ -148,6 +148,61 @@ class CdcThroughputSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("deep catch-up: splitRanges' arithmetic fallback drains a planted " +
+      "backlog FASTER in parallel than one connection (the r8 split's " +
+      "measured win)") {
+    // the deep-lag shape: the tailer's positions buffer does not cover
+    // the logged range (here: not started at all), so splitRanges falls
+    // back to sequence-arithmetic cuts — one replay connection per
+    // subrange must then beat the serial drain
+    val M = 60000
+    val events = (1L to M.toLong).map(i =>
+      event(i, "insert", (i % 1000).toInt, s"name_$i"))
+    val srv = new MockMaxScaleServer(Schema, events)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fields = CdcClient.parseSchemaFields(mapper.readTree(Schema))
+      val dts = SqlTypes.toStructType(fields, typed = true).fields.map(_.dataType)
+      def drain(partitions: Int): Double = {
+        val tailer = new CdcTailer("127.0.0.1", srv.port, "u", "p", "db.t",
+          fields, resumeAfter = None, timeoutMs = 5000)
+        val before = CdcSplitProbe.arithmeticFallbacks
+        val ranges = tailer.splitRanges(None, Gtid(0, 1, M.toLong), partitions)
+        if (partitions > 1)
+          assert(CdcSplitProbe.arithmeticFallbacks == before + 1 &&
+            ranges.size == partitions, s"expected the fallback: $ranges")
+        val counts = ranges.map(_ => new java.util.concurrent.atomic.AtomicLong)
+        val t0 = System.nanoTime()
+        val threads = ranges.zip(counts).map { case ((lo, hi), slot) =>
+          val th = new Thread(() => {
+            val r = new CdcReplayReader(
+              CdcReplayPartition("127.0.0.1", srv.port, "u", "p", "db.t",
+                fields, lo.map(_.toString), hi.toString, timeoutMs = 5000),
+              dts, typed = true)
+            try while (r.next()) slot.incrementAndGet()
+            finally r.close()
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join(120000))
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(counts.map(_.get).sum == M,
+          s"catch-up drain lost rows: ${counts.map(_.get)}")
+        M / secs
+      }
+      val serial = drain(1)
+      val parallel = drain(4)
+      info(f"catch-up drain: serial $serial%.0f rows/s, " +
+        f"4-way $parallel%.0f rows/s (${parallel / serial}%.2fx)")
+      // conservative floor (shared box; ~5x observed on a quiet one): the
+      // regression this guards is the split silently collapsing to serial
+      // (or cuts overlapping/stalling)
+      assert(parallel > serial * 1.5,
+        f"parallel catch-up not beating one connection: " +
+          f"$parallel%.0f vs $serial%.0f rows/s")
+    } finally srv.close()
+  }
+
   test("facade consumer loop sustains the same order of magnitude") {
     val M = 20000
     val events = (1L to M.toLong).map(i => event(i, "insert", (i % 100).toInt, s"n$i"))

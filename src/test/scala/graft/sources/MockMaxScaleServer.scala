@@ -98,15 +98,21 @@ final class MockMaxScaleServer(
     * restarted sequence numbers). Schema lines (no `sequence`) sort
     * below everything: always replayed, like the avro log's in-band
     * historical schema records. */
-  private def posOf(json: String): (Long, Long) = {
-    val node = mapper.readTree(json)
-    val seq = node.get("sequence")
-    if (seq == null) (Long.MinValue, Long.MinValue)
-    else {
-      val dom = node.get("domain")
-      (if (dom == null) 0L else dom.asLong(), seq.asLong())
-    }
-  }
+  private val posCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def posOf(json: String): (Long, Long) =
+    // cached: every connection walks the whole log, and re-parsing each
+    // line's JSON per connection makes the EMITTER the bottleneck in
+    // parallel-replay throughput tests
+    posCache.computeIfAbsent(json, { j =>
+      val node = mapper.readTree(j)
+      val seq = node.get("sequence")
+      if (seq == null) (Long.MinValue, Long.MinValue)
+      else {
+        val dom = node.get("domain")
+        (if (dom == null) 0L else dom.asLong(), seq.asLong())
+      }
+    })
 
   private def handle(s: Socket): Unit = {
     try {

@@ -6,6 +6,34 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Test-only transactional commit fake (the TableSwap seam's second
+  * implementation): generations are IMMUTABLE directories and the table
+  * path is a SYMLINK atomically repointed at commit — the pointer-swap a
+  * transactional table format's metadata commit performs. Readers
+  * resolve through the link, so they observe exactly one committed
+  * generation; a crash before the pointer move leaves the old
+  * generation visible and the orphan staging dir unreachable. */
+object TransactionalFakeSwap extends TableSwap {
+  val commits = new java.util.concurrent.atomic.AtomicLong
+  override def publish(tableDir: String, write: String => Unit): Unit = {
+    import java.nio.file.{Files, LinkOption, Paths, StandardCopyOption}
+    val dir = Paths.get(tableDir)
+    val gen = Paths.get(tableDir + ".gen-" + System.nanoTime())
+    write(gen.toString)
+    // a pre-existing REAL directory (table created by another swap impl)
+    // becomes the retiring generation
+    if (Files.exists(dir, LinkOption.NOFOLLOW_LINKS) &&
+        !Files.isSymbolicLink(dir))
+      Files.move(dir, Paths.get(tableDir + ".gen-pre-" + System.nanoTime()))
+    // commit = atomic pointer move (relative target: same parent dir)
+    val ptr = Paths.get(tableDir + ".ptr-" + System.nanoTime())
+    Files.createSymbolicLink(ptr, gen.getFileName)
+    Files.move(ptr, dir, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    commits.incrementAndGet()
+  }
+}
+
 /** The sink half of the CDC pipeline: changelog stream in, maintained
   * latest-state parquet table out, via foreachBatch + idempotent merge. */
 class CdcSinkSpec extends SparkSpec {
@@ -364,6 +392,64 @@ class CdcSinkSpec extends SparkSpec {
     assert(bucketDirs().subsetOf(layout), "purge flattened the bucket layout")
     assert(CdcSink.readBucketedState(spark, dir).count() == 19)
     assert(spark.read.parquet(dir).count() == 19) // tombstone physically gone
+  }
+
+  test("TableSwap seam: the retry/replay/delete idempotence matrix holds " +
+      "under BOTH publication protocols (rename swap + transactional fake)") {
+    val del = Some(col("event_type") === "delete")
+    for (swap <- Seq[(String, TableSwap)](
+        "rename" -> RenameSwap, "transactional" -> TransactionalFakeSwap)) {
+      val (label, impl) = swap
+      val dir = freshDir()
+      def apply(evs: Ev*): Unit = CdcSink.applyChangelog(
+        evs.toDF(), dir, "user_id", Seq("ts", "event_id"), del, impl)
+      def state(): Map[Long, Long] = CdcSink.readState(spark, dir)
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+
+      apply(Ev(10, 1, ts(5), "update"), Ev(11, 2, ts(6), "update"))
+      val after1 = state()
+      assert(after1 == Map(1L -> 10L, 2L -> 11L), s"[$label] $after1")
+
+      // foreachBatch retry: the exact same batch applied again
+      apply(Ev(10, 1, ts(5), "update"), Ev(11, 2, ts(6), "update"))
+      assert(state() == after1, s"[$label] retry changed the table")
+
+      // out-of-order replay of an OLDER version must not regress
+      apply(Ev(1, 1, ts(0), "insert"))
+      assert(state()(1L) == 10L, s"[$label] older replay regressed user 1")
+
+      // delete tombstones; a replayed older insert cannot resurrect
+      apply(Ev(12, 1, ts(7), "delete"))
+      assert(state().keySet == Set(2L), s"[$label] delete not applied")
+      apply(Ev(1, 1, ts(0), "insert"))
+      assert(state().keySet == Set(2L),
+        s"[$label] replayed old insert resurrected a deleted key")
+    }
+    // the fake really committed via the pointer swap, every generation
+    assert(TransactionalFakeSwap.commits.get() >= 5)
+  }
+
+  test("transactional fake's pointer swap is observable: the table path " +
+      "is a symlink to an immutable committed generation") {
+    val dir = freshDir()
+    CdcSink.applyChangelog(
+      Seq(Ev(1, 1, ts(0), "insert")).toDF(), dir, "user_id",
+      Seq("ts", "event_id"), None, TransactionalFakeSwap)
+    val p = java.nio.file.Paths.get(dir)
+    assert(java.nio.file.Files.isSymbolicLink(p), "table path is not a pointer")
+    val gen1 = java.nio.file.Files.readSymbolicLink(p).toString
+    assert(CdcSink.readState(spark, dir).count() == 1)
+
+    CdcSink.applyChangelog(
+      Seq(Ev(2, 2, ts(1), "insert")).toDF(), dir, "user_id",
+      Seq("ts", "event_id"), None, TransactionalFakeSwap)
+    val gen2 = java.nio.file.Files.readSymbolicLink(p).toString
+    assert(gen1 != gen2, "commit did not advance the generation pointer")
+    assert(CdcSink.readState(spark, dir).count() == 2)
+    // the retired generation is still intact (immutable history — what a
+    // transactional format's time travel reads)
+    assert(java.nio.file.Files.exists(
+      p.getParent.resolve(gen1)), "retired generation was mutated/deleted")
   }
 
   test("swap is atomic-ish: a table always exists after the first batch") {
