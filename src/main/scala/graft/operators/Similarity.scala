@@ -746,8 +746,11 @@ object Similarity extends QueryPack {
   }
 
   /** The k-means|| chain as DuckDB CTEs (rounds=2, l=k inlined) — every
-    * step integer arithmetic except the one IEEE priority division. */
-  private def seedsParSqlCtes(k: Int): String = {
+    * step integer arithmetic except the one IEEE priority division.
+    * `k` is a SQL expression (a literal, or a scalar subquery like
+    * `(SELECT k FROM kk)` for data-dependent K — DuckDB allows
+    * expressions in LIMIT). */
+  private def seedsParSqlCtes(k: String): String = {
     def distSum(v: String, c: String) =
       s"$v.qn2 + $c.qn2 - 2 * list_sum(list_transform(" +
         s"range(1, len($v.qv) + 1), i -> $v.qv[i] * $c.qv[i]))"
@@ -760,7 +763,7 @@ object Similarity extends QueryPack {
        |       WHERE d1.d > 0
        |       ORDER BY CAST(${uDrawSql(1, "d1.vec_id")} AS DOUBLE)
        |                  / CAST(d1.d AS DOUBLE),
-       |                d1.vec_id LIMIT $k),
+       |                d1.vec_id LIMIT ($k)),
        |cand1 AS (SELECT * FROM cand0 UNION ALL
        |          SELECT q.vec_id, q.qv, q.qn2 FROM qn q
        |          JOIN p1 ON q.vec_id = p1.vec_id),
@@ -770,7 +773,7 @@ object Similarity extends QueryPack {
        |       WHERE d2.d > 0
        |       ORDER BY CAST(${uDrawSql(2, "d2.vec_id")} AS DOUBLE)
        |                  / CAST(d2.d AS DOUBLE),
-       |                d2.vec_id LIMIT $k),
+       |                d2.vec_id LIMIT ($k)),
        |cand2 AS (SELECT * FROM cand1 UNION ALL
        |          SELECT q.vec_id, q.qv, q.qn2 FROM qn q
        |          JOIN p2 ON q.vec_id = p2.vec_id),
@@ -782,7 +785,7 @@ object Similarity extends QueryPack {
        |                           AND sc.dist = mind.md
        |         GROUP BY sc.vec_id),
        |w AS (SELECT cid, COUNT(*) AS weight FROM near GROUP BY cid
-       |      ORDER BY weight DESC, cid LIMIT $k)""".stripMargin
+       |      ORDER BY weight DESC, cid LIMIT ($k))""".stripMargin
   }
 
   /** Declared k-means|| seeding query: the k chosen seeds with their
@@ -791,7 +794,7 @@ object Similarity extends QueryPack {
   val qKmeansSeedPar: Q = Q(
     "q_kmeans_seed_par",
     Some(s"""$int8SqlWith,
-      |${seedsParSqlCtes(4)}
+      |${seedsParSqlCtes("4")}
       |SELECT CAST(row_number() OVER (ORDER BY weight DESC, cid)
       |            AS BIGINT) AS seed_rank,
       |       CAST(cid AS BIGINT) AS vec_id,
@@ -803,6 +806,64 @@ object Similarity extends QueryPack {
     * within-cell pairs sit just above it (8 pairs at sf0.01), so the
     * drop provably bites while random pairs (cos ≲ 0.4) never trigger. */
   val SemDedupTau = 0.45
+
+  /** Scale-aware SemDeDup cell count: K = max(4, ⌈√n / 12⌉).
+    *
+    * Two quadratic pressures pull K in opposite directions (r9 sf1
+    * audit, where a frozen K=4 made 10× the embeddings ~360× slower):
+    * within-cell pair work is Σcell² ≈ n²/K (wants K large) while the
+    * assignment + seeding passes cost n·K (wants K small) — K ∝ n
+    * keeps pairs linear but makes ASSIGNMENT the n²-term; K ∝ √n
+    * equalizes the two at O(n^1.5) distance evals, and the sub-cell
+    * cap ([[SemDedupCellCap]]) separately hard-bounds the pair side
+    * against skew. The √n policy is also what keeps the k-means||
+    * candidate set (1+2K plan literals) compilable — K ∝ n would blow
+    * the codegen'd seeding plan up with the corpus. Constant 12
+    * calibrated so the official-gate SFs stay on the historical K=4
+    * (hashes unchanged at sf0.01/sf0.1); sf1 lands on K=12. At true
+    * 100 TB scale the same policy rides on the IVF stack's coarse
+    * quantizer instead of flat assignment.
+    *
+    * The declared queries derive K from a corpus count (metadata-only
+    * parquet count) and the oracle computes the SAME K in SQL — IEEE
+    * sqrt is correctly rounded in both engines, so the ⌈·⌉ agrees
+    * bit-for-bit and the parameterization itself is gate-verified at
+    * every SF. */
+  def semDedupK(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble) / 12.0).toInt)
+  /** The same K as a DuckDB CTE over the quantized corpus `qn`. */
+  private val semDedupKSqlCte: String =
+    "kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*)) / 12.0) " +
+      "AS BIGINT)) AS k FROM qn)"
+
+  /** Hard per-cell pair bound: a cell larger than this is SPLIT into
+    * ⌈cell/cap⌉ sub-cells by a deterministic hash of vec_id, and dedup
+    * compares only within a sub-cell. Scaling K alone does NOT bound the
+    * pair work (r9 sf1 audit): nearest-centroid assignment over int8
+    * codes is norm-biased — the quantized |c|² spread across centroids
+    * exceeds the dot-product spread of high-dim embeddings, so a few
+    * low-norm centroids capture most of the corpus (38% in one cell of
+    * 40 at sf1, Σcell² ≈ 76M pairs for n = 20k). The sub-cell split
+    * caps Σpairs at ≈ n·cap REGARDLESS of skew — the same
+    * cap-expressed-in-the-oracle policy as the hot-shingle buckets:
+    * pairs straddling sub-cells of an oversized cell are not compared,
+    * the documented SemDeDup approximation trade. The hash is the
+    * md5-h60 family both engines share, so the oracle computes the
+    * identical split. */
+  val SemDedupCellCap = 1000
+  /** Sub-cell id for one vector within a cell split `nsub` ways. */
+  private def subCellId(nsub: Column): Column =
+    conv(substring(md5(concat(lit("subcell:"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % nsub
+  private lazy val subCellSqlCtes: String =
+    s"""csz AS (SELECT cid, GREATEST(1, CAST(ceil(COUNT(*) / $SemDedupCellCap.0)
+       |                    AS BIGINT)) AS nsub
+       |        FROM asg GROUP BY cid),
+       |asgs AS (SELECT a.vec_id, a.cid, a.qv, a.qn2,
+       |                CAST(('0x'||substr(md5('subcell:'||
+       |                       CAST(a.vec_id AS VARCHAR)),1,15)) AS BIGINT)
+       |                  % c.nsub AS scid
+       |         FROM asg a JOIN csz c ON a.cid = c.cid)""".stripMargin
 
   /** SemDeDup-style semantic deduplication: cluster the corpus into
     * k-means cells over the int8 codes ([[cellAssign]] — same centroids
@@ -823,8 +884,9 @@ object Similarity extends QueryPack {
   val qSemanticDedup: Q = Q(
     "q_semantic_dedup",
     Some(s"""$int8SqlWith,
+      |$semDedupKSqlCte,
       |cents AS (SELECT vec_id AS cid, qv AS cv, qn2 AS cn2 FROM qn
-      |          WHERE vec_id < 4),
+      |          WHERE vec_id < (SELECT k FROM kk)),
       |scored AS (
       |  SELECT v.vec_id, c.cid,
       |         v.qn2 + c.cn2
@@ -838,9 +900,11 @@ object Similarity extends QueryPack {
       |         GROUP BY s.vec_id),
       |asg AS (SELECT p.vec_id, p.cid, q.qv, q.qn2
       |        FROM pick p JOIN qn q ON p.vec_id = q.vec_id),
+      |$subCellSqlCtes,
       |dropped AS (
       |  SELECT DISTINCT b.vec_id
-      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  FROM asgs a JOIN asgs b
+      |    ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
       |  WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
       |                                     i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |        / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
@@ -849,7 +913,10 @@ object Similarity extends QueryPack {
       |       (dropped.vec_id IS NOT NULL) AS dropped
       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
       |ORDER BY asg.vec_id""".stripMargin.trim)
-  ) { (s, dir) => semanticDedup(Tables.embeddings(s, dir)) }
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    semanticDedup(e, k = semDedupK(e.count()))
+  }
 
   /** The SemDeDup verdict behind q_semantic_dedup, reusable at any K/τ
     * and any seeding (pass [[seedsPar]]'s ids for the scale path — at
@@ -861,11 +928,21 @@ object Similarity extends QueryPack {
         case None      => cellAssign(e, k)
       })
       .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
-    val a = asg.select(col("cid"), col("vec_id").as("va"),
+    // sub-cell split of oversized cells (see [[SemDedupCellCap]]): the
+    // size frame is K rows — broadcast — and the split hash is a pure
+    // projection, so the bound costs one tiny agg, no extra shuffle of
+    // the corpus
+    val sizes = asg.groupBy("cid").agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)) / lit(SemDedupCellCap.toDouble)).cast("long"))
+        .as("nsub"))
+    val asgS = asg.join(broadcast(sizes), Seq("cid"))
+      .withColumn("scid", subCellId(col("nsub")))
+    val a = asgS.select(col("cid"), col("scid"), col("vec_id").as("va"),
       col("qv").as("qva"), col("qn2").as("qn2a"))
-    val b = asg.select(col("cid"), col("vec_id").as("vb"),
+    val b = asgS.select(col("cid"), col("scid"), col("vec_id").as("vb"),
       col("qv").as("qvb"), col("qn2").as("qn2b"))
-    val dropped = a.join(b, Seq("cid"))
+    val dropped = a.join(b, Seq("cid", "scid"))
       .where(col("va") < col("vb"))
       .where(dotInt(col("qva"), col("qvb")).cast("double") /
         (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double")))
@@ -889,7 +966,8 @@ object Similarity extends QueryPack {
   val qSemanticDedupSeeded: Q = Q(
     "q_semantic_dedup_seeded",
     Some(s"""$int8SqlWith,
-      |${seedsParSqlCtes(4)},
+      |$semDedupKSqlCte,
+      |${seedsParSqlCtes("(SELECT k FROM kk)")},
       |cents AS (SELECT q.vec_id AS cid, q.qv AS cv, q.qn2 AS cn2
       |          FROM qn q JOIN w ON q.vec_id = w.cid),
       |scored2 AS (
@@ -905,9 +983,11 @@ object Similarity extends QueryPack {
       |          GROUP BY s.vec_id),
       |asg AS (SELECT p.vec_id, p.cid, q.qv, q.qn2
       |        FROM pick2 p JOIN qn q ON p.vec_id = q.vec_id),
+      |$subCellSqlCtes,
       |dropped AS (
       |  SELECT DISTINCT b.vec_id
-      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  FROM asgs a JOIN asgs b
+      |    ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
       |  WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
       |                                     i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |        / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
@@ -918,7 +998,8 @@ object Similarity extends QueryPack {
       |ORDER BY asg.vec_id""".stripMargin.trim)
   ) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
-    semanticDedup(e, seedIds = Some(seedsPar(e, k = 4).select(col("vec_id"))))
+    semanticDedup(e, seedIds =
+      Some(seedsPar(e, k = semDedupK(e.count())).select(col("vec_id"))))
   }
 
   override def all: Seq[Q] =
