@@ -141,6 +141,40 @@ object Similarity extends QueryPack {
   private val NdBands = 64
   private val NdBits  = 10
 
+  /** Scale-aware bits per band for the BATCH near-dup gate:
+    * `b = max(10, ⌈log2 n⌉ − 1)`, capped at [[MaxNdBits]].
+    *
+    * Bucketing bounds the join per (band, key) bucket, but with FROZEN
+    * bits the expected bucket population is n/2^b — it grows linearly
+    * with the corpus, so candidate pairs grow as n²/2^b: quadratic with
+    * a constant that happened to be tuned for sf0.1 (the r9 sf1 audit
+    * measured 11× wall for 10× data, and the next decade would be ~100×).
+    * Growing bits with ⌈log2 n⌉ pins the expected bucket population to
+    * the 1..2 range REGARDLESS of n, which makes expected candidates
+    * Θ(bands · n) — the linear scale path. Recall at the cosine-0.9
+    * design point stays ≈1 (per-band hit rate 0.856^b; even at b = 24
+    * the 64-band miss probability is < 3%); the far-borderline ≈0.5
+    * regime degrades with b, the documented trade of every banded-LSH
+    * family. Integer arithmetic only — `⌈log2 n⌉ = bitLength(n−1)` —
+    * so the oracle computes the identical b from COUNT(*) via
+    * `GREATEST(10, LENGTH(bin(n−1)) − 1)` and the whole pipeline stays
+    * bit-matched at every SF; n ≤ 2048 lands on the historical b = 10,
+    * so the official-gate SFs are unchanged. The STREAMING twin
+    * (`s_neardup_stream`) keeps the frozen family: its LSH state store
+    * is keyed by (band, key) and cannot re-key live — re-sharding the
+    * family is a restart-time decision there, as documented in
+    * StreamOps. */
+  def ndBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(MaxNdBits, math.max(NdBits, ceilLog2 - 1))
+  }
+  /** Upper bound on [[ndBits]] — 24 bits = 16M buckets per band, enough
+    * to pin bucket occupancy to ~1 through 2^25 ≈ 33M vectors. Past that
+    * the per-band key would still fit a Long; the cap exists so the
+    * oracle's fixed plane series (`bands × MaxNdBits` planes) covers
+    * every b the engine can pick. */
+  val MaxNdBits = 24
+
   /** DuckDB CTE chain computing the EXACT banded hyperplane-LSH keys of
     * [[graft.functions.HyperplaneBands]]: the ±1 plane matrix is the
     * parity of the portable 60-bit md5 of `"hp:plane:dim"` (the same
@@ -174,14 +208,51 @@ object Similarity extends QueryPack {
        |              AS BIGINT) AS key
        |  FROM dots GROUP BY vec_id, band)""".stripMargin
 
+  /** [[bandKeySqlWith]] with DATA-DEPENDENT bits per band — the SQL twin
+    * of [[ndBits]]: `bb.b = GREATEST(10, LENGTH(bin(n−1)) − 1)` from
+    * COUNT(*), integer-exact in both engines. The plane series is
+    * generated to the [[MaxNdBits]] ceiling (a fixed, data-independent
+    * literal) and filtered to the first `bands · b` planes, so the same
+    * global plane indexing `plane = band·b + bit` holds for whatever b
+    * the corpus size selects. Emits the same `e` / `keys` CTEs. */
+  private def bandKeySqlDynamicBits(bands: Int): String = {
+    val b = "(SELECT b FROM bb)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bb AS (SELECT GREATEST(10, LENGTH(bin(COUNT(*) - 1)) - 1) AS b
+       |       FROM e),
+       |planes AS (
+       |  SELECT p AS plane, d AS dim,
+       |         CASE WHEN CAST(('0x'||substr(md5('hp:'||p||':'||(d-1)),1,15))
+       |                        AS BIGINT) % 2 = 1
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(0, ${bands * MaxNdBits - 1}) t1(p),
+       |       generate_series(1, 64) t2(d)),
+       |pv AS (SELECT plane, list(sgn ORDER BY dim) AS sv
+       |       FROM planes GROUP BY plane),
+       |dots AS (
+       |  SELECT e.vec_id, pv.plane // $b AS band, pv.plane % $b AS bit,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |                  d -> pv.sv[d] * CAST(e.embedding[d] AS DOUBLE))) AS dot
+       |  FROM e, pv
+       |  WHERE pv.plane < $bands * $b),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |         CAST(SUM(CASE WHEN dot > 0
+       |                       THEN 1 << ($b - 1 - bit) ELSE 0 END)
+       |              AS BIGINT) AS key
+       |  FROM dots GROUP BY vec_id, band)""".stripMargin
+  }
+
   /** Distinct candidate pairs sharing at least one LSH band (the scale
     * gate for near-dup detection). Shuffles on (band, key) — bounded by
     * docs×bands, never all-pairs — then dedups on ids only (narrow rows)
-    * before the exact verify re-joins the vectors. */
-  def neardupCandidates(e: DataFrame): DataFrame = {
+    * before the exact verify re-joins the vectors. `bits` defaults to the
+    * frozen streaming-compatible family; batch callers that can count
+    * the corpus pass [[ndBits]] for the scale-aware family. */
+  def neardupCandidates(e: DataFrame, bits: Int = NdBits): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     val bands = e.select(col("vec_id"),
-        posexplode(bandKeys(col("embedding"), NdBands, NdBits)))
+        posexplode(bandKeys(col("embedding"), NdBands, bits)))
       .toDF("vec_id", "band", "key")
     val l = bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
     val r = bands.select(col("band"), col("key"), col("vec_id").as("vec_b"))
@@ -208,7 +279,7 @@ object Similarity extends QueryPack {
     * pruning. */
   val qEmbedNeardupLsh: Q = Q(
     "q_embed_neardup_lsh",
-    Some(s"""${bandKeySqlWith(NdBands, NdBits)},
+    Some(s"""${bandKeySqlDynamicBits(NdBands)},
       |cand AS (
       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
       |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key
@@ -220,9 +291,12 @@ object Similarity extends QueryPack {
       |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5
       |ORDER BY vec_a, vec_b""".stripMargin.trim)
   ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
+    val e0 = Tables.embeddings(s, dir)
+    val e = e0
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cand = neardupCandidates(e)
+    // scale-aware band bits from the corpus count (metadata-only parquet
+    // count) — the oracle derives the SAME b from COUNT(*), see [[ndBits]]
+    val cand = neardupCandidates(e, bits = ndBits(e0.count()))
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
     // same arithmetic shape as the exact variant → bit-identical verdicts

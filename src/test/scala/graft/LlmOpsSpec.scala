@@ -336,6 +336,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("scale-aware parameter policies: ndBits and semDedupK (r9 sf1 audit)") {
+    // ndBits = max(10, ceil(log2 n) - 1), capped at MaxNdBits: official
+    // SFs (n <= 2048) stay on the historical b=10 — zero hash churn —
+    // and bucket occupancy n/2^b stays in ~[1,2) at every larger n.
+    assert(Similarity.ndBits(1) == 10)
+    assert(Similarity.ndBits(200) == 10)
+    assert(Similarity.ndBits(2000) == 10)   // sf0.1: unchanged family
+    assert(Similarity.ndBits(2048) == 10)
+    assert(Similarity.ndBits(2049) == 11)
+    assert(Similarity.ndBits(20000) == 14)  // sf1
+    assert(Similarity.ndBits(1L << 40) == Similarity.MaxNdBits)
+    // monotone non-decreasing; occupancy bound holds past the knee
+    var prev = 0
+    for (k <- 1 to 34) {
+      val n = 1L << k
+      val b = Similarity.ndBits(n)
+      assert(b >= prev); prev = b
+      if (b > 10 && b < Similarity.MaxNdBits)
+        assert(n.toDouble / (1L << b) <= 2.0 + 1e-9,
+          s"bucket occupancy ${n.toDouble / (1L << b)} at n=$n b=$b")
+    }
+    // semDedupK = max(4, ceil(sqrt n / 12)): official SFs stay K=4;
+    // K grows as sqrt(n), equalizing assignment (n*K) and in-cell pair
+    // (n^2/K) work at O(n^1.5).
+    assert(Similarity.semDedupK(200) == 4)
+    assert(Similarity.semDedupK(2000) == 4)  // sf0.1: unchanged
+    assert(Similarity.semDedupK(20000) == 12) // sf1
+    assert(Similarity.semDedupK(2000000) == 118)
+  }
+
   test("LSH near-dup prefilter prunes hard: candidates << all pairs") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
