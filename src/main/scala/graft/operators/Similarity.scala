@@ -106,10 +106,18 @@ object Similarity extends QueryPack {
     * the 0.5 threshold sits far from any pair's float noise. */
   val qEmbedNeardup: Q = Q(
     "q_embed_neardup",
+    // Norms hoisted into the CTE exactly like the Spark side (one pass,
+    // then dot/(na*nb) per pair): the same double value as the inline
+    // sqrt(dot(x,x)) — computed once per VECTOR instead of once per
+    // PAIR, which cuts the O(n²) oracle's work 3x (the r9 full-surface
+    // sf1 gate spent >15 min here with the per-pair form).
     Some(s"""
+      WITH e AS (SELECT vec_id, embedding,
+                        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE (${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) > 0.5
       ORDER BY vec_a, vec_b
       """.stripMargin.trim)
   ) { (s, dir) =>

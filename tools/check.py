@@ -38,9 +38,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # this DuckDB build defaults to 1 thread — the sf1 all-pairs oracle
+    # is a >1h single-core grind but minutes with the box's cores
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Optional comma-separated name filter (same contract as
+    # SPARK_GRAFT_ONLY on Verify/Bench) — lets a long gate run resume
+    # from a failure without re-executing hours of already-green oracles.
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        oracles = {k: v for k, v in oracles.items() if k in names}
     n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
