@@ -37,6 +37,18 @@ object QHelp {
     * within DuckDB's 38-digit multiply limit ((12,2)x(12,2)x(12,2) fits).
     * Summing decimals is exact in both engines; the final cast back to
     * double is then deterministic.
+    *
+    * CAVEAT (found by the r9 full-surface sf1 audit): the final
+    * decimal->double cast is deterministic only while the SCALED integer
+    * (value x 10^scale) fits in 2^53. Past that, DuckDB's cast
+    * double-rounds (int128->double, then /10^scale in float arithmetic)
+    * while Spark's `Decimal.toDouble` (BigDecimal) is correctly rounded —
+    * a 1-ulp oracle mismatch. Scale 2 breaks above ~9e13, scale 4 above
+    * ~9e11, scale 6 (a triple product) above ~9e9 — q_agg_group's
+    * sum_charge crossed that at sf1 (2.8e10). Oracle-side fix: route the
+    * exact decimal through VARCHAR, `CAST(CAST(s AS VARCHAR) AS DOUBLE)`
+    * — DuckDB's string->double is correctly rounded, restoring
+    * bit-equality with Spark at any magnitude.
     */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
