@@ -21,14 +21,19 @@ object Scans extends QueryPack {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // ORDER BY every projected column: (l_orderkey, l_linenumber) is NOT
+    // unique in the fixtures (118k dup pairs at sf0.1 alone), so the
+    // two-column sort left tie order to engine luck — DuckDB's sort is
+    // stable on scan order, Spark's range-sort is not, and the r9
+    // full-surface sf1 audit caught them diverging (38k row diffs).
     Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
              col("l_shipdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_quantity")
   }
 
   /** Compound predicates: AND/OR, IN, BETWEEN, LIKE, IS NOT NULL. */
