@@ -149,9 +149,16 @@ def spark_options(host, user, password, *, port=4001, table=None,
                     "composite %s names unsubscribed tables %r "
                     "(subscribed: %r)" % (what, unknown, names))
             return composite_gtid(value)
-        if value and value != "-" and len(str(value).split("-")) != 3:
+        # the "-" placeholder is only meaningful INSIDE a composite
+        # entry ("start from the beginning for this table") — a plain
+        # single-table option must be a real 3-part GTID, and the empty
+        # string would be silently dropped by the Scala option filter;
+        # both must fail HERE, not at plan time on the cluster
+        if not value or len(str(value).split("-")) != 3:
             raise ValueError(
-                "bad %s %r (want domain-server_id-sequence)" % (what, value))
+                "bad %s %r (want domain-server_id-sequence; the '-' "
+                "placeholder is only valid inside a composite dict)"
+                % (what, value))
         return str(value)
 
     if starting_gtid is not None:

@@ -401,6 +401,16 @@ class SparkOptionsTest(unittest.TestCase):
         with self.assertRaises(ValueError):
             cdc.spark_options("h", "u", "pw", table="db.t",
                               starting_gtid="0-1")
+        # the "-" placeholder and the empty string are composite-only
+        # sentinels: a plain single-table start must be a real GTID
+        # (Gtid.parse("-") would otherwise throw at plan time, and ""
+        # would be silently dropped by the Scala option filter)
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid="-")
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid="")
         # observed flag without a bound is meaningless
         with self.assertRaises(ValueError):
             cdc.spark_options("h", "u", "pw", table="db.t",

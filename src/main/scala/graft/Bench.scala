@@ -148,7 +148,15 @@ object Bench {
     * shape) falls back to sequence-arithmetic cuts, and one
     * [[CdcReplayReader]] per subrange replays concurrently. `partitions
     * = 1` is the serial single-connection figure; the N-partition rate
-    * against it is the measured win of the r8 catch-up split. */
+    * against it is the measured win of the r8 catch-up split.
+    *
+    * The loopback emitter below is a deliberately MINIMAL load
+    * generator — single domain, dense sequences, uniform rows — not a
+    * protocol-correctness double: protocol behaviors (multi-domain
+    * replay, drops, ERR framing, DDL) are the test-scope
+    * MockMaxScaleServer's job, and the client under measurement here is
+    * the same production CdcTailer/CdcReplayReader either server
+    * drives. Keep it dumb; extend the mock, not this. */
   private def catchupRate(events: Int, partitions: Int): Double =
     try {
       import graft.sources.cdc._

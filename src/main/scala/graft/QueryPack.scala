@@ -57,5 +57,5 @@ object QHelp {
 
   /** Exact sum of a 2-decimal double column, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
-  def dsumSql(e: String): String = s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
+  def dsumSql(e: String): String = s"CAST(CAST(SUM(${decSql(e)}) AS VARCHAR) AS DOUBLE)"
 }

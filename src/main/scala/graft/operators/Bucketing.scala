@@ -71,8 +71,8 @@ object Bucketing extends QueryPack {
     Some(s"""
       SELECT o.o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_items,
-             CAST(SUM(${decSql("l.l_extendedprice")} *
-                      ${decSql("1 - l.l_discount")}) AS DOUBLE) AS revenue
+             CAST(CAST(SUM(${decSql("l.l_extendedprice")} *
+                      ${decSql("1 - l.l_discount")}) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderstatus
       ORDER BY o.o_orderstatus

@@ -217,8 +217,10 @@ object Similarity extends QueryPack {
        |  FROM dots GROUP BY vec_id, band)""".stripMargin
 
   /** [[bandKeySqlWith]] with DATA-DEPENDENT bits per band — the SQL twin
-    * of [[ndBits]]: `bb.b = GREATEST(10, LENGTH(bin(n−1)) − 1)` from
-    * COUNT(*), integer-exact in both engines. The plane series is
+    * of [[ndBits]]: `bb.b = LEAST($MaxNdBits, GREATEST(10,
+    * LENGTH(bin(n−1)) − 1))` from COUNT(*), integer-exact in both
+    * engines — the LEAST mirrors the Scala-side [[MaxNdBits]] cap, which
+    * is what makes the fixed plane series sufficient. The plane series is
     * generated to the [[MaxNdBits]] ceiling (a fixed, data-independent
     * literal) and filtered to the first `bands · b` planes, so the same
     * global plane indexing `plane = band·b + bit` holds for whatever b
@@ -226,7 +228,8 @@ object Similarity extends QueryPack {
   private def bandKeySqlDynamicBits(bands: Int): String = {
     val b = "(SELECT b FROM bb)"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |bb AS (SELECT GREATEST(10, LENGTH(bin(COUNT(*) - 1)) - 1) AS b
+       |bb AS (SELECT LEAST($MaxNdBits,
+       |               GREATEST(10, LENGTH(bin(COUNT(*) - 1)) - 1)) AS b
        |       FROM e),
        |planes AS (
        |  SELECT p AS plane, d AS dim,

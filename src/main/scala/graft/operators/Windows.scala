@@ -48,10 +48,10 @@ object Windows extends QueryPack {
     "q_win_running",
     Some("""
       SELECT o_custkey, o_orderkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
       FROM orders
       ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)
@@ -122,7 +122,7 @@ object Windows extends QueryPack {
       SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
              event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type
@@ -149,7 +149,7 @@ object Windows extends QueryPack {
                AS window_start,
              event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN (VALUES (0), (1)) t(k)
       GROUP BY 1, 2
       ORDER BY window_start, event_type
@@ -212,10 +212,10 @@ object Windows extends QueryPack {
     "q_win_range",
     Some("""
       SELECT o_custkey, o_orderkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rev_30d
       FROM orders
       ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)

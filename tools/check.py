@@ -50,6 +50,11 @@ def main():
     only = os.environ.get("CHECK_ONLY")
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
+        missing = names - set(oracles)
+        if missing:
+            # a typo'd name must not yield a green zero-query run
+            print(f"CHECK_ONLY names not in oracle_sql.json: {sorted(missing)}")
+            sys.exit(2)
         oracles = {k: v for k, v in oracles.items() if k in names}
     n_fail = 0
     for name in sorted(oracles):
