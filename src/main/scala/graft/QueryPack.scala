@@ -45,10 +45,13 @@ object QHelp {
     * while Spark's `Decimal.toDouble` (BigDecimal) is correctly rounded —
     * a 1-ulp oracle mismatch. Scale 2 breaks above ~9e13, scale 4 above
     * ~9e11, scale 6 (a triple product) above ~9e9 — q_agg_group's
-    * sum_charge crossed that at sf1 (2.8e10). Oracle-side fix: route the
-    * exact decimal through VARCHAR, `CAST(CAST(s AS VARCHAR) AS DOUBLE)`
-    * — DuckDB's string->double is correctly rounded, restoring
-    * bit-equality with Spark at any magnitude.
+    * sum_charge crossed that at sf1 (2.8e10). Fix: route the exact
+    * decimal through a string, `CAST(CAST(s AS VARCHAR(64)) AS DOUBLE)`
+    * — decimal->string is exact and string->double is correctly rounded
+    * in BOTH engines, restoring bit-equality at any magnitude. The
+    * length matters: Spark's parser rejects bare VARCHAR (the sqlQ
+    * queries run the same SQL through `spark.sql` AND DuckDB), and 64
+    * chars can never truncate a DECIMAL(38,6) rendering.
     */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
@@ -57,5 +60,5 @@ object QHelp {
 
   /** Exact sum of a 2-decimal double column, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
-  def dsumSql(e: String): String = s"CAST(CAST(SUM(${decSql(e)}) AS VARCHAR) AS DOUBLE)"
+  def dsumSql(e: String): String = s"CAST(CAST(SUM(${decSql(e)}) AS VARCHAR(64)) AS DOUBLE)"
 }

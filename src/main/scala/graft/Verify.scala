@@ -22,6 +22,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Delete any previous run's output FIRST: a query that fails at
+      // plan time (before the overwrite happens) must leave no stale
+      // parquet behind, or a later check run silently compares the old
+      // result and reports a pass for a query that no longer executes.
+      val dir = new java.io.File(s"$outDir/$name")
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -37,12 +37,12 @@ object Aggregates extends QueryPack {
     "q_agg_group",
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_price,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -74,8 +74,8 @@ object Aggregates extends QueryPack {
     Some("""
       SELECT COUNT(*) AS n_rows,
              COUNT(DISTINCT l_partkey) AS n_parts,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_price,
              MIN(l_extendedprice) AS min_price,
              MAX(l_extendedprice) AS max_price
       FROM lineitem
@@ -117,7 +117,7 @@ object Aggregates extends QueryPack {
     "q_agg_having",
     Some("""
       SELECT o_custkey,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS total,
              COUNT(*) AS n
       FROM orders
       GROUP BY o_custkey
@@ -163,7 +163,7 @@ object Aggregates extends QueryPack {
     Some("""
       SELECT o_orderstatus, o_orderpriority,
              GROUPING(o_orderstatus, o_orderpriority) AS gid,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS total,
              COUNT(*) AS n
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -252,7 +252,7 @@ object Aggregates extends QueryPack {
              COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_F,
              COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_O,
              COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_P,
-             CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS rev_F
+             CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR(64)) AS DOUBLE) AS rev_F
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority
@@ -404,8 +404,8 @@ object Aggregates extends QueryPack {
       WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(CAST(SUM(${decSql("l_quantity")}) AS VARCHAR) AS DOUBLE) AS s1,
-               CAST(CAST(SUM(${decSql("l_quantity")} * ${decSql("l_quantity")}) AS VARCHAR) AS DOUBLE) AS s2
+               CAST(CAST(SUM(${decSql("l_quantity")}) AS VARCHAR(64)) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(${decSql("l_quantity")} * ${decSql("l_quantity")}) AS VARCHAR(64)) AS DOUBLE) AS s2
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
              ROUND(s1 / n, 6) AS mean_qty,

@@ -72,7 +72,7 @@ object Bucketing extends QueryPack {
       SELECT o.o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_items,
              CAST(CAST(SUM(${decSql("l.l_extendedprice")} *
-                      ${decSql("1 - l.l_discount")}) AS VARCHAR) AS DOUBLE) AS revenue
+                      ${decSql("1 - l.l_discount")}) AS VARCHAR(64)) AS DOUBLE) AS revenue
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderstatus
       ORDER BY o.o_orderstatus

@@ -178,8 +178,8 @@ object Events extends QueryPack {
       WITH st AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(CAST(SUM(${decSql("value")}) AS VARCHAR) AS DOUBLE) AS s1,
-               CAST(CAST(SUM(${decSql("value")} * ${decSql("value")}) AS VARCHAR) AS DOUBLE) AS s2
+               CAST(CAST(SUM(${decSql("value")}) AS VARCHAR(64)) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(${decSql("value")} * ${decSql("value")}) AS VARCHAR(64)) AS DOUBLE) AS s2
         FROM events GROUP BY event_type),
       x AS (
         SELECT e.event_type, e.event_id,

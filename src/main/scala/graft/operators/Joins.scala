@@ -43,7 +43,7 @@ object Joins extends QueryPack {
     "q_join_left",
     Some("""
       SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-             CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
+             CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS VARCHAR(64)) AS DOUBLE) AS total_spent
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey
@@ -95,7 +95,7 @@ object Joins extends QueryPack {
     "q_join_multi",
     Some("""
       SELECT l_orderkey,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS revenue,
              o_orderdate
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -128,7 +128,7 @@ object Joins extends QueryPack {
     "q_join_broadcast",
     Some("""
       SELECT p_brand,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -248,7 +248,7 @@ object Joins extends QueryPack {
     "q_join_salted",
     Some("""
       SELECT o.o_custkey, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS rev
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY o.o_custkey
       ORDER BY o.o_custkey

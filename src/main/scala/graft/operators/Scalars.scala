@@ -124,7 +124,7 @@ object Scalars extends QueryPack {
     Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1
       ORDER BY k

@@ -24,7 +24,7 @@ object Subqueries extends QueryPack {
     """
     SELECT n_name,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
+                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -44,7 +44,7 @@ object Subqueries extends QueryPack {
     SELECT p_partkey, p_retailprice
     FROM part
     WHERE p_retailprice >
-      (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+      (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
        FROM part) * 1.5
     ORDER BY p_partkey
     """.stripMargin.trim)
@@ -56,7 +56,7 @@ object Subqueries extends QueryPack {
     SELECT p.p_partkey
     FROM part p
     WHERE p.p_retailprice >
-      (SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+      (SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
        FROM part p2 WHERE p2.p_brand = p.p_brand)
     ORDER BY p.p_partkey
     """.stripMargin.trim)
@@ -136,7 +136,7 @@ object Subqueries extends QueryPack {
     "q_group_share",
     """
     SELECT s_nationkey,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS total_value
     FROM lineitem, supplier
     WHERE l_suppkey = s_suppkey
     GROUP BY s_nationkey
@@ -153,7 +153,7 @@ object Subqueries extends QueryPack {
   val qAvgDecorrelate: Q = sqlQ(
     "q_avg_decorrelate",
     """
-    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / 7.0
                 AS DOUBLE) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey

@@ -53,7 +53,7 @@ object Tpch extends QueryPack {
     "q_forecast_revenue",
     """
     SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
+                    CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -68,7 +68,7 @@ object Tpch extends QueryPack {
   val qVolumeShipping: Q = sqlQ(
     "q_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(CAST(SUM(volume) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
                  CAST(l_extendedprice AS DECIMAL(12,2)) *
@@ -93,8 +93,8 @@ object Tpch extends QueryPack {
     "q_market_share",
     """
     SELECT o_year,
-           CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS VARCHAR) AS DOUBLE) /
-                CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS mkt_share
+           CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS VARCHAR(64)) AS DOUBLE) /
+                CAST(CAST(SUM(volume) AS VARCHAR(64)) AS DOUBLE) AS DOUBLE) AS mkt_share
     FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
                  CAST(l_extendedprice AS DECIMAL(12,2)) *
                  CAST(1 - l_discount AS DECIMAL(12,2)) AS volume,
@@ -115,7 +115,7 @@ object Tpch extends QueryPack {
   val qProductProfit: Q = sqlQ(
     "q_product_profit",
     """
-    SELECT nation, o_year, CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(CAST(SUM(amount) AS VARCHAR(64)) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
                  CAST(l_extendedprice AS DECIMAL(12,2)) *
@@ -139,7 +139,7 @@ object Tpch extends QueryPack {
     """
     SELECT c_custkey, c_name,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -178,8 +178,8 @@ object Tpch extends QueryPack {
   val qPromoShare: Q = sqlQ(
     "q_promo_share",
     """
-    SELECT CAST(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume END) AS VARCHAR) AS DOUBLE) /
-                CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    SELECT CAST(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume END) AS VARCHAR(64)) AS DOUBLE) /
+                CAST(CAST(SUM(volume) AS VARCHAR(64)) AS DOUBLE) AS DOUBLE) AS promo_revenue
     FROM (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
                  CAST(1 - l_discount AS DECIMAL(12,2)) AS volume, p_type
           FROM lineitem, part
@@ -216,7 +216,7 @@ object Tpch extends QueryPack {
     """
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                          GROUP BY l_orderkey
@@ -233,7 +233,7 @@ object Tpch extends QueryPack {
     "q_disjunct_pred",
     """
     SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
+                    CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -254,10 +254,10 @@ object Tpch extends QueryPack {
     "q_idle_balance",
     """
     SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS totacctbal
     FROM (SELECT substr(c_name, 16, 2) AS cntrycode, c_acctbal
           FROM customer
-          WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+          WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
                              FROM customer WHERE c_acctbal > 0.0)
             AND NOT EXISTS (SELECT 1 FROM orders
                             WHERE o_custkey = c_custkey

@@ -51,7 +51,7 @@ object Windows extends QueryPack {
              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR(64)) AS DOUBLE) AS running_total
       FROM orders
       ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)
@@ -122,7 +122,7 @@ object Windows extends QueryPack {
       SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
              event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type
@@ -149,7 +149,7 @@ object Windows extends QueryPack {
                AS window_start,
              event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN (VALUES (0), (1)) t(k)
       GROUP BY 1, 2
       ORDER BY window_start, event_type
@@ -215,7 +215,7 @@ object Windows extends QueryPack {
              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rev_30d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR(64)) AS DOUBLE) AS rev_30d
       FROM orders
       ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)

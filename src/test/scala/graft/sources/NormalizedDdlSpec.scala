@@ -203,6 +203,65 @@ class NormalizedDdlSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("DROP COLUMN and a type change absorb mid-stream the same way: " +
+      "NO restart, each row in its governing version's shape") {
+    // ALTER TABLE db.orders DROP COLUMN total, MODIFY order_id varchar(8):
+    // normalized rows are schema-free, so ANY evolution keeping the six
+    // metadata columns absorbs — not just the column-add case
+    val ordersSchemaV3 = ordersSchema.replace(
+      """{"name":"order_id","type":"int","real_type":"int","length":-1},""" +
+        """{"name":"total","type":"int","real_type":"int","length":-1}""",
+      """{"name":"order_id","type":"string","real_type":"varchar","length":8}""")
+    def orderV3(seq: Long, orderId: String): String =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,""" +
+        s""""timestamp":${1700000000 + seq},"event_type":"insert",""" +
+        s""""order_id":"$orderId"}"""
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
+      tableSchemas = Map("db.orders" -> ordersSchema))
+    srv.pushTo("db.orders", order(1, 100, 50))
+    val ckpt = Files.createTempDirectory("norm_ddl_drop").toString
+    NormalizedDdlSpec.collected.clear()
+    try {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.orders")
+        .option("schemaMode", "normalized")
+        .option("timeoutSeconds", 1)
+        .load()
+        .select("_table", "sequence", "payload")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          NormalizedDdlSpec.collected(bid) =
+            df.as[(String, Int, String)].collect().toSeq
+          ()
+        }
+        .start()
+      def payloads: Map[Int, String] =
+        NormalizedDdlSpec.collected.values.flatten
+          .map { case (_, seq, pay) => seq -> pay }.toMap
+      try {
+        q.processAllAvailable()
+        assert(payloads.keySet == Set(1))
+        srv.pushTo("db.orders", ordersSchemaV3)
+        srv.pushTo("db.orders", orderV3(2, "A-7"))
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+          q.processAllAvailable()
+          assert(payloads.keySet == Set(1, 2))
+        }
+        assert(q.isActive, "query restarted/failed on an absorbable DDL")
+        // pre-DDL row keeps the dropped column and the int type; the
+        // post-DDL row lacks it and carries the re-typed value
+        assert(payloads(1) == """{"order_id":100,"total":50}""")
+        assert(payloads(2) == """{"order_id":"A-7"}""")
+      } finally q.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("a DDL that drops a METADATA column still fails loudly") {
     val broken = ordersSchema.replace(
       """{"name":"sequence","type":"int","real_type":"int","length":-1},""", "")
