@@ -150,9 +150,17 @@ object StreamOps {
     * does, by construction). `maxBucket` caps hot buckets (band
     * collisions on boilerplate text): a full bucket stops admitting
     * members and emitting pairs, the standard spam guard — without it a
-    * degenerate bucket emits O(n²) pairs. */
+    * degenerate bucket emits O(n²) pairs.
+    *
+    * The band layout is FROZEN into the checkpoint (state keys are a
+    * pure function of it) — pass `checkpointLocation` (the same one
+    * given to `writeStream`) and [[LshFamilyGuard]] makes any restart
+    * with altered parameters fail loudly instead of silently orphaning
+    * the pre-restart corpus from dedup. */
   def neardupStream(docs: DataFrame, maxBucket: Int = 64,
-      tws: Boolean = false): DataFrame = {
+      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
+    if (checkpointLocation != null)
+      LshFamilyGuard.bind(checkpointLocation, LshFamilyGuard.minhash(maxBucket))
     import graft.functions.MinHashSig.minhashSig
     val sig = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -176,13 +184,22 @@ object StreamOps {
     * (`graft.operators.Similarity.neardupCandidates`, identical
     * [[graft.functions.HyperplaneBands]] keys), candidate pairs emitted
     * against bucket members already seen. Downstream exact verify /
-    * clustering is shared with the batch path. */
+    * clustering is shared with the batch path.
+    *
+    * Unlike the batch gate (which re-keys per run — `Similarity.ndBits`
+    * grows bits with the corpus), `nBands`/`nBits` here are FROZEN into
+    * the checkpoint's state keys: pass `checkpointLocation` and
+    * [[LshFamilyGuard]] rejects a restart that alters them — re-sharding
+    * is a new checkpoint plus a backfill, never an in-place edit. */
   def embedNeardupStream(
       vecs: DataFrame,
       nBands: Int = 64, // keep in lockstep with Similarity.NdBands
       nBits: Int = 10,
       maxBucket: Int = 64,
-      tws: Boolean = false): DataFrame = {
+      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
+    if (checkpointLocation != null)
+      LshFamilyGuard.bind(checkpointLocation,
+        LshFamilyGuard.hyperplane(nBands, nBits, maxBucket))
     import graft.functions.HyperplaneBands.bandKeys
     val bands = vecs
       .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))

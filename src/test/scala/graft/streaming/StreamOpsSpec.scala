@@ -344,6 +344,48 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("LshFamilyGuard: a restart with altered family parameters fails " +
+      "loudly; same-family rebind and an e2e resume stay silent") {
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_family").toString
+    try {
+      // e2e: the guard is wired through the operator's
+      // checkpointLocation parameter — first run freezes the family
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val vecs = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      val delivered = new java.util.concurrent.atomic.AtomicLong
+      def start(bits: Int) = StreamOps.embedNeardupStream(
+          in.toDF().toDF("vec_id", "embedding"), nBits = bits,
+          checkpointLocation = ckpt)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.addAndGet(df.count()); ()
+        }
+        .outputMode("append").start()
+      val q = start(bits = 10)
+      try { in.addData(vecs.take(50)); q.processAllAvailable() }
+      finally q.stop()
+      // same family: resume allowed, state continues
+      val q2 = start(bits = 10)
+      try { in.addData(vecs.drop(50).take(50)); q2.processAllAvailable() }
+      finally q2.stop()
+      // altered family: rejected at build time, BEFORE any state damage
+      val e = intercept[IllegalStateException] { start(bits = 14) }
+      assert(e.getMessage.contains("LSH family mismatch") &&
+        e.getMessage.contains("\"bits\":10") &&
+        e.getMessage.contains("\"bits\":14"), e.getMessage)
+      // the minhash family guards the doc stream the same way
+      LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(64))
+      LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(64))
+      val e2 = intercept[IllegalStateException] {
+        LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(32))
+      }
+      assert(e2.getMessage.contains("maxBucket"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("s_semantic_dedup: out-of-order arrival is self-consistent (seen-so-far refs)") {
     val e = graft.Tables.embeddings(spark, sf)
     val cents = graft.operators.Similarity.quantizedInt8(e)
