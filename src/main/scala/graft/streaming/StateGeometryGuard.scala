@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Restart-time guard for streaming operators whose STATE LAYOUT is a
+  * pure function of construction parameters.
+  *
+  * Several stateful ops freeze their geometry into the checkpoint the
+  * moment the first micro-batch commits:
+  *
+  *  - [[StreamOps.neardupStream]] / [[StreamOps.embedNeardupStream]]:
+  *    state keyed by `(band, key)` — bands × bits hyperplanes or the
+  *    MinHash band layout;
+  *  - [[StreamOps.bloomFilterStream]]: the aggregation buffer is an
+  *    `mBits`-bit OR-monoid with `k` probe positions per value;
+  *  - [[StreamOps.chunkDedupStream]]: state keyed by `chunkTokens`-gram
+  *    rolling hashes;
+  *  - [[StreamOps.semanticDedupStream]]: state partitioned by the
+  *    centroid set, verdicts thresholded at `tau` under `maxCell`.
+  *
+  * Resuming the same checkpoint with different parameters does not
+  * fail: the new keys/probe positions simply never line up with the old
+  * state — pre-restart members silently stop participating (missed
+  * duplicates, wrong membership), which is strictly worse than a crash.
+  * (The batch twins re-key freely — `Similarity.ndBits` grows LSH bits
+  * with the corpus — precisely because they have no persistent state.)
+  *
+  * `bind(checkpoint, family)` turns that into a loud restart-time
+  * error: the first bind persists the geometry fingerprint under the
+  * checkpoint root; every later bind re-reads and compares. Call it at
+  * query-build time (the ops do it when given `checkpointLocation`),
+  * right before `writeStream.start()`, with the same location. Changing
+  * geometry legitimately = a NEW checkpoint plus a batch backfill of
+  * the state from the re-keyed corpus, never an in-place edit.
+  */
+object StateGeometryGuard {
+
+  /** One frozen state geometry: `kind` names the key/buffer function,
+    * the named longs pin it. Doubles ride as IEEE-754 bit images so the
+    * fingerprint is exact (no decimal rendering ambiguity). */
+  final case class Family(kind: String, params: Seq[(String, Long)]) {
+    def render: String =
+      params.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s"""{"kind":"$kind",""", ",", "}")
+  }
+
+  /** The fixed family of [[StreamOps.neardupStream]] (4 bands × 4 rows
+    * of the 16-slot MinHash signature). */
+  def minhash(maxBucket: Int): Family =
+    Family("minhash-4x4",
+      Seq("bands" -> 4L, "bits" -> 4L, "maxBucket" -> maxBucket.toLong))
+
+  /** The hyperplane family of [[StreamOps.embedNeardupStream]]. */
+  def hyperplane(bands: Int, bits: Int, maxBucket: Int): Family =
+    Family("hyperplane", Seq("bands" -> bands.toLong, "bits" -> bits.toLong,
+      "maxBucket" -> maxBucket.toLong))
+
+  /** The bitset geometry of [[StreamOps.bloomFilterStream]]. */
+  def bloom(mBits: Int, k: Int): Family =
+    Family("bloom", Seq("mBits" -> mBits.toLong, "k" -> k.toLong))
+
+  /** The chunk-hash family of [[StreamOps.chunkDedupStream]]. */
+  def chunks(chunkTokens: Int): Family =
+    Family("chunk-dedup", Seq("chunkTokens" -> chunkTokens.toLong))
+
+  /** The cell partitioning of [[StreamOps.semanticDedupStream]]: the
+    * centroid set rides as an order-insensitive content hash. */
+  def semantic(centroids: Seq[(Long, Seq[Long], Long)], tau: Double,
+      maxCell: Int): Family = {
+    val centHash = centroids
+      .map { case (cid, cv, cn2) =>
+        scala.util.hashing.MurmurHash3.orderedHash(cid +: cn2 +: cv)
+      }
+      .sorted.foldLeft(0L)((acc, h) => acc * 1000003L + h)
+    Family("semantic-dedup", Seq("centroids" -> centHash,
+      "tauBits" -> java.lang.Double.doubleToLongBits(tau),
+      "maxCell" -> maxCell.toLong))
+  }
+
+  private def marker(checkpointLocation: String) =
+    Paths.get(checkpointLocation, "_graft_state_geometry.json")
+
+  /** Persist-or-check: first call under a checkpoint writes the
+    * fingerprint (atomic move, so a crash never leaves a torn file);
+    * later calls compare and throw on ANY difference. */
+  def bind(checkpointLocation: String, family: Family): Unit = {
+    val path = marker(checkpointLocation)
+    Files.createDirectories(path.getParent)
+    if (Files.exists(path)) {
+      val prev = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      if (prev != family.render)
+        throw new IllegalStateException(
+          s"state-geometry mismatch for checkpoint $checkpointLocation: " +
+            s"the state store was built with $prev but this query declares " +
+            s"${family.render}. State keys/buffers are a pure function of " +
+            "the old geometry — resuming would silently orphan every " +
+            "pre-restart member. Change geometry by starting a NEW " +
+            "checkpoint and backfilling the state from the re-keyed " +
+            "corpus; never edit parameters in place.")
+    } else {
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      Files.write(tmp, family.render.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          try Files.move(tmp, path)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp); bind(checkpointLocation, family)
+          }
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the first-bind race: re-enter the compare path
+          Files.deleteIfExists(tmp); bind(checkpointLocation, family)
+      }
+    }
+  }
+}

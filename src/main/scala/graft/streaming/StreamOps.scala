@@ -154,13 +154,13 @@ object StreamOps {
     *
     * The band layout is FROZEN into the checkpoint (state keys are a
     * pure function of it) — pass `checkpointLocation` (the same one
-    * given to `writeStream`) and [[LshFamilyGuard]] makes any restart
+    * given to `writeStream`) and [[StateGeometryGuard]] makes any restart
     * with altered parameters fail loudly instead of silently orphaning
     * the pre-restart corpus from dedup. */
   def neardupStream(docs: DataFrame, maxBucket: Int = 64,
       tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
     if (checkpointLocation != null)
-      LshFamilyGuard.bind(checkpointLocation, LshFamilyGuard.minhash(maxBucket))
+      StateGeometryGuard.bind(checkpointLocation, StateGeometryGuard.minhash(maxBucket))
     import graft.functions.MinHashSig.minhashSig
     val sig = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -189,7 +189,7 @@ object StreamOps {
     * Unlike the batch gate (which re-keys per run — `Similarity.ndBits`
     * grows bits with the corpus), `nBands`/`nBits` here are FROZEN into
     * the checkpoint's state keys: pass `checkpointLocation` and
-    * [[LshFamilyGuard]] rejects a restart that alters them — re-sharding
+    * [[StateGeometryGuard]] rejects a restart that alters them — re-sharding
     * is a new checkpoint plus a backfill, never an in-place edit. */
   def embedNeardupStream(
       vecs: DataFrame,
@@ -198,8 +198,8 @@ object StreamOps {
       maxBucket: Int = 64,
       tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
     if (checkpointLocation != null)
-      LshFamilyGuard.bind(checkpointLocation,
-        LshFamilyGuard.hyperplane(nBands, nBits, maxBucket))
+      StateGeometryGuard.bind(checkpointLocation,
+        StateGeometryGuard.hyperplane(nBands, nBits, maxBucket))
     import graft.functions.HyperplaneBands.bandKeys
     val bands = vecs
       .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
@@ -340,7 +340,12 @@ object StreamOps {
       keyCol: String = "k",
       hashCol: String = "h",
       mBits: Int = 2048,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, checkpointLocation: String = null): DataFrame = {
+    // the aggregation buffer IS the (mBits, k) geometry — resuming with
+    // different values would merge mismatched bitsets silently
+    if (checkpointLocation != null)
+      StateGeometryGuard.bind(checkpointLocation,
+        StateGeometryGuard.bloom(mBits, k))
     val bloom = udaf(new graft.functions.BloomSketch(mBits, k))
     rows.groupBy(col(keyCol))
       .agg(bloom(col(hashCol)).as("bits"))
@@ -402,7 +407,13 @@ object StreamOps {
     * chunk key across executors; each arriving doc shuffles
     * ~tokens/chunkTokens narrow rows. A production deployment ages
     * state with a TTL — boilerplate recurs fast, by definition. */
-  def chunkDedupStream(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
+  def chunkDedupStream(docs: DataFrame, chunkTokens: Int = 4,
+      checkpointLocation: String = null): DataFrame = {
+    // state is keyed by chunkTokens-gram hashes: a different chunk size
+    // on resume would orphan every previously-seen chunk silently
+    if (checkpointLocation != null)
+      StateGeometryGuard.bind(checkpointLocation,
+        StateGeometryGuard.chunks(chunkTokens))
     implicit val inEnc: Encoder[(Long, Long, Int)] = Encoders.product
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val outEnc: Encoder[(Long, Int, Long, Boolean)] = Encoders.product
@@ -648,7 +659,12 @@ object StreamOps {
       centroids: Seq[(Long, Seq[Long], Long)],
       tau: Double = graft.operators.Similarity.SemDedupTau,
       maxCell: Int = 4096,
-      tws: Boolean = false): DataFrame = {
+      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
+    // cells are partitioned by the centroid set and verdicts thresholded
+    // at tau — resuming with different centroids re-keys every cell
+    if (checkpointLocation != null)
+      StateGeometryGuard.bind(checkpointLocation,
+        StateGeometryGuard.semantic(centroids, tau, maxCell))
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     def dotIntCol(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)

@@ -344,7 +344,7 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
-  test("LshFamilyGuard: a restart with altered family parameters fails " +
+  test("StateGeometryGuard: a restart with altered family parameters fails " +
       "loudly; same-family rebind and an e2e resume stay silent") {
     val ckpt = java.nio.file.Files.createTempDirectory("lsh_family").toString
     try {
@@ -372,16 +372,40 @@ class StreamOpsSpec extends SparkSpec {
       finally q2.stop()
       // altered family: rejected at build time, BEFORE any state damage
       val e = intercept[IllegalStateException] { start(bits = 14) }
-      assert(e.getMessage.contains("LSH family mismatch") &&
+      assert(e.getMessage.contains("state-geometry mismatch") &&
         e.getMessage.contains("\"bits\":10") &&
         e.getMessage.contains("\"bits\":14"), e.getMessage)
       // the minhash family guards the doc stream the same way
-      LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(64))
-      LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(64))
+      StateGeometryGuard.bind(ckpt + "/docs", StateGeometryGuard.minhash(64))
+      StateGeometryGuard.bind(ckpt + "/docs", StateGeometryGuard.minhash(64))
       val e2 = intercept[IllegalStateException] {
-        LshFamilyGuard.bind(ckpt + "/docs", LshFamilyGuard.minhash(32))
+        StateGeometryGuard.bind(ckpt + "/docs", StateGeometryGuard.minhash(32))
       }
       assert(e2.getMessage.contains("maxBucket"))
+      // bloom bitset geometry and chunk-gram size: same guard class
+      StateGeometryGuard.bind(ckpt + "/bloom", StateGeometryGuard.bloom(2048, 3))
+      intercept[IllegalStateException] {
+        StateGeometryGuard.bind(ckpt + "/bloom", StateGeometryGuard.bloom(4096, 3))
+      }
+      StateGeometryGuard.bind(ckpt + "/chunks", StateGeometryGuard.chunks(4))
+      intercept[IllegalStateException] {
+        StateGeometryGuard.bind(ckpt + "/chunks", StateGeometryGuard.chunks(8))
+      }
+      // semantic: the centroid fingerprint is ORDER-insensitive content —
+      // a permutation binds clean, a changed centroid or tau rejects
+      val cents = Seq((1L, Seq(1L, 2L), 5L), (2L, Seq(3L, 4L), 25L))
+      StateGeometryGuard.bind(ckpt + "/sem",
+        StateGeometryGuard.semantic(cents, 0.45, 4096))
+      StateGeometryGuard.bind(ckpt + "/sem",
+        StateGeometryGuard.semantic(cents.reverse, 0.45, 4096))
+      intercept[IllegalStateException] {
+        StateGeometryGuard.bind(ckpt + "/sem", StateGeometryGuard.semantic(
+          Seq((1L, Seq(1L, 2L), 5L), (2L, Seq(3L, 5L), 34L)), 0.45, 4096))
+      }
+      intercept[IllegalStateException] {
+        StateGeometryGuard.bind(ckpt + "/sem",
+          StateGeometryGuard.semantic(cents, 0.5, 4096))
+      }
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ckpt))
   }
