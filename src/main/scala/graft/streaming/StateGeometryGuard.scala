@@ -64,19 +64,27 @@ object StateGeometryGuard {
   def chunks(chunkTokens: Int): Family =
     Family("chunk-dedup", Seq("chunkTokens" -> chunkTokens.toLong))
 
-  /** The cell partitioning of [[StreamOps.semanticDedupStream]]: the
-    * centroid set rides as an order-insensitive content hash. */
-  def semantic(centroids: Seq[(Long, Seq[Long], Long)], tau: Double,
-      maxCell: Int): Family = {
-    val centHash = centroids
+  /** Order-insensitive content hash of a centroid set. */
+  private def centroidHash(centroids: Seq[(Long, Seq[Long], Long)]): Long =
+    centroids
       .map { case (cid, cv, cn2) =>
         scala.util.hashing.MurmurHash3.orderedHash(cid +: cn2 +: cv)
       }
       .sorted.foldLeft(0L)((acc, h) => acc * 1000003L + h)
-    Family("semantic-dedup", Seq("centroids" -> centHash,
+
+  /** The cell partitioning of [[StreamOps.semanticDedupStream]]: the
+    * centroid set rides as an order-insensitive content hash. */
+  def semantic(centroids: Seq[(Long, Seq[Long], Long)], tau: Double,
+      maxCell: Int): Family =
+    Family("semantic-dedup", Seq("centroids" -> centroidHash(centroids),
       "tauBits" -> java.lang.Double.doubleToLongBits(tau),
       "maxCell" -> maxCell.toLong))
-  }
+
+  /** The cell statistics of [[StreamOps.ivfMaintain]] — running sums
+    * are only meaningful against the centroid set they were assigned
+    * under. */
+  def ivf(centroids: Seq[(Long, Seq[Long], Long)]): Family =
+    Family("ivf-maintain", Seq("centroids" -> centroidHash(centroids)))
 
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")

@@ -616,7 +616,14 @@ object StreamOps {
     * Equivalence with the batch step is pinned in StreamOpsSpec. */
   def ivfMaintain(
       vectors: DataFrame,
-      centroids: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+      centroids: Seq[(Long, Seq[Long], Long)],
+      checkpointLocation: String = null): DataFrame = {
+    // the running per-cell sums are only meaningful against the centroid
+    // set they were assigned under — a resume with re-seeded centroids
+    // would silently mix statistics across two partitionings
+    if (checkpointLocation != null)
+      StateGeometryGuard.bind(checkpointLocation,
+        StateGeometryGuard.ivf(centroids))
     def dotInt(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     val cents = array(centroids.map { case (cid, cv, cn2) =>

@@ -406,6 +406,14 @@ class StreamOpsSpec extends SparkSpec {
         StateGeometryGuard.bind(ckpt + "/sem",
           StateGeometryGuard.semantic(cents, 0.5, 4096))
       }
+      // ivf cell statistics: re-seeded centroids reject
+      StateGeometryGuard.bind(ckpt + "/ivf", StateGeometryGuard.ivf(cents))
+      StateGeometryGuard.bind(ckpt + "/ivf",
+        StateGeometryGuard.ivf(cents.reverse))
+      intercept[IllegalStateException] {
+        StateGeometryGuard.bind(ckpt + "/ivf",
+          StateGeometryGuard.ivf(cents.take(1)))
+      }
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ckpt))
   }
