@@ -306,11 +306,47 @@ object Bench {
     val total = results.map(_._2).sum
     // reference-comparable single-socket ingest (best-of-2, rows/s)
     val ingest = math.max(cdcIngestRate(100000), cdcIngestRate(100000))
-    // measured catch-up-parallelism win on a planted 100k-event backlog:
-    // 8-way splitRanges drain vs the serial single-connection drain
-    val catchupPar = math.max(catchupRate(100000, 8), catchupRate(100000, 8))
-    val catchupSer = math.max(catchupRate(100000, 1), catchupRate(100000, 1))
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"cdc_ingest_rows_per_sec":${"%.0f".format(ingest)},"catchup_rows_per_sec":${"%.0f".format(catchupPar)},"catchup_serial_rows_per_sec":${"%.0f".format(catchupSer)},"loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir"}""")
+    // measured catch-up drain on planted backlogs, each through the
+    // BACKLOG-AWARE planner (maxN=8; GtidRangeCuts.adaptiveN picks the
+    // fan-out) vs the forced serial single-connection drain. At 100k the
+    // adaptive planner itself chooses serial (span < 2^17), so the pair
+    // pins "shallow backlog no longer pays the 8-way setup tax"; at 1M it
+    // fans out to 7 and the pair pins the parallel win.
+    // untimed warm-up: the first replay drain pays JIT + classloading of
+    // the CdcTailer/CdcReplayReader paths; without it the first measured
+    // capture (historically the parallel one) eats that cost and the
+    // par-vs-serial comparison is ordering noise, not planner truth
+    catchupRate(20000, 1)
+    // interleaved samples (par, ser, par, ser, …), best-of-3 each: at
+    // 100k the two run the IDENTICAL serial plan (adaptiveN picks 1), so
+    // any residual gap is scheduling noise — interleaving keeps that
+    // noise from systematically biasing whichever side runs first
+    def pair(events: Int): (Double, Double) = {
+      val samples = (1 to 3).map(_ => (catchupRate(events, 8), catchupRate(events, 1)))
+      (samples.map(_._1).max, samples.map(_._2).max)
+    }
+    val (catchupPar, catchupSer) = pair(100000)
+    val (catchup1mPar, catchup1mSer) = pair(1000000)
+    def r0(d: Double) = "%.0f".format(d)
+    val rates = s""""cdc_ingest_rows_per_sec":${r0(ingest)},""" +
+      s""""catchup_rows_per_sec":${r0(catchupPar)},""" +
+      s""""catchup_serial_rows_per_sec":${r0(catchupSer)},""" +
+      s""""catchup_1m_rows_per_sec":${r0(catchup1mPar)},""" +
+      s""""catchup_1m_serial_rows_per_sec":${r0(catchup1mSer)}"""
+    val common = s""""loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir""""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,$rates,$common}"""
+    // Full payload (per-query runs + plan counters, ~15 KB) goes to a
+    // FILE: the driver's bench capture keeps only a stdout tail, and a
+    // 15 KB line loses its head to the truncation (BENCH_r08/r09
+    // "parsed": null). Stdout gets a compact summary as the very last
+    // line, after spark.stop() so no shutdown logging lands behind it.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(full)
+    val top = results.sortBy(-_._2).take(30)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.length},"queries":$top,$rates,$common,"detail_file":"bench_out.json"}""")
   }
 }

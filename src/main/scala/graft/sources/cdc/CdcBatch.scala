@@ -198,7 +198,10 @@ final class CdcBatch(
     // the mismatch and collapses to one chunk, because interpolated
     // sequence cuts are only meaningful within one domain.
     if (start.exists(_ >= e) || e == Gtid.Floor) return Array.empty
-    GtidRangeCuts.sequenceCuts(start, e, opts.replayPartitions).map {
+    // fabricated cuts pay per-connection setup: scale the fan-out with
+    // the span (serial when shallow) instead of a flat replayPartitions
+    GtidRangeCuts.sequenceCuts(start, e, GtidRangeCuts.adaptiveN(
+      start, e, opts.replayPartitions, opts.catchupSpanPerConnection)).map {
       case (lo, hi) =>
         // endGtidObserved: the caller saw the bound produced, so the whole
         // range exists — strict stall semantics for every subrange

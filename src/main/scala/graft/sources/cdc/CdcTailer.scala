@@ -307,15 +307,25 @@ final class CdcTailer(
     * serial chunk: the end of a streaming range is always an event the
     * driver OBSERVED before logging the offset, so every fabricated
     * subrange terminates (the reader completes on the first event past
-    * its bound, and the observed end is past every interior cut). */
-  def splitRanges(start: Option[Gtid], end: Gtid, n: Int): Seq[(Option[Gtid], Gtid)] =
+    * its bound, and the observed end is past every interior cut).
+    *
+    * The fallback's connection count is BACKLOG-AWARE, not flat: a
+    * fabricated split pays per-connection setup with no balance
+    * guarantee, so `n` is scaled down to one connection per
+    * `spanPerConnection` sequence numbers ([[GtidRangeCuts.adaptiveN]])
+    * — a shallow catch-up drains serially (measured faster below ~131k
+    * events), a deep one fans out to the full requested parallelism. */
+  def splitRanges(start: Option[Gtid], end: Gtid, n: Int,
+      spanPerConnection: Long = GtidRangeCuts.DefaultSpanPerConnection)
+      : Seq[(Option[Gtid], Gtid)] =
     lock.synchronized {
       val inRange = positions.iterator
         .filter(g => start.forall(g > _) && g <= end).toArray
       if (n <= 1) Seq((start, end))
       else if (inRange.lastOption.forall(_ != end)) {
         CdcSplitProbe.arithmeticFallbacks += 1
-        GtidRangeCuts.sequenceCuts(start, end, n)
+        GtidRangeCuts.sequenceCuts(start, end,
+          GtidRangeCuts.adaptiveN(start, end, n, spanPerConnection))
       } else if (inRange.length < 2 * n) Seq((start, end))
       else {
         val per = math.ceil(inRange.length.toDouble / n).toInt

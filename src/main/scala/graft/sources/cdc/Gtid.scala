@@ -11,8 +11,10 @@ import org.apache.spark.sql.connector.read.streaming.Offset
   * (the new primary continues the domain's seqno with its own server_id),
   * so sequence — not server_id — carries temporal order. Comparing all
   * three fields keeps `compare == 0` consistent with case-class equality
-  * (the `Ordered` contract). Multi-domain streams have no total order;
-  * [[CdcTailer]] fails fast if the stream's domain changes mid-flight.
+  * (the `Ordered` contract). Interleaved multi-domain streams have no
+  * total order under one triple; [[CdcTailer]] accepts a domain switch
+  * exactly when it keeps the log order monotone (a failover onto a
+  * higher domain id) and fails fast on an order-breaking interleave.
   */
 final case class Gtid(domain: Long, serverId: Long, sequence: Long)
     extends Ordered[Gtid] {
@@ -55,6 +57,32 @@ object Gtid {
   * domain's sequence numbers land in the table. Zero wire I/O.
   */
 object GtidRangeCuts {
+  /** Default minimum sequence span per replay connection. Each parallel
+    * replay pays a fixed protocol setup cost (TCP connect, auth,
+    * REGISTER, inclusive-replay overshoot), so below a span threshold a
+    * flat N-way split LOSES to one serial drain — measured: the r9 local
+    * capture drained a 100k-event backlog at 623k rows/s with a flat
+    * 8-way split vs 1,054k rows/s serially. 2^17 puts the crossover
+    * safely above that regime while a genuinely deep backlog (≥ ~1M)
+    * still fans out to the full requested parallelism. */
+  val DefaultSpanPerConnection: Long = 131072L
+
+  /** Backlog-aware connection count for a fabricated-cut catch-up: one
+    * connection per `spanPerConnection` sequence numbers, capped at the
+    * caller's `maxN`, never below 1. The sequence span over-estimates
+    * the event count when the domain's sequences are shared with other
+    * tables — an over-estimate only ever fans out EARLIER, which is the
+    * cheap direction (idle connections, not a serialized backlog). A
+    * cross-domain range has no meaningful span arithmetic and stays
+    * serial (matching [[sequenceCuts]]'s domain guard). */
+  def adaptiveN(start: Option[Gtid], end: Gtid, maxN: Int,
+      spanPerConnection: Long = DefaultSpanPerConnection): Int = {
+    if (start.exists(_.domain != end.domain)) return 1
+    val span = end.sequence - start.map(_.sequence).getOrElse(0L)
+    val bySpan = span / math.max(1L, spanPerConnection)
+    math.max(1, math.min(maxN.toLong, bySpan).toInt)
+  }
+
   /** Up to `n` contiguous subranges of `(start, end]`. Degenerate spans
     * (n <= 1, or fewer sequence numbers than ranges) collapse to the
     * whole range as one chunk. per-range width first: `step * i` never

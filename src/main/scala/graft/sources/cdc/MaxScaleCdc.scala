@@ -37,7 +37,11 @@ final case class CdcOptions(
     // normalized changelog (GTID/event metadata + `payload` JSON +
     // `_table`) instead of requiring one shared schema — see
     // [[NormalizedCdc]]
-    normalized: Boolean = false) {
+    normalized: Boolean = false,
+    // minimum GTID sequence span per fabricated-cut catch-up connection:
+    // shallow backlogs drain serially (per-connection setup dominates),
+    // deep ones fan out to replayPartitions — see GtidRangeCuts.adaptiveN
+    catchupSpanPerConnection: Long = GtidRangeCuts.DefaultSpanPerConnection) {
   def timeoutMs: Int = timeoutSeconds * 1000
 
   /** All subscribed tables: the `tables` option when present (multi-table
@@ -149,7 +153,9 @@ object CdcOptions {
         case other => throw new IllegalArgumentException(
           s"maxscale-cdc: schemaMode must be 'uniform' or 'normalized', " +
             s"got '$other'")
-      })
+      },
+      catchupSpanPerConnection = m.getLong("catchupSpanPerConnection",
+        GtidRangeCuts.DefaultSpanPerConnection))
   }
 }
 
@@ -666,7 +672,8 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions,
         // (reference resume semantics, cdc_connector.cpp:199-213). Works
         // identically for live batches and recovery re-plans — the range
         // is served by the server, not the tailer's buffer.
-        t.splitRanges(s, endG, opts.replayPartitions).map { case (rs, re) =>
+        t.splitRanges(s, endG, opts.replayPartitions,
+            opts.catchupSpanPerConnection).map { case (rs, re) =>
           CdcReplayPartition(opts.host, opts.port, opts.user, opts.password,
             opts.table, fields, rs.map(_.toString), re.toString,
             opts.timeoutMs): InputPartition

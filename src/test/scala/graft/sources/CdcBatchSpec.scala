@@ -98,6 +98,9 @@ class CdcBatchSpec extends SparkSpec {
     try {
       val df = reader(srv)
         .option("endGtid", "0-1-1000")
+        // low threshold: exercise the arithmetic cuts at fixture scale
+        // (the default keeps a 1000-span serial — AdaptiveSplitSpec)
+        .option("catchupSpanPerConnection", 1)
         .option("replayPartitions", 4).load()
       val before = srv.requestCount("db.t")
       assert(df.rdd.getNumPartitions == 4)

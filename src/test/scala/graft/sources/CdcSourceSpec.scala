@@ -552,7 +552,11 @@ class CdcSourceSpec extends SparkSpec {
     val srv = new MockMaxScaleServer(Schema,
       (1L to n.toLong).map(i => event(i, "insert", i.toInt, s"n$i")))
     try {
-      val (stream, _) = streamFor(srv, Map("replayPartitions" -> "4"))
+      // catchupSpanPerConnection=1 pins the parallel-cut machinery at
+      // fixture scale; the default 2^17 threshold would (correctly) keep
+      // this 60-event span serial — AdaptiveSplitSpec pins that policy
+      val (stream, _) = streamFor(srv, Map("replayPartitions" -> "4",
+        "catchupSpanPerConnection" -> "1"))
       try {
         import graft.sources.cdc.{CdcSplitProbe, Gtid}
         val before = CdcSplitProbe.arithmeticFallbacks

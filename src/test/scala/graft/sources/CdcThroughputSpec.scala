@@ -167,7 +167,11 @@ class CdcThroughputSpec extends AnyFunSuite {
         val tailer = new CdcTailer("127.0.0.1", srv.port, "u", "p", "db.t",
           fields, resumeAfter = None, timeoutMs = 5000)
         val before = CdcSplitProbe.arithmeticFallbacks
-        val ranges = tailer.splitRanges(None, Gtid(0, 1, M.toLong), partitions)
+        // spanPerConnection=1: pin the parallel-cut MACHINERY at fixture
+        // scale (the default 2^17 threshold correctly keeps a 60k span
+        // serial — AdaptiveSplitSpec pins that policy)
+        val ranges = tailer.splitRanges(None, Gtid(0, 1, M.toLong), partitions,
+          spanPerConnection = 1L)
         if (partitions > 1)
           assert(CdcSplitProbe.arithmeticFallbacks == before + 1 &&
             ranges.size == partitions, s"expected the fallback: $ranges")

@@ -48,11 +48,13 @@ class MultiDomainGtidSpec extends SparkSpec {
     val t = new CdcTailer("127.0.0.1", 1, "u", "p", "db.t", fields,
       resumeAfter = None, timeoutMs = 1000)
     val before = CdcSplitProbe.arithmeticFallbacks
-    val got = t.splitRanges(Some(Gtid(0, 1, 5)), Gtid(1, 2, 40), 4)
+    val got = t.splitRanges(Some(Gtid(0, 1, 5)), Gtid(1, 2, 40), 4,
+      spanPerConnection = 1L)
     assert(CdcSplitProbe.arithmeticFallbacks == before + 1)
     assert(got == Seq((Some(Gtid(0, 1, 5)), Gtid(1, 2, 40))))
     // same-domain control: the fallback still parallelizes
-    val same = t.splitRanges(Some(Gtid(1, 2, 0)), Gtid(1, 2, 40), 4)
+    val same = t.splitRanges(Some(Gtid(1, 2, 0)), Gtid(1, 2, 40), 4,
+      spanPerConnection = 1L)
     assert(same.size == 4, same.toString)
   }
 
