@@ -130,8 +130,15 @@ object Scalars extends QueryPack {
       ORDER BY k
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // ONE from_json pass over props (schema-projected Jackson parse; the
+    // parser stops materializing anything but `k`) instead of
+    // get_json_object's per-row path evaluation — the sf1 audit measured
+    // the latter growing 11.3x for 10x data (VERDICT r9 #6)
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
     Tables.events(s, dir)
-      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+      .select(from_json(col("props"), propsSchema).getField("k").as("k"),
               col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

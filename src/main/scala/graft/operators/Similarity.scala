@@ -159,23 +159,42 @@ object Similarity extends QueryPack {
     * measured 11× wall for 10× data, and the next decade would be ~100×).
     * Growing bits with ⌈log2 n⌉ pins the expected bucket population to
     * the 1..2 range REGARDLESS of n, which makes expected candidates
-    * Θ(bands · n) — the linear scale path. Recall at the cosine-0.9
-    * design point stays ≈1 (per-band hit rate 0.856^b; even at b = 24
-    * the 64-band miss probability is < 3%); the far-borderline ≈0.5
-    * regime degrades with b, the documented trade of every banded-LSH
-    * family. Integer arithmetic only — `⌈log2 n⌉ = bitLength(n−1)` —
-    * so the oracle computes the identical b from COUNT(*) via
-    * `GREATEST(10, LENGTH(bin(n−1)) − 1)` and the whole pipeline stays
-    * bit-matched at every SF; n ≤ 2048 lands on the historical b = 10,
-    * so the official-gate SFs are unchanged. The STREAMING twin
-    * (`s_neardup_stream`) keeps the frozen family: its LSH state store
-    * is keyed by (band, key) and cannot re-key live — re-sharding the
-    * family is a restart-time decision there, as documented in
-    * StreamOps. */
+    * Θ(bands · n) — the linear scale path. Integer arithmetic only —
+    * `⌈log2 n⌉ = bitLength(n−1)` — so the oracle computes the identical
+    * b from COUNT(*) via `GREATEST($NdBits, LENGTH(bin(n−1)) − 1)` and
+    * the whole pipeline stays bit-matched at every SF; n ≤ 2048 lands on
+    * the historical b = 10, so the official-gate SFs are unchanged. The
+    * STREAMING twin (`s_neardup_stream`) keeps the frozen family: its
+    * LSH state store is keyed by (band, key) and cannot re-key live —
+    * re-sharding the family is a restart-time decision there, as
+    * documented in StreamOps.
+    *
+    * RECALL requires bands to grow WITH bits ([[ndBands]]): at the
+    * cosine-0.9 design point the per-plane agreement probability is
+    * p = 1 − acos(0.9)/π ≈ 0.856, so the per-band hit rate is 0.856^b —
+    * with bands FROZEN at 64 the miss probability would be ~5% at b=20
+    * and ~21% at b=24 (ADVICE r9: the old "< 3%" claim was wrong). */
   def ndBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     math.min(MaxNdBits, math.max(NdBits, ceilLog2 - 1))
   }
+
+  /** Bands for a given bits-per-band: `64 + 32·(b − 10)`, the
+    * integer-exact companion of [[ndBits]] that keeps the design-point
+    * recall pinned as bits grow. Each extra bit multiplies the per-band
+    * hit rate 0.856^b by 0.856, so holding bands fixed would decay
+    * recall geometrically; +32 bands per bit keeps the expected number
+    * of hitting bands `bands·0.856^b` in the 12..22 range over the whole
+    * b ∈ [10, 24] domain (13.6 at b=10, 12.4 at b=24), i.e. design-point
+    * miss ≤ e^−12.4 ≈ 4·10⁻⁶ at EVERY corpus size — against the ~1.17×
+    * per bit the constant-product rule asks, 32/64 = 1.17× compounding
+    * is within 10% through b=24. Work grows only linearly (Θ(bands·n)
+    * keys), the price of scale-stable recall; the far-borderline
+    * cosine≈0.5 regime still degrades with b (p = 2/3 there), the
+    * documented trade of every banded-LSH family. Same closed form in
+    * the oracle SQL ([[bandKeySqlDynamicBits]]) keeps candidates
+    * bit-matched. */
+  def ndBands(bits: Int): Int = NdBands + 32 * (bits - NdBits)
   /** Upper bound on [[ndBits]] — 24 bits = 16M buckets per band, enough
     * to pin bucket occupancy to ~1 through 2^25 ≈ 33M vectors. Past that
     * the per-band key would still fit a Long; the cap exists so the
@@ -216,27 +235,32 @@ object Similarity extends QueryPack {
        |              AS BIGINT) AS key
        |  FROM dots GROUP BY vec_id, band)""".stripMargin
 
-  /** [[bandKeySqlWith]] with DATA-DEPENDENT bits per band — the SQL twin
-    * of [[ndBits]]: `bb.b = LEAST($MaxNdBits, GREATEST(10,
-    * LENGTH(bin(n−1)) − 1))` from COUNT(*), integer-exact in both
+  /** [[bandKeySqlWith]] with DATA-DEPENDENT geometry — the SQL twin of
+    * [[ndBits]] AND [[ndBands]]: `bb.b = LEAST($MaxNdBits,
+    * GREATEST($NdBits, LENGTH(bin(n−1)) − 1))` from COUNT(*) and
+    * `bb.nb = $NdBands + 32·(b − $NdBits)`, integer-exact in both
     * engines — the LEAST mirrors the Scala-side [[MaxNdBits]] cap, which
-    * is what makes the fixed plane series sufficient. The plane series is
-    * generated to the [[MaxNdBits]] ceiling (a fixed, data-independent
-    * literal) and filtered to the first `bands · b` planes, so the same
-    * global plane indexing `plane = band·b + bit` holds for whatever b
-    * the corpus size selects. Emits the same `e` / `keys` CTEs. */
-  private def bandKeySqlDynamicBits(bands: Int): String = {
+    * is what makes the fixed plane series sufficient. The plane series
+    * is generated to the `ndBands(MaxNdBits) · MaxNdBits` ceiling (a
+    * fixed, data-independent literal) and filtered to the first
+    * `nb · b` planes, so the same global plane indexing
+    * `plane = band·b + bit` holds for whatever geometry the corpus size
+    * selects. Emits the same `e` / `keys` CTEs. */
+  private def bandKeySqlDynamicBits(): String = {
     val b = "(SELECT b FROM bb)"
+    val nb = "(SELECT nb FROM bb)"
+    val maxPlanes = ndBands(MaxNdBits) * MaxNdBits
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |bb AS (SELECT LEAST($MaxNdBits,
-       |               GREATEST(10, LENGTH(bin(COUNT(*) - 1)) - 1)) AS b
-       |       FROM e),
+       |bb AS (SELECT b, $NdBands + 32 * (b - $NdBits) AS nb FROM (
+       |       SELECT LEAST($MaxNdBits,
+       |               GREATEST($NdBits, LENGTH(bin(COUNT(*) - 1)) - 1)) AS b
+       |       FROM e)),
        |planes AS (
        |  SELECT p AS plane, d AS dim,
        |         CASE WHEN CAST(('0x'||substr(md5('hp:'||p||':'||(d-1)),1,15))
        |                        AS BIGINT) % 2 = 1
        |              THEN 1.0 ELSE -1.0 END AS sgn
-       |  FROM generate_series(0, ${bands * MaxNdBits - 1}) t1(p),
+       |  FROM generate_series(0, ${maxPlanes - 1}) t1(p),
        |       generate_series(1, 64) t2(d)),
        |pv AS (SELECT plane, list(sgn ORDER BY dim) AS sv
        |       FROM planes GROUP BY plane),
@@ -245,7 +269,7 @@ object Similarity extends QueryPack {
        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
        |                  d -> pv.sv[d] * CAST(e.embedding[d] AS DOUBLE))) AS dot
        |  FROM e, pv
-       |  WHERE pv.plane < $bands * $b),
+       |  WHERE pv.plane < $nb * $b),
        |keys AS (
        |  SELECT vec_id, band,
        |         CAST(SUM(CASE WHEN dot > 0
@@ -259,11 +283,12 @@ object Similarity extends QueryPack {
     * docs×bands, never all-pairs — then dedups on ids only (narrow rows)
     * before the exact verify re-joins the vectors. `bits` defaults to the
     * frozen streaming-compatible family; batch callers that can count
-    * the corpus pass [[ndBits]] for the scale-aware family. */
+    * the corpus pass [[ndBits]] for the scale-aware family (bands then
+    * grow in lockstep via [[ndBands]] to hold design-point recall). */
   def neardupCandidates(e: DataFrame, bits: Int = NdBits): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     val bands = e.select(col("vec_id"),
-        posexplode(bandKeys(col("embedding"), NdBands, bits)))
+        posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
       .toDF("vec_id", "band", "key")
     val l = bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
     val r = bands.select(col("band"), col("key"), col("vec_id").as("vec_b"))
@@ -290,7 +315,7 @@ object Similarity extends QueryPack {
     * pruning. */
   val qEmbedNeardupLsh: Q = Q(
     "q_embed_neardup_lsh",
-    Some(s"""${bandKeySqlDynamicBits(NdBands)},
+    Some(s"""${bandKeySqlDynamicBits()},
       |cand AS (
       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
       |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key

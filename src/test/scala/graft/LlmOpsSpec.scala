@@ -357,6 +357,20 @@ class LlmOpsSpec extends SparkSpec {
         assert(n.toDouble / (1L << b) <= 2.0 + 1e-9,
           s"bucket occupancy ${n.toDouble / (1L << b)} at n=$n b=$b")
     }
+    // ndBands = 64 + 32*(b-10), the recall companion (ADVICE r9): the
+    // per-band hit rate at the cosine-0.9 design point is 0.856^b, so
+    // FROZEN 64 bands would decay recall geometrically as bits grow
+    // (~21% miss at b=24). +32 bands per bit keeps the expected number
+    // of hitting bands >= 12 over the whole b domain (miss <= e^-12).
+    assert(Similarity.ndBands(10) == 64)   // official SFs: unchanged
+    assert(Similarity.ndBands(14) == 192)  // sf1
+    assert(Similarity.ndBands(Similarity.MaxNdBits) == 512)
+    for (b <- 10 to Similarity.MaxNdBits) {
+      val pBand = math.pow(1.0 - math.acos(0.9) / math.Pi, b)
+      val expHits = Similarity.ndBands(b) * pBand
+      assert(expHits >= 12.0,
+        f"design-point expected band hits $expHits%.1f at b=$b")
+    }
     // semDedupK = max(4, ceil(sqrt n / 12)): official SFs stay K=4;
     // K grows as sqrt(n), equalizing assignment (n*K) and in-cell pair
     // (n^2/K) work at O(n^1.5).
