@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Restart-time guard for streaming operators whose STATE LAYOUT is a
   * pure function of construction parameters.
@@ -89,9 +89,11 @@ object StateGeometryGuard {
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")
 
-  /** Persist-or-check: first call under a checkpoint writes the
-    * fingerprint (atomic move, so a crash never leaves a torn file);
-    * later calls compare and throw on ANY difference. */
+  /** Persist-or-check: first call under a checkpoint publishes the
+    * fingerprint atomically with CREATE_NEW semantics (a crash never
+    * leaves a torn file, and a concurrent first bind cannot be silently
+    * overwritten — exactly one binder wins, the loser re-enters the
+    * compare path); later calls compare and throw on ANY difference. */
   def bind(checkpointLocation: String, family: Family): Unit = {
     val path = marker(checkpointLocation)
     Files.createDirectories(path.getParent)
@@ -107,20 +109,31 @@ object StateGeometryGuard {
             "checkpoint and backfilling the state from the re-keyed " +
             "corpus; never edit parameters in place.")
     } else {
-      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      // CREATE_NEW publish. ATOMIC_MOVE maps to rename(2) on POSIX,
+      // which silently REPLACES an existing target — two concurrent
+      // first binds with different families would then end
+      // last-writer-wins with no error (ADVICE r9). createLink is an
+      // atomic create-new (fails with FileAlreadyExistsException when
+      // the marker appeared since the exists() check); the move
+      // fallback deliberately omits REPLACE_EXISTING for the same
+      // contract. Unique tmp name: concurrent binders must not clobber
+      // each other's staging file either.
+      val tmp = Files.createTempFile(
+        path.getParent, "_graft_state_geometry", ".tmp")
       Files.write(tmp, family.render.getBytes(StandardCharsets.UTF_8))
-      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          try Files.move(tmp, path)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Files.deleteIfExists(tmp); bind(checkpointLocation, family)
-          }
+      try {
+        try Files.createLink(path, tmp)
+        catch {
+          case _: UnsupportedOperationException |
+               _: SecurityException =>
+            Files.move(tmp, path) // no REPLACE_EXISTING: EEXIST throws
+        }
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the first-bind race: re-enter the compare path
-          Files.deleteIfExists(tmp); bind(checkpointLocation, family)
-      }
+          // lost the first-bind race: re-enter the compare path, which
+          // re-reads the winner and throws on any geometry difference
+          bind(checkpointLocation, family)
+      } finally Files.deleteIfExists(tmp)
     }
   }
 }

@@ -18,6 +18,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
   */
 object StreamOps {
 
+  /** Explicit opt-out for the state-geometry restart guard: pass as
+    * `checkpointLocation` for a DISPOSABLE stream (memory-sink spec,
+    * ad-hoc exploration) whose state will never be resumed. The guarded
+    * ops REQUIRE a checkpoint location (ADVICE r9): an omitted guard was
+    * a silent failure mode — state geometry froze into the checkpoint
+    * with nothing checking the restart — so skipping the guard is now a
+    * named, grep-able decision instead of a forgotten default. */
+  val EphemeralState: String = "<ephemeral-state>"
+
+  private def bindGeometry(checkpointLocation: String,
+      family: => StateGeometryGuard.Family): Unit = {
+    require(checkpointLocation != null,
+      "checkpointLocation is required on geometry-frozen streaming ops: " +
+        "pass the SAME path given to writeStream (the restart guard " +
+        "binds there), or StreamOps.EphemeralState for a disposable " +
+        "stream that will never be resumed")
+    if (checkpointLocation != EphemeralState)
+      StateGeometryGuard.bind(checkpointLocation, family)
+  }
+
   /** `s_win_tumble`: per-`event_type` counts in tumbling windows, late data
     * bounded by the watermark. Batch twin: `q_win_tumble_batch` (oracle ✓). */
   def tumblingCounts(
@@ -158,9 +178,8 @@ object StreamOps {
     * with altered parameters fail loudly instead of silently orphaning
     * the pre-restart corpus from dedup. */
   def neardupStream(docs: DataFrame, maxBucket: Int = 64,
-      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation, StateGeometryGuard.minhash(maxBucket))
+      tws: Boolean = false, checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.minhash(maxBucket))
     import graft.functions.MinHashSig.minhashSig
     val sig = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -196,10 +215,9 @@ object StreamOps {
       nBands: Int = 64, // keep in lockstep with Similarity.NdBands
       nBits: Int = 10,
       maxBucket: Int = 64,
-      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation,
-        StateGeometryGuard.hyperplane(nBands, nBits, maxBucket))
+      tws: Boolean = false, checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation,
+      StateGeometryGuard.hyperplane(nBands, nBits, maxBucket))
     import graft.functions.HyperplaneBands.bandKeys
     val bands = vecs
       .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
@@ -340,12 +358,10 @@ object StreamOps {
       keyCol: String = "k",
       hashCol: String = "h",
       mBits: Int = 2048,
-      k: Int = 3, checkpointLocation: String = null): DataFrame = {
+      k: Int = 3, checkpointLocation: String): DataFrame = {
     // the aggregation buffer IS the (mBits, k) geometry — resuming with
     // different values would merge mismatched bitsets silently
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation,
-        StateGeometryGuard.bloom(mBits, k))
+    bindGeometry(checkpointLocation, StateGeometryGuard.bloom(mBits, k))
     val bloom = udaf(new graft.functions.BloomSketch(mBits, k))
     rows.groupBy(col(keyCol))
       .agg(bloom(col(hashCol)).as("bits"))
@@ -408,12 +424,10 @@ object StreamOps {
     * ~tokens/chunkTokens narrow rows. A production deployment ages
     * state with a TTL — boilerplate recurs fast, by definition. */
   def chunkDedupStream(docs: DataFrame, chunkTokens: Int = 4,
-      checkpointLocation: String = null): DataFrame = {
+      checkpointLocation: String): DataFrame = {
     // state is keyed by chunkTokens-gram hashes: a different chunk size
     // on resume would orphan every previously-seen chunk silently
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation,
-        StateGeometryGuard.chunks(chunkTokens))
+    bindGeometry(checkpointLocation, StateGeometryGuard.chunks(chunkTokens))
     implicit val inEnc: Encoder[(Long, Long, Int)] = Encoders.product
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val outEnc: Encoder[(Long, Int, Long, Boolean)] = Encoders.product
@@ -617,13 +631,11 @@ object StreamOps {
   def ivfMaintain(
       vectors: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],
-      checkpointLocation: String = null): DataFrame = {
+      checkpointLocation: String): DataFrame = {
     // the running per-cell sums are only meaningful against the centroid
     // set they were assigned under — a resume with re-seeded centroids
     // would silently mix statistics across two partitionings
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation,
-        StateGeometryGuard.ivf(centroids))
+    bindGeometry(checkpointLocation, StateGeometryGuard.ivf(centroids))
     def dotInt(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     val cents = array(centroids.map { case (cid, cv, cn2) =>
@@ -666,12 +678,11 @@ object StreamOps {
       centroids: Seq[(Long, Seq[Long], Long)],
       tau: Double = graft.operators.Similarity.SemDedupTau,
       maxCell: Int = 4096,
-      tws: Boolean = false, checkpointLocation: String = null): DataFrame = {
+      tws: Boolean = false, checkpointLocation: String): DataFrame = {
     // cells are partitioned by the centroid set and verdicts thresholded
     // at tau — resuming with different centroids re-keys every cell
-    if (checkpointLocation != null)
-      StateGeometryGuard.bind(checkpointLocation,
-        StateGeometryGuard.semantic(centroids, tau, maxCell))
+    bindGeometry(checkpointLocation,
+      StateGeometryGuard.semantic(centroids, tau, maxCell))
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     def dotIntCol(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)

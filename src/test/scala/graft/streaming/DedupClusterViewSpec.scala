@@ -18,7 +18,8 @@ class DedupClusterViewSpec extends SparkSpec {
       .collect().sortBy(_._1)
     val (first, second) = docs.splitAt(docs.length / 2)
     val in = MemoryStream[(Long, String)](spark)
-    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"))
+    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"),
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch(DedupClusterView.writer(s"$base/view"))

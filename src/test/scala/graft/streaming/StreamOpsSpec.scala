@@ -153,7 +153,8 @@ class StreamOpsSpec extends SparkSpec {
 
   test("s_bloom: streaming bitset state equals the batch sketch over the union") {
     val in = MemoryStream[(String, Long)](spark)
-    val q = StreamOps.bloomFilterStream(in.toDF().toDF("k", "h"), mBits = 256, k = 3)
+    val q = StreamOps.bloomFilterStream(in.toDF().toDF("k", "h"), mBits = 256, k = 3,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_bloom").outputMode("complete").start()
     try {
       in.addData(("a", 7L), ("a", 13L), ("b", 99L))
@@ -172,7 +173,8 @@ class StreamOpsSpec extends SparkSpec {
       // the invariant under test: bit-equal to one batch agg over the union
       val batch = Seq(("a", 7L), ("a", 13L), ("a", 7L), ("a", 13L),
         ("a", 42L), ("b", 99L), ("b", 7L)).toDF("k", "h")
-      val expected = StreamOps.bloomFilterStream(batch, mBits = 256, k = 3)
+      val expected = StreamOps.bloomFilterStream(batch, mBits = 256, k = 3,
+        checkpointLocation = StreamOps.EphemeralState)
         .as[(String, Array[Long])].collect().toMap
       assert(m.keySet == expected.keySet)
       m.keys.foreach(k => assert(m(k).toSeq == expected(k).toSeq,
@@ -227,7 +229,8 @@ class StreamOpsSpec extends SparkSpec {
     val rows = e.select(col("vec_id"), col("embedding"))
       .as[VecRow].collect().sortBy(_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.semanticDedupStream(in.toDF(), cents)
+    val q = StreamOps.semanticDedupStream(in.toDF(), cents,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_semdedup").outputMode("append").start()
     try {
       rows.grouped((rows.length + 2) / 3)
@@ -268,7 +271,8 @@ class StreamOpsSpec extends SparkSpec {
       .as[VecRow].collect().sortBy(_.vec_id)
     withRocksDb {
       val in = MemoryStream[VecRow](spark)
-      val q = StreamOps.semanticDedupStream(in.toDF(), cents, tws = true)
+      val q = StreamOps.semanticDedupStream(in.toDF(), cents, tws = true,
+        checkpointLocation = StreamOps.EphemeralState)
         .writeStream.format("memory").queryName("s_semdedup_tws")
         .outputMode("append").start()
       try {
@@ -298,6 +302,7 @@ class StreamOpsSpec extends SparkSpec {
     withRocksDb {
       val in = MemoryStream[(Long, String)](spark)
       val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"),
+        checkpointLocation = StreamOps.EphemeralState,
           maxBucket = 3, tws = true)
         .writeStream.format("memory").queryName("s_neardup_tws")
         .outputMode("append").start()
@@ -327,7 +332,8 @@ class StreamOpsSpec extends SparkSpec {
     withRocksDb {
       val in = MemoryStream[(Long, Array[Float])](spark)
       val q = StreamOps.embedNeardupStream(
-          in.toDF().toDF("vec_id", "embedding"), tws = true)
+          in.toDF().toDF("vec_id", "embedding"), tws = true,
+          checkpointLocation = StreamOps.EphemeralState)
         .writeStream.format("memory").queryName("s_embed_neardup_tws")
         .outputMode("append").start()
       try {
@@ -429,7 +435,8 @@ class StreamOpsSpec extends SparkSpec {
     val rows = e.select(col("vec_id"), col("embedding"))
       .as[VecRow].collect().sortBy(-_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.semanticDedupStream(in.toDF(), cents)
+    val q = StreamOps.semanticDedupStream(in.toDF(), cents,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_semdedup_ooo").outputMode("append").start()
     try {
       rows.grouped((rows.length + 2) / 3)
@@ -499,7 +506,8 @@ class StreamOpsSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val in = MemoryStream[(Long, String)](spark)
-    val q = StreamOps.chunkDedupStream(in.toDF().toDF("doc_id", "text"))
+    val q = StreamOps.chunkDedupStream(in.toDF().toDF("doc_id", "text"),
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_chunks").outputMode("append").start()
     try {
       docs.grouped((docs.length + 2) / 3)
@@ -691,7 +699,8 @@ class StreamOpsSpec extends SparkSpec {
       .collect().sortBy(_._1)
     val (first, second) = docs.splitAt(docs.length / 2)
     val in = MemoryStream[(Long, String)](spark)
-    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"))
+    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"),
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_neardup")
       .outputMode("append").start()
     try {
@@ -712,7 +721,8 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val (first, second) = vecs.splitAt(vecs.length / 2)
     val in = MemoryStream[(Long, Array[Float])](spark)
-    val q = StreamOps.embedNeardupStream(in.toDF().toDF("vec_id", "embedding"))
+    val q = StreamOps.embedNeardupStream(in.toDF().toDF("vec_id", "embedding"),
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_embed_neardup")
       .outputMode("append").start()
     try {
@@ -732,7 +742,8 @@ class StreamOpsSpec extends SparkSpec {
     // 5 identical docs all land in the same 4 buckets; cap 3 ⇒ only the
     // first 3 members pair up: C(3,2)=3 pairs, not C(5,2)=10
     val in = MemoryStream[(Long, String)](spark)
-    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"), maxBucket = 3)
+    val q = StreamOps.neardupStream(in.toDF().toDF("doc_id", "text"),
+        checkpointLocation = StreamOps.EphemeralState, maxBucket = 3)
       .writeStream.format("memory").queryName("s_neardup_cap")
       .outputMode("append").start()
     try {
@@ -907,7 +918,8 @@ class StreamOpsSpec extends SparkSpec {
       .select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect()
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.ivfMaintain(in.toDF(), cents)
+    val q = StreamOps.ivfMaintain(in.toDF(), cents,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_ivf").outputMode("complete").start()
     try {
       vecs.grouped(math.max(1, vecs.length / 3 + 1)).foreach { batch =>
@@ -1063,7 +1075,8 @@ class StreamOpsSpec extends SparkSpec {
         .option("user", "u").option("password", "p")
         .option("table", "db.docs").option("timeoutSeconds", 1)
         .load()
-      val pairs = StreamOps.neardupStream(cdc.select(col("doc_id"), col("text")))
+      val pairs = StreamOps.neardupStream(cdc.select(col("doc_id"), col("text")),
+        checkpointLocation = StreamOps.EphemeralState)
       val q = pairs.writeStream.format("memory").queryName("s_cdc_neardup")
         .outputMode("append").start()
       try {
