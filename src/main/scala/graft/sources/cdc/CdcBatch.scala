@@ -141,7 +141,12 @@ final class CdcBatch(
     val rt = runtimeRowPred
     def withRt(p: InputPartition): InputPartition =
       if (rt == null) p else RuntimeFilteredCdcPartition(p, rt)
-    if (!multi) planTable(opts.table, endFor(opts.table)).map(withRt)
+    if (!multi && opts.endGtid.exists(_.startsWith("v:")))
+      // vector-bounded pull over an interleaved multi-domain log: one
+      // domain-filtered slice set per vector entry, zero driver wire I/O
+      planBoundedVector(opts.table,
+        DomainVectorOffset.fromJson(opts.endGtid.get)).map(withRt)
+    else if (!multi) planTable(opts.table, endFor(opts.table)).map(withRt)
     else CdcConcurrent.map(opts.allTables.filter(included)) { t =>
       planTable(t, endFor(t))
         .map(p => TaggedCdcPartition(withRt(p), t): InputPartition)
@@ -209,6 +214,38 @@ final class CdcBatch(
           opts.password, table, fields, lo.map(_.toString), hi.toString,
           opts.timeoutMs,
           completeOnQuiet = !opts.endGtidObserved): InputPartition
+    }.toArray
+  }
+
+  /** Vector-bounded pull (`endGtid = "v:0-1-10,1-2-5"`): each domain's
+    * `(start_d, end_d]` slice plans independently with the same
+    * backlog-aware arithmetic cuts (sequences are per-domain, so the
+    * interpolation is always meaningful within a slice), and each
+    * partition filters to its domain while replaying the interleaved
+    * log. `startingGtid` must be absent or the matching `v:` form. */
+  private def planBoundedVector(table: String,
+      e: DomainVectorOffset): Array[InputPartition] = {
+    val sv = opts.startingGtid match {
+      case None => DomainVectorOffset.Start
+      case Some(s) if s.startsWith("v:") => DomainVectorOffset.fromJson(s)
+      case Some(s) => throw new IllegalArgumentException(
+        s"maxscale-cdc: a vector endGtid needs a vector (or absent) " +
+          s"startingGtid — a bare GTID '$s' says nothing about the other " +
+          "domains")
+    }
+    val active = e.entries.filter(endD => sv.of(endD.domain).forall(_ < endD))
+    if (active.isEmpty) return Array.empty
+    val perDomainN = math.max(1, opts.replayPartitions / active.size)
+    active.flatMap { endD =>
+      val startD = sv.of(endD.domain)
+      GtidRangeCuts.sequenceCuts(startD, endD, GtidRangeCuts.adaptiveN(
+          startD, endD, perDomainN, opts.catchupSpanPerConnection)).map {
+        case (lo, hi) =>
+          CdcReplayPartition(opts.host, opts.port, opts.user,
+            opts.password, table, fields, lo.map(_.toString), hi.toString,
+            opts.timeoutMs, completeOnQuiet = !opts.endGtidObserved,
+            domainFilter = Some(endD.domain)): InputPartition
+      }
     }.toArray
   }
 

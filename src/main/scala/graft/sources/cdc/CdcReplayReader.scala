@@ -31,7 +31,12 @@ final case class CdcReplayPartition(
     // goes quiet below it (a bound, not a rendezvous). Streaming ranges
     // and anchored batch ranges end at OBSERVED events, where quiet
     // mid-range is a server fault and stays a loud deadline failure.
-    completeOnQuiet: Boolean = false) extends InputPartition {
+    completeOnQuiet: Boolean = false,
+    // domainMode=vector: this partition replays ONE domain's slice of an
+    // interleaved multi-domain log — events of other domains are skipped
+    // entirely (no position bookkeeping), and the range bounds compare
+    // within the named domain only
+    domainFilter: Option[Long] = None) extends InputPartition {
 
   /** Task descriptors get rendered into logs and the Spark UI; the default
     * case-class toString would leak the password there. */
@@ -255,9 +260,12 @@ final class CdcReplayReader(
                 "positioned within the replay range")
           val g = Gtid(values(gtidIdx._1).toLong, values(gtidIdx._2).toLong,
             values(gtidIdx._3).toLong)
+          // vector mode: foreign-domain events interleave through the
+          // replay — not ours, not positioned here, skipped wholesale
+          if (p.domainFilter.exists(_ != g.domain)) ()
           // skip the server's inclusive replay of the range start and any
           // re-delivery below the last emitted position after a reconnect
-          if (lastEmitted.forall(g > _)) {
+          else if (lastEmitted.forall(g > _)) {
             if (g > end) { done = true; return false } // past range: defensive
             // the row WILL be delivered (or predicated) — reference A10:
             // a missing schema key is an error at delivery. Rows at or

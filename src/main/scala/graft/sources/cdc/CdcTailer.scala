@@ -47,13 +47,33 @@ final class CdcTailer(
     // DDL re-schema is ABSORBED (GTID trio re-located by name, tailing
     // continues) instead of failing the query — the reference re-schemas
     // within one connection too (cdc_connector.cpp:339-344)
-    tolerateReSchema: Boolean = false) extends Thread(s"graft-cdc-tailer-$table") {
+    tolerateReSchema: Boolean = false,
+    // domainMode=vector: track one watermark per replication domain
+    // (gtid_slave_pos semantics) and accept ANY domain interleave; the
+    // single-triple order/dedupe machinery is bypassed. Requires the
+    // GTID columns (there is no synthetic-offset vector mode).
+    domainVector: Boolean = false,
+    // vector-mode resume floor: per-domain watermarks in LOG-ARRIVAL
+    // order of their events, earliest first ([[DomainVectorOffset]])
+    resumeVector: Seq[Gtid] = Nil) extends Thread(s"graft-cdc-tailer-$table") {
 
   setDaemon(true)
 
   private val lock = new Object
   /** GTID positions seen, in stream order — the offset-discovery state. */
   private val positions = ArrayBuffer.empty[Gtid]
+  /** Vector mode: per-domain watermarks in LAST-ARRIVAL order (a
+    * LinkedHashMap re-inserted on every accepted event), so the head is
+    * always the domain whose watermark event sits EARLIEST in the log —
+    * the loss-free single-GTID replay request point (see
+    * [[DomainVectorOffset]]'s entry-order contract). */
+  private val perDomain = new java.util.LinkedHashMap[Long, Gtid]()
+  if (domainVector) {
+    require(gtidIdxOf(expectedFields).isDefined,
+      "domainMode=vector requires the domain/server_id/sequence columns " +
+        "(per-domain watermarks have no synthetic-offset fallback)")
+    resumeVector.foreach(g => perDomain.put(g.domain, g))
+  }
   /** Full decoded rows — retained ONLY in synthetic-offset mode (no GTID
     * columns), where executor-side replay is impossible. */
   private val rows = ArrayBuffer.empty[CdcEvent]
@@ -100,8 +120,11 @@ final class CdcTailer(
       val client = new CdcClient(host, port, user, password, timeoutMs)
       try {
         // resume from the furthest delivered position (dedupe below makes
-        // the server's inclusive replay idempotent)
-        val from = lastGtid
+        // the server's inclusive replay idempotent); vector mode resumes
+        // from the EARLIEST per-domain watermark in log-arrival order —
+        // the one request point whose log-position replay covers every
+        // domain's pending suffix (per-domain dedupe drops the overlap)
+        val from = if (domainVector) vectorHead else lastGtid
         client.connect()
         client.requestData(table, from.map(_.toString))
         var connectionLive = true
@@ -153,8 +176,21 @@ final class CdcTailer(
                   m.slotMissing(d) || m.slotMissing(s) || m.slotMissing(q) })
                 m.requireComplete()
               val g = eventGtid(values)
+              if (domainVector) lock.synchronized {
+                // per-domain inclusive-replay dedupe: a (re)connect
+                // replays from the vector head's LOG position, which
+                // re-delivers events at-or-below the OTHER domains'
+                // watermarks — each domain's floor drops its own
+                val floor = perDomain.get(g.domain)
+                if (floor == null || g > floor) {
+                  positions += g
+                  perDomain.remove(g.domain)
+                  perDomain.put(g.domain, g) // to tail: latest arrival
+                  lastGtid = Some(g)
+                }
+              }
               // inclusive-replay dedupe on resume/reconnect
-              if (from.orElse(resumeAfter).forall(g > _)) lock.synchronized {
+              else if (from.orElse(resumeAfter).forall(g > _)) lock.synchronized {
                 // replay mode keeps POSITIONS only (the executor re-reads
                 // and enforces completeness at emit); synthetic mode
                 // buffers the row itself = delivery → reference A10 error
@@ -210,6 +246,9 @@ final class CdcTailer(
             s"server_id='${values(s)}', sequence='${values(q)}') — the row " +
             "cannot be positioned for replay/resume")
       val g = Gtid(values(d).toLong, values(s).toLong, values(q).toLong)
+      // vector mode tracks one watermark per domain — interleaves are
+      // the point, so the single-triple order guard does not apply
+      if (domainVector) return g
       streamDomain match {
         case Some(dom) if dom != g.domain =>
           if (lastGtid.exists(g < _))
@@ -296,6 +335,84 @@ final class CdcTailer(
   def cappedEnd(after: Option[Gtid], max: Int): Option[Gtid] = lock.synchronized {
     val pending = positions.iterator.filter(g => after.forall(g > _)).take(max).toSeq
     pending.lastOption
+  }
+
+  // ------------------------------------------------- domainMode=vector
+
+  /** Earliest per-domain watermark in log-arrival order — the loss-free
+    * replay request point (vector mode only). */
+  def vectorHead: Option[Gtid] = lock.synchronized {
+    val it = perDomain.values().iterator()
+    if (it.hasNext) Some(it.next()) else None
+  }
+
+  /** Current per-domain watermarks, earliest-arrival first — the
+    * [[DomainVectorOffset]] entry order. */
+  def vectorSnapshot: Seq[Gtid] = lock.synchronized {
+    val b = Seq.newBuilder[Gtid]
+    perDomain.values().forEach(g => b += g)
+    b.result()
+  }
+
+  /** Admission-controlled end VECTOR: walk the buffered positions in
+    * arrival order, take up to `max` events pending past `after`'s
+    * per-domain floors, and return the advanced vector. Entry order
+    * keeps the [[DomainVectorOffset]] contract: domains untouched by
+    * this batch retain `after`'s relative order at the FRONT (their
+    * watermark events arrived before anything taken here), and each
+    * advanced domain moves to the back in last-taken-arrival order. */
+  def cappedEndVector(after: Seq[Gtid], max: Int): Seq[Gtid] =
+    lock.synchronized {
+      val floor = after.map(g => g.domain -> g).toMap
+      val order = new java.util.LinkedHashMap[Long, Gtid]()
+      after.foreach(g => order.put(g.domain, g))
+      var taken = 0
+      val it = positions.iterator
+      while (it.hasNext && taken < max) {
+        val g = it.next()
+        if (floor.get(g.domain).forall(g > _)) {
+          order.remove(g.domain)
+          order.put(g.domain, g)
+          taken += 1
+        }
+      }
+      val b = Seq.newBuilder[Gtid]
+      order.values().forEach(g => b += g)
+      b.result()
+    }
+
+  /** Per-domain parallel cuts of one domain's `(start_d, end_d]` slice
+    * of a vector batch: OBSERVED positions of that domain when the
+    * buffer covers the range (exact balance), else the same
+    * backlog-aware sequence-arithmetic fallback as [[splitRanges]] —
+    * sequences are per-domain, so within one domain the arithmetic is
+    * always meaningful. */
+  def splitDomainRange(domain: Long, start: Option[Gtid], end: Gtid, n: Int,
+      spanPerConnection: Long = GtidRangeCuts.DefaultSpanPerConnection)
+      : Seq[(Option[Gtid], Gtid)] =
+    lock.synchronized {
+      val inRange = positions.iterator
+        .filter(g => g.domain == domain &&
+          start.forall(g > _) && g <= end).toArray
+      if (n <= 1) Seq((start, end))
+      else if (inRange.lastOption.forall(_ != end))
+        GtidRangeCuts.sequenceCuts(start, end,
+          GtidRangeCuts.adaptiveN(start, end, n, spanPerConnection))
+      else if (inRange.length < 2 * n) Seq((start, end))
+      else {
+        val per = math.ceil(inRange.length.toDouble / n).toInt
+        val bounds = inRange.grouped(per).map(_.last).toSeq
+        var lo = start
+        bounds.map { hi => val r = (lo, hi); lo = Some(hi); r }
+      }
+    }
+
+  /** Drop per-domain state at or below the committed vector. */
+  def trimToVector(committed: Seq[Gtid]): Unit = lock.synchronized {
+    val floor = committed.map(g => g.domain -> g).toMap
+    val keep = positions.filter(g => floor.get(g.domain).forall(g > _))
+    positions.clear()
+    positions ++= keep
   }
 
   /** Split the events of (start, end] into up to `n` contiguous GTID

@@ -54,4 +54,49 @@ object CommittedGtidFile {
     if (f.exists(p)) f.delete(p, false)
     f.rename(tmp, p)
   }
+
+  // ------------------------------------------------- domainMode=vector
+
+  private def vpath(checkpoint: String): Path =
+    new Path(checkpoint, "graft-cdc-committed-vector")
+
+  def readVector(checkpoint: String): DomainVectorOffset = {
+    val p = vpath(checkpoint)
+    val f = fs(p)
+    if (!f.exists(p)) DomainVectorOffset.Start
+    else {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(256)
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { out.write(tmp, 0, n); n = in.read(tmp) }
+        val s = out.toString(UTF_8).trim
+        if (s.isEmpty) DomainVectorOffset.Start
+        else DomainVectorOffset.fromJson(s)
+      } finally in.close()
+    }
+  }
+
+  /** Monotone vector write under the per-domain partial order: no
+    * domain's watermark ever regresses. A commit that misses a domain
+    * the file already carries (possible only on stale re-delivery after
+    * restart) keeps that domain's entry, PREPENDED — its watermark event
+    * arrived before anything in the newer vector, so the head/request-
+    * point contract of [[DomainVectorOffset]] is preserved. */
+  def advanceVector(checkpoint: String, v: DomainVectorOffset): Unit = {
+    val cur = readVector(checkpoint)
+    if (cur.covers(v)) return
+    val carried = cur.entries.filterNot(g => v.of(g.domain).isDefined)
+    val merged = DomainVectorOffset(carried ++ v.entries.map { g =>
+      cur.of(g.domain).filter(_ > g).getOrElse(g) // never regress a domain
+    })
+    val p = vpath(checkpoint)
+    val f = fs(p)
+    val tmp = new Path(checkpoint, s".graft-cdc-committed-vector.tmp")
+    val out = f.create(tmp, true)
+    try out.write(merged.json().getBytes(UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
 }

@@ -133,3 +133,49 @@ object GtidOffset {
     if (s == null || s.isEmpty || s == StartJson) Start
     else GtidOffset(Some(Gtid.parse(s)))
 }
+
+/** Per-domain watermark VECTOR offset (`domainMode=vector`) — MariaDB
+  * `gtid_slave_pos` semantics: one triple per replication domain, so an
+  * INTERLEAVED multi-domain changelog (multi-master, or a failover that
+  * keeps writing both domains) has an exact replay position even though
+  * no single triple totally orders it. The reference's `gtid()` is one
+  * triple (cdc_connector.h:199-208); this is the extension a real
+  * multi-master MariaDB deployment needs.
+  *
+  * ENTRY ORDER IS LOAD-BEARING: entries are sorted by the LOG-ARRIVAL
+  * position of each domain's watermark event, earliest first. The wire
+  * protocol's resume token is a single GTID (`REQUEST-DATA db.table
+  * gtid`, replayed from that event's log position), so a restarted
+  * tailer requests `entries.head` — the earliest watermark in the log —
+  * and every event pending past ANY domain's watermark necessarily sits
+  * at-or-after that log position (per-domain dedupe drops the rest).
+  * The driver is the only writer and observes arrival order directly,
+  * so the serialized order carries exactly the log-order fact a vector
+  * of triples cannot otherwise express. */
+final case class DomainVectorOffset(entries: Seq[Gtid]) extends Offset {
+  require(entries.map(_.domain).distinct.size == entries.size,
+    s"duplicate domain in vector offset: $entries")
+  def of(domain: Long): Option[Gtid] = entries.find(_.domain == domain)
+  /** The loss-free single-GTID replay request point (see class doc). */
+  def requestPoint: Option[Gtid] = entries.headOption
+  /** Every domain of `other` at-or-past its position — the monotone
+    * commit partial order (a vector never regresses any domain). */
+  def covers(other: DomainVectorOffset): Boolean =
+    other.entries.forall(g => of(g.domain).exists(_ >= g))
+  override def json(): String =
+    if (entries.isEmpty) DomainVectorOffset.StartJson
+    else "v:" + entries.map(_.toString).mkString(",")
+}
+
+object DomainVectorOffset {
+  val StartJson = "v:-"
+  val Start: DomainVectorOffset = DomainVectorOffset(Nil)
+  def fromJson(s: String): DomainVectorOffset =
+    if (s == null || s.isEmpty || s == StartJson) Start
+    else {
+      require(s.startsWith("v:"),
+        s"malformed domain-vector offset '$s' (expected 'v:d-s-q,...')")
+      DomainVectorOffset(s.drop(2).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty).map(Gtid.parse))
+    }
+}

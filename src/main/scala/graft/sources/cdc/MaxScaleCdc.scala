@@ -41,7 +41,11 @@ final case class CdcOptions(
     // minimum GTID sequence span per fabricated-cut catch-up connection:
     // shallow backlogs drain serially (per-connection setup dominates),
     // deep ones fan out to replayPartitions — see GtidRangeCuts.adaptiveN
-    catchupSpanPerConnection: Long = GtidRangeCuts.DefaultSpanPerConnection) {
+    catchupSpanPerConnection: Long = GtidRangeCuts.DefaultSpanPerConnection,
+    // domainMode=vector: per-domain watermark offsets (gtid_slave_pos
+    // semantics) — the INTERLEAVED multi-domain changelog shape; see
+    // [[DomainVectorOffset]] / [[DomainVectorMicroBatchStream]]
+    domainVector: Boolean = false) {
   def timeoutMs: Int = timeoutSeconds * 1000
 
   /** All subscribed tables: the `tables` option when present (multi-table
@@ -55,6 +59,12 @@ final case class CdcOptions(
     * bootstrap needs them: each shard anchors at its own position). */
   def startFor(t: String): Option[Gtid] = startingGtid match {
     case None => None
+    case Some(s) if s.startsWith("v:") =>
+      // domain-vector form: no single triple represents it — callers on
+      // the vector path read the vector directly; probes (schema-only)
+      // request from stream start. The vector's head is still a valid
+      // at-or-before position, so use it where one is wanted.
+      DomainVectorOffset.fromJson(s).requestPoint
     case Some(s) if s.contains('=') =>
       require(allTables.size > 1,
         s"maxscale-cdc: composite startingGtid '$s' needs multi-table mode")
@@ -155,7 +165,14 @@ object CdcOptions {
             s"got '$other'")
       },
       catchupSpanPerConnection = m.getLong("catchupSpanPerConnection",
-        GtidRangeCuts.DefaultSpanPerConnection))
+        GtidRangeCuts.DefaultSpanPerConnection),
+      domainVector = m.getOrDefault("domainMode", "single") match {
+        case "single" => false
+        case "vector" => true
+        case other => throw new IllegalArgumentException(
+          s"maxscale-cdc: domainMode must be 'single' or 'vector', " +
+            s"got '$other'")
+      })
   }
 }
 
@@ -373,6 +390,19 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
               try Math.multiplyExact(a, b)
               catch { case _: ArithmeticException => Long.MaxValue }
             private val span: Option[Long] = opts.endGtid.flatMap { s =>
+              // vector-bounded pull: sum of per-domain sequence spans
+              // (same upper-bound looseness as the plain form)
+              if (s.startsWith("v:")) {
+                val sv = opts.startingGtid.filter(_.startsWith("v:"))
+                  .map(DomainVectorOffset.fromJson)
+                  .getOrElse(DomainVectorOffset.Start)
+                Some(DomainVectorOffset.fromJson(s).entries
+                  .map(e => math.max(0L, e.sequence -
+                    sv.of(e.domain).map(_.sequence).getOrElse(0L)))
+                  .foldLeft(0L)(satAdd))
+              } else spanNonVector(s)
+            }
+            private def spanNonVector(s: String): Option[Long] = {
               // parse the composite once, not once per table
               val comp =
                 if (s.contains('=')) Some(opts.compositeOf(s)) else None
@@ -404,6 +434,9 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           if (multi)
             new MultiCdcMicroBatchStream(schema, required, opts,
               checkpointLocation, pushed)
+          else if (opts.domainVector)
+            new DomainVectorMicroBatchStream(schema, opts,
+              checkpointLocation, required, pushed)
           else
             new CdcMicroBatchStream(schema, opts, checkpointLocation,
               required, pushed)

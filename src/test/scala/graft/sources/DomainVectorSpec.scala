@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.cdc._
+import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
+import org.scalatest.time.{Seconds, Span}
+import scala.jdk.CollectionConverters._
+
+/** `domainMode=vector`: per-domain watermark offsets (gtid_slave_pos
+  * semantics) over an INTERLEAVED multi-domain changelog — the
+  * multi-master MariaDB shape the single-triple stream fails fast on.
+  * The reference's resume token is one triple (cdc_connector.h:199-208),
+  * so this is an extension; reference semantics are untouched for
+  * single-domain streams (`domainMode=single` default).
+  */
+class DomainVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(domain: Long, seq: Long, id: Int): String =
+    s"""{"domain":$domain,"server_id":${domain + 1},"sequence":$seq,""" +
+      s""""event_number":1,"timestamp":${1700000000 + seq},""" +
+      s""""event_type":"insert","id":$id,"name":"n$domain-$seq"}"""
+
+  /** Interleaved two-domain log: d0:1, d1:1, d0:2, d1:2, ... */
+  private def interleaved(n: Int): Seq[String] =
+    (1 to n).flatMap(i => Seq(ev(0, i, i), ev(1, i, 100 + i)))
+
+  test("offset: json round-trip preserves LOAD-BEARING entry order; " +
+      "covers() is the per-domain partial order") {
+    val v = DomainVectorOffset(Seq(Gtid(1, 2, 5), Gtid(0, 1, 9)))
+    assert(v.json() == "v:1-2-5,0-1-9")
+    assert(DomainVectorOffset.fromJson(v.json()) == v)
+    assert(DomainVectorOffset.fromJson("v:-") == DomainVectorOffset.Start)
+    assert(v.requestPoint.contains(Gtid(1, 2, 5)))
+    assert(v.covers(DomainVectorOffset(Seq(Gtid(0, 1, 9)))))
+    assert(v.covers(DomainVectorOffset(Seq(Gtid(0, 1, 3), Gtid(1, 2, 5)))))
+    assert(!v.covers(DomainVectorOffset(Seq(Gtid(0, 1, 10)))))
+    assert(!v.covers(DomainVectorOffset(Seq(Gtid(7, 1, 1)))))
+    intercept[IllegalArgumentException] {
+      DomainVectorOffset(Seq(Gtid(0, 1, 1), Gtid(0, 2, 2)))
+    }
+  }
+
+  test("tailer: interleaved domains are ACCEPTED (no total-order guard), " +
+      "per-domain watermarks advance, head is the earliest last-arrival") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(3))
+    try {
+      val fields = CdcClient.parseSchemaFields(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(MockMaxScaleServer.Schema))
+      val t = new CdcTailer("127.0.0.1", srv.port, "u", "p", "db.t",
+        fields, resumeAfter = None, timeoutMs = 2000, domainVector = true)
+      t.start()
+      try {
+        eventually(timeout(Span(10, Seconds)), interval(Span(1, Seconds))) {
+          t.checkFatal()
+          assert(t.bufferedCount == 6)
+        }
+        // last events arrived d0:3 then d1:3 → snapshot order (d0, d1)
+        assert(t.vectorSnapshot == Seq(Gtid(0, 1, 3), Gtid(1, 2, 3)))
+        assert(t.vectorHead.contains(Gtid(0, 1, 3)))
+      } finally t.shutdown()
+    } finally srv.close()
+  }
+
+  test("tailer: cappedEndVector takes an admission-bounded prefix and " +
+      "keeps untouched domains' entries at the front") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(4))
+    try {
+      val fields = CdcClient.parseSchemaFields(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(MockMaxScaleServer.Schema))
+      val t = new CdcTailer("127.0.0.1", srv.port, "u", "p", "db.t",
+        fields, resumeAfter = None, timeoutMs = 2000, domainVector = true)
+      t.start()
+      try {
+        eventually(timeout(Span(10, Seconds)), interval(Span(1, Seconds))) {
+          t.checkFatal(); assert(t.bufferedCount == 8)
+        }
+        // 3 events from scratch: d0:1, d1:1, d0:2 → vector (d1@1, d0@2)
+        val capped = t.cappedEndVector(Nil, 3)
+        assert(capped == Seq(Gtid(1, 2, 1), Gtid(0, 1, 2)), capped.toString)
+        // floor past d0 entirely: only d1 advances
+        val after = Seq(Gtid(0, 1, 4), Gtid(1, 2, 2))
+        val capped2 = t.cappedEndVector(after, 1)
+        assert(capped2 == Seq(Gtid(0, 1, 4), Gtid(1, 2, 3)), capped2.toString)
+      } finally t.shutdown()
+    } finally srv.close()
+  }
+
+  test("e2e stream over an interleaved log: exactly-once, all domains") {
+    val n = 20
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(n))
+    try {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .option("replayPartitions", 4)
+        .load()
+        .writeStream.format("memory").queryName("dv_e2e")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("dv_e2e").count() == 2L * n)
+        }
+        // live pushes keep interleaving
+        srv.push(ev(1, n + 1, 999)); srv.push(ev(0, n + 1, 998))
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("dv_e2e").count() == 2L * n + 2)
+        }
+        val got = spark.table("dv_e2e").select("domain", "sequence")
+          .as[(Int, Int)].collect().toSeq
+        assert(got.size == got.distinct.size, "duplicates delivered")
+        assert(got.filter(_._1 == 0).map(_._2).sorted == (1 to n + 1))
+        assert(got.filter(_._1 == 1).map(_._2).sorted == (1 to n + 1))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("kill/resume across a checkpoint mid-interleave: exactly-once") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(5))
+    val ckpt = Files.createTempDirectory("dv_resume").toString
+    try {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+      val counts = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+      def start() = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .load()
+        .selectExpr("domain", "sequence")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(Int, Int)].collect().foreach { r =>
+            got.add(r); counts.merge(r, 1, (a, b) => a + b)
+          }
+        }
+        .start()
+      val q1 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q1.processAllAvailable(); assert(got.size == 10)
+        }
+      } finally q1.stop()
+      // new interleaved events while the query is DOWN — including a
+      // lower-domain event after a higher-domain one
+      srv.push(ev(1, 6, 206)); srv.push(ev(0, 6, 106))
+      srv.push(ev(1, 7, 207)); srv.push(ev(0, 7, 107))
+      val q2 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q2.processAllAvailable(); assert(got.size == 14)
+        }
+        assert((0 to 1).forall(d =>
+          got.asScala.filter(_._1 == d).map(_._2).toSeq.sorted == (1 to 7)),
+          got.asScala.toSeq.sorted.toString)
+        // exactly-once, not just at-least-once: no row delivered twice
+        assert(counts.values.asScala.forall(_ == 1),
+          counts.asScala.filter(_._2 > 1).toString)
+      } finally q2.stop()
+    } finally srv.close()
+  }
+
+  test("bounded batch pull with a vector endGtid spans the interleave " +
+      "with zero driver wire I/O and per-domain partitions") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(6))
+    try {
+      val before = srv.requestCount("db.t")
+      val df = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("startingGtid", "v:0-1-2,1-2-3")
+        .option("endGtid", "v:1-2-5,0-1-6")
+        .option("endGtidObserved", "true")
+        .load()
+      val got = df.select("domain", "sequence").as[(Int, Int)].collect().toSeq
+      // (d0: 3..6, d1: 4..5] — per-domain ranges, exactly once
+      assert(got.sorted == Seq((0, 3), (0, 4), (0, 5), (0, 6), (1, 4), (1, 5)),
+        got.sorted.toString)
+      // bounded planning opened no driver probe beyond schema inference
+      assert(srv.requestCount("db.t") == before + 1 + 2,
+        "expected schema probe + one replay connection per domain")
+    } finally srv.close()
+  }
+
+  test("single-domain semantics unchanged: the default mode still fails " +
+      "fast on an order-breaking interleave") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
+      Seq(ev(1, 1, 1), ev(0, 1, 2)))
+    try {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .load()
+        .writeStream.format("memory").queryName("dv_single")
+        .outputMode("append").start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("interleaved replication domains") ||
+          Option(e.getCause).exists(_.getMessage
+            .contains("interleaved replication domains")), e.getMessage)
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+}

@@ -163,15 +163,33 @@ final class MockMaxScaleServer(
       var sent = 0
       var idx = 0
       var schemaSwapped = false
+      // LOG-POSITION replay when the requested GTID names an event that
+      // exists in the log: the real avrorouter seeks to the avro-file
+      // position of the requested GTID and replays everything from there
+      // (inclusive) — which is what makes a vector-mode resume loss-free
+      // on an INTERLEAVED multi-domain log (a lower-domain event after
+      // the request point must still be delivered; the GTID-order filter
+      // below would wrongly exclude it). Requests for positions NOT in
+      // the log (fabricated sequence cuts) keep the (domain, sequence)
+      // >= filter — within one domain the two are equivalent. In-band
+      // schema lines (no sequence) are ALWAYS replayed, before and after
+      // the start position — the avro log replays the governing
+      // historical schema before mid-file data.
+      val fromLogIdx: Int =
+        if (fromPos._1 == Long.MinValue) -1
+        else evList.asScala.toVector.indexWhere(e => posOf(e) == fromPos)
       while (running && !s.isClosed) {
         // pick up new events as they are pushed
         val snapshot = evList.asScala.toVector
         while (idx < snapshot.length) {
           val ev = snapshot(idx)
+          val evIdx = idx
           idx += 1
           val pos = posOf(ev)
-          val atOrPast = pos._1 > fromPos._1 ||
-            (pos._1 == fromPos._1 && pos._2 >= fromPos._2)
+          val atOrPast =
+            if (fromLogIdx >= 0) evIdx >= fromLogIdx
+            else pos._1 > fromPos._1 ||
+              (pos._1 == fromPos._1 && pos._2 >= fromPos._2)
           if (atOrPast || pos._2 == Long.MinValue) {
             midStreamSchemaAfter.foreach { case (n, s2) =>
               if (sent == n && !schemaSwapped) {
