@@ -50,20 +50,97 @@ object CdcAutoRestart {
       options: Map[String, String],
       startQuery: DataFrame => StreamingQuery,
       maxRestarts: Int = 16): Int = {
-    var restarts = 0
-    while (true) {
-      // fresh load() = fresh schema inference probe → post-DDL schema
-      val df = spark.readStream.format("maxscale-cdc").options(options).load()
-      val q = startQuery(df)
-      try {
-        q.awaitTermination()
-        return restarts
-      } catch {
-        case e: StreamingQueryException if isSchemaChange(e) =>
-          restarts += 1
-          if (restarts > maxRestarts) throw e
+    val s = supervise(spark, options, startQuery, maxRestarts)
+    s.awaitTermination()
+    s.restarts
+  }
+
+  /** Non-blocking supervisor: the restart loop of
+    * [[runWithSchemaRestarts]] on its own daemon thread, returning a
+    * handle immediately — the shape a real consumer embeds (the blocking
+    * variant forces every caller to hand-roll a thread plus shared
+    * failure/restart-count state, which is exactly the boilerplate the
+    * e2e specs used to carry). `startQuery` is invoked once per
+    * (re)start with a freshly-inferred DataFrame; stop through the
+    * HANDLE (stopping the inner query directly also ends the loop —
+    * a clean stop is never treated as a restartable failure). */
+  def supervise(
+      spark: SparkSession,
+      options: Map[String, String],
+      startQuery: DataFrame => StreamingQuery,
+      maxRestarts: Int = 16): CdcSupervised =
+    new CdcSupervised(spark, options, startQuery, maxRestarts)
+}
+
+/** Handle on a supervised CDC query (see [[CdcAutoRestart.supervise]]):
+  * live across schema restarts, terminated by [[stop]], a clean inner
+  * stop, or a non-re-schema failure (rethrown by [[awaitTermination]]).
+  */
+final class CdcSupervised private[streaming] (
+    spark: SparkSession,
+    options: Map[String, String],
+    startQuery: DataFrame => StreamingQuery,
+    maxRestarts: Int) {
+
+  @volatile private var stopping = false
+  @volatile private var restartCount = 0
+  @volatile private var failureRef: Throwable = _
+  @volatile private var current: StreamingQuery = _
+  private val done = new java.util.concurrent.CountDownLatch(1)
+
+  private val loop = new Thread(() => {
+    try {
+      var running = true
+      while (running && !stopping) {
+        // fresh load() = fresh schema inference probe → post-DDL schema
+        val df = spark.readStream.format("maxscale-cdc").options(options).load()
+        val q = startQuery(df)
+        current = q
+        if (stopping) q.stop() // raced a stop() during (re)start
+        try {
+          q.awaitTermination()
+          running = false // clean stop (ours or the caller's)
+        } catch {
+          case e: StreamingQueryException
+              if CdcAutoRestart.isSchemaChange(e) && !stopping =>
+            restartCount += 1
+            if (restartCount > maxRestarts) throw e
+        }
       }
-    }
-    restarts // unreachable
+    } catch { case t: Throwable => failureRef = t }
+    finally done.countDown()
+  }, "graft-cdc-supervisor")
+  loop.setDaemon(true)
+  loop.start()
+
+  /** The live inner query, if one is currently running — changes across
+    * restarts; for per-batch interaction (progress, explain). */
+  def currentQuery: Option[StreamingQuery] = Option(current)
+
+  /** Schema restarts performed so far. */
+  def restarts: Int = restartCount
+
+  /** The terminal non-re-schema failure, when one happened. */
+  def failure: Option[Throwable] = Option(failureRef)
+
+  def isActive: Boolean = done.getCount > 0
+
+  /** Stop the supervisor and its current query; returns once the loop
+    * has fully terminated. */
+  def stop(): Unit = {
+    stopping = true
+    val q = current
+    if (q != null) try q.stop() catch { case _: Exception => () }
+    done.await()
+  }
+
+  /** Block until the supervisor terminates (clean stop or terminal
+    * failure); rethrows the failure, mirroring
+    * `StreamingQuery.awaitTermination`. Returns false on timeout. */
+  def awaitTermination(timeoutMs: Long = Long.MaxValue): Boolean = {
+    val ended = done.await(timeoutMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (ended && failureRef != null) throw failureRef
+    ended
   }
 }

@@ -117,32 +117,22 @@ class CdcAutoRestartSpec extends SparkSpec {
     val dir = Files.createTempDirectory("cdc_journey")
     val stateDir = s"$dir/state"
     try {
-      val qRef = new AtomicReference[StreamingQuery]
-      val restartsRef = new AtomicReference[Integer](-1)
-      val failure = new AtomicReference[Throwable]
-      val runner = new Thread(() => {
-        try restartsRef.set(CdcAutoRestart.runWithSchemaRestarts(spark,
-          Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
-            "user" -> "u", "password" -> "p", "table" -> "db.t",
-            "timeoutSeconds" -> "1"),
-          df => {
-            val q = df.writeStream
-              .option("checkpointLocation", s"$dir/ckpt")
-              .foreachBatch(CdcSink.writer(stateDir, keyCol = "id",
-                orderCols = Seq("sequence")))
-              .start()
-            qRef.set(q)
-            q
-          }))
-        catch { case t: Throwable => failure.set(t) }
-      }, "cdc-journey-runner")
-      runner.setDaemon(true)
-      runner.start()
+      // ONE public-API call — the supervisor owns the restart loop and
+      // its thread; no hand-rolled runner/AtomicReference boilerplate
+      val sup = CdcAutoRestart.supervise(spark,
+        Map("host" -> "127.0.0.1", "port" -> srv.port.toString,
+          "user" -> "u", "password" -> "p", "table" -> "db.t",
+          "timeoutSeconds" -> "1"),
+        df => df.writeStream
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch(CdcSink.writer(stateDir, keyCol = "id",
+            orderCols = Seq("sequence")))
+          .start())
 
       // phase 1: pre-DDL state materializes without a score column
       eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
-        assert(failure.get() == null, s"runner failed: ${failure.get()}")
-        Option(qRef.get()).foreach(_.processAllAvailable())
+        assert(sup.failure.isEmpty, s"supervisor failed: ${sup.failure}")
+        sup.currentQuery.foreach(_.processAllAvailable())
         val st = CdcSink.readState(spark, stateDir)
         assert(!st.columns.contains("score"))
         assert(st.select("id", "name").collect()
@@ -157,7 +147,7 @@ class CdcAutoRestartSpec extends SparkSpec {
       srv.push(eventV2(5, "insert", 4, "d1", 40))
 
       eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
-        assert(failure.get() == null, s"runner failed: ${failure.get()}")
+        assert(sup.failure.isEmpty, s"supervisor failed: ${sup.failure}")
         val st = CdcSink.readState(spark, stateDir)
         assert(st.columns.contains("score"), "state table did not evolve")
         val got = st.select("id", "name", "score").collect()
@@ -170,11 +160,10 @@ class CdcAutoRestartSpec extends SparkSpec {
           4 -> ("d1", Integer.valueOf(40))), s"state=$got")
       }
 
-      qRef.get().stop()
-      runner.join(30000)
-      assert(!runner.isAlive)
-      assert(failure.get() == null, s"runner failed: ${failure.get()}")
-      assert(restartsRef.get() >= 1)
+      assert(sup.isActive && sup.restarts >= 1)
+      sup.stop()
+      assert(!sup.isActive)
+      assert(sup.failure.isEmpty, s"supervisor failed: ${sup.failure}")
     } finally {
       srv.close()
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
