@@ -215,7 +215,14 @@ object StreamOps {
       nBands: Int = 64, // keep in lockstep with Similarity.NdBands
       nBits: Int = 10,
       maxBucket: Int = 64,
-      tws: Boolean = false, checkpointLocation: String): DataFrame = {
+      tws: Boolean = false, checkpointLocation: String,
+      // geometry-migration seeding ([[LshMigration]]): a BATCH corpus
+      // (vec_id, embedding) — the vectors a predecessor stream already
+      // processed — installed as the initial bucket state under THIS
+      // stream's geometry. Seeds emit no pairs among themselves (the
+      // migration's catch-up diff covers those); live arrivals pair
+      // against them exactly as against streamed members.
+      seed: DataFrame = null): DataFrame = {
     bindGeometry(checkpointLocation,
       StateGeometryGuard.hyperplane(nBands, nBits, maxBucket))
     import graft.functions.HyperplaneBands.bandKeys
@@ -223,8 +230,29 @@ object StreamOps {
       .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
       .toDF("vec_id", "band", "key")
       .select(col("band"), col("key").cast("string").as("key"), col("vec_id"))
-    (if (tws) bucketPairsStreamTws(bands, maxBucket)
-     else bucketPairsStream(bands, maxBucket)).toDF("vec_a", "vec_b")
+    val init = if (seed == null) null else seedBuckets(seed, nBands, nBits, maxBucket)
+    (if (tws) bucketPairsStreamTws(bands, maxBucket, init)
+     else bucketPairsStream(bands, maxBucket, init)).toDF("vec_a", "vec_b")
+  }
+
+  /** Re-keyed bucket membership of a BATCH corpus under a given
+    * geometry — the initial state a migrated stream resumes with. Member
+    * arrays are sorted and capped at `maxBucket`, matching the stream's
+    * own admission determinism. */
+  private def seedBuckets(seed: DataFrame, nBands: Int, nBits: Int,
+      maxBucket: Int): Dataset[((Int, String), Array[Long])] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val enc: Encoder[((Int, String), Array[Long])] = ExpressionEncoder()
+    import graft.functions.HyperplaneBands.bandKeys
+    seed
+      .select(col("vec_id"), posexplode(bandKeys(col("embedding"), nBands, nBits)))
+      .toDF("vec_id", "band", "key")
+      .groupBy(col("band").cast("int").as("band"),
+        col("key").cast("string").as("key"))
+      .agg(slice(sort_array(collect_list(col("vec_id").cast("long"))),
+        1, maxBucket).as("members"))
+      .select(struct(col("band"), col("key")).as("_1"), col("members").as("_2"))
+      .as[((Int, String), Array[Long])]
   }
 
   /** The shared stateful bucket-membership pair emitter: input
@@ -232,33 +260,43 @@ object StreamOps {
     * output = `(lo, hi)` id pairs of co-bucketed items, each new arrival
     * paired against the members already present. */
   private def bucketPairsStream(
-      bands: DataFrame, maxBucket: Int): Dataset[(Long, Long)] = {
+      bands: DataFrame, maxBucket: Int,
+      initState: Dataset[((Int, String), Array[Long])] = null)
+      : Dataset[(Long, Long)] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
     implicit val stateEnc: Encoder[Array[Long]] = ExpressionEncoder()
     implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
 
-    bands.select(col(bands.columns(0)).cast("int"),
+    val func = (k: (Int, String), rows: Iterator[(Int, String, Long)],
+        state: GroupState[Array[Long]]) => {
+      var members = state.getOption.getOrElse(Array.empty[Long])
+      val arrivals = rows.map(_._3).toArray.distinct.sorted
+        .filterNot(members.contains)
+      val out = Seq.newBuilder[(Long, Long)]
+      arrivals.foreach { id =>
+        if (members.length < maxBucket) {
+          members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+          members = members :+ id
+        }
+      }
+      state.update(members)
+      out.result().iterator
+    }
+    val grouped = bands.select(col(bands.columns(0)).cast("int"),
         col(bands.columns(1)).cast("string"), col(bands.columns(2)).cast("long"))
       .as[(Int, String, Long)]
       .groupByKey { case (band, key, _) => (band, key) }
-      .flatMapGroupsWithState[Array[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[Array[Long]]) =>
-          var members = state.getOption.getOrElse(Array.empty[Long])
-          val arrivals = rows.map(_._3).toArray.distinct.sorted
-            .filterNot(members.contains)
-          val out = Seq.newBuilder[(Long, Long)]
-          arrivals.foreach { id =>
-            if (members.length < maxBucket) {
-              members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
-              members = members :+ id
-            }
-          }
-          state.update(members)
-          out.result().iterator
-      }
+    if (initState == null)
+      grouped.flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+    else
+      // migration seeding: Spark installs the initial bucket membership
+      // on the FIRST batch; seeds emit nothing among themselves
+      grouped.flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initState.groupByKey(_._1).mapValues(_._2))(func)
   }
 
   /** [[bucketPairsStream]] on the Spark 4 `transformWithState` API — the
@@ -271,38 +309,52 @@ object StreamOps {
     * memory. Requires `spark.sql.streaming.stateStore.providerClass =
     * ...RocksDBStateStoreProvider`. */
   private def bucketPairsStreamTws(
-      bands: DataFrame, maxBucket: Int): Dataset[(Long, Long)] = {
+      bands: DataFrame, maxBucket: Int,
+      initState: Dataset[((Int, String), Array[Long])] = null)
+      : Dataset[(Long, Long)] = {
     implicit val rowEnc: Encoder[(Int, String, Long)] = Encoders.product
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.product
     implicit val pairEnc: Encoder[(Long, Long)] = Encoders.product
-    val processor =
-      new StatefulProcessor[(Int, String), (Int, String, Long), (Long, Long)] {
-        @transient private var members: ListState[Long] = _
-        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-          members = getHandle.getListState[Long]("members",
-            Encoders.scalaLong, TTLConfig.NONE)
-        override def handleInputRows(
-            k: (Int, String), rows: Iterator[(Int, String, Long)],
-            timers: TimerValues): Iterator[(Long, Long)] = {
-          var cur = members.get().toArray
-          val arrivals = rows.map(_._3).toArray.distinct.sorted
-            .filterNot(cur.contains)
-          val out = Seq.newBuilder[(Long, Long)]
-          arrivals.foreach { id =>
-            if (cur.length < maxBucket) {
-              cur.foreach(m => out += (if (m < id) (m, id) else (id, m)))
-              members.appendValue(id) // append-only: no full-state rewrite
-              cur = cur :+ id
-            }
+    implicit val stEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val processor = new org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[
+          (Int, String), (Int, String, Long), (Long, Long), Array[Long]] {
+      @transient private var members: ListState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        members = getHandle.getListState[Long]("members",
+          Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInitialState(
+          k: (Int, String), st: Array[Long], timers: TimerValues): Unit =
+        // migration seeding: install the re-keyed corpus membership;
+        // no pairs among seeds (the migration catch-up diff owns those)
+        st.foreach(members.appendValue)
+      override def handleInputRows(
+          k: (Int, String), rows: Iterator[(Int, String, Long)],
+          timers: TimerValues): Iterator[(Long, Long)] = {
+        var cur = members.get().toArray
+        val arrivals = rows.map(_._3).toArray.distinct.sorted
+          .filterNot(cur.contains)
+        val out = Seq.newBuilder[(Long, Long)]
+        arrivals.foreach { id =>
+          if (cur.length < maxBucket) {
+            cur.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+            members.appendValue(id) // append-only: no full-state rewrite
+            cur = cur :+ id
           }
-          out.result().iterator
         }
+        out.result().iterator
       }
-    bands.select(col(bands.columns(0)).cast("int"),
+    }
+    val grouped = bands.select(col(bands.columns(0)).cast("int"),
         col(bands.columns(1)).cast("string"), col(bands.columns(2)).cast("long"))
       .as[(Int, String, Long)]
       .groupByKey { case (band, key, _) => (band, key) }
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+    if (initState == null)
+      grouped.transformWithState(processor, TimeMode.None(), OutputMode.Append())
+    else
+      grouped.transformWithState(processor, TimeMode.None(), OutputMode.Append(),
+        initState.groupByKey(_._1).mapValues(_._2))
   }
 
   /** `s_heavy_hitters`: running per-group frequency summary via the

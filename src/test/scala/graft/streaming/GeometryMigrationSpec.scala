@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Mid-life LSH geometry upgrade (VERDICT r9 #4): a long-lived
+  * `s_embed_neardup_stream` pinned at its start-time `(bands, bits)`
+  * migrates to the batch gate's grown geometry via drain → catch-up
+  * diff → seeded resume on a fresh checkpoint ([[LshMigration]]).
+  * Contract: zero lost and zero duplicate candidates, and the
+  * post-migration stream is candidate-equivalent to the batch gate at
+  * the new geometry.
+  */
+class GeometryMigrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drain → catch-up → seeded resume: post-migration candidates ≡ " +
+      "the batch gate at the new b; zero lost/duplicate pairs") {
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (first, second) = all.splitAt(all.length / 2)
+    val dir = Files.createTempDirectory("lsh_migration").toString
+
+    // ---- life at the OLD geometry (the frozen start-time family)
+    val oldBits = 10
+    val in1 = MemoryStream[(Long, Array[Float])](spark)
+    val q1 = StreamOps.embedNeardupStream(
+        in1.toDF().toDF("vec_id", "embedding"),
+        nBands = Similarity.ndBands(oldBits), nBits = oldBits,
+        maxBucket = Int.MaxValue, checkpointLocation = s"$dir/ckpt_v1")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v1")
+      .format("memory").queryName("mig_p1").outputMode("append").start()
+    try { in1.addData(first); q1.processAllAvailable() } finally q1.stop()
+    val p1 = spark.table("mig_p1").as[(Long, Long)].collect().toSet
+
+    // ---- the corpus outgrew b=10: migrate to the batch gate's b'=12
+    val newBits = 12
+    val corpus = first.toDF("vec_id", "embedding")
+
+    // the old checkpoint cannot be re-keyed in place — the guard refuses
+    intercept[IllegalStateException] {
+      StreamOps.embedNeardupStream(in1.toDF().toDF("vec_id", "embedding"),
+        nBands = Similarity.ndBands(newBits), nBits = newBits,
+        maxBucket = Int.MaxValue, checkpointLocation = s"$dir/ckpt_v1")
+    }
+
+    // step 2: catch-up diff — corpus-internal pairs the new family finds
+    val catchUp = LshMigration
+      .catchUpPairs(corpus, spark.table("mig_p1"), newBits)
+      .as[(Long, Long)].collect().toSet
+
+    // step 3: seeded resume on a FRESH checkpoint at the new geometry
+    val in2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = LshMigration.resume(in2.toDF().toDF("vec_id", "embedding"),
+        corpus, newBits, s"$dir/ckpt_v2")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v2")
+      .format("memory").queryName("mig_p2").outputMode("append").start()
+    try {
+      // split the live feed across micro-batches: pairs must span them
+      val (s1, s2) = second.splitAt(second.length / 2)
+      in2.addData(s1); q2.processAllAvailable()
+      in2.addData(s2); q2.processAllAvailable()
+    } finally q2.stop()
+    val p2 = spark.table("mig_p2").as[(Long, Long)].collect().toSet
+
+    // ---- the contract, against the batch gate at the new geometry
+    val batchNew = Similarity.neardupCandidates(
+        all.toDF("vec_id", "embedding"), newBits)
+      .as[(Long, Long)].collect().toSet
+    val firstIds = first.map(_._1).toSet
+    val withinFirst = batchNew.filter(p => firstIds(p._1) && firstIds(p._2))
+
+    // post-migration stream ≡ batch gate (every pair involving a live
+    // arrival, against the full seeded corpus)
+    assert(p2 == batchNew -- withinFirst,
+      s"missing=${(batchNew -- withinFirst) -- p2} extra=${p2 -- (batchNew -- withinFirst)}")
+    // zero lost: everything the new family finds is delivered by one of
+    // the three legs
+    assert(batchNew.subsetOf(p1 ++ catchUp ++ p2),
+      s"lost=${batchNew -- (p1 ++ catchUp ++ p2)}")
+    // zero duplicates: the legs are pairwise disjoint
+    assert((p1 & catchUp).isEmpty && (p2 & (p1 ++ catchUp)).isEmpty,
+      s"dups=${(p1 & catchUp) ++ (p2 & (p1 ++ catchUp))}")
+    // sanity: the upgrade actually changed the family's verdicts
+    assert(catchUp.nonEmpty || p1 == withinFirst,
+      "fixture produced no geometry-sensitive pairs — weaken nothing, " +
+        "pick a fixture where b matters")
+  }
+
+  test("tws (RocksDB) path: seeded resume is pair-equivalent to the " +
+      "flatMapGroupsWithState path") {
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (first, second) = all.splitAt(all.length / 2)
+    val corpus = first.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("lsh_migration_tws").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val q = LshMigration.resume(in.toDF().toDF("vec_id", "embedding"),
+          corpus, newBits = 12, s"$dir/ckpt", tws = true)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .format("memory").queryName("mig_tws").outputMode("append").start()
+      try { in.addData(second); q.processAllAvailable() } finally q.stop()
+      val pTws = spark.table("mig_tws").as[(Long, Long)].collect().toSet
+      val batchNew = Similarity.neardupCandidates(
+          all.toDF("vec_id", "embedding"), 12)
+        .as[(Long, Long)].collect().toSet
+      val firstIds = first.map(_._1).toSet
+      assert(pTws == batchNew.filterNot(p => firstIds(p._1) && firstIds(p._2)),
+        s"tws pairs diverge from the batch gate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
