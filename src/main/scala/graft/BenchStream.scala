@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** sf1-scale STREAMING soak (VERDICT r9 #2): drive a 10× changelog
+  * through the maintained-view sinks and the RocksDB/tws stateful twins,
+  * recording rows/s, per-batch cost, and state size per micro-batch —
+  * the streaming counterpart of the batch growth audit. The batch audit
+  * measures queries; this measures the accumulate-and-maintain loops
+  * whose cost is a function of TOTAL STATE, not batch size (recompute-
+  * per-batch views) or that hold corpus-shaped state (LSH buckets,
+  * semantic cells).
+  *
+  * Run: `SPARK_GRAFT_STREAM_SF_DIR=target/sf1 sbt "runMain
+  * graft.BenchStream"` — writes `bench_stream_out.json` and prints a
+  * compact summary as the final stdout line. State-bound invariants
+  * (state rows ≤ admissions; ≤ cap × buckets) are ASSERTED, not just
+  * recorded — a violated bound fails the run loudly.
+  */
+object BenchStream {
+
+  private def timeIt[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def dirBytes(p: String): Long = {
+    val root = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(root)) return -1L
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => java.nio.file.Files.size(f)).sum
+  }
+
+  /** State rows via Spark's state-store reader; -1 when the layout is
+    * not readable that way (diagnostic only — the asserted bounds use
+    * it when available). */
+  private def stateRows(spark: SparkSession, ckpt: String,
+      stateVar: String = null): Long =
+    try {
+      var r = spark.read.format("statestore")
+      if (stateVar != null) r = r.option("stateVarName", stateVar)
+      r.load(ckpt).count()
+    } catch { case _: Throwable => -1L }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_SF_DIR", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_bench_stream").toString
+    val out = new StringBuilder
+    def section(name: String, fields: (String, String)*): Unit = {
+      out.append(s""""$name":{""")
+        .append(fields.map { case (k, v) => s""""$k":$v""" }.mkString(","))
+        .append("},")
+      // progress line per section so a stalled soak names its stage
+      System.err.println(s"[bench-stream] $name done: " +
+        fields.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    }
+    def f(d: Double) = "%.3f".format(d)
+    def batchSecs(ts: Seq[Double]) = "[" + ts.map(f).mkString(",") + "]"
+
+    // ---------------------------------------------------- s_cdc_sink
+    // the 10x changelog: 1M events as (sequence, event_type, id, value)
+    // upserts keyed by user id — CdcSink merges + swaps per micro-batch
+    locally {
+      val rows = graft.Tables.events(spark, sfDir)
+        .select(col("event_id").cast("long"), col("event_type"),
+          col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, String, Long, Double)].collect()
+      val dir = s"$work/cdc_sink"
+      val in = MemoryStream[(Long, String, Long, Double)](spark)
+      val q = in.toDF().toDF("sequence", "event_type", "id", "value")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(graft.streaming.CdcSink.writer(
+          s"$dir/state", keyCol = "id", orderCols = Seq("sequence")))
+        .start()
+      val perBatch = try rows.grouped(100000).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      val keys = graft.streaming.CdcSink.readState(spark, s"$dir/state").count()
+      section("cdc_sink",
+        "rows" -> rows.length.toString,
+        "rows_per_sec" -> "%.0f".format(rows.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "state_keys" -> keys.toString,
+        "state_bytes" -> dirBytes(s"$dir/state").toString)
+    }
+
+    // ------------------------------------------------ s_curation_view
+    // recompute-per-batch maintained verdict table over the doc log:
+    // per-batch cost grows with TOTAL docs — the measured recompute curve
+    locally {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("long"))
+        .as[(Long, String, String, String, Long)].collect()
+      val dir = s"$work/curation"
+      val in = MemoryStream[(Long, String, String, String, Long)](spark)
+      val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(graft.streaming.CurationView.writer(s"$dir/view"))
+        .start()
+      val perBatch = try docs.grouped(10000).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      val verdicts = graft.streaming.CurationView
+        .readVerdicts(spark, s"$dir/view").count()
+      require(verdicts == docs.length.toLong,
+        s"curation view lost docs: $verdicts of ${docs.length}")
+      section("curation_view",
+        "docs" -> docs.length.toString,
+        "docs_per_sec" -> "%.0f".format(docs.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "view_bytes" -> dirBytes(s"$dir/view").toString)
+    }
+
+    // -------------------------------------------- s_dedup_cluster_view
+    // recluster-per-batch over the accumulated edge log
+    locally {
+      val docsDf = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val pairs = graft.operators.TextOps.minhashPairsFrom(docsDf)
+        .as[(Long, Long)].collect()
+      val dir = s"$work/cluster_view"
+      val in = MemoryStream[(Long, Long)](spark)
+      val q = in.toDF().toDF("doc_a", "doc_b")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(graft.streaming.DedupClusterView.writer(s"$dir/view"))
+        .start()
+      val n = math.max(1, pairs.length / 5)
+      val perBatch = try pairs.grouped(n).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      val labeled = graft.streaming.DedupClusterView
+        .readLabels(spark, s"$dir/view").count()
+      section("dedup_cluster_view",
+        "edges" -> pairs.length.toString,
+        "batch_secs" -> batchSecs(perBatch),
+        "labeled_docs" -> labeled.toString)
+    }
+
+    // --------------------------------- s_neardup_stream (tws/RocksDB)
+    // corpus-shaped LSH bucket state at 10x docs; bounds asserted
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    locally {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val maxBucket = 64
+      val dir = s"$work/neardup_tws"
+      val in = MemoryStream[(Long, String)](spark)
+      val npairs = new java.util.concurrent.atomic.AtomicLong
+      val q = graft.streaming.StreamOps.neardupStream(
+          in.toDF().toDF("doc_id", "text"), maxBucket = maxBucket,
+          tws = true, checkpointLocation = s"$dir/ckpt")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          npairs.addAndGet(b.count()); ()
+        }
+        .start()
+      val perBatch = try docs.grouped(10000).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      val admitted = spark.createDataset(docs.toIndexedSeq)
+        .filter(d => d._2.split(" ").length >= 3).count()
+      val sr = stateRows(spark, s"$dir/ckpt", stateVar = "members")
+      // bucket membership: each admitted doc joins at most 4 bands
+      if (sr >= 0) require(sr <= 4L * admitted,
+        s"neardup state rows $sr exceed 4 x admissions $admitted")
+      section("neardup_stream_tws",
+        "docs" -> docs.length.toString,
+        "docs_per_sec" -> "%.0f".format(docs.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "pairs" -> npairs.get().toString,
+        "state_rows" -> sr.toString,
+        "admitted" -> admitted.toString,
+        "state_bytes" -> dirBytes(s"$dir/ckpt/state").toString)
+    }
+
+    // ------------------------------- s_semantic_dedup (tws/RocksDB)
+    // per-cell member codes at 10x vectors; bounds asserted
+    locally {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val n = e.count()
+      val k = graft.operators.Similarity.semDedupK(n)
+      val maxCell = 4096
+      val cents = graft.operators.Similarity.quantizedInt8(e)
+        .where(col("vec_id") < k)
+        .select(col("vec_id"), col("qv"), col("qn2"))
+        .as[(Long, Seq[Long], Long)].collect().toSeq
+      val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val dir = s"$work/semdedup_tws"
+      val in = MemoryStream[(Long, Array[Float])](spark)
+      val nOut = new java.util.concurrent.atomic.AtomicLong
+      val q = graft.streaming.StreamOps.semanticDedupStream(
+          in.toDF().toDF("vec_id", "embedding"), cents, maxCell = maxCell,
+          tws = true, checkpointLocation = s"$dir/ckpt")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          nOut.addAndGet(b.count()); ()
+        }
+        .start()
+      val perBatch = try vecs.grouped(4000).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      val sr = stateRows(spark, s"$dir/ckpt", stateVar = "members")
+      if (sr >= 0) {
+        require(sr <= n, s"semantic state rows $sr exceed admissions $n")
+        require(sr <= k.toLong * maxCell,
+          s"semantic state rows $sr exceed K x maxCell ${k * maxCell}")
+      }
+      section("semantic_dedup_tws",
+        "vecs" -> vecs.length.toString,
+        "vecs_per_sec" -> "%.0f".format(vecs.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "verdicts" -> nOut.get().toString,
+        "k" -> k.toString,
+        "state_rows" -> sr.toString,
+        "state_bytes" -> dirBytes(s"$dir/ckpt/state").toString)
+    }
+
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val json = s"""{"metric":"stream_soak","sf":"$sfDir","cpus":$cpus,""" +
+      out.toString +
+      s""""loadavg":${f(os.getSystemLoadAverage)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_stream_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

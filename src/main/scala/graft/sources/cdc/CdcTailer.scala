@@ -231,7 +231,8 @@ final class CdcTailer(
     * [[GtidRangeCuts]] then falls back to serial cuts across the switch).
     * A switch that breaks monotonicity (lower domain id, or interleaved
     * domains) has no total order to replay against — fail fast rather
-    * than mis-order. */
+    * than mis-order (`domainMode=vector` opts into per-domain
+    * watermarks instead; this guard is bypassed there). */
   @volatile private var streamDomain: Option[Long] = resumeAfter.map(_.domain)
 
   private def eventGtid(values: Array[String]): Gtid = gtidIdx match {
@@ -255,8 +256,9 @@ final class CdcTailer(
             throw new CdcProtocolException(
               s"multi-domain stream: event ${g} arrived after ${lastGtid.get} " +
                 s"(domain switch $dom → ${g.domain} breaks GTID order) — " +
-                "interleaved replication domains have no total order; " +
-                "start one query per domain")
+                "interleaved replication domains have no total order under " +
+                "one GTID; use domainMode=vector (per-domain watermarks) " +
+                "or one query per domain")
           streamDomain = Some(g.domain)
         case None => streamDomain = Some(g.domain)
         case _ => ()

@@ -14,7 +14,9 @@ import org.apache.spark.sql.connector.read.streaming.Offset
   * (the `Ordered` contract). Interleaved multi-domain streams have no
   * total order under one triple; [[CdcTailer]] accepts a domain switch
   * exactly when it keeps the log order monotone (a failover onto a
-  * higher domain id) and fails fast on an order-breaking interleave.
+  * higher domain id) and fails fast on an order-breaking interleave —
+  * unless the query opted into `domainMode=vector`, where
+  * [[DomainVectorOffset]] tracks one watermark per domain.
   */
 final case class Gtid(domain: Long, serverId: Long, sequence: Long)
     extends Ordered[Gtid] {

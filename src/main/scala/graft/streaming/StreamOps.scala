@@ -328,7 +328,7 @@ object StreamOps {
           k: (Int, String), st: Array[Long], timers: TimerValues): Unit =
         // migration seeding: install the re-keyed corpus membership;
         // no pairs among seeds (the migration catch-up diff owns those)
-        st.foreach(members.appendValue)
+        if (st.nonEmpty) members.appendList(st)
       override def handleInputRows(
           k: (Int, String), rows: Iterator[(Int, String, Long)],
           timers: TimerValues): Iterator[(Long, Long)] = {
@@ -336,13 +336,18 @@ object StreamOps {
         val arrivals = rows.map(_._3).toArray.distinct.sorted
           .filterNot(cur.contains)
         val out = Seq.newBuilder[(Long, Long)]
+        // one appendList per batch, not one merge operand per arrival —
+        // see the semantic handler's note on RocksDB merge-read cost
+        val admitted = Seq.newBuilder[Long]
         arrivals.foreach { id =>
           if (cur.length < maxBucket) {
             cur.foreach(m => out += (if (m < id) (m, id) else (id, m)))
-            members.appendValue(id) // append-only: no full-state rewrite
+            admitted += id
             cur = cur :+ id
           }
         }
+        val adds = admitted.result()
+        if (adds.nonEmpty) members.appendList(adds.toArray)
         out.result().iterator
       }
     }
@@ -799,6 +804,12 @@ object StreamOps {
               rows: Iterator[(Long, Long, Seq[Long], Long)],
               timers: TimerValues): Iterator[(Long, Long, Boolean)] = {
             var cur = members.get().toArray
+            // admitted members buffer ONE appendList per batch: a
+            // per-arrival appendValue leaves one RocksDB merge operand
+            // per vector, and the next batch's get() pays an unbounded
+            // merge-read whose cost swings with compaction timing (the
+            // sf1 soak measured 68s -> 111s -> 7s per-batch jitter)
+            val admitted = Seq.newBuilder[(Long, Seq[Long], Long)]
             val out = rows.toSeq.sortBy(_._2).flatMap {
               case (_, id, qvSeq, qn2) =>
                 if (cur.exists(_._1 == id)) None
@@ -807,12 +818,14 @@ object StreamOps {
                   val dropped =
                     cur.exists(m => qcos(m._2.toArray, m._3, qv, qn2) > tau)
                   if (cur.length < maxCell) {
-                    members.appendValue((id, qvSeq, qn2))
+                    admitted += ((id, qvSeq, qn2))
                     cur = cur :+ ((id, qvSeq, qn2))
                   }
                   Some((id, cid, dropped))
                 }
             }
+            val adds = admitted.result()
+            if (adds.nonEmpty) members.appendList(adds.toArray)
             out.iterator
           }
         }
