@@ -317,22 +317,31 @@ object Bench {
     // capture (historically the parallel one) eats that cost and the
     // par-vs-serial comparison is ordering noise, not planner truth
     catchupRate(20000, 1)
-    // interleaved samples (par, ser, par, ser, …), best-of-3 each: at
-    // 100k the two run the IDENTICAL serial plan (adaptiveN picks 1), so
-    // any residual gap is scheduling noise — interleaving keeps that
-    // noise from systematically biasing whichever side runs first
-    def pair(events: Int): (Double, Double) = {
-      val samples = (1 to 3).map(_ => (catchupRate(events, 8), catchupRate(events, 1)))
-      (samples.map(_._1).max, samples.map(_._2).max)
-    }
-    val (catchupPar, catchupSer) = pair(100000)
-    val (catchup1mPar, catchup1mSer) = pair(1000000)
+    // At 100k the adaptive planner picks ONE connection, so the
+    // "maxN=8" and the forced-serial drain are the IDENTICAL plan —
+    // measuring them as separate samples invites a noise flip on a
+    // ~0.1s drain (the r10 first capture showed an 18% phantom gap).
+    // One sample set feeds both fields; catchup_plan_connections makes
+    // the planner's choice explicit. The 1M pair is a REAL comparison
+    // (7-way vs serial) and measures separately, interleaved.
+    val shallowConns = graft.sources.cdc.GtidRangeCuts
+      .adaptiveN(None, graft.sources.cdc.Gtid(0, 1, 100000), 8)
+    val shallow = (1 to 3).map(_ => catchupRate(100000, 8)).max
+    val (catchupPar, catchupSer) =
+      if (shallowConns == 1) (shallow, shallow)
+      else (shallow, (1 to 3).map(_ => catchupRate(100000, 1)).max)
+    val deep = (1 to 3).map(_ => (catchupRate(1000000, 8), catchupRate(1000000, 1)))
+    val (catchup1mPar, catchup1mSer) = (deep.map(_._1).max, deep.map(_._2).max)
+    val deepConns = graft.sources.cdc.GtidRangeCuts
+      .adaptiveN(None, graft.sources.cdc.Gtid(0, 1, 1000000), 8)
     def r0(d: Double) = "%.0f".format(d)
     val rates = s""""cdc_ingest_rows_per_sec":${r0(ingest)},""" +
       s""""catchup_rows_per_sec":${r0(catchupPar)},""" +
       s""""catchup_serial_rows_per_sec":${r0(catchupSer)},""" +
+      s""""catchup_plan_connections":$shallowConns,""" +
       s""""catchup_1m_rows_per_sec":${r0(catchup1mPar)},""" +
-      s""""catchup_1m_serial_rows_per_sec":${r0(catchup1mSer)}"""
+      s""""catchup_1m_serial_rows_per_sec":${r0(catchup1mSer)},""" +
+      s""""catchup_1m_plan_connections":$deepConns"""
     val common = s""""loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir""""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,$rates,$common}"""
     // Full payload (per-query runs + plan counters, ~15 KB) goes to a
