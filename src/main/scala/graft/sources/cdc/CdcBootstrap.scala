@@ -59,10 +59,20 @@ object CdcBootstrap {
       opts: CdcOptions): Seq[(String, (Seq[CdcField], Option[Gtid]))] =
     CdcConcurrent.map(opts.allTables)(t => t -> probeAnchor(opts, t))
 
-  private def parse(options: Map[String, String]): CdcOptions =
-    CdcOptions(new org.apache.spark.sql.util
+  private def parse(options: Map[String, String]): CdcOptions = {
+    val o = CdcOptions(new org.apache.spark.sql.util
       .CaseInsensitiveStringMap(scala.jdk.CollectionConverters
         .MapHasAsJava(options).asJava))
+    // the bootstrap's seam is a single anchor GTID per table; an
+    // interleaved multi-domain changelog has no single-triple anchor —
+    // fail at the API boundary, not with a confusing parse error deep
+    // in the snapshot's endGtid plumbing
+    require(!o.domainVector,
+      "maxscale-cdc: CdcBootstrap does not support domainMode=vector — " +
+        "the snapshot/follow seam anchors on a single GTID; bootstrap " +
+        "per domain, or start the vector stream from stream start")
+    o
+  }
 
   /** One probe pass per table: the schema pre-read AND the quiet-point
     * anchor. The fields feed `spark.read.schema(...)` downstream so the

@@ -362,17 +362,26 @@ final class CdcTailer(
     * keeps the [[DomainVectorOffset]] contract: domains untouched by
     * this batch retain `after`'s relative order at the FRONT (their
     * watermark events arrived before anything taken here), and each
-    * advanced domain moves to the back in last-taken-arrival order. */
-  def cappedEndVector(after: Seq[Gtid], max: Int): Seq[Gtid] =
+    * advanced domain moves to the back in last-taken-arrival order.
+    *
+    * `clamp` (Trigger.AvailableNow): when non-empty, only events
+    * at-or-below their domain's clamp entry are taken, and domains
+    * ABSENT from the clamp (first seen after the anchor) are excluded
+    * entirely — the batch never plans past the anchored target, and the
+    * entry-order invariant still falls out of the arrival-order scan. */
+  def cappedEndVector(after: Seq[Gtid], max: Int,
+      clamp: Seq[Gtid] = Nil): Seq[Gtid] =
     lock.synchronized {
       val floor = after.map(g => g.domain -> g).toMap
+      val cap = clamp.map(g => g.domain -> g).toMap
       val order = new java.util.LinkedHashMap[Long, Gtid]()
       after.foreach(g => order.put(g.domain, g))
       var taken = 0
       val it = positions.iterator
       while (it.hasNext && taken < max) {
         val g = it.next()
-        if (floor.get(g.domain).forall(g > _)) {
+        if (floor.get(g.domain).forall(g > _) &&
+            (clamp.isEmpty || cap.get(g.domain).exists(g <= _))) {
           order.remove(g.domain)
           order.put(g.domain, g)
           taken += 1

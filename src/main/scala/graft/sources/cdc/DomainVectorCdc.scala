@@ -1,6 +1,6 @@
 package graft.sources.cdc
 
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -37,6 +37,7 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
     checkpointLocation: String, required: StructType = null,
     pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow
     with ReportsSourceMetrics with CdcPushdownSupport {
 
   require(opts.allTables.size == 1,
@@ -116,6 +117,20 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
 
   override def initialOffset(): Offset = startVector
 
+  /** Trigger.AvailableNow: 'now' anchors at the stream's first quiet
+    * moment as the full per-domain VECTOR — every batch is then clamped
+    * per domain, and domains first seen after the anchor are excluded,
+    * so the query drains exactly the pre-existing interleaved backlog
+    * and stops. */
+  @volatile private var availableNowTarget: Seq[Gtid] = Nil
+  @volatile private var availableNowPrepared = false
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val t = ensureTailer()
+    t.awaitQuiet(math.max(60000L, 4L * opts.timeoutMs))
+    availableNowTarget = t.vectorSnapshot
+    availableNowPrepared = true
+  }
+
   override def deserializeOffset(json: String): Offset =
     DomainVectorOffset.fromJson(json)
 
@@ -141,7 +156,14 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
       if (lastPlannedEnd != null && lastPlannedEnd.covers(startVec))
         lastPlannedEnd
       else startVec
-    val end = DomainVectorOffset(t.cappedEndVector(after.entries, max))
+    // AvailableNow: never plan past the anchored target vector; an
+    // initially-empty changelog (empty target) plans nothing and the
+    // query terminates with zero batches
+    val clamp = if (availableNowPrepared) {
+      if (availableNowTarget.isEmpty) return after
+      availableNowTarget
+    } else Nil
+    val end = DomainVectorOffset(t.cappedEndVector(after.entries, max, clamp))
     lastPlannedEnd = end
     end
   }

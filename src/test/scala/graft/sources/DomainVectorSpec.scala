@@ -191,6 +191,82 @@ class DomainVectorSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("Trigger.AvailableNow drains exactly the pre-existing interleaved " +
+      "backlog per domain and stops; a later run resumes past it") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(8))
+    val ckpt = Files.createTempDirectory("dv_availnow").toString
+    try {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+      def run(): Unit = {
+        val q = spark.readStream.format("maxscale-cdc")
+          .option("host", "127.0.0.1").option("port", srv.port)
+          .option("user", "u").option("password", "p")
+          .option("table", "db.t").option("timeoutSeconds", 1)
+          .option("domainMode", "vector")
+          .option("maxEventsPerBatch", 5) // several clamped batches
+          .load()
+          .selectExpr("domain", "sequence")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.as[(Int, Int)].collect().foreach(got.add)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(60000), "AvailableNow did not terminate")
+      }
+      run()
+      assert(got.size == 16, s"first drain delivered ${got.size}")
+      // events arriving AFTER the first drain
+      srv.push(ev(0, 9, 9)); srv.push(ev(1, 9, 109)); srv.push(ev(0, 10, 10))
+      run()
+      assert((0 to 1).forall(d => got.asScala.filter(_._1 == d).map(_._2)
+        .toSeq.sorted == (1 to (if (d == 0) 10 else 9))),
+        got.asScala.toSeq.sorted.toString)
+    } finally srv.close()
+  }
+
+  test("runtime pushdown reaches a vector-mode stream (probe): predicate " +
+      "+ referenced columns delivered, rows correct") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
+      Seq(ev(0, 1, 1), ev(1, 1, 101), ev(0, 2, 2), ev(1, 2, 102)))
+    try {
+      CdcPushdownProbe.lastRuntimeFilters = Nil
+      CdcPushdownProbe.lastRuntimeReferenced = None
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .load()
+        .where("domain = 1")
+        .select("sequence", "id")
+        .writeStream.format("memory").queryName("dv_pushdown")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("dv_pushdown").count() == 2)
+        }
+        assert(CdcPushdownProbe.lastRuntimeFilters.exists(_.contains("domain")),
+          s"expected domain in runtime-pushed filters: " +
+            s"${CdcPushdownProbe.lastRuntimeFilters}")
+        CdcPushdownProbe.lastRuntimeReferenced.foreach { refs =>
+          assert(refs.contains("sequence") && refs.contains("id"), refs)
+          assert(!refs.contains("name"), s"name is never read: $refs")
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("CdcBootstrap refuses domainMode=vector at the API boundary") {
+    val e = intercept[IllegalArgumentException] {
+      CdcBootstrap.anchor(Map("host" -> "127.0.0.1", "port" -> "1",
+        "user" -> "u", "password" -> "p", "table" -> "db.t",
+        "domainMode" -> "vector"))
+    }
+    assert(e.getMessage.contains("single GTID"), e.getMessage)
+  }
+
   test("single-domain semantics unchanged: the default mode still fails " +
       "fast on an order-breaking interleave") {
     val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
