@@ -290,6 +290,13 @@ object Similarity extends QueryPack {
     val bands = e.select(col("vec_id"),
         posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
       .toDF("vec_id", "band", "key")
+    // Self-join formulation, kept ON MEASUREMENT: a group-then-pair
+    // rewrite (groupBy (band,key) + collect_list + in-bucket pair
+    // explosion — one shuffle, hashes computed once) measured 17.2s vs
+    // this join's 9.2s on the sf1 corpus: the codegen'd shuffle-hash
+    // join beats collect_list's object-hash aggregate even though the
+    // join computes the band keys and shuffles the key rows twice. The
+    // hyperplane hashing is NOT the dominant cost at these occupancies.
     val l = bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
     val r = bands.select(col("band"), col("key"), col("vec_id").as("vec_b"))
     l.hint("shuffle_hash").join(r, Seq("band", "key"))
