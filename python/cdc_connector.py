@@ -94,11 +94,36 @@ def composite_gtid(starts: dict) -> str:
     return ",".join(parts)
 
 
+def vector_gtid(entries) -> str:
+    """Render a per-domain watermark VECTOR (``domainMode=vector``) as
+    the source's ``v:d-s-q,...`` form. ``entries`` is an ordered list of
+    GTID strings — ORDER IS LOAD-BEARING (log-arrival of each domain's
+    watermark event, earliest first; normally you pass back an offset
+    the source itself produced, which already carries the right order).
+    """
+    out = []
+    seen = set()
+    for g in entries:
+        parts = str(g).split("-")
+        if len(parts) != 3:
+            raise ValueError("bad vector entry %r "
+                             "(want domain-server_id-sequence)" % (g,))
+        if parts[0] in seen:
+            raise ValueError("duplicate domain %s in vector %r"
+                             % (parts[0], entries))
+        seen.add(parts[0])
+        out.append(str(g))
+    if not out:
+        raise ValueError("empty vector (omit the option for stream start)")
+    return "v:" + ",".join(out)
+
+
 def spark_options(host, user, password, *, port=4001, table=None,
                   tables=None, starting_gtid=None, end_gtid=None,
                   end_gtid_observed=False, schema_mode="uniform",
                   mode="typed", timeout=10, max_events_per_batch=None,
-                  replay_partitions=None) -> dict:
+                  replay_partitions=None, domain_mode="single",
+                  catchup_span_per_connection=None) -> dict:
     """Option dict for the scale path — ``spark.readStream`` (or
     ``spark.read`` for a bounded pull) with ``format("maxscale-cdc")``:
 
@@ -120,6 +145,17 @@ def spark_options(host, user, password, *, port=4001, table=None,
     """
     if (table is None) == (tables is None):
         raise ValueError("exactly one of table= / tables= is required")
+    if domain_mode not in ("single", "vector"):
+        raise ValueError("domain_mode must be 'single' or 'vector', "
+                         "got %r" % domain_mode)
+    if domain_mode == "vector":
+        # mirrors DomainVectorMicroBatchStream's requires: one table,
+        # uniform schema; vector bounds come as lists (or 'v:' strings)
+        if tables is not None:
+            raise ValueError("domain_mode='vector' is single-table")
+        if schema_mode != "uniform":
+            raise ValueError("domain_mode='vector' with "
+                             "schema_mode='normalized' is not supported")
     if schema_mode not in ("uniform", "normalized"):
         raise ValueError("schema_mode must be 'uniform' or 'normalized', "
                          "got %r" % schema_mode)
@@ -139,6 +175,19 @@ def spark_options(host, user, password, *, port=4001, table=None,
         opts["schemaMode"] = "normalized"
 
     def _gtid_opt(value, what):
+        if domain_mode == "vector":
+            if isinstance(value, (list, tuple)):
+                return vector_gtid(value)
+            if isinstance(value, str) and value.startswith("v:"):
+                return value
+            raise ValueError(
+                "domain_mode='vector': %s must be a list of per-domain "
+                "GTIDs (or a 'v:' string) — a bare GTID says nothing "
+                "about the other domains; got %r" % (what, value))
+        if isinstance(value, (list, tuple)) or (
+                isinstance(value, str) and value.startswith("v:")):
+            raise ValueError(
+                "vector %s requires domain_mode='vector'" % what)
         if isinstance(value, dict):
             if len(names) < 2:
                 raise ValueError(
@@ -178,6 +227,10 @@ def spark_options(host, user, password, *, port=4001, table=None,
         opts["maxEventsPerBatch"] = str(int(max_events_per_batch))
     if replay_partitions is not None:
         opts["replayPartitions"] = str(int(replay_partitions))
+    if domain_mode == "vector":
+        opts["domainMode"] = "vector"
+    if catchup_span_per_connection is not None:
+        opts["catchupSpanPerConnection"] = str(int(catchup_span_per_connection))
     return opts
 
 

@@ -416,6 +416,43 @@ class SparkOptionsTest(unittest.TestCase):
             cdc.spark_options("h", "u", "pw", table="db.t",
                               end_gtid_observed=True)
 
+    def test_domain_vector_mode(self):
+        # r10: per-domain watermark vectors for interleaved multi-domain
+        # changelogs — single-table, uniform-schema, vector bounds
+        o = cdc.spark_options("h", "u", "pw", table="db.t",
+                              domain_mode="vector",
+                              starting_gtid=["1-2-50", "0-1-100"],
+                              catchup_span_per_connection=65536)
+        self.assertEqual(o["domainMode"], "vector")
+        # ORDER PRESERVED: entry order carries log-arrival order
+        self.assertEqual(o["startingGtid"], "v:1-2-50,0-1-100")
+        self.assertEqual(o["catchupSpanPerConnection"], "65536")
+        # pre-rendered form passes through
+        o2 = cdc.spark_options("h", "u", "pw", table="db.t",
+                               domain_mode="vector",
+                               end_gtid="v:0-1-9", end_gtid_observed=True)
+        self.assertEqual(o2["endGtid"], "v:0-1-9")
+        # validation mirrors DomainVectorMicroBatchStream's requires
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
+                              domain_mode="vector")
+        with self.assertRaises(ValueError):
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              domain_mode="vector",
+                              schema_mode="normalized")
+        with self.assertRaises(ValueError):  # bare GTID is ambiguous
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              domain_mode="vector", starting_gtid="0-1-5")
+        with self.assertRaises(ValueError):  # vector needs vector mode
+            cdc.spark_options("h", "u", "pw", table="db.t",
+                              starting_gtid=["0-1-5"])
+        with self.assertRaises(ValueError):
+            cdc.vector_gtid(["0-1-5", "0-2-9"])  # duplicate domain
+        with self.assertRaises(ValueError):
+            cdc.vector_gtid([])
+        with self.assertRaises(ValueError):
+            cdc.vector_gtid(["0-1"])
+
     def test_composite_gtid_helper(self):
         self.assertEqual(
             cdc.composite_gtid({"db.a": "0-1-5", "db.b": None}),
