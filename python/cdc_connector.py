@@ -58,7 +58,7 @@ import socket
 import time
 
 __all__ = ["Connection", "Row", "TIMEOUT", "CONNECTOR_UUID",
-           "composite_gtid", "spark_options"]
+           "composite_gtid", "vector_gtid", "spark_options"]
 
 #: Reference ``CDC::TIMEOUT`` (cdc_connector.h:32).
 TIMEOUT = "Request timed out"
