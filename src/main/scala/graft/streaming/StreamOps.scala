@@ -212,7 +212,9 @@ object StreamOps {
     * is a new checkpoint plus a backfill, never an in-place edit. */
   def embedNeardupStream(
       vecs: DataFrame,
-      nBands: Int = 64, // keep in lockstep with Similarity.NdBands
+      nBands: Int = 64, // the frozen start-time family (64 x 10); the
+      // batch gate grows via Similarity.ndBands/ndBits — a long-lived
+      // stream follows it through LshMigration, never by re-keying
       nBits: Int = 10,
       maxBucket: Int = 64,
       tws: Boolean = false, checkpointLocation: String,
