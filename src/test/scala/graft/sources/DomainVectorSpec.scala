@@ -191,6 +191,52 @@ class DomainVectorSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("connection-drop soak: an interleaved stream rides through " +
+      "injected drops exactly-once (vectorHead resume + per-domain dedupe)") {
+    // every dropped connection forces the tailer (or a replay reader) to
+    // reconnect; the tailer re-requests from the VECTOR HEAD's log
+    // position, which re-delivers events at-or-below the other domains'
+    // watermarks — the per-domain floors must drop exactly the overlap.
+    // Schedule entries all >=5: forward progress resets the reconnect
+    // budget, so no reader can exhaust it.
+    val n = 120
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
+      interleaved(n), dropSchedule = Seq(5, 9, 17, 23, 31, 41))
+    try {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+      val counts = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .option("maxEventsPerBatch", 50)
+        .option("replayPartitions", 3)
+        .load()
+        .selectExpr("domain", "sequence")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(Int, Int)].collect().foreach { r =>
+            got.add(r); counts.merge(r, 1, (a, b) => a + b)
+          }
+        }
+        .start()
+      try {
+        eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
+          assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+          q.processAllAvailable()
+          assert(got.size == 2 * n, s"delivered ${got.size} of ${2 * n}")
+        }
+        assert((0 to 1).forall(d =>
+          got.asScala.filter(_._1 == d).map(_._2).toSeq.sorted == (1 to n)))
+        assert(counts.values.asScala.forall(_ == 1),
+          s"duplicates: ${counts.asScala.filter(_._2 > 1)}")
+        assert(srv.dataConnCount > 6,
+          "the drop schedule never fired — the soak tested nothing")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("Trigger.AvailableNow drains exactly the pre-existing interleaved " +
       "backlog per domain and stops; a later run resumes past it") {
     val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, interleaved(8))
