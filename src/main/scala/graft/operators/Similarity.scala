@@ -1119,8 +1119,139 @@ object Similarity extends QueryPack {
       Some(seedsPar(e, k = semDedupK(e.count())).select(col("vec_id"))))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  val PqSub = 4   // subspaces
+  private val PqDim = 16  // dims per subspace (64 / PqSub)
+  val PqK   = 16  // codewords per subspace
+
+  /** Product quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): each vector compresses to
+    * [[PqSub]] codeword ids — here 4 codes over 16-dim subspaces with 16
+    * codewords each, i.e. 64 floats (256 B) → 4 small ints — and queries
+    * rank by the ASYMMETRIC distance: per (query, subspace, codeword)
+    * inner products form a tiny distance TABLE (queries × 4 × 16
+    * entries), and the corpus scan touches only the CODES, summing 4
+    * table lookups per vector. That is the 100 TB shape: codebooks and
+    * the distance table broadcast, the big side streams compressed codes
+    * with no vector data at all (the memory/bandwidth win IVF-PQ builds
+    * on; compose with [[qSimIvf]]'s cells for the full IVF-PQ layout).
+    *
+    * Codebook "training" mirrors [[qSimIvf]]'s deterministic discipline:
+    * codeword j of subspace s is the subvector of `vec_id = j` (the
+    * k-means‖ path [[qKmeansSeedPar]] is how real codebooks are seeded
+    * at scale). Everything downstream — assignment (nearest codeword by
+    * squared L2, ties to the smallest id), the distance table, the
+    * fixed-order 4-term score sum, the rank — is a pure function of the
+    * data, so the oracle mirrors the algorithm stage by stage and the
+    * output is bit-deterministic: score terms are single-element
+    * conditional sums added in subspace order, identical IEEE arithmetic
+    * in both engines. */
+  /** The [[PqSub]] per-subspace slices of every vector. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until PqSub).map(s0 =>
+        struct(lit(s0).as("s"),
+          slice(col("embedding"), s0 * PqDim + 1, PqDim).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+
+  /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
+    * nearest (squared L2, ties to the smallest id) of the [[PqK]]
+    * deterministic codewords. This IS the compressed representation the
+    * ADC scan reads; exposed for [[qSimPq]] and the structural specs. */
+  def pqCodes(e: DataFrame): DataFrame = {
+    val subs = pqSubvectors(e)
+    val cb = subs.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
+    // nearest codeword by squared L2, expression shape identical to the
+    // oracle: (dot(a,a) + dot(b,b)) - 2*dot(a,b), left-to-right
+    subs.join(broadcast(cb), "s")
+      .withColumn("dist", dot(col("sub"), col("sub"))
+        + dot(col("cv"), col("cv")) - lit(2) * dot(col("sub"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist").asc, col("j").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("j"))
+  }
+
+  val qSimPq: Q = Q(
+    "q_sim_pq",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
+      subs AS (
+        SELECT e.vec_id, ss.s,
+               e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
+        FROM e, ss),
+      cb AS (SELECT s, vec_id AS j, sub AS cv FROM subs WHERE vec_id < $PqK),
+      asg AS (
+        SELECT vec_id, s, j FROM (
+          SELECT subs.vec_id, subs.s, cb.j,
+                 row_number() OVER (
+                   PARTITION BY subs.vec_id, subs.s
+                   ORDER BY (${dotSql("subs.sub", "subs.sub")}
+                             + ${dotSql("cb.cv", "cb.cv")}
+                             - 2 * ${dotSql("subs.sub", "cb.cv")}) ASC,
+                            cb.j ASC) AS rn
+          FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, s, sub AS qsub FROM subs
+            WHERE vec_id < $NQueries),
+      dt AS (
+        SELECT q.query_id, cb.s, cb.j, ${dotSql("q.qsub", "cb.cv")} AS term
+        FROM q JOIN cb ON q.s = cb.s),
+      terms AS (
+        SELECT dt.query_id, a.vec_id AS neighbor_id, a.s, dt.term
+        FROM asg a JOIN dt ON a.s = dt.s AND a.j = dt.j
+        WHERE a.vec_id <> dt.query_id),
+      scores AS (
+        SELECT query_id, neighbor_id,
+               (SUM(CASE WHEN s = 0 THEN term END)
+                + SUM(CASE WHEN s = 1 THEN term END)
+                + SUM(CASE WHEN s = 2 THEN term END)
+                + SUM(CASE WHEN s = 3 THEN term END)) AS score
+        FROM terms GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scores)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val subs = pqSubvectors(e)
+    val cb = subs.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
+    val asg = pqCodes(e)
+    val q = subs.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
+    // the PQ distance table: queries × subspaces × codewords — tiny,
+    // broadcast; the corpus side below carries ONLY codes
+    val dt = q.join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        dot(col("qsub"), col("cv")).as("term"))
+    val terms = asg.join(broadcast(dt), Seq("s", "j"))
+      .where(col("vec_id") =!= col("query_id"))
+    // fixed-order 4-term sum: each conditional sum collapses exactly one
+    // subspace term, so the double addition order is deterministic and
+    // identical to the oracle's CASE pivots
+    val scores = terms.groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(when(col("s") === 0, col("term")))
+        + sum(when(col("s") === 1, col("term")))
+        + sum(when(col("s") === 2, col("term")))
+        + sum(when(col("s") === 3, col("term")))).as("score"))
+    scores
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
-      qSemanticDedup, qSemanticDedupSeeded)
+      qSemanticDedup, qSemanticDedupSeeded, qSimPq)
 }

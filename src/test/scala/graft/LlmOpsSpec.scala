@@ -380,6 +380,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.semDedupK(2000000) == 118)
   }
 
+  test("PQ codes: structurally valid, codebook vectors self-assign, and " +
+      "ADC ranking recalls a useful share of the exact top-k") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val codes = Similarity.pqCodes(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = e.count()
+    // exactly PqSub codes per vector, every code a valid codeword id
+    assert(codes.length == n * Similarity.PqSub)
+    assert(codes.forall { case (_, s, j) =>
+      s >= 0 && s < Similarity.PqSub && j >= 0 && j < Similarity.PqK })
+    // a codeword's own subvector is at distance 0 from itself: the seed
+    // vectors must self-assign in every subspace (random embeddings
+    // cannot tie at zero with a different codeword)
+    codes.filter(_._1 < Similarity.PqK).foreach { case (id, s0, j) =>
+      assert(j == id, s"codebook vector $id got code $j in subspace $s0") }
+    // quality: ADC@4x16 seeds is a coarse quantizer, but it must beat
+    // noise — random top-5s of n vectors overlap ~5/n per query
+    val pq = Similarity.qSimPq.build(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = Similarity.qSimTopk.build(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      pq.get(q).map(p => (p & ex).size.toDouble / ex.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@5 vs exact cosine: $mean%.2f over ${recalls.size} queries")
+    assert(mean > 5.0 * 5 / n, f"ADC no better than random: $mean%.3f")
+  }
+
   test("LSH near-dup prefilter prunes hard: candidates << all pairs") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
