@@ -1173,6 +1173,19 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("s"), col("j"))
   }
 
+  /** The deterministic PQ codebooks, collected driver-side —
+    * `(subspace, codeword id, 16-dim subvector)`, [[PqSub]]×[[PqK]] = 64
+    * tiny rows (the bounded driver hop every broadcast ANN structure
+    * starts with; a production pipeline would persist them). Input: the
+    * corpus (or any frame containing `vec_id < PqK`). */
+  def pqCodebooks(e: DataFrame): Seq[(Int, Long, Seq[Float])] =
+    pqSubvectors(e.select(col("vec_id"), col("embedding")))
+      .where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id"), col("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+      .toSeq
+
   val qSimPq: Q = Q(
     "q_sim_pq",
     Some(s"""

@@ -245,6 +245,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_pq_encode: stateless streaming codes equal the batch pqCodes " +
+      "for every vector, across micro-batches") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cbs = graft.operators.Similarity.pqCodebooks(e)
+    val rows = e.as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.pqEncodeStream(in.toDF(), cbs)
+      .writeStream.format("memory").queryName("s_pq_encode")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_pq_encode")
+        .as[(Long, Seq[Long])].collect().toMap
+      val expect = graft.operators.Similarity.pqCodes(e)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
+        .select(col("vec_id"), col("cs.j"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got.size == rows.length)
+      assert(got == expect,
+        s"diverged: ${got.toSeq.diff(expect.toSeq).take(3)} vs " +
+          s"${expect.toSeq.diff(got.toSeq).take(3)}")
+    } finally q.stop()
+  }
+
   /** Run `body` with the RocksDB state-store provider — the 100 TB path
     * for the corpus-shaped membership states (VERDICT r5 item 5). */
   private def withRocksDb[T](body: => T): T = {
