@@ -1186,26 +1186,38 @@ object Similarity extends QueryPack {
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
       .toSeq
 
+  /** Shared oracle CTE text: `e`, the subspace slices `subs`, the
+    * codebooks `cb(s, j, cv)` and the code assignment `asg(vec_id, s,
+    * j)` — the compressed index both PQ queries read. */
+  private def pqCodeSqlCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
+      |subs AS (
+      |  SELECT e.vec_id, ss.s,
+      |         e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
+      |  FROM e, ss),
+      |cb AS (SELECT s, vec_id AS j, sub AS cv FROM subs WHERE vec_id < $PqK),
+      |asg AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT subs.vec_id, subs.s, cb.j,
+      |           row_number() OVER (
+      |             PARTITION BY subs.vec_id, subs.s
+      |             ORDER BY (${dotSql("subs.sub", "subs.sub")}
+      |                       + ${dotSql("cb.cv", "cb.cv")}
+      |                       - 2 * ${dotSql("subs.sub", "cb.cv")}) ASC,
+      |                      cb.j ASC) AS rn
+      |    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1)""".stripMargin
+
+  /** The fixed-order 4-term ADC score pivot (single-element conditional
+    * sums added in subspace order — bit-deterministic). */
+  private def pqScoreSql: String =
+    (0 until PqSub).map(s0 => s"SUM(CASE WHEN s = $s0 THEN term END)")
+      .mkString("(", "\n                + ", ")")
+
   val qSimPq: Q = Q(
     "q_sim_pq",
     Some(s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
-      subs AS (
-        SELECT e.vec_id, ss.s,
-               e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
-        FROM e, ss),
-      cb AS (SELECT s, vec_id AS j, sub AS cv FROM subs WHERE vec_id < $PqK),
-      asg AS (
-        SELECT vec_id, s, j FROM (
-          SELECT subs.vec_id, subs.s, cb.j,
-                 row_number() OVER (
-                   PARTITION BY subs.vec_id, subs.s
-                   ORDER BY (${dotSql("subs.sub", "subs.sub")}
-                             + ${dotSql("cb.cv", "cb.cv")}
-                             - 2 * ${dotSql("subs.sub", "cb.cv")}) ASC,
-                            cb.j ASC) AS rn
-          FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+      $pqCodeSqlCtes,
       q AS (SELECT vec_id AS query_id, s, sub AS qsub FROM subs
             WHERE vec_id < $NQueries),
       dt AS (
@@ -1263,8 +1275,117 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ — the two halves composed, exactly the layout Jégou et al.
+    * ship and every billion-scale ANN service runs: IVF cells bound the
+    * CANDIDATE SET (probe the NProbe nearest of NCells), PQ codes bound
+    * the BYTES PER CANDIDATE (4 codes instead of 64 floats), and the
+    * scan over a probed cell is pure distance-table lookups. At 100 TB:
+    * centroids + codebooks + the per-query table broadcast; the index
+    * (cell_id, codes) partitions by cell; a query touches
+    * NProbe/NCells of the corpus and reads no vector data at all.
+    * Training and routing follow [[qSimIvf]]'s deterministic discipline
+    * (seed centroids, cosine routing, smallest-id tie-breaks), encoding
+    * follows [[pqCodes]] — so the oracle composes the two proven CTE
+    * chains and the output stays bit-deterministic. */
+  val qSimIvfPq: Q = Q(
+    "q_sim_ivfpq",
+    Some(s"""
+      $pqCodeSqlCtes,
+      cents AS (SELECT vec_id AS cell_id, embedding AS ctr FROM e
+                WHERE vec_id < $NCells),
+      cellof AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.ctr")} DESC,
+                            c.cell_id ASC) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      idx AS (
+        SELECT a.vec_id, a.s, a.j, co.cell_id
+        FROM asg a JOIN cellof co ON a.vec_id = co.vec_id),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+            WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT query_id, cell_id FROM (
+          SELECT q.query_id, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.ctr")} DESC,
+                            c.cell_id ASC) AS rn
+          FROM q, cents c) WHERE rn <= $NProbe),
+      qsubs AS (SELECT vec_id AS query_id, s, sub AS qsub FROM subs
+                WHERE vec_id < $NQueries),
+      dt AS (
+        SELECT qs.query_id, cb.s, cb.j, ${dotSql("qs.qsub", "cb.cv")} AS term
+        FROM qsubs qs JOIN cb ON qs.s = cb.s),
+      terms AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id, i.s, dt.term
+        FROM idx i
+        JOIN probes p ON i.cell_id = p.cell_id
+        JOIN dt ON dt.query_id = p.query_id AND dt.s = i.s AND dt.j = i.j
+        WHERE i.vec_id <> p.query_id),
+      scores AS (
+        SELECT query_id, neighbor_id, $pqScoreSql AS score
+        FROM terms GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scores)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // IVF routing — qSimIvf's exact discipline
+    val cents = e.where(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("ctr"))
+    val cellOf = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        cosine(col("embedding"), col("ctr")).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    // the compressed index: (cell_id, codes) — no vector data
+    val index = pqCodes(e).join(cellOf, "vec_id")
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell_id"),
+        cosine(col("qv"), col("ctr")).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rn") <= NProbe)
+      .select(col("query_id"), col("cell_id"))
+    val subs = pqSubvectors(e)
+    val cb = subs.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
+    val qsubs = subs.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
+    val dt = qsubs.join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        dot(col("qsub"), col("cv")).as("term"))
+    val terms = index.join(probes, "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id", "s", "j"))
+    val scores = terms.groupBy(col("query_id"), col("vec_id"))
+      .agg((0 until PqSub).map(s0 =>
+          sum(when(col("s") === s0, col("term"))))
+        .reduce(_ + _).as("score"))
+    scores
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id").asc)))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
-      qSemanticDedup, qSemanticDedupSeeded, qSimPq)
+      qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq)
 }

@@ -410,6 +410,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 5.0 * 5 / n, f"ADC no better than random: $mean%.3f")
   }
 
+  test("IVF-PQ: full result per query, recall above the random baseline, " +
+      "and the probed-cell candidate set prunes the corpus") {
+    val n = Tables.embeddings(spark, sf).count()
+    val got = Similarity.qSimIvfPq.build(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // every query fills its top-k (probed cells hold >> k vectors here)
+    assert(got.size == 8 && got.values.forall(_.size == 5), got.mapValues(_.size))
+    val exact = Similarity.qSimTopk.build(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      got.get(q).map(p => (p & ex).size.toDouble / ex.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@5 vs exact cosine: $mean%.2f")
+    assert(mean > 5.0 * 5 / n, f"no better than random: $mean%.3f")
+  }
+
   test("LSH near-dup prefilter prunes hard: candidates << all pairs") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
