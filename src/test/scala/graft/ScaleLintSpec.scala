@@ -44,7 +44,10 @@ class ScaleLintSpec extends SparkSpec {
       "q_semantic_dedup",
       // same n × K centroid-assignment shape, centroids from k-means||
       // seeds instead of first-K (the seeding itself is literal-fused)
-      "q_semantic_dedup_seeded")
+      "q_semantic_dedup_seeded",
+      // IVF-PQ routing: the same n × NCells (and queries × NCells)
+      // broadcast assignment; the PQ half joins only on (s, j) keys
+      "q_sim_ivfpq")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
