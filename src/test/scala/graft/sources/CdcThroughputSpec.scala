@@ -166,6 +166,11 @@ class CdcThroughputSpec extends AnyFunSuite {
       def drain(partitions: Int): Double = {
         val tailer = new CdcTailer("127.0.0.1", srv.port, "u", "p", "db.t",
           fields, resumeAfter = None, timeoutMs = 5000)
+        // the small-backlog pin (VERDICT r9 #1): with the DEFAULT span
+        // threshold this backlog plans ONE serial connection — the r9
+        // bench measured a flat 8-way split losing 0.59x to serial here
+        assert(tailer.splitRanges(None, Gtid(0, 1, M.toLong), partitions)
+          .size == 1, "default threshold must keep a shallow backlog serial")
         val before = CdcSplitProbe.arithmeticFallbacks
         // spanPerConnection=1: pin the parallel-cut MACHINERY at fixture
         // scale (the default 2^17 threshold correctly keeps a 60k span
