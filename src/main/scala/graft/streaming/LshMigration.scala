@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Drain-and-rebuild geometry migration for the streaming LSH near-dup
   * gate (VERDICT r9 #4).
@@ -63,4 +63,32 @@ object LshMigration {
       maxBucket = maxBucket, tws = tws,
       checkpointLocation = newCheckpointLocation,
       seed = corpus.select(col("vec_id"), col("embedding")))
+}
+
+/** Centroid-set migration for [[StreamOps.ivfMaintain]] — simpler than
+  * the LSH path because the state is an ADDITIVE MONOID: per-cell
+  * counts, integer inertia and integer coordinate sums. A stream whose
+  * centroid set must change (re-seeded index, grown K) migrates with NO
+  * state seeding at all:
+  *
+  *  1. stop the old stream (its checkpoint stays frozen; the
+  *     [[StateGeometryGuard]] `ivf` family rejects an in-place edit);
+  *  2. compute the historical stats ONCE by evaluating the same
+  *     `ivfMaintain` transform in BATCH mode over the processed corpus
+  *     under the NEW centroids (identical assignment arithmetic);
+  *  3. start a fresh-checkpoint stream over the live feed under the new
+  *     centroids, and serve `combinedStats(historical, live)` — exact
+  *     integer addition, so the result is bit-equal to what a stream
+  *     that had seen the whole history under the new centroids would
+  *     hold (spec-pinned).
+  */
+object IvfMigration {
+  /** Exact monoid merge of two cell-stat frames (historical ⊕ live). */
+  def combinedStats(historical: DataFrame, live: DataFrame): DataFrame =
+    historical.unionByName(live)
+      .groupBy("cid")
+      .agg(sum("n_assigned").as("n_assigned"),
+        sum("inertia").as("inertia"),
+        sum("s1").as("s1"), sum("s2").as("s2"),
+        sum("s3").as("s3"), sum("s4").as("s4"))
 }

@@ -92,6 +92,46 @@ class GeometryMigrationSpec extends SparkSpec {
         "pick a fixture where b matters")
   }
 
+  test("IVF centroid migration: historical batch stats ⊕ fresh stream " +
+      "equals the stream that saw the whole history (exact monoid merge)") {
+    val sf = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // the NEW centroid set (grown K: 6 seeds instead of 4) — the old
+    // checkpoint's geometry guard would reject it; migration recomputes
+    val cents = Similarity.quantizedInt8(e).where(col("vec_id") < 6)
+      .select(col("vec_id"), col("qv"), col("qn2"))
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val all = e.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (first, second) = all.splitAt(all.length / 2)
+    // step 2: historical stats in BATCH mode (same transform, new cents)
+    val historical = StreamOps.ivfMaintain(
+      first.toSeq.toDF("vec_id", "embedding"), cents,
+      checkpointLocation = StreamOps.EphemeralState)
+    // step 3: fresh stream over the LIVE feed only
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamOps.ivfMaintain(in.toDF().toDF("vec_id", "embedding"),
+        cents, checkpointLocation = StreamOps.EphemeralState)
+      .writeStream.format("memory").queryName("ivf_mig")
+      .outputMode("complete").start()
+    try {
+      second.grouped(math.max(1, second.length / 2)).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val combined = IvfMigration.combinedStats(
+          historical, spark.table("ivf_mig"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      // ground truth: the same transform over the WHOLE corpus
+      val want = StreamOps.ivfMaintain(
+          all.toSeq.toDF("vec_id", "embedding"), cents,
+          checkpointLocation = StreamOps.EphemeralState)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(combined == want && combined.nonEmpty,
+        s"monoid merge diverged:\n got=$combined\nwant=$want")
+    } finally q.stop()
+  }
+
   test("tws (RocksDB) path: seeded resume is pair-equivalent to the " +
       "flatMapGroupsWithState path") {
     val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
