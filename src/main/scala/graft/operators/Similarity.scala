@@ -354,6 +354,25 @@ object Similarity extends QueryPack {
   private val NCells  = 16
   private val NProbe  = 4
 
+  /** Scale-aware IVF cell count: `max(16, ⌈√n / 3⌉)`.
+    *
+    * With FROZEN cells the per-cell population is n/16, so every probed
+    * query scans NProbe·n/16 candidates — linear in the corpus, the same
+    * frozen-constant trap [[ndBits]] closed for the LSH family (r10
+    * verdict item 2). Growing cells as √n pins the per-query candidate
+    * set to NProbe·n/⌈√n/3⌉ ≈ 12√n — sub-linear at every scale — while
+    * keeping per-cell population ≈ 3√n, so cells stay big enough that
+    * NProbe·k re-rank quality holds. The floor keeps every official SF
+    * on the historical 16 bit-for-bit (n = 2000 → ⌈√2000/3⌉ = 15 < 16;
+    * sf1's n = 20000 → 48 cells). Double arithmetic only in the shared
+    * IEEE ops (sqrt, ceil) — the oracle computes the identical value
+    * from COUNT(*) via [[ivfCellsSqlCte]]. */
+  def ivfCells(n: Long): Int =
+    math.max(NCells, math.ceil(math.sqrt(n.toDouble) / 3.0).toInt)
+  /** The same cell count as a DuckDB CTE over the embeddings CTE `e`. */
+  private val ivfCellsSqlCte: String =
+    s"nc AS (SELECT GREATEST($NCells, CAST(ceil(sqrt(COUNT(*)) / 3.0) AS BIGINT)) AS nc FROM e)"
+
   /** IVF-style ANN: coarse-quantize with NCells seed centroids (vec_id <
     * NCells — deterministic "training"; [[seedsPar]] is the k-means‖
     * path that picks them at scale), assign every vector to its nearest
@@ -371,8 +390,9 @@ object Similarity extends QueryPack {
     "q_sim_ivf",
     Some(s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      $ivfCellsSqlCte,
       cents AS (SELECT vec_id AS cell_id, embedding AS cv FROM e
-                WHERE vec_id < $NCells),
+                WHERE vec_id < (SELECT nc FROM nc)),
       asg AS (
         SELECT vec_id, embedding, cell_id FROM (
           SELECT e.vec_id, e.embedding, c.cell_id,
@@ -407,7 +427,9 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
-    val cents = e.where(col("vec_id") < NCells)
+    // scale-aware cell count from the corpus count (metadata-only) —
+    // the oracle derives the SAME value from COUNT(*), see [[ivfCells]]
+    val cents = e.where(col("vec_id") < ivfCells(e.count()))
       .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
     // assignment: nearest centroid per vector
     val assigned = e.crossJoin(broadcast(cents))
@@ -1266,13 +1288,11 @@ object Similarity extends QueryPack {
         + sum(when(col("s") === 1, col("term")))
         + sum(when(col("s") === 2, col("term")))
         + sum(when(col("s") === 3, col("term")))).as("score"))
-    scores
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("vec_id").asc)))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    // PQ/ADC scores the WHOLE corpus per query — rank through the
+    // bounded-heap plan ([[rankTopK]]), never a bare per-query window:
+    // that shape funnels n·NQueries rows into ≤ NQueries reducers
+    // (r10 verdict item 1).
+    rankTopK(scores.withColumnRenamed("vec_id", "neighbor_id"), "score", TopK)
   }
 
   /** IVF-PQ — the two halves composed, exactly the layout Jégou et al.
@@ -1291,8 +1311,9 @@ object Similarity extends QueryPack {
     "q_sim_ivfpq",
     Some(s"""
       $pqCodeSqlCtes,
+      $ivfCellsSqlCte,
       cents AS (SELECT vec_id AS cell_id, embedding AS ctr FROM e
-                WHERE vec_id < $NCells),
+                WHERE vec_id < (SELECT nc FROM nc)),
       cellof AS (
         SELECT vec_id, cell_id FROM (
           SELECT e.vec_id, c.cell_id,
@@ -1339,8 +1360,8 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // IVF routing — qSimIvf's exact discipline
-    val cents = e.where(col("vec_id") < NCells)
+    // IVF routing — qSimIvf's exact discipline, scale-aware cell count
+    val cents = e.where(col("vec_id") < ivfCells(e.count()))
       .select(col("vec_id").as("cell_id"), col("embedding").as("ctr"))
     val cellOf = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
@@ -1375,13 +1396,10 @@ object Similarity extends QueryPack {
       .agg((0 until PqSub).map(s0 =>
           sum(when(col("s") === s0, col("term"))))
         .reduce(_ + _).as("score"))
-    scores
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("vec_id").asc)))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    // bounded-heap ranking — per-query candidates are NProbe·n/NCells
+    // rows; prune them map-side instead of funneling through ≤ NQueries
+    // window reducers (r10 verdict item 2)
+    rankTopK(scores.withColumnRenamed("vec_id", "neighbor_id"), "score", TopK)
   }
 
   override def all: Seq[Q] =

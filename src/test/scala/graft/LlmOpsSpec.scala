@@ -428,6 +428,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 5.0 * 5 / n, f"no better than random: $mean%.3f")
   }
 
+  test("PQ ranking goes through the bounded-heap plan, not a bare window") {
+    // r10 verdict items 1-2: PQ/ADC scores every corpus code per query
+    // (and IVF-PQ every probed-cell code), so the final top-k MUST prune
+    // map-side via TopKPerGroupExec — a row_number window would funnel
+    // all scored rows through <= NQueries reducers.
+    for (q <- Seq(Similarity.qSimPq, Similarity.qSimIvfPq)) {
+      val df = q.build(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"${q.name} plan lacks TopKPerGroup:\n$plan")
+    }
+  }
+
+  test("ivfCells: frozen 16 at every official SF, sqrt-growth beyond") {
+    // floor keeps the historical cell count bit-for-bit through n=2304
+    // (ceil(sqrt(2304)/3)=16): official fixtures are 500/500/2000 vectors
+    for (n <- Seq(1L, 500L, 2000L, 2304L)) assert(Similarity.ivfCells(n) == 16, n)
+    assert(Similarity.ivfCells(20000) == 48)      // the sf1 fixture
+    assert(Similarity.ivfCells(2000000) == 472)
+    // the scale contract: per-query candidates NProbe*n/cells stay
+    // sub-linear — bounded by ~12.5*sqrt(n) across six decades
+    for (exp <- 4 to 9; n = math.pow(10, exp).toLong) {
+      val candidates = 4.0 * n / Similarity.ivfCells(n)
+      assert(candidates <= 12.5 * math.sqrt(n.toDouble),
+        s"n=$n cells=${Similarity.ivfCells(n)} candidates=$candidates")
+    }
+  }
+
   test("LSH near-dup prefilter prunes hard: candidates << all pairs") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
