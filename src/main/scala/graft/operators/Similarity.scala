@@ -1146,6 +1146,16 @@ object Similarity extends QueryPack {
   val PqSub = 4   // subspaces
   private val PqDim = 16  // dims per subspace (64 / PqSub)
   val PqK   = 16  // codewords per subspace
+  /** Fixed-point scale (2^20) for codebook training: coordinates become
+    * `round(x · 2^20)` longs, so Lloyd distances and re-estimation sums
+    * are EXACT integer arithmetic — order-independent, hence identical
+    * between Spark's shuffled partial aggregates and DuckDB's
+    * single-threaded scan. (The int8 family's trick at training
+    * precision: 20 fractional bits ≈ 6 decimal digits, far below any
+    * centroid separation.) */
+  val PqFx = 1048576L
+  /** Lloyd re-estimation rounds for codebook training. */
+  val PqIters = 2
 
   /** Product quantization ANN (Jégou/Douze/Schmid, "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): each vector compresses to
@@ -1159,13 +1169,14 @@ object Similarity extends QueryPack {
     * with no vector data at all (the memory/bandwidth win IVF-PQ builds
     * on; compose with [[qSimIvf]]'s cells for the full IVF-PQ layout).
     *
-    * Codebook "training" mirrors [[qSimIvf]]'s deterministic discipline:
-    * codeword j of subspace s is the subvector of `vec_id = j` (the
-    * k-means‖ path [[qKmeansSeedPar]] is how real codebooks are seeded
-    * at scale). Everything downstream — assignment (nearest codeword by
-    * squared L2, ties to the smallest id), the distance table, the
-    * fixed-order 4-term score sum, the rank — is a pure function of the
-    * data, so the oracle mirrors the algorithm stage by stage and the
+    * Codebooks are TRAINED sub-quantizers ([[pqCodebooks]]): per-subspace
+    * Lloyd k-means in the fixed-point integer domain, seeded from the
+    * first [[PqK]] subvectors (the k-means‖ path [[qKmeansSeedPar]] is
+    * how those seeds are picked at scale). Everything downstream —
+    * assignment (nearest codeword by integer squared L2, ties to the
+    * smallest id), the distance table, the fixed-order 4-term score sum,
+    * the rank — is a pure function of the data, so the oracle mirrors
+    * the algorithm stage by stage (training CTE chain included) and the
     * output is bit-deterministic: score terms are single-element
     * conditional sums added in subspace order, identical IEEE arithmetic
     * in both engines. */
@@ -1176,41 +1187,138 @@ object Similarity extends QueryPack {
           slice(col("embedding"), s0 * PqDim + 1, PqDim).as("sub"))): _*)).as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
 
-  /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
-    * nearest (squared L2, ties to the smallest id) of the [[PqK]]
-    * deterministic codewords. This IS the compressed representation the
-    * ADC scan reads; exposed for [[qSimPq]] and the structural specs. */
-  def pqCodes(e: DataFrame): DataFrame = {
-    val subs = pqSubvectors(e)
-    val cb = subs.where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
-    // nearest codeword by squared L2, expression shape identical to the
-    // oracle: (dot(a,a) + dot(b,b)) - 2*dot(a,b), left-to-right
-    subs.join(broadcast(cb), "s")
-      .withColumn("dist", dot(col("sub"), col("sub"))
-        + dot(col("cv"), col("cv")) - lit(2) * dot(col("sub"), col("cv")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist").asc, col("j").asc)))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j"))
+  /** Per-subspace slices in the fixed-point long domain ([[PqFx]]) —
+    * the training representation: `(vec_id, s, fxv: array<long>)`. */
+  private def pqFixedPoint(e: DataFrame): DataFrame =
+    pqSubvectors(e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("s"),
+        transform(col("sub"), x =>
+          round(x.cast("double") * PqFx).cast("long")).as("fxv"))
+
+  /** Stateless nearest-codeword assignment in the fixed-point domain:
+    * the [[PqSub]]×[[PqK]] codebook folds into the projection as a
+    * nested literal (indexed by `s`), and the pick is a lexicographic
+    * struct-min over (integer squared L2, codeword id) — dist ASC then
+    * j ASC, the same tie-break as the oracle's min-distance pre-pass.
+    * One codegen'd pass, no window, no shuffle — the shape the
+    * streaming twin (`s_pq_encode`) runs per micro-batch. */
+  private def pqAssign(fx: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    require(cb.length == PqSub * PqK, s"codebook incomplete: ${cb.length}")
+    val cbAll = array((0 until PqSub).map { s0 =>
+      array(cb.filter(_._1 == s0).sortBy(_._2).map { case (_, j, cv) =>
+        struct(lit(j).as("j"), array(cv.map(lit): _*).as("cv"))
+      }: _*)
+    }: _*)
+    fx.withColumn("pick",
+        array_min(transform(element_at(cbAll, col("s") + 1), c => struct(
+          aggregate(zip_with(col("fxv"), c.getField("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+            .as("dist"),
+          c.getField("j").as("j")))))
+      .select(col("vec_id"), col("s"), col("pick.j").as("j"),
+        col("pick.dist").as("dist"), col("fxv"))
   }
 
-  /** The deterministic PQ codebooks, collected driver-side —
-    * `(subspace, codeword id, 16-dim subvector)`, [[PqSub]]×[[PqK]] = 64
-    * tiny rows (the bounded driver hop every broadcast ANN structure
-    * starts with; a production pipeline would persist them). Input: the
-    * corpus (or any frame containing `vec_id < PqK`). */
-  def pqCodebooks(e: DataFrame): Seq[(Int, Long, Seq[Float])] =
-    pqSubvectors(e.select(col("vec_id"), col("embedding")))
-      .where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id"), col("sub"))
+  /** Total quantization error of the corpus under a codebook — Σ over
+    * (vector, subspace) of the squared L2 to the chosen codeword, exact
+    * integers in the fixed-point domain. This is the objective Lloyd
+    * descends; the training spec pins trained < seeds. */
+  def pqInertia(e: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): Long =
+    pqAssign(pqFixedPoint(e), cb).agg(sum("dist")).head.getLong(0)
+
+  /** TRAINED PQ codebooks — per-subspace Lloyd k-means in the
+    * fixed-point domain (r10 verdict item 3; previously the raw first-
+    * [[PqK]] subvectors). Seeds are those same first-PqK subvectors
+    * (deterministic; [[seedsPar]] is the k-means‖ path that picks them
+    * at scale), then [[PqIters]] rounds of: distributed assignment
+    * ([[pqAssign]], codebook broadcast as literals) → per-(s, j, dim)
+    * integer sums (map-side-combined, PqSub·PqK·PqDim = 1024 tiny rows
+    * to the driver — the one legitimate driver hop of every k-means) →
+    * new coordinate = `round(sum/count)` (Spark SQL round = DuckDB
+    * round = half away from zero; computed IN Spark so the IEEE step is
+    * shared). Empty cells keep their previous codeword, like the
+    * oracle's COALESCE. Returns `(subspace, codeword id, fixed-point
+    * subvector)` — [[PqSub]]×[[PqK]] = 64 rows a production pipeline
+    * would persist next to the index. */
+  def pqCodebooks(e: DataFrame, iters: Int = PqIters): Seq[(Int, Long, Seq[Long])] = {
+    val fx = pqFixedPoint(e)
+    var cb: Seq[(Int, Long, Seq[Long])] = fx.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("j"), col("fxv"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
       .toSeq
+    for (_ <- 1 to iters) {
+      val means = pqAssign(fx, cb)
+        .select(col("s"), col("j"), posexplode(col("fxv")))
+        .groupBy(col("s"), col("j"), col("pos"))
+        .agg(sum("col").as("sv"), count(lit(1)).as("n"))
+        .select(col("s"), col("j"), col("pos"),
+          round(col("sv").cast("double") / col("n")).cast("long").as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      cb = cb.map { case (s0, j, old) => (s0, j, means.getOrElse((s0, j), old)) }
+    }
+    cb
+  }
+
+  /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
+    * nearest (integer squared L2 over fixed-point coords, ties to the
+    * smallest id) of the [[PqK]] TRAINED codewords. This IS the
+    * compressed representation the ADC scan reads; exposed for
+    * [[qSimPq]] and the structural specs. */
+  def pqCodes(e: DataFrame): DataFrame = pqCodes(e, pqCodebooks(e))
+
+  /** [[pqCodes]] against an explicit (already-trained) codebook — lets
+    * the two PQ queries train once and encode once. */
+  def pqCodes(e: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): DataFrame =
+    pqAssign(pqFixedPoint(e), cb).select(col("vec_id"), col("s"), col("j"))
+
+  /** Float view of a trained codebook as a tiny DataFrame `(s, j, cv:
+    * array<double>)` — the broadcast side of the ADC distance table
+    * (coordinates back in vector units: `cv/2^20`). */
+  private def pqCodebookDf(spark: SparkSession,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cb.map { case (s0, j, cv) => (s0, j, cv.map(_.toDouble / PqFx)) }
+      .toDF("s", "j", "cv")
+  }
+
+  /** One Lloyd round as oracle CTEs: assignment against `cb${i-1}`
+    * (integer squared L2 in the fixed-point domain, min-distance
+    * pre-pass, ties to the smallest j), per-(s, j, dim) integer sums,
+    * rounded means, and `cb$i` with COALESCE keeping empty cells —
+    * stage-for-stage the arithmetic [[pqCodebooks]] runs. */
+  private def pqTrainIterSql(i: Int): String = {
+    val prev = s"cb${i - 1}"
+    s"""d$i AS (
+      |  SELECT f.vec_id, f.s, c.j,
+      |         list_sum(list_transform(range(1, len(f.fxv) + 1),
+      |                  k -> (f.fxv[k] - c.cv[k]) * (f.fxv[k] - c.cv[k]))) AS dist
+      |  FROM fx f JOIN $prev c ON f.s = c.s),
+      |m$i AS (SELECT vec_id, s, MIN(dist) AS md FROM d$i GROUP BY vec_id, s),
+      |a$i AS (SELECT d.vec_id, d.s, MIN(d.j) AS j
+      |        FROM d$i d JOIN m$i m
+      |          ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
+      |        GROUP BY d.vec_id, d.s),
+      |x$i AS (SELECT a.s, a.j, u.d, f.fxv[u.d] AS v
+      |        FROM a$i a JOIN fx f ON a.vec_id = f.vec_id AND a.s = f.s,
+      |             generate_series(1, $PqDim) u(d)),
+      |s$i AS (SELECT s, j, d, SUM(v) AS sv, COUNT(*) AS n
+      |        FROM x$i GROUP BY s, j, d),
+      |n$i AS (SELECT s, j,
+      |          list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS cv
+      |        FROM s$i GROUP BY s, j),
+      |cb$i AS (SELECT p.s, p.j, COALESCE(t.cv, p.cv) AS cv
+      |         FROM $prev p LEFT JOIN n$i t ON p.s = t.s AND p.j = t.j)""".stripMargin
+  }
 
   /** Shared oracle CTE text: `e`, the subspace slices `subs`, the
-    * codebooks `cb(s, j, cv)` and the code assignment `asg(vec_id, s,
-    * j)` — the compressed index both PQ queries read. */
+    * fixed-point slices `fx`, the TRAINED codebooks (seed `cb0` →
+    * [[PqIters]] Lloyd rounds → float view `cb(s, j, cv)`) and the code
+    * assignment `asg(vec_id, s, j)` — the compressed index both PQ
+    * queries read. */
   private def pqCodeSqlCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
@@ -1218,17 +1326,25 @@ object Similarity extends QueryPack {
       |  SELECT e.vec_id, ss.s,
       |         e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
       |  FROM e, ss),
-      |cb AS (SELECT s, vec_id AS j, sub AS cv FROM subs WHERE vec_id < $PqK),
-      |asg AS (
-      |  SELECT vec_id, s, j FROM (
-      |    SELECT subs.vec_id, subs.s, cb.j,
-      |           row_number() OVER (
-      |             PARTITION BY subs.vec_id, subs.s
-      |             ORDER BY (${dotSql("subs.sub", "subs.sub")}
-      |                       + ${dotSql("cb.cv", "cb.cv")}
-      |                       - 2 * ${dotSql("subs.sub", "cb.cv")}) ASC,
-      |                      cb.j ASC) AS rn
-      |    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1)""".stripMargin
+      |fx AS (SELECT vec_id, s,
+      |         list_transform(sub, y ->
+      |           CAST(round(CAST(y AS DOUBLE) * ${PqFx}.0) AS BIGINT)) AS fxv
+      |       FROM subs),
+      |cb0 AS (SELECT s, vec_id AS j, fxv AS cv FROM fx WHERE vec_id < $PqK),
+      |${(1 to PqIters).map(pqTrainIterSql).mkString(",\n")},
+      |cb AS (SELECT s, j,
+      |         list_transform(cv, z -> CAST(z AS DOUBLE) / ${PqFx}.0) AS cv
+      |       FROM cb$PqIters),
+      |df AS (
+      |  SELECT f.vec_id, f.s, c.j,
+      |         list_sum(list_transform(range(1, len(f.fxv) + 1),
+      |                  k -> (f.fxv[k] - c.cv[k]) * (f.fxv[k] - c.cv[k]))) AS dist
+      |  FROM fx f JOIN cb$PqIters c ON f.s = c.s),
+      |mf AS (SELECT vec_id, s, MIN(dist) AS md FROM df GROUP BY vec_id, s),
+      |asg AS (SELECT d.vec_id, d.s, MIN(d.j) AS j
+      |        FROM df d JOIN mf m
+      |          ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
+      |        GROUP BY d.vec_id, d.s)""".stripMargin
 
   /** The fixed-order 4-term ADC score pivot (single-element conditional
     * sums added in subspace order — bit-deterministic). */
@@ -1267,11 +1383,10 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val subs = pqSubvectors(e)
-    val cb = subs.where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
-    val asg = pqCodes(e)
-    val q = subs.where(col("vec_id") < NQueries)
+    val cbT = pqCodebooks(e)          // train once ...
+    val cb = pqCodebookDf(s, cbT)     // ... float view for the ADC table
+    val asg = pqCodes(e, cbT)         // ... encode once
+    val q = pqSubvectors(e).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
     // the PQ distance table: queries × subspaces × codewords — tiny,
     // broadcast; the corpus side below carries ONLY codes
@@ -1371,7 +1486,8 @@ object Similarity extends QueryPack {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"))
     // the compressed index: (cell_id, codes) — no vector data
-    val index = pqCodes(e).join(cellOf, "vec_id")
+    val cbT = pqCodebooks(e)
+    val index = pqCodes(e, cbT).join(cellOf, "vec_id")
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = q.crossJoin(broadcast(cents))
@@ -1381,10 +1497,8 @@ object Similarity extends QueryPack {
         .orderBy(col("sim").desc, col("cell_id").asc)))
       .where(col("rn") <= NProbe)
       .select(col("query_id"), col("cell_id"))
-    val subs = pqSubvectors(e)
-    val cb = subs.where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("j"), col("sub").as("cv"))
-    val qsubs = subs.where(col("vec_id") < NQueries)
+    val cb = pqCodebookDf(s, cbT)
+    val qsubs = pqSubvectors(e).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
     val dt = qsubs.join(broadcast(cb), "s")
       .select(col("query_id"), col("s"), col("j"),

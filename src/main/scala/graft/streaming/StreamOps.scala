@@ -689,19 +689,22 @@ object StreamOps {
     * Equivalence with the batch step is pinned in StreamOpsSpec. */
   /** `s_pq_encode`: STATELESS streaming PQ encoder — each arriving
     * vector maps to its [[graft.operators.Similarity.PqSub]] codeword
-    * ids under the same deterministic codebooks as the batch
-    * `Similarity.pqCodes` (pass `Similarity.pqCodebooks(corpus)`).
+    * ids under the same TRAINED fixed-point codebooks as the batch
+    * `Similarity.pqCodes` (pass `Similarity.pqCodebooks(corpus)` —
+    * training happens batch-side; the stream only applies the result,
+    * exactly how a production pipeline deploys a quantizer).
     * No state, no shuffle: the codebooks fold into the projection as
     * literals, so this is a pure per-row map — the compress-on-ingest
     * step that lets a 100 TB pipeline sink 4 small codes instead of 64
-    * floats per embedding. Assignment arithmetic (squared-L2 via the
-    * codegen'd dot, ties to the smallest codeword id) is expression-
-    * identical to the batch path; equivalence is spec-pinned. */
+    * floats per embedding. Assignment arithmetic (integer squared L2
+    * over the shared fixed-point encoding, struct-min ties to the
+    * smallest codeword id) is integer-identical to the batch path;
+    * equivalence is spec-pinned. */
   def pqEncodeStream(vecs: DataFrame,
-      codebooks: Seq[(Int, Long, Seq[Float])]): DataFrame = {
-    import graft.operators.VectorOps.dot
+      codebooks: Seq[(Int, Long, Seq[Long])]): DataFrame = {
     val bySub = codebooks.groupBy(_._1)
     val sub = graft.operators.Similarity.PqSub
+    val fxScale = graft.operators.Similarity.PqFx
     val dim = 64 / sub
     require((0 until sub).forall(bySub.contains),
       s"codebooks must cover all $sub subspaces, got ${bySub.keys.toSeq.sorted}")
@@ -709,12 +712,14 @@ object StreamOps {
       val cbArr = array(bySub(s0).sortBy(_._2).map { case (_, j, cv) =>
         struct(lit(j).as("j"), array(cv.map(lit): _*).as("cv"))
       }: _*)
-      val subv = slice(col("embedding"), s0 * dim + 1, dim)
+      val subv = transform(slice(col("embedding"), s0 * dim + 1, dim),
+        x => round(x.cast("double") * fxScale).cast("long"))
       // array_min over (dist, j) structs: lexicographic = dist ASC then
-      // j ASC — the batch window's exact tie-break
+      // j ASC — the batch pqAssign's exact tie-break, exact integers
       array_min(transform(cbArr, c => struct(
-        (dot(subv, subv) + dot(c.getField("cv"), c.getField("cv"))
-          - lit(2) * dot(subv, c.getField("cv"))).as("dist"),
+        aggregate(zip_with(subv, c.getField("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+          .as("dist"),
         c.getField("j").as("j")))).getField("j")
     }
     vecs.select(col("vec_id"), array(codeCols: _*).as("codes"))

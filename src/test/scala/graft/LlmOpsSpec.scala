@@ -380,8 +380,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.semDedupK(2000000) == 118)
   }
 
-  test("PQ codes: structurally valid, codebook vectors self-assign, and " +
-      "ADC ranking recalls a useful share of the exact top-k") {
+  test("PQ codes: structurally valid, training descends quantization " +
+      "error, and ADC ranking recalls a useful share of the exact top-k") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val codes = Similarity.pqCodes(e).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -390,13 +390,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(codes.length == n * Similarity.PqSub)
     assert(codes.forall { case (_, s, j) =>
       s >= 0 && s < Similarity.PqSub && j >= 0 && j < Similarity.PqK })
-    // a codeword's own subvector is at distance 0 from itself: the seed
-    // vectors must self-assign in every subspace (random embeddings
-    // cannot tie at zero with a different codeword)
-    codes.filter(_._1 < Similarity.PqK).foreach { case (id, s0, j) =>
-      assert(j == id, s"codebook vector $id got code $j in subspace $s0") }
-    // quality: ADC@4x16 seeds is a coarse quantizer, but it must beat
-    // noise — random top-5s of n vectors overlap ~5/n per query
+    // training must actually descend the Lloyd objective: total
+    // quantization error under the trained codebooks is strictly below
+    // the raw first-PqK seeds' (r10 verdict item 3 — the deterministic
+    // claim a trained quantizer makes; recall@5 on this clusterless
+    // random fixture is 40-slot noise and cannot pin training quality)
+    val seedCb = Similarity.pqCodebooks(e, iters = 0)
+    val trainedCb = Similarity.pqCodebooks(e)
+    val seedInertia = Similarity.pqInertia(e, seedCb)
+    val trainedInertia = Similarity.pqInertia(e, trainedCb)
+    info(s"quantization error: seeds=$seedInertia trained=$trainedInertia " +
+      f"(${100.0 * (seedInertia - trainedInertia) / seedInertia}%.1f%% lower)")
+    assert(trainedInertia < seedInertia,
+      s"training did not reduce quantization error: $trainedInertia >= $seedInertia")
+    // quality: trained ADC@4x16 is still a coarse quantizer, but it must
+    // clear 2x the old above-noise bar — random top-5s of n vectors
+    // overlap ~5/n per query (measured 0.15 here, 0.275 at sf0.01)
     val pq = Similarity.qSimPq.build(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
@@ -407,7 +416,7 @@ class LlmOpsSpec extends SparkSpec {
       pq.get(q).map(p => (p & ex).size.toDouble / ex.size).getOrElse(0.0) }
     val mean = recalls.sum / recalls.size
     info(f"PQ recall@5 vs exact cosine: $mean%.2f over ${recalls.size} queries")
-    assert(mean > 5.0 * 5 / n, f"ADC no better than random: $mean%.3f")
+    assert(mean >= 2.0 * 5 * 5 / n, f"ADC under 2x the random bar: $mean%.3f")
   }
 
   test("IVF-PQ: full result per query, recall above the random baseline, " +
