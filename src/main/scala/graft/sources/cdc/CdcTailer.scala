@@ -125,6 +125,39 @@ final class CdcTailer(
         // the one request point whose log-position replay covers every
         // domain's pending suffix (per-domain dedupe drops the overlap)
         val from = if (domainVector) vectorHead else lastGtid
+        // REPLAY-SEMANTICS SELF-CHECK (vector mode): the loss-free
+        // resume DEPENDS on the server replaying by the LOG POSITION of
+        // the requested GTID — delivering later events of other (even
+        // lower-numbered) domains. The reference only shows the request
+        // format, not server semantics, so this assumption must be
+        // VERIFIED at runtime against whatever server is on the wire: by
+        // the vector's arrival-order invariant, every other domain's
+        // watermark event sits at-or-after the head's log position, so a
+        // log-position replay MUST re-deliver each of them (the dedupe
+        // observes and drops them). A server that filters replay by
+        // (domain, sequence) comparison instead would skip domains
+        // behind the request point — silent event loss. Fail loudly the
+        // moment the expected overlap provably cannot appear: (a) a
+        // pending domain's first post-resume event is already PAST its
+        // watermark (same-domain log order ⇒ the at-or-below suffix was
+        // skipped), or (b) the stream goes quiet with overlap still
+        // pending (the overlap sits BEFORE the live tail in the log, so
+        // quiet means it is never coming).
+        val overlapPending: java.util.HashSet[Long] = new java.util.HashSet()
+        if (domainVector && from.isDefined) lock.synchronized {
+          perDomain.keySet.forEach { d =>
+            if (d != from.get.domain) { overlapPending.add(d); () }
+          }
+        }
+        def failSkippedReplay(detail: String): Nothing =
+          throw new CdcProtocolException(
+            "domainMode=vector resume self-check failed: the server did " +
+              "not re-deliver the at-or-below-watermark events of " +
+              s"domain(s) [$detail] after requesting replay from " +
+              s"${from.get} — it is NOT replaying by log position, so " +
+              "events of domains behind the request point may have been " +
+              "silently lost; this server cannot support a loss-free " +
+              "vector resume")
         client.connect()
         client.requestData(table, from.map(_.toString))
         var connectionLive = true
@@ -182,6 +215,16 @@ final class CdcTailer(
                 // re-delivers events at-or-below the OTHER domains'
                 // watermarks — each domain's floor drops its own
                 val floor = perDomain.get(g.domain)
+                if (overlapPending.contains(g.domain)) {
+                  // self-check trigger (a): within one domain the log is
+                  // sequence-ordered, so the first post-resume event at
+                  // or below the watermark proves the replay covered
+                  // this domain's suffix; one PAST it proves a skip
+                  if (floor != null && g > floor)
+                    failSkippedReplay(s"${g.domain} (first event $g is " +
+                      s"already past watermark $floor)")
+                  overlapPending.remove(g.domain)
+                }
                 if (floor == null || g > floor) {
                   positions += g
                   perDomain.remove(g.domain)
@@ -199,7 +242,15 @@ final class CdcTailer(
                 lastGtid = Some(g)
               }
               reconnects = 0 // healthy stream resets the budget
-            case CdcTimeout => quietOnce = true // no pending data right now
+            case CdcTimeout =>
+              // self-check trigger (b): the expected overlap sits BEFORE
+              // the live tail in the log — a quiet stream with overlap
+              // still pending means it is never coming
+              if (!overlapPending.isEmpty)
+                failSkippedReplay(scala.jdk.CollectionConverters
+                  .SetHasAsScala(overlapPending).asScala.toSeq.sorted
+                  .mkString(",") + " (stream went quiet first)")
+              quietOnce = true // no pending data right now
             case CdcClosed =>
               if (running) {
                 if (gtidIdx.isEmpty)

@@ -41,8 +41,8 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
     with ReportsSourceMetrics with CdcPushdownSupport {
 
   require(opts.allTables.size == 1,
-    "maxscale-cdc: domainMode=vector is single-table (combine with " +
-      "'tables=' is not supported)")
+    "maxscale-cdc: DomainVectorMicroBatchStream is the single-table " +
+      "delegate; 'tables=' composes via MultiVectorMicroBatchStream")
   require(!opts.normalized,
     "maxscale-cdc: domainMode=vector with schemaMode=normalized is not " +
       "supported yet — use one mode per query")
@@ -113,6 +113,13 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
       tailer.start()
     }
     tailer
+  }
+
+  /** Composite `_table` pruning support: drop the tailer (connection,
+    * buffer) while this table is excluded; the next included batch
+    * re-creates it from the committed resume vector. */
+  private[cdc] def idle(): Unit = synchronized {
+    if (tailer != null) { tailer.shutdown(); tailer = null }
   }
 
   override def initialOffset(): Offset = startVector
@@ -235,6 +242,207 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
     m.put("domains", resumeHint.entries.size.toString)
     m.put("pushdownFilterActive", (runtimePred != null || wirePred != null).toString)
     m.put("decodeSkipActive", (runtimeMask != null).toString)
+    m
+  }
+}
+
+/** Composite offset for `domainMode=vector` × `tables=`: one domain
+  * VECTOR per subscribed table, serialized on one line (Spark's
+  * OffsetSeqLog is line-oriented) as `db.a=v:0-1-5,1-1-3;db.b=v:-` —
+  * ';' between tables because ',' separates a vector's domain entries.
+  * Entry order follows the `tables` option so equal positions always
+  * serialize identically (Spark compares offsets by JSON); each
+  * per-table vector keeps ITS OWN load-bearing arrival order (see
+  * [[DomainVectorOffset]] — tables tail independent changelogs, so
+  * there is no cross-table log order to preserve). */
+final case class MultiVectorOffset(entries: Seq[(String, DomainVectorOffset)])
+    extends Offset {
+  override def json(): String =
+    entries.map { case (t, v) => s"$t=${v.json()}" }.mkString(";")
+  def of(table: String): DomainVectorOffset =
+    entries.collectFirst { case (t, v) if t == table => v }
+      .getOrElse(DomainVectorOffset.Start)
+}
+
+object MultiVectorOffset {
+  def fromJson(s: String): MultiVectorOffset =
+    MultiVectorOffset(s.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map {
+      part =>
+        val i = part.indexOf('=')
+        require(i > 0, s"malformed multi-table vector offset entry '$part'")
+        part.substring(0, i).trim ->
+          DomainVectorOffset.fromJson(part.substring(i + 1).trim)
+    })
+}
+
+/** `domainMode=vector` × `tables=`: a multi-master deployment's SHARD
+  * SET — several same-schema tables, each tailing an interleaved
+  * multi-domain changelog — in one streaming query (r10 verdict item 4;
+  * previously refused). One [[DomainVectorMicroBatchStream]] delegate
+  * per table behind a [[MultiVectorOffset]], mirroring
+  * [[MultiCdcMicroBatchStream]]'s composition exactly: per-table
+  * checkpoint subdirectories for the committed-vector watermarks,
+  * even row-budget split, `_table`-conjunct plan-time table pruning
+  * (excluded tables freeze their vector and idle their tailer), tagged
+  * partitions + the shared [[TaggedCdcReaderFactory]] data plane.
+  * Exactly-once composes per table: each delegate's batch is a vector
+  * range under its own committed floor. */
+class MultiVectorMicroBatchStream(
+    schema: StructType, required: StructType, opts: CdcOptions,
+    checkpointLocation: String,
+    pushed: Array[Filter] = Array.empty)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics
+    with CdcPushdownSupport {
+
+  require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
+    s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
+  require(!opts.normalized,
+    "maxscale-cdc: domainMode=vector with schemaMode=normalized is not " +
+      "supported yet — use one mode per query")
+  private val baseSchema = StructType(schema.fields.dropRight(1))
+  private val appendTable: Boolean =
+    required.fieldNames.contains(MultiCdc.TableColumn)
+  private val emitBase: Boolean =
+    required.fields.exists(_.name != MultiCdc.TableColumn)
+  private val baseRequired: StructType = {
+    val base = StructType(
+      required.fields.filterNot(_.name == MultiCdc.TableColumn))
+    if (base.fields.isEmpty) StructType(baseSchema.fields.take(1)) else base
+  }
+  private val tables = opts.allTables
+
+  private val tagSchema = StructType(Seq(org.apache.spark.sql.types
+    .StructField(MultiCdc.TableColumn,
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  private val (tableConjuncts, rowConjuncts) =
+    pushed.partition(_.references.forall(_ == MultiCdc.TableColumn))
+  private val tablePred: WirePred =
+    CdcWireFilters.compileAll(tableConjuncts.toSeq, tagSchema, typed = true)
+  private val rowPred: WirePred =
+    CdcWireFilters.compileAll(rowConjuncts.toSeq, baseSchema, opts.typed)
+
+  @volatile private var runtimeTablePred: WirePred = null
+  @volatile private var runtimeRowPred: WirePred = null
+  @volatile private var runtimeMask: Array[Boolean] = null
+  override def pushRuntime(
+      filters: Seq[Filter], referenced: Option[Set[String]]): Unit = {
+    CdcPushdownProbe.lastRuntimeFilters = filters.map(_.toString)
+    CdcPushdownProbe.lastRuntimeReferenced = referenced
+    val (tf, rf) =
+      filters.partition(_.references.forall(_ == MultiCdc.TableColumn))
+    runtimeTablePred = CdcWireFilters.compileAll(tf, tagSchema, typed = true)
+    runtimeRowPred = CdcWireFilters.compileAll(
+      rf.filterNot(_.references.contains(MultiCdc.TableColumn)),
+      baseSchema, opts.typed)
+    runtimeMask = referenced match {
+      case Some(refs) if !baseRequired.fields.forall(f => refs.contains(f.name)) =>
+        baseRequired.fields.map(f => refs.contains(f.name))
+      case _ => null
+    }
+  }
+
+  private def included(t: String): Boolean = {
+    val row = Array(t); val noNull = Array(false)
+    (tablePred == null || tablePred.eval(row, noNull)) &&
+      (runtimeTablePred == null || runtimeTablePred.eval(row, noNull))
+  }
+
+  private def subCheckpoint(t: String): String =
+    checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
+
+  /** Per-table start vector from `startingGtid`: absent, one uniform
+    * `v:...` for every table, or the composite `db.a=v:...;db.b=v:...`
+    * form (entries naming unsubscribed tables are rejected — a typo'd
+    * entry would silently fall back to stream start, the dangerous
+    * direction; an absent entry is an EXPLICIT stream start). */
+  private def startVectorFor(t: String): Option[String] = opts.startingGtid match {
+    case None => None
+    case Some(s) if s.startsWith("v:") => Some(s)
+    case Some(s) =>
+      val mv = MultiVectorOffset.fromJson(s)
+      val unknown = mv.entries.map(_._1).filterNot(tables.contains)
+      require(unknown.isEmpty,
+        s"maxscale-cdc: composite vector startingGtid names unsubscribed " +
+          s"tables [${unknown.mkString(",")}] (subscribed: ${tables.mkString(",")})")
+      mv.entries.collectFirst { case (`t`, v) => v.json() }
+  }
+
+  private val streams: Seq[(String, DomainVectorMicroBatchStream)] =
+    tables.map { t =>
+      t -> new DomainVectorMicroBatchStream(
+        baseSchema, opts.copy(table = t, tables = Seq.empty,
+          startingGtid = startVectorFor(t)), subCheckpoint(t), baseRequired)
+    }
+
+  private def vectorOf(o: Offset, t: String): DomainVectorOffset = o match {
+    case m: MultiVectorOffset  => m.of(t)
+    case v: DomainVectorOffset => v // degenerate: never produced here
+    case other => throw new IllegalArgumentException(
+      s"unexpected offset type ${other.getClass}")
+  }
+
+  override def initialOffset(): Offset =
+    MultiVectorOffset(streams.map { case (t, s) =>
+      t -> s.initialOffset().asInstanceOf[DomainVectorOffset]
+    })
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    streams.foreach(_._2.prepareForTriggerAvailableNow())
+
+  override def deserializeOffset(json: String): Offset =
+    MultiVectorOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(opts.maxEventsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val max = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue).toInt
+      case _ => opts.maxEventsPerBatch
+    }
+    val nIncluded = math.max(1, tables.count(included))
+    val perTable = math.max(1, max / nIncluded)
+    MultiVectorOffset(streams.map { case (t, s) =>
+      t -> (if (!included(t)) { s.idle(); vectorOf(start, t) }
+            else s.latestOffset(vectorOf(start, t), ReadLimit.maxRows(perTable))
+              .asInstanceOf[DomainVectorOffset])
+    })
+  }
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    streams.flatMap { case (t, s) =>
+      if (!included(t)) Array.empty[InputPartition]
+      else s.planInputPartitions(vectorOf(start, t), vectorOf(end, t))
+        .map(p => TaggedCdcPartition(p, t): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pred = (rowPred, runtimeRowPred) match {
+      case (null, r) => r
+      case (s, null) => s
+      case (s, r)    => WirePred.AndP(s, r)
+    }
+    new TaggedCdcReaderFactory(
+      baseSchema, baseRequired, opts.typed, appendTable, emitBase, pred,
+      runtimeMask)
+  }
+
+  override def commit(end: Offset): Unit =
+    streams.foreach { case (t, s) => s.commit(vectorOf(end, t)) }
+
+  override def stop(): Unit = streams.foreach(_._2.stop())
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    streams.foreach { case (t, s) =>
+      m.put(s"$t.included", included(t).toString)
+      s.metrics(java.util.Optional.empty[Offset]()).forEach((k, v) =>
+        m.put(s"$t.$k", v))
+    }
     m
   }
 }

@@ -65,6 +65,12 @@ final case class CdcOptions(
       // request from stream start. The vector's head is still a valid
       // at-or-before position, so use it where one is wanted.
       DomainVectorOffset.fromJson(s).requestPoint
+    case Some(s) if s.contains("=v:") || (domainVector && s.contains('=')) =>
+      // composite per-table VECTOR form (`db.a=v:...;db.b=v:-`) — the
+      // vector × tables= start; same head-of-vector looseness as above
+      require(allTables.size > 1,
+        s"maxscale-cdc: composite startingGtid '$s' needs multi-table mode")
+      MultiVectorOffset.fromJson(s).of(t).requestPoint
     case Some(s) if s.contains('=') =>
       require(allTables.size > 1,
         s"maxscale-cdc: composite startingGtid '$s' needs multi-table mode")
@@ -431,7 +437,10 @@ class MaxScaleCdcTable(schema: StructType, opts: CdcOptions)
           require(opts.endGtid.isEmpty,
             "maxscale-cdc: endGtid is a batch-read option; bound a stream " +
               "with Trigger.AvailableNow instead")
-          if (multi)
+          if (multi && opts.domainVector)
+            new MultiVectorMicroBatchStream(schema, required, opts,
+              checkpointLocation, pushed)
+          else if (multi)
             new MultiCdcMicroBatchStream(schema, required, opts,
               checkpointLocation, pushed)
           else if (opts.domainVector)

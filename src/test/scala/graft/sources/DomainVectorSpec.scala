@@ -313,6 +313,177 @@ class DomainVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("single GTID"), e.getMessage)
   }
 
+  test("replay-semantics self-check: a server that filters replay by " +
+      "(domain, sequence) comparison instead of log position FAILS LOUDLY " +
+      "on vector resume; the log-position mock passes the same resume") {
+    // log: d0:1, d1:1, d0:2, d1:2, d0:3, d1:3 — resume vector with head
+    // d1 (earliest last-arrival would be d0 live; here we hand the
+    // tailer an explicit vector whose head is the d1 watermark, so the
+    // d0 overlap events sit after it in the log)
+    val log = interleaved(3)
+    val vector = Seq(Gtid(1, 2, 2), Gtid(0, 1, 3))
+    val fields = CdcClient.parseSchemaFields(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(MockMaxScaleServer.Schema))
+    // (1) misbehaving server: comparison-filtered replay never re-sends
+    // domain 0 (0 < head's domain 1) — the tailer must detect the
+    // missing overlap at first quiet and fail, naming the domain
+    val bad = new MockMaxScaleServer(MockMaxScaleServer.Schema, log,
+      gtidComparisonReplay = true)
+    try {
+      val t = new CdcTailer("127.0.0.1", bad.port, "u", "p", "db.t",
+        fields, resumeAfter = None, timeoutMs = 1000, domainVector = true,
+        resumeVector = vector)
+      t.start()
+      try {
+        val e = eventually(timeout(Span(15, Seconds)), interval(Span(1, Seconds))) {
+          intercept[CdcProtocolException] { t.checkFatal() }
+        }
+        assert(e.getMessage.contains("self-check failed"), e.getMessage)
+        assert(e.getMessage.contains("NOT replaying by log position"), e.getMessage)
+        assert(e.getMessage.contains("0"), e.getMessage)
+      } finally t.shutdown()
+    } finally bad.close()
+    // (2) the honest log-position server passes the identical resume:
+    // overlap re-delivered and deduped, only the pending suffix surfaces
+    val good = new MockMaxScaleServer(MockMaxScaleServer.Schema, log)
+    try {
+      val t = new CdcTailer("127.0.0.1", good.port, "u", "p", "db.t",
+        fields, resumeAfter = None, timeoutMs = 1000, domainVector = true,
+        resumeVector = vector)
+      t.start()
+      try {
+        eventually(timeout(Span(15, Seconds)), interval(Span(1, Seconds))) {
+          t.checkFatal()
+          // past the vector: d1:3 only (d0:3 is AT its watermark)
+          assert(t.bufferedCount == 1, t.vectorSnapshot.toString)
+        }
+        t.checkFatal()
+      } finally t.shutdown()
+    } finally good.close()
+  }
+
+  // ------------------------------------------- domainMode=vector × tables=
+
+  test("MultiVectorOffset: one-line json round-trip; per-table vectors " +
+      "keep their own arrival order; absent table = stream start") {
+    val mv = MultiVectorOffset(Seq(
+      "db.a" -> DomainVectorOffset(Seq(Gtid(1, 2, 5), Gtid(0, 1, 9))),
+      "db.b" -> DomainVectorOffset.Start))
+    assert(mv.json() == "db.a=v:1-2-5,0-1-9;db.b=v:-")
+    assert(MultiVectorOffset.fromJson(mv.json()) == mv)
+    assert(mv.of("db.a").entries == Seq(Gtid(1, 2, 5), Gtid(0, 1, 9)))
+    assert(mv.of("db.nope") == DomainVectorOffset.Start)
+    assert(!mv.json().contains('\n'))
+  }
+
+  test("vector x tables: two shards, each an interleaved two-domain log — " +
+      "one query, _table provenance, every (table, domain) complete") {
+    val n = 8
+    val schemas = Map("db.a" -> MockMaxScaleServer.Schema,
+      "db.b" -> MockMaxScaleServer.Schema)
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, Nil,
+      tableSchemas = schemas)
+    try {
+      interleaved(n).foreach(e => srv.pushTo("db.a", e))
+      interleaved(n).foreach(e => srv.pushTo("db.b", e))
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .load()
+        .selectExpr("_table", "domain", "sequence")
+        .writeStream.format("memory").queryName("mv_e2e")
+        .outputMode("append").start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("mv_e2e").count() == 4L * n)
+        }
+        // live interleaved pushes on both shards keep flowing
+        srv.pushTo("db.a", ev(1, n + 1, 901)); srv.pushTo("db.b", ev(0, n + 1, 902))
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q.processAllAvailable()
+          assert(spark.table("mv_e2e").count() == 4L * n + 2)
+        }
+        val got = spark.table("mv_e2e").as[(String, Int, Int)].collect().toSeq
+        assert(got.size == got.distinct.size, "duplicates delivered")
+        for (t <- Seq("db.a", "db.b"); d <- 0 to 1) {
+          val want = if (t == "db.a" && d == 1 || t == "db.b" && d == 0)
+            (1 to n + 1) else (1 to n)
+          assert(got.filter(r => r._1 == t && r._2 == d).map(_._3).sorted == want,
+            s"$t domain $d incomplete")
+        }
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("vector x tables: kill/resume across a checkpoint — per-table AND " +
+      "per-domain watermarks both resume, exactly-once") {
+    val schemas = Map("db.a" -> MockMaxScaleServer.Schema,
+      "db.b" -> MockMaxScaleServer.Schema)
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, Nil,
+      tableSchemas = schemas)
+    val ckpt = Files.createTempDirectory("mv_resume").toString
+    try {
+      interleaved(4).foreach(e => srv.pushTo("db.a", e))
+      interleaved(4).foreach(e => srv.pushTo("db.b", e))
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+      val counts = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Integer]()
+      def start() = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b").option("timeoutSeconds", 1)
+        .option("domainMode", "vector")
+        .load()
+        .selectExpr("_table", "domain", "sequence")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(String, Int, Int)].collect().foreach { r =>
+            got.add(r); counts.merge(r, 1, (a, b) => a + b)
+          }
+        }
+        .start()
+      val q1 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q1.processAllAvailable(); assert(got.size == 16)
+        }
+      } finally q1.stop()
+      // while DOWN: each shard gets an interleave with a LOWER-domain
+      // event after a higher-domain one — the shape a single-triple
+      // resume would lose; db.b additionally runs one domain ahead so
+      // the per-table vectors diverge and a shared watermark would skip
+      srv.pushTo("db.a", ev(1, 5, 915)); srv.pushTo("db.a", ev(0, 5, 905))
+      srv.pushTo("db.b", ev(1, 5, 925)); srv.pushTo("db.b", ev(1, 6, 926))
+      srv.pushTo("db.b", ev(0, 5, 906))
+      val q2 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q2.processAllAvailable(); assert(got.size == 21)
+        }
+        assert(got.asScala.filter(r => r._1 == "db.a" && r._2 == 0)
+          .map(_._3).toSeq.sorted == (1 to 5))
+        assert(got.asScala.filter(r => r._1 == "db.a" && r._2 == 1)
+          .map(_._3).toSeq.sorted == (1 to 5))
+        assert(got.asScala.filter(r => r._1 == "db.b" && r._2 == 0)
+          .map(_._3).toSeq.sorted == (1 to 5))
+        assert(got.asScala.filter(r => r._1 == "db.b" && r._2 == 1)
+          .map(_._3).toSeq.sorted == (1 to 6))
+        // exactly-once, not just at-least-once: no row delivered twice
+        assert(counts.values.asScala.forall(_ == 1),
+          counts.asScala.filter(_._2 > 1).toString)
+        // the composite checkpoint kept per-table watermark scopes
+        // (under the source's scoped dir, e.g. <ckpt>/sources/0/table-*)
+        val tableDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .filter(p => p.getFileName.toString.startsWith("table-"))
+          .count()
+        assert(tableDirs == 2, s"expected 2 per-table watermark scopes, got $tableDirs")
+      } finally q2.stop()
+    } finally srv.close()
+  }
+
   test("single-domain semantics unchanged: the default mode still fails " +
       "fast on an order-breaking interleave") {
     val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,

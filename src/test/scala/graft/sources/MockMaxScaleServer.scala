@@ -36,7 +36,13 @@ final class MockMaxScaleServer(
     // per-table overrides: REQUEST-DATA for a key here serves that
     // schema + its own event list (pushTo) — the multi-table shape;
     // unknown tables fall back to the default schema/events
-    tableSchemas: Map[String, String] = Map.empty) extends AutoCloseable {
+    tableSchemas: Map[String, String] = Map.empty,
+    // MISBEHAVING-SERVER MODE for the vector-resume self-check spec:
+    // force the (domain, sequence) >= comparison filter even when the
+    // requested GTID exists in the log — replay semantics under which a
+    // vector resume would silently lose lower-domain events; the tailer
+    // must detect this and fail loudly rather than drop data
+    gtidComparisonReplay: Boolean = false) extends AutoCloseable {
 
   private val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
     .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS)
@@ -176,7 +182,7 @@ final class MockMaxScaleServer(
       // the start position — the avro log replays the governing
       // historical schema before mid-file data.
       val fromLogIdx: Int =
-        if (fromPos._1 == Long.MinValue) -1
+        if (gtidComparisonReplay || fromPos._1 == Long.MinValue) -1
         else evList.asScala.toVector.indexWhere(e => posOf(e) == fromPos)
       while (running && !s.isClosed) {
         // pick up new events as they are pushed
