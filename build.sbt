@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two things defeat a naive emit (BENCH_r08..r10 "parsed":
+// null): sbt's logger wraps forked output in "[info] " frames, and a
+// trailing "[success] Total time: ..." line lands after the summary.
+// StdoutOutput inherits the forked JVM's stdout (no frames); dropping
+// the success banner makes the summary the final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
