@@ -133,7 +133,14 @@ object Scalars extends QueryPack {
     // ONE from_json pass over props (schema-projected Jackson parse; the
     // parser stops materializing anything but `k`) instead of
     // get_json_object's per-row path evaluation — the sf1 audit measured
-    // the latter growing 11.3x for 10x data (VERDICT r9 #6)
+    // the latter growing 11.3x for 10x data (VERDICT r9 #6).
+    // TIGHTENED CONTRACT (ADVICE r10): from_json(LongType) parses only
+    // integer JSON tokens — a string-encoded "5" or a non-integral 5.0
+    // that get_json_object+cast would have coerced now reads as NULL
+    // (and one malformed sibling key nulls the whole permissive-mode
+    // parse). The generator emits `k` strictly as a JSON integer
+    // (FIXTURES.md), so this is the honest typed read here; a corpus
+    // with mixed-token `k` should read StringType then cast.
     val propsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
         "k", org.apache.spark.sql.types.LongType)))

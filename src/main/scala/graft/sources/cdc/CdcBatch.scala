@@ -235,9 +235,21 @@ final class CdcBatch(
     }
     val active = e.entries.filter(endD => sv.of(endD.domain).forall(_ < endD))
     if (active.isEmpty) return Array.empty
-    val perDomainN = math.max(1, opts.replayPartitions / active.size)
+    // the replayPartitions budget is allocated PROPORTIONALLY to each
+    // domain's sequence span, floored at one connection per domain — the
+    // streaming planner's share rule (ADVICE r10: a flat /active.size
+    // split hands a 99%-one-domain backlog half its connection budget
+    // for the near-empty domain)
+    val spans = active.map { endD =>
+      endD.domain -> math.max(1L,
+        endD.sequence - sv.of(endD.domain).map(_.sequence).getOrElse(0L))
+    }.toMap
+    val totalSpan = spans.values.sum.toDouble
     active.flatMap { endD =>
       val startD = sv.of(endD.domain)
+      val share = spans(endD.domain) / totalSpan
+      val perDomainN =
+        math.max(1, math.round(opts.replayPartitions * share).toInt)
       GtidRangeCuts.sequenceCuts(startD, endD, GtidRangeCuts.adaptiveN(
           startD, endD, perDomainN, opts.catchupSpanPerConnection)).map {
         case (lo, hi) =>

@@ -124,8 +124,17 @@ object StateGeometryGuard {
       try {
         try Files.createLink(path, tmp)
         catch {
+          // FileSystemException: filesystems that REJECT hard links
+          // (FAT/exFAT, some network mounts/overlays) surface it here
+          // rather than UnsupportedOperationException (ADVICE r10) —
+          // but FileAlreadyExistsException IS a FileSystemException and
+          // must keep re-entering the compare path below, not fall
+          // through to a move that would then also EEXIST
           case _: UnsupportedOperationException |
                _: SecurityException =>
+            Files.move(tmp, path) // no REPLACE_EXISTING: EEXIST throws
+          case e: java.nio.file.FileSystemException
+              if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
             Files.move(tmp, path) // no REPLACE_EXISTING: EEXIST throws
         }
       } catch {

@@ -238,9 +238,20 @@ object StreamOps {
   }
 
   /** Re-keyed bucket membership of a BATCH corpus under a given
-    * geometry — the initial state a migrated stream resumes with. Member
-    * arrays are sorted and capped at `maxBucket`, matching the stream's
-    * own admission determinism. */
+    * geometry — the initial state a migrated stream resumes with.
+    * Member arrays are sorted and capped at `maxBucket`.
+    *
+    * CAP SEMANTICS (ADVICE r10): the cap here keeps the `maxBucket`
+    * SMALLEST vec_ids of an over-full bucket, while the live stream
+    * admits in ARRIVAL order — so with a finite cap a migrated stream's
+    * seeded state (hence its future pairs in over-full buckets) is
+    * deterministic-but-approximate relative to a stream that actually
+    * processed the corpus; exact admission parity holds only when no
+    * seeded bucket exceeds the cap (maxBucket = Int.MaxValue, or a
+    * corpus whose buckets all fit — the shape LshMigrationSpec pins).
+    * A caller that needs exact parity under a finite cap must seed from
+    * the predecessor's EXPORTED state (which preserved arrival order),
+    * not from the re-keyed corpus. */
   private def seedBuckets(seed: DataFrame, nBands: Int, nBits: Int,
       maxBucket: Int): Dataset[((Int, String), Array[Long])] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder

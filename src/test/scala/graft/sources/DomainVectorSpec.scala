@@ -191,6 +191,26 @@ class DomainVectorSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("bounded vector pull allocates connections span-proportionally: " +
+      "a 99%-one-domain backlog does not hand half the budget to the " +
+      "near-empty domain") {
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema, Nil)
+    try {
+      val df = spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("table", "db.t").option("timeoutSeconds", 1)
+        .option("endGtid", "v:0-1-1000000,1-2-10")
+        .option("replayPartitions", 8)
+        .load()
+      // planning only (no execution): d0's 1M-sequence span should claim
+      // ~the whole 8-connection budget (adaptiveN caps it at 7 =
+      // span/131072), d1's 10-span floor gets 1 — the flat /nDomains
+      // split would have planned 4 + 1 = 5 (ADVICE r10)
+      assert(df.rdd.getNumPartitions == 8, df.rdd.getNumPartitions.toString)
+    } finally srv.close()
+  }
+
   test("connection-drop soak: an interleaved stream rides through " +
       "injected drops exactly-once (vectorHead resume + per-domain dedupe)") {
     // every dropped connection forces the tailer (or a replay reader) to
