@@ -736,6 +736,64 @@ object StreamOps {
     vecs.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
+  /** `s_pq_search`: streaming ANN query SERVING over the compressed PQ
+    * index — the search twin of `s_pq_encode` (which compresses the
+    * ingest side). Arriving query vectors are answered from the STATIC
+    * compressed index per micro-batch via a stream-static join, exactly
+    * the asymmetric-distance serving shape of Jégou et al.:
+    *
+    *  - the per-query distance TABLE (PqSub × PqK inner products
+    *    against the TRAINED codebooks, [[graft.operators.Similarity
+    *    .pqCodebooks]]) is computed in the query row's projection —
+    *    codebooks fold in as literals, so a query batch carries its
+    *    tables with it (the broadcast side at scale);
+    *  - the corpus side contributes ONLY codes (PqSub small ints per
+    *    vector, no vector data), partition-scanned in place; each
+    *    candidate's score is PqSub table LOOKUPS summed in subspace
+    *    order — arithmetic-identical to the batch `q_sim_pq` ADC scan;
+    *  - ranking runs through [[topkStream]]'s bounded per-query heap
+    *    (state = k rows per query, never the scored corpus), the
+    *    streaming twin of the batch plan's TopKPerGroupExec.
+    *
+    * Equivalence with the batch query (same codebooks, same index, same
+    * ties) is spec-pinned; consumers read the max-`ver` set per query,
+    * [[topkStream]]'s leaderboard contract. */
+  def pqSearchStream(queries: DataFrame,
+      codes: DataFrame,
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      k: Int = 5): DataFrame = {
+    import graft.operators.VectorOps.dot
+    val sub = graft.operators.Similarity.PqSub
+    val fx = graft.operators.Similarity.PqFx.toDouble
+    val dim = 64 / sub
+    val bySub = codebooks.groupBy(_._1)
+    require((0 until sub).forall(bySub.contains),
+      s"codebooks must cover all $sub subspaces, got ${bySub.keys.toSeq.sorted}")
+    // dt[s][j] = <qsub_s, cv_{s,j}> — the ADC distance table, one nested
+    // array column per arriving query
+    val dtCol = array((0 until sub).map { s0 =>
+      val subv = slice(col("embedding"), s0 * dim + 1, dim)
+      array(bySub(s0).sortBy(_._2).map { case (_, _, cv) =>
+        dot(subv, array(cv.map(c => lit(c.toDouble / fx)): _*))
+      }: _*)
+    }: _*)
+    // the static index: one row per corpus vector, codes in subspace order
+    val codesPerVec = codes
+      .groupBy(col("vec_id").as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
+      .select(col("neighbor_id"), col("cs.j").as("cs"))
+    val scored = queries
+      .select(col("vec_id").as("query_id"), dtCol.as("dt"))
+      .join(codesPerVec, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until sub).map(s0 =>
+          element_at(element_at(col("dt"), s0 + 1),
+            (element_at(col("cs"), s0 + 1) + 1).cast("int")))
+          .reduce(_ + _).as("score"))
+    topkStream(scored, k, keyCol = "query_id", valCol = "score",
+      idCol = "neighbor_id")
+  }
+
   def ivfMaintain(
       vectors: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],

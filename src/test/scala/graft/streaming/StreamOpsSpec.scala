@@ -272,6 +272,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_pq_search: streaming ANN queries served from the static " +
+      "compressed index equal the batch q_sim_pq top-k exactly") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cbs = graft.operators.Similarity.pqCodebooks(e)
+    val codes = graft.operators.Similarity.pqCodes(e, cbs)
+    // the batch query set (vec_id < 8) arrives as a STREAM, split
+    // across micro-batches; the index and codebooks are static
+    val rows = e.where(col("vec_id") < 8).as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.pqSearchStream(in.toDF(), codes, cbs, k = 5)
+      .writeStream.format("memory").queryName("s_pq_search")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // leaderboard contract: the max-ver set per query is current
+      val t = spark.table("s_pq_search")
+      val got = t.withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id").cast("long"), col("rank"),
+          col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      val expect = graft.operators.Similarity.qSimPq.build(spark, sf)
+        .select(col("query_id"), col("rank").cast("int"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expect,
+        s"diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+    } finally q.stop()
+  }
+
   /** Run `body` with the RocksDB state-store provider — the 100 TB path
     * for the corpus-shaped membership states (VERDICT r5 item 5). */
   private def withRocksDb[T](body: => T): T = {
