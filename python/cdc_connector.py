@@ -148,14 +148,11 @@ def spark_options(host, user, password, *, port=4001, table=None,
     if domain_mode not in ("single", "vector"):
         raise ValueError("domain_mode must be 'single' or 'vector', "
                          "got %r" % domain_mode)
-    if domain_mode == "vector":
-        # mirrors DomainVectorMicroBatchStream's requires: one table,
-        # uniform schema; vector bounds come as lists (or 'v:' strings)
-        if tables is not None:
-            raise ValueError("domain_mode='vector' is single-table")
-        if schema_mode != "uniform":
-            raise ValueError("domain_mode='vector' with "
-                             "schema_mode='normalized' is not supported")
+    # domain_mode='vector' composes with tables= (MultiVectorMicroBatchStream)
+    # and with schema_mode='normalized' (NormalizedCdcMicroBatchStream with
+    # vector delegates) since r11 — no extra validation needed here; vector
+    # bounds come as lists (or 'v:' strings), per-table via the composite
+    # 'db.a=v:...;db.b=v:-' form
     if schema_mode not in ("uniform", "normalized"):
         raise ValueError("schema_mode must be 'uniform' or 'normalized', "
                          "got %r" % schema_mode)

@@ -432,14 +432,17 @@ class SparkOptionsTest(unittest.TestCase):
                                domain_mode="vector",
                                end_gtid="v:0-1-9", end_gtid_observed=True)
         self.assertEqual(o2["endGtid"], "v:0-1-9")
-        # validation mirrors DomainVectorMicroBatchStream's requires
-        with self.assertRaises(ValueError):
-            cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
-                              domain_mode="vector")
-        with self.assertRaises(ValueError):
-            cdc.spark_options("h", "u", "pw", table="db.t",
-                              domain_mode="vector",
-                              schema_mode="normalized")
+        # r11: vector COMPOSES with tables= and with schema_mode=
+        # normalized (MultiVector / normalized-with-vector-delegates)
+        o3 = cdc.spark_options("h", "u", "pw", tables=["db.a", "db.b"],
+                               domain_mode="vector")
+        self.assertEqual(o3["domainMode"], "vector")
+        self.assertEqual(o3["tables"], "db.a,db.b")
+        o4 = cdc.spark_options("h", "u", "pw", table="db.t",
+                               domain_mode="vector",
+                               schema_mode="normalized")
+        self.assertEqual(o4["domainMode"], "vector")
+        self.assertEqual(o4["schemaMode"], "normalized")
         with self.assertRaises(ValueError):  # bare GTID is ambiguous
             cdc.spark_options("h", "u", "pw", table="db.t",
                               domain_mode="vector", starting_gtid="0-1-5")

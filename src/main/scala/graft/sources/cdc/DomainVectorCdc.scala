@@ -42,10 +42,8 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
 
   require(opts.allTables.size == 1,
     "maxscale-cdc: DomainVectorMicroBatchStream is the single-table " +
-      "delegate; 'tables=' composes via MultiVectorMicroBatchStream")
-  require(!opts.normalized,
-    "maxscale-cdc: domainMode=vector with schemaMode=normalized is not " +
-      "supported yet — use one mode per query")
+      "delegate; 'tables=' composes via MultiVectorMicroBatchStream, " +
+      "schemaMode=normalized via NormalizedCdcMicroBatchStream")
 
   /** Wire fields are always the full table schema (replay needs the GTID
     * trio regardless of projection). */
@@ -109,6 +107,9 @@ class DomainVectorMicroBatchStream(schema: StructType, opts: CdcOptions,
       tailer = new CdcTailer(opts.host, opts.port, opts.user, opts.password,
         opts.table, fields, resumeAfter = None, opts.timeoutMs,
         maxBuffered = math.max(2 * opts.maxEventsPerBatch, 10000),
+        // normalized delegates absorb mid-stream DDL (schema-free payload
+        // rows) exactly like the single-triple delegate does
+        tolerateReSchema = opts.normalized,
         domainVector = true, resumeVector = resumeHint.entries)
       tailer.start()
     }
@@ -273,6 +274,26 @@ object MultiVectorOffset {
         part.substring(0, i).trim ->
           DomainVectorOffset.fromJson(part.substring(i + 1).trim)
     })
+
+  /** Per-table start vector from a `startingGtid` option: absent, one
+    * uniform `v:...` for every table, or the composite
+    * `db.a=v:...;db.b=v:-` form (entries naming unsubscribed tables are
+    * rejected — a typo'd entry would silently fall back to stream
+    * start, the dangerous direction; an absent entry is an EXPLICIT
+    * stream start). Shared by the vector × `tables=` and vector ×
+    * `schemaMode=normalized` composites. */
+  private[cdc] def startFor(startingGtid: Option[String],
+      tables: Seq[String], t: String): Option[String] = startingGtid match {
+    case None => None
+    case Some(s) if s.startsWith("v:") => Some(s)
+    case Some(s) =>
+      val mv = fromJson(s)
+      val unknown = mv.entries.map(_._1).filterNot(tables.contains)
+      require(unknown.isEmpty,
+        s"maxscale-cdc: composite vector startingGtid names unsubscribed " +
+          s"tables [${unknown.mkString(",")}] (subscribed: ${tables.mkString(",")})")
+      mv.entries.collectFirst { case (`t`, v) => v.json() }
+  }
 }
 
 /** `domainMode=vector` × `tables=`: a multi-master deployment's SHARD
@@ -298,8 +319,8 @@ class MultiVectorMicroBatchStream(
   require(schema.fields.lastOption.exists(_.name == MultiCdc.TableColumn),
     s"multi-table schema must end in the ${MultiCdc.TableColumn} column")
   require(!opts.normalized,
-    "maxscale-cdc: domainMode=vector with schemaMode=normalized is not " +
-      "supported yet — use one mode per query")
+    "maxscale-cdc: schemaMode=normalized composes with domainMode=vector " +
+      "via NormalizedCdcMicroBatchStream, not this uniform composite")
   private val baseSchema = StructType(schema.fields.dropRight(1))
   private val appendTable: Boolean =
     required.fieldNames.contains(MultiCdc.TableColumn)
@@ -351,28 +372,12 @@ class MultiVectorMicroBatchStream(
   private def subCheckpoint(t: String): String =
     checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
 
-  /** Per-table start vector from `startingGtid`: absent, one uniform
-    * `v:...` for every table, or the composite `db.a=v:...;db.b=v:...`
-    * form (entries naming unsubscribed tables are rejected — a typo'd
-    * entry would silently fall back to stream start, the dangerous
-    * direction; an absent entry is an EXPLICIT stream start). */
-  private def startVectorFor(t: String): Option[String] = opts.startingGtid match {
-    case None => None
-    case Some(s) if s.startsWith("v:") => Some(s)
-    case Some(s) =>
-      val mv = MultiVectorOffset.fromJson(s)
-      val unknown = mv.entries.map(_._1).filterNot(tables.contains)
-      require(unknown.isEmpty,
-        s"maxscale-cdc: composite vector startingGtid names unsubscribed " +
-          s"tables [${unknown.mkString(",")}] (subscribed: ${tables.mkString(",")})")
-      mv.entries.collectFirst { case (`t`, v) => v.json() }
-  }
-
   private val streams: Seq[(String, DomainVectorMicroBatchStream)] =
     tables.map { t =>
       t -> new DomainVectorMicroBatchStream(
         baseSchema, opts.copy(table = t, tables = Seq.empty,
-          startingGtid = startVectorFor(t)), subCheckpoint(t), baseRequired)
+          startingGtid = MultiVectorOffset.startFor(opts.startingGtid, tables, t)),
+        subCheckpoint(t), baseRequired)
     }
 
   private def vectorOf(o: Offset, t: String): DomainVectorOffset = o match {

@@ -558,35 +558,69 @@ class NormalizedCdcMicroBatchStream(
   private def subCheckpoint(t: String): String =
     checkpointLocation + "/table-" + java.net.URLEncoder.encode(t, "UTF-8")
 
-  private val streams: Seq[(String, CdcMicroBatchStream)] = tables.map { t =>
-    // normalized stays TRUE: the delegate's tailer then ABSORBS mid-stream
-    // DDL re-schema (validateEvolved + GTID re-location) instead of
-    // failing the query — the one divergence from uniform mode's
-    // documented fail-and-restart (SURVEY.md §1.3), closed because
-    // normalized payload rows are schema-free
-    t -> new CdcMicroBatchStream(
-      wireStructs(t), opts.copy(table = t, tables = Seq.empty,
-        startingGtid = opts.startFor(t).map(_.toString)),
-      subCheckpoint(t), wireStructs(t))
+  /** `domainMode=vector` composes here (r10 verdict item 4's second
+    * half — the multi-master HETEROGENEOUS database): delegates become
+    * per-table [[DomainVectorMicroBatchStream]]s behind a
+    * [[MultiVectorOffset]] instead of single-triple streams behind a
+    * [[MultiGtidOffset]]; everything else (per-table checkpoint scopes,
+    * `_table` pruning, per-table wire predicates, the normalizing data
+    * plane) is offset-shape-agnostic and identical. */
+  private val vector = opts.domainVector
+
+  private val streams: Seq[(String, MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow with ReportsSourceMetrics)] =
+    tables.map { t =>
+      // normalized stays TRUE: the delegate's tailer then ABSORBS
+      // mid-stream DDL re-schema (validateEvolved + GTID re-location)
+      // instead of failing the query — the one divergence from uniform
+      // mode's documented fail-and-restart (SURVEY.md §1.3), closed
+      // because normalized payload rows are schema-free
+      t -> (if (vector)
+        new DomainVectorMicroBatchStream(
+          wireStructs(t), opts.copy(table = t, tables = Seq.empty,
+            startingGtid = MultiVectorOffset.startFor(opts.startingGtid, tables, t)),
+          subCheckpoint(t), wireStructs(t))
+      else
+        new CdcMicroBatchStream(
+          wireStructs(t), opts.copy(table = t, tables = Seq.empty,
+            startingGtid = opts.startFor(t).map(_.toString)),
+          subCheckpoint(t), wireStructs(t)))
+    }
+
+  private def idleOf(s: MicroBatchStream): Unit = s match {
+    case c: CdcMicroBatchStream          => c.idle()
+    case d: DomainVectorMicroBatchStream => d.idle()
+    case _ => ()
   }
 
-  private def gtidOf(o: Offset, t: String): GtidOffset = o match {
-    case m: MultiGtidOffset => GtidOffset(m.of(t))
-    case g: GtidOffset      => g
+  /** This table's slice of a composite offset, in the delegate's own
+    * offset shape (GtidOffset or DomainVectorOffset). */
+  private def posOf(o: Offset, t: String): Offset = o match {
+    case m: MultiGtidOffset    => GtidOffset(m.of(t))
+    case m: MultiVectorOffset  => m.of(t)
+    case g: GtidOffset         => g
+    case v: DomainVectorOffset => v
     case other => throw new IllegalArgumentException(
       s"unexpected offset type ${other.getClass}")
   }
 
+  private def composite(entries: Seq[(String, Offset)]): Offset =
+    if (vector)
+      MultiVectorOffset(entries.map { case (t, o) =>
+        t -> o.asInstanceOf[DomainVectorOffset] })
+    else
+      MultiGtidOffset(entries.map { case (t, o) =>
+        t -> o.asInstanceOf[GtidOffset].gtid })
+
   override def initialOffset(): Offset =
-    MultiGtidOffset(streams.map { case (t, s) =>
-      t -> s.initialOffset().asInstanceOf[GtidOffset].gtid
-    })
+    composite(streams.map { case (t, s) => t -> s.initialOffset() })
 
   override def prepareForTriggerAvailableNow(): Unit =
     streams.foreach(_._2.prepareForTriggerAvailableNow())
 
   override def deserializeOffset(json: String): Offset =
-    MultiGtidOffset.fromJson(json)
+    if (vector) MultiVectorOffset.fromJson(json)
+    else MultiGtidOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(opts.maxEventsPerBatch)
@@ -598,10 +632,9 @@ class NormalizedCdcMicroBatchStream(
     }
     val nIncluded = math.max(1, tables.count(included))
     val perTable = math.max(1, max / nIncluded)
-    MultiGtidOffset(streams.map { case (t, s) =>
-      t -> (if (!included(t)) { s.idle(); gtidOf(start, t).gtid }
-            else s.latestOffset(gtidOf(start, t), ReadLimit.maxRows(perTable))
-              .asInstanceOf[GtidOffset].gtid)
+    composite(streams.map { case (t, s) =>
+      t -> (if (!included(t)) { idleOf(s); posOf(start, t) }
+            else s.latestOffset(posOf(start, t), ReadLimit.maxRows(perTable)))
     })
   }
 
@@ -611,7 +644,7 @@ class NormalizedCdcMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     streams.flatMap { case (t, s) =>
       if (!included(t)) Array.empty[InputPartition]
-      else s.planInputPartitions(gtidOf(start, t), gtidOf(end, t))
+      else s.planInputPartitions(posOf(start, t), posOf(end, t))
         .map(p => NormalizedCdcPartition(p, t): InputPartition)
     }.toArray
 
@@ -623,7 +656,7 @@ class NormalizedCdcMicroBatchStream(
       tables.map(t => t -> predFor(t)).filter(_._2 != null).toMap)
 
   override def commit(end: Offset): Unit =
-    streams.foreach { case (t, s) => s.commit(gtidOf(end, t)) }
+    streams.foreach { case (t, s) => s.commit(posOf(end, t)) }
 
   override def stop(): Unit = streams.foreach(_._2.stop())
 

@@ -504,6 +504,75 @@ class DomainVectorSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("vector x normalized: a heterogeneous multi-master database — two " +
+      "different-schema tables, each an interleaved two-domain log, one " +
+      "normalized stream; kill/resume exactly-once") {
+    // db.a: (id, name); db.b: (bid, name) — a union schema cannot exist,
+    // so this is the composition the r10 verdict called the realistic
+    // production shape (multi-master deployment of a whole database)
+    val schemaB = MockMaxScaleServer.Schema.replace("\"name\":\"id\"", "\"name\":\"bid\"")
+    def evB(domain: Long, seq: Long, bid: Int): String =
+      s"""{"domain":$domain,"server_id":${domain + 1},"sequence":$seq,""" +
+        s""""event_number":1,"timestamp":${1700000000 + seq},""" +
+        s""""event_type":"insert","bid":$bid,"name":"m$domain-$seq"}"""
+    val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
+      tableSchemas = Map("db.a" -> MockMaxScaleServer.Schema, "db.b" -> schemaB))
+    val ckpt = Files.createTempDirectory("mvn_resume").toString
+    try {
+      val n = 4
+      interleaved(n).foreach(e => srv.pushTo("db.a", e))
+      (1 to n).foreach { i =>
+        srv.pushTo("db.b", evB(0, i, i)); srv.pushTo("db.b", evB(1, i, 100 + i))
+      }
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Int, Int, String)]()
+      val counts = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, String), Integer]()
+      def start() = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("user", "u").option("password", "p")
+        .option("tables", "db.a,db.b")
+        .option("schemaMode", "normalized")
+        .option("domainMode", "vector")
+        .option("timeoutSeconds", 1)
+        .load()
+        .select("_table", "domain", "sequence", "payload")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(String, Int, Int, String)].collect().foreach { r =>
+            got.add(r); counts.merge(r, 1, (a, b) => a + b)
+          }
+        }
+        .start()
+      val q1 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q1.processAllAvailable(); assert(got.size == 4 * n)
+        }
+        // payload routed per table: db.b rows carry bid, not id
+        assert(got.asScala.filter(_._1 == "db.b").forall(_._4.contains("\"bid\"")))
+        assert(got.asScala.filter(_._1 == "db.a").forall(_._4.contains("\"id\"")))
+      } finally q1.stop()
+      // while DOWN: per-shard interleaves with a lower-domain event
+      // after a higher-domain one — the single-triple-resume loss shape
+      srv.pushTo("db.a", ev(1, n + 1, 911)); srv.pushTo("db.a", ev(0, n + 1, 901))
+      srv.pushTo("db.b", evB(1, n + 1, 921)); srv.pushTo("db.b", evB(0, n + 1, 902))
+      val q2 = start()
+      try {
+        eventually(timeout(Span(30, Seconds)), interval(Span(1, Seconds))) {
+          q2.processAllAvailable(); assert(got.size == 4 * n + 4)
+        }
+        for (t <- Seq("db.a", "db.b"); d <- 0 to 1)
+          assert(got.asScala.filter(r => r._1 == t && r._2 == d)
+            .map(_._3).toSeq.sorted == (1 to n + 1), s"$t domain $d")
+        assert(counts.values.asScala.forall(_ == 1),
+          counts.asScala.filter(_._2 > 1).toString)
+      } finally q2.stop()
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("single-domain semantics unchanged: the default mode still fails " +
       "fast on an order-breaking interleave") {
     val srv = new MockMaxScaleServer(MockMaxScaleServer.Schema,
