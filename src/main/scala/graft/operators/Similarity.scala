@@ -1245,7 +1245,23 @@ object Similarity extends QueryPack {
     * integers in the fixed-point domain. This is the objective Lloyd
     * descends; the training spec pins trained < seeds. */
   def pqInertia(e: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): Long =
-    pqAssign(pqFixedPoint(e), cb).agg(sum("dist")).head.getLong(0)
+    pqInertiaFx(pqFixedPoint(e), cb)
+
+  /** [[pqInertia]] against an explicit fixed-point frame. */
+  def pqInertiaFx(fx: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): Long =
+    pqAssign(fx, cb).agg(sum("dist")).head.getLong(0)
+
+  /** Total squared RECONSTRUCTION error of trained residual codebooks
+    * over a corpus (diagnostic/spec hook): `Σ‖r − r̂‖²` in fixed-point²
+    * — which IS `Σ‖x − (c + r̂)‖²`, directly comparable to the raw-PQ
+    * [[pqInertia]] under the same 2^20 scale. */
+  def pqResInertia(e: DataFrame): Long = {
+    val cents = ivfCentroids(e)
+    val cellOf = ivfCellOf(e, cents)
+    val cmeans = ivfCellMeansFx(e, cellOf)
+    val fx = pqResFixedPoint(e, cellOf, cmeans)
+    pqInertiaFx(fx, pqCodebooksFx(fx))
+  }
 
   /** TRAINED PQ codebooks — per-subspace Lloyd k-means in the
     * fixed-point domain (r10 verdict item 3; previously the raw first-
@@ -1322,6 +1338,77 @@ object Similarity extends QueryPack {
     pqCodesCache.getOrElseUpdate(dir,
       pqCodes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         pqCodebooksFor(s, dir)).persist())
+
+  /** The full vector in the 2^20 fixed-point long domain:
+    * `(vec_id, fxe: array<long>)`, `fxe_i = round(x_i·2^20)`. */
+  private def pqFixedPointFull(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), transform(col("embedding"),
+      x => round(x.cast("double") * PqFx).cast("long")).as("fxe"))
+
+  /** Per-cell MEAN centroids in the fixed-point domain: `(cell_id,
+    * ctrm: array<long>)`, `ctrm_d = round(Σ fxe_d / count)`. The seed
+    * "centroids" that define the cells are raw corpus vectors, and a
+    * residual against a raw vector roughly DOUBLES the variance (two
+    * nearly-independent draws) — measured +85% reconstruction error on
+    * the fixture. The mean is the variance-minimizing offset for its
+    * cell, which is what makes residual quantization worth anything.
+    * Integer sums keep the mean order-independent (Spark's shuffled
+    * partials ≡ DuckDB's scan order), exactly like the Lloyd chain. */
+  private def ivfCellMeansFx(e: DataFrame, cellOf: DataFrame): DataFrame =
+    pqFixedPointFull(e)
+      .join(cellOf, "vec_id")
+      .select(col("cell_id"), posexplode(col("fxe")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(sum("col").as("sv"), count(lit(1)).as("n"))
+      .select(col("cell_id"), col("pos"),
+        round(col("sv").cast("double") / col("n")).cast("long").as("c"))
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("ctrm"))
+
+  /** Residual fixed-point frame for the IVFADC layout (Jégou/Douze/
+    * Schmid 2011 §IV): each vector's RESIDUAL against its cell's MEAN
+    * centroid, sliced into subspaces — pure INTEGER subtraction
+    * `fxe_i − ctrm_i` in the fixed-point domain (no second rounding, no
+    * float path to diverge from the oracle). The residual is what real
+    * IVF-PQ quantizes: within-cell spread around the mean is what
+    * remains AFTER the coarse quantizer, so the same 4×16 codebook
+    * budget buys strictly finer resolution than raw-vector PQ. */
+  private def pqResFixedPoint(e: DataFrame, cellOf: DataFrame,
+      cmeans: DataFrame): DataFrame =
+    pqFixedPointFull(e)
+      .join(cellOf, "vec_id")
+      .join(broadcast(cmeans), "cell_id")
+      .select(col("vec_id"), explode(array((0 until PqSub).map(s0 =>
+        struct(lit(s0).as("s"),
+          zip_with(
+            slice(col("fxe"), s0 * PqDim + 1, PqDim),
+            slice(col("ctrm"), s0 * PqDim + 1, PqDim),
+            (x, c) => x - c).as("fxv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.fxv").as("fxv"))
+
+  /** Residual-PQ index artifacts per corpus path — trained residual
+    * codebooks, the encoded index `(vec_id, s, j, cell_id)`, and the
+    * per-cell mean centroids — memoized like [[pqCodebooksFor]]/
+    * [[pqIndexFor]] (same determinism argument; the oracle re-derives
+    * the full residual training chain in SQL on every run). Routing
+    * (one n·cells cosine pass) and the mean pass happen only at build,
+    * never at query time. */
+  private val pqResCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame)]
+  private def pqResIndexFor(s: SparkSession,
+      dir: String): (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) =
+    pqResCache.getOrElseUpdate(dir, {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = ivfCentroids(e)
+      val cellOf = ivfCellOf(e, cents)
+      val cmeans = ivfCellMeansFx(e, cellOf).persist()
+      val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
+      val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
+        .select(col("vec_id"), col("s"), col("j"))
+        .join(cellOf, "vec_id").persist()
+      (cb, idx, cmeans)
+    })
 
   /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
     * nearest (integer squared L2 over fixed-point coords, ties to the
@@ -1578,8 +1665,146 @@ object Similarity extends QueryPack {
     rankTopK(scores.withColumnRenamed("vec_id", "neighbor_id"), "score", TopK)
   }
 
+  /** Residual IVF-PQ — the full IVFADC layout of Jégou/Douze/Schmid
+    * (TPAMI 2011, §IV): [[qSimIvfPq]] quantizes RAW vectors inside each
+    * cell; real IVF-PQ quantizes the residual `r = x − m(cell(x))`
+    * against the cell's MEAN centroid ([[ivfCellMeansFx]] — residuals
+    * against the raw seed vectors would ~double the variance), and
+    * ranks by the decomposed inner product `⟨q, m + r̂⟩ = ⟨q, m⟩ +
+    * ⟨q, r̂⟩` — a per-(query, probed-cell) BASE term (NQueries·NProbe
+    * scalars, computed on the tiny probes frame) plus the usual 4-term
+    * ADC lookup sum against codebooks trained on residuals. Same scale
+    * shape as [[qSimIvfPq]]: centroids/means/codebooks/distance-table
+    * broadcast, the index partitions by cell carrying only codes, a
+    * query touches NProbe·n/cells candidates, bounded-heap final rank.
+    * The residual training chain reuses the Lloyd engine
+    * ([[pqCodebooksFx]]) and its oracle CTE tail verbatim — only the
+    * `fx` frame definition changes (and stays PURE INTEGER: fxe − ctrm,
+    * no extra rounding step to diverge on). */
+  val qSimIvfPqRes: Q = Q(
+    "q_sim_ivfpq_res",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
+      subs AS (
+        SELECT e.vec_id, ss.s,
+               e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
+        FROM e, ss),
+      $ivfCellsSqlCte,
+      cents AS (SELECT vec_id AS cell_id, embedding AS ctr FROM e
+                WHERE vec_id < (SELECT nc FROM nc)),
+      cellof AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.embedding", "c.ctr")} DESC,
+                            c.cell_id ASC) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      fxe AS (SELECT vec_id,
+                list_transform(embedding, y ->
+                  CAST(round(CAST(y AS DOUBLE) * ${PqFx}.0) AS BIGINT)) AS fxe
+              FROM e),
+      cm AS (SELECT co.cell_id, u.d,
+               CAST(round(CAST(SUM(f.fxe[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             FROM fxe f JOIN cellof co ON f.vec_id = co.vec_id,
+                  generate_series(1, ${PqSub * PqDim}) u(d)
+             GROUP BY co.cell_id, u.d),
+      cmean AS (SELECT cell_id, list(c ORDER BY d) AS ctrm
+                FROM cm GROUP BY cell_id),
+      cmf AS (SELECT cell_id,
+                list_transform(ctrm, z -> CAST(z AS DOUBLE) / ${PqFx}.0) AS ctrmf
+              FROM cmean),
+      fx AS (
+        SELECT f.vec_id, ss.s,
+               list_transform(range(1, $PqDim + 1), k ->
+                 f.fxe[ss.s*$PqDim+k] - m.ctrm[ss.s*$PqDim+k]) AS fxv
+        FROM fxe f JOIN cellof co ON f.vec_id = co.vec_id
+             JOIN cmean m ON co.cell_id = m.cell_id, ss),
+      $pqTrainEncodeSqlCtes,
+      idx AS (
+        SELECT a.vec_id, a.s, a.j, co.cell_id
+        FROM asg a JOIN cellof co ON a.vec_id = co.vec_id),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+            WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT query_id, cell_id, base FROM (
+          SELECT q.query_id, c.cell_id,
+                 ${dotSql("q.qv", "m.ctrmf")} AS base,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "c.ctr")} DESC,
+                            c.cell_id ASC) AS rn
+          FROM q, cents c JOIN cmf m ON c.cell_id = m.cell_id)
+        WHERE rn <= $NProbe),
+      qsubs AS (SELECT vec_id AS query_id, s, sub AS qsub FROM subs
+                WHERE vec_id < $NQueries),
+      dt AS (
+        SELECT qs.query_id, cb.s, cb.j, ${dotSql("qs.qsub", "cb.cv")} AS term
+        FROM qsubs qs JOIN cb ON qs.s = cb.s),
+      terms AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id, i.s, dt.term, p.base
+        FROM idx i
+        JOIN probes p ON i.cell_id = p.cell_id
+        JOIN dt ON dt.query_id = p.query_id AND dt.s = i.s AND dt.j = i.j
+        WHERE i.vec_id <> p.query_id),
+      scores AS (
+        SELECT query_id, neighbor_id, (MIN(base) + $pqScoreSql) AS score
+        FROM terms GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scores)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(e)
+    val (cbT, index, cmeans) = pqResIndexFor(s, dir)
+    val cb = pqCodebookDf(s, cbT)
+    // float view of the per-cell mean centroids for the base term
+    val cmf = cmeans.select(col("cell_id"),
+      transform(col("ctrm"), z => z.cast("double") / PqFx).as("ctrmf"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // probes carry the per-(query, cell) base term ⟨q, mean_c⟩ of the
+    // IVFADC decomposition — NQueries·cells rows, broadcast onward;
+    // routing itself still ranks by the seed centroid, the same
+    // criterion that assigned the corpus
+    val probes = q.crossJoin(broadcast(cents))
+      .join(broadcast(cmf), "cell_id")
+      .select(col("query_id"), col("cell_id"),
+        cosine(col("qv"), col("ctr")).as("sim"),
+        dot(col("qv"), col("ctrmf")).as("base"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rn") <= NProbe)
+      .select(col("query_id"), col("cell_id"), col("base"))
+    val qsubs = pqSubvectors(e).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
+    val dt = qsubs.join(broadcast(cb), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        dot(col("qsub"), col("cv")).as("term"))
+    val terms = index.join(probes, "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id", "s", "j"))
+    // score = MIN(base) + fixed-order 4-term pivot: base is constant per
+    // (query, neighbor) group (one cell per neighbor), MIN keeps the
+    // aggregation deterministic; addition order matches the oracle's
+    // (base + (((t0+t1)+t2)+t3))
+    val scores = terms.groupBy(col("query_id"), col("vec_id"))
+      .agg((min(col("base")) + (0 until PqSub).map(s0 =>
+          sum(when(col("s") === s0, col("term"))))
+        .reduce(_ + _)).as("score"))
+    rankTopK(scores.withColumnRenamed("vec_id", "neighbor_id"), "score", TopK)
+  }
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
-      qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq)
+      qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
+      qSimIvfPqRes)
 }

@@ -47,7 +47,9 @@ class ScaleLintSpec extends SparkSpec {
       "q_semantic_dedup_seeded",
       // IVF-PQ routing: the same n × NCells (and queries × NCells)
       // broadcast assignment; the PQ half joins only on (s, j) keys
-      "q_sim_ivfpq")
+      "q_sim_ivfpq",
+      // residual IVF-PQ: identical routing shape, residual codebooks
+      "q_sim_ivfpq_res")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
