@@ -1410,6 +1410,32 @@ object Similarity extends QueryPack {
       (cb, idx, cmeans)
     })
 
+  /** Deploy-side view of the residual-index artifacts (spec/production
+    * hook for the streaming encoder twin): per-cell records `(cell_id,
+    * ctr, ctrm)` — seed centroid as doubles for routing, mean centroid
+    * in fixed-point longs for the residual — plus the trained residual
+    * codebooks and the batch index frame `(vec_id, s, j, cell_id)`.
+    * The cell collect is bounded by the cell count (√n-flavored), the
+    * same class of driver hop as the codebook collect. */
+  def pqResArtifacts(e: DataFrame): (Seq[(Long, Seq[Double], Seq[Long])],
+      Seq[(Int, Long, Seq[Long])], DataFrame) = {
+    val cents = ivfCentroids(e)
+    val cellOf = ivfCellOf(e, cents)
+    val cmeans = ivfCellMeansFx(e, cellOf)
+    val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
+    val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
+      .select(col("vec_id"), col("s"), col("j"))
+      .join(cellOf, "vec_id")
+    val cells = cents.join(cmeans, "cell_id").orderBy("cell_id")
+      .collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("cell_id")),
+          r.getSeq[Number](r.fieldIndex("ctr")).map(_.doubleValue()).toSeq,
+          r.getSeq[Long](r.fieldIndex("ctrm")).toSeq)
+      }.toSeq
+    (cells, cb, idx)
+  }
+
   /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
     * nearest (integer squared L2 over fixed-point coords, ties to the
     * smallest id) of the [[PqK]] TRAINED codewords. This IS the

@@ -794,6 +794,72 @@ object StreamOps {
       idCol = "neighbor_id")
   }
 
+  /** `s_ivfpq_encode`: STATELESS streaming residual IVF-PQ encoder —
+    * the compress-on-ingest twin of the batch `q_sim_ivfpq_res` index
+    * build. Each arriving vector (a) routes to its cosine-nearest cell
+    * (ties to the smallest cell_id — the batch `ivfCellOf` discipline,
+    * computed with the same [[graft.functions.DotProduct]] expression
+    * so the IEEE arithmetic is shared), (b) subtracts the cell's MEAN
+    * centroid in the fixed-point integer domain (pure `fxe − ctrm`
+    * subtraction, bit-identical to the batch residual frame), and
+    * (c) maps each residual subvector to its nearest trained codeword
+    * (integer squared L2, struct-min ties to the smallest id). Output:
+    * `(vec_id, cell_id, codes)` — the row a production pipeline sinks
+    * into the compressed index: one small int for the cell plus PqSub
+    * codes instead of 64 floats.
+    *
+    * The cell records ride in as a SINGLE `typedLit` array value — one
+    * Catalyst literal node holding the whole artifact, not a
+    * thousand-node literal tree (the batch `pqAssign` codegen-limit
+    * lesson); cells are a bounded index artifact (√n-flavored count,
+    * the same class as codebooks). No state, no shuffle: a pure
+    * per-row map, horizontally partition-parallel at any scale.
+    * Equivalence with the batch index is spec-pinned. */
+  def ivfPqEncodeStream(vecs: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import graft.operators.VectorOps.{dot => vdot}
+    val sub = graft.operators.Similarity.PqSub
+    val fxScale = graft.operators.Similarity.PqFx
+    val dim = 64 / sub
+    val bySub = codebooks.groupBy(_._1)
+    require(cells.nonEmpty, "cells must be non-empty")
+    require((0 until sub).forall(bySub.contains),
+      s"codebooks must cover all $sub subspaces, got ${bySub.keys.toSeq.sorted}")
+    // routing: struct-min over (−cosine, cell_id) ≡ the batch window's
+    // (sim DESC, cell_id ASC); negation is IEEE-exact, so near-ties
+    // resolve identically to ivfCellOf
+    val cellArr = typedLit(cells)
+    val pick = array_min(transform(cellArr, c => struct(
+      (vdot(col("embedding"), c.getField("_2")) /
+        (sqrt(vdot(col("embedding"), col("embedding"))) *
+          sqrt(vdot(c.getField("_2"), c.getField("_2")))) * lit(-1.0))
+        .as("negsim"),
+      c.getField("_1").as("cell_id"),
+      c.getField("_3").as("ctrm"))))
+    // residual in fixed point: round(x·2^20) − ctrm, exact integers
+    val routed = vecs
+      .withColumn("pick", pick)
+      .select(col("vec_id"), col("pick.cell_id").as("cell_id"),
+        zip_with(
+          transform(col("embedding"),
+            x => round(x.cast("double") * fxScale).cast("long")),
+          col("pick.ctrm"), (x, c) => x - c).as("rfx"))
+    val codeCols = (0 until sub).map { s0 =>
+      val cbArr = array(bySub(s0).sortBy(_._2).map { case (_, j, cv) =>
+        struct(lit(j).as("j"), array(cv.map(lit): _*).as("cv"))
+      }: _*)
+      val subv = slice(col("rfx"), s0 * dim + 1, dim)
+      array_min(transform(cbArr, c => struct(
+        aggregate(zip_with(subv, c.getField("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+          .as("dist"),
+        c.getField("j").as("j")))).getField("j")
+    }
+    routed.select(col("vec_id"), col("cell_id"),
+      array(codeCols: _*).as("codes"))
+  }
+
   def ivfMaintain(
       vectors: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],

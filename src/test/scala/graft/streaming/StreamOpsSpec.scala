@@ -272,6 +272,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_ivfpq_encode: stateless streaming residual codes equal the " +
+      "batch residual index (cell + codes), across micro-batches") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cells, cbs, idx) = graft.operators.Similarity.pqResArtifacts(e)
+    val rows = e.as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.ivfPqEncodeStream(in.toDF(), cells, cbs)
+      .writeStream.format("memory").queryName("s_ivfpq_encode")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("s_ivfpq_encode")
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val expect = idx
+        .groupBy("vec_id", "cell_id")
+        .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
+        .select(col("vec_id"), col("cell_id"), col("cs.j"))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.size == rows.length)
+      assert(got == expect,
+        s"diverged: ${got.toSeq.diff(expect.toSeq).take(3)} vs " +
+          s"${expect.toSeq.diff(got.toSeq).take(3)}")
+    } finally q.stop()
+  }
+
   test("s_pq_search: streaming ANN queries served from the static " +
       "compressed index equal the batch q_sim_pq top-k exactly") {
     val e = graft.Tables.embeddings(spark, sf)
