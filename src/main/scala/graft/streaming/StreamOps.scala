@@ -860,6 +860,83 @@ object StreamOps {
       array(codeCols: _*).as("codes"))
   }
 
+  /** `s_ivfpq_search`: streaming ANN query serving over the RESIDUAL
+    * compressed index — the search twin of [[ivfPqEncodeStream]] and
+    * the streaming form of the batch `q_sim_ivfpq_res` (IVFADC serving
+    * shape, Jégou et al. §V). Per arriving query, in its own
+    * projection (index artifacts ride in as single `typedLit`/literal
+    * values, never a row explosion):
+    *
+    *  - probe selection: the `nProbe` smallest `(−cosine, cell_id)`
+    *    structs of the cell array — ≡ the batch probes window's
+    *    `sim DESC, cell_id ASC`, same DotProduct arithmetic — each
+    *    probe carrying its base term `⟨q, mean_c⟩` of the IVFADC
+    *    decomposition;
+    *  - the ADC distance table `dt[s][j]` against the residual-trained
+    *    codebooks, exactly [[pqSearchStream]]'s shape;
+    *  - a stream-static EQUI-join on `cell_id` against the code-only
+    *    index (each query scans NProbe cells, not the corpus), score =
+    *    `base + Σ_s dt[s][code_s]` summed in subspace order — the
+    *    batch query's exact association;
+    *  - ranking through [[topkStream]]'s bounded per-query heap
+    *    (state = k rows per query).
+    *
+    * Equivalence with the batch query is spec-pinned; consumers read
+    * the max-`ver` set per query ([[topkStream]]'s leaderboard
+    * contract). */
+  def ivfPqSearchStream(queries: DataFrame,
+      index: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    import graft.operators.VectorOps.{dot => vdot}
+    val sub = graft.operators.Similarity.PqSub
+    val fxScale = graft.operators.Similarity.PqFx
+    val dim = 64 / sub
+    val bySub = codebooks.groupBy(_._1)
+    require(cells.nonEmpty, "cells must be non-empty")
+    require((0 until sub).forall(bySub.contains),
+      s"codebooks must cover all $sub subspaces, got ${bySub.keys.toSeq.sorted}")
+    // float view of each cell mean, precomputed once driver-side with
+    // the same long→double→divide ops as the batch cmf projection
+    val cellArr = typedLit(cells.map { case (cid, ctr, ctrm) =>
+      (cid, ctr, ctrm.map(_.toDouble / fxScale)) })
+    val probeArr = slice(array_sort(transform(cellArr, c => struct(
+      (vdot(col("embedding"), c.getField("_2")) /
+        (sqrt(vdot(col("embedding"), col("embedding"))) *
+          sqrt(vdot(c.getField("_2"), c.getField("_2")))) * lit(-1.0))
+        .as("negsim"),
+      c.getField("_1").as("cell_id"),
+      vdot(col("embedding"), c.getField("_3")).as("base")))), 1, nProbe)
+    val dtCol = array((0 until sub).map { s0 =>
+      val subv = slice(col("embedding"), s0 * dim + 1, dim)
+      array(bySub(s0).sortBy(_._2).map { case (_, _, cv) =>
+        vdot(subv, array(cv.map(c => lit(c.toDouble / fxScale)): _*))
+      }: _*)
+    }: _*)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), dtCol.as("dt"),
+        explode(probeArr).as("p"))
+      .select(col("query_id"), col("dt"),
+        col("p.cell_id").as("cell_id"), col("p.base").as("base"))
+    // the static index pivoted to one code row per vector per cell
+    val codesPerVec = index
+      .groupBy(col("vec_id").as("neighbor_id"), col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
+      .select(col("neighbor_id"), col("cell_id"), col("cs.j").as("cs"))
+    val scored = probes
+      .join(codesPerVec, Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("base") + (0 until sub).map(s0 =>
+          element_at(element_at(col("dt"), s0 + 1),
+            (element_at(col("cs"), s0 + 1) + 1).cast("int")))
+          .reduce(_ + _)).as("score"))
+    topkStream(scored, k, keyCol = "query_id", valCol = "score",
+      idCol = "neighbor_id")
+  }
+
   def ivfMaintain(
       vectors: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],

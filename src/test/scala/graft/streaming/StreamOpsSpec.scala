@@ -333,6 +333,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_ivfpq_search: streaming queries served from the residual " +
+      "compressed index equal the batch q_sim_ivfpq_res top-k exactly") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cells, cbs, idx) = graft.operators.Similarity.pqResArtifacts(e)
+    val rows = e.where(col("vec_id") < 8).as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.ivfPqSearchStream(in.toDF(), idx, cells, cbs, k = 5)
+      .writeStream.format("memory").queryName("s_ivfpq_search")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val t = spark.table("s_ivfpq_search")
+      val got = t.withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id").cast("long"), col("rank"),
+          col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      val expect = graft.operators.Similarity.qSimIvfPqRes.build(spark, sf)
+        .select(col("query_id"), col("rank").cast("int"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expect,
+        s"diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+    } finally q.stop()
+  }
+
   /** Run `body` with the RocksDB state-store provider — the 100 TB path
     * for the corpus-shaped membership states (VERDICT r5 item 5). */
   private def withRocksDb[T](body: => T): T = {
