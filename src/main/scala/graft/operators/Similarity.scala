@@ -1499,7 +1499,7 @@ object Similarity extends QueryPack {
       |  SELECT e.vec_id, ss.s,
       |         e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
       |  FROM e, ss),
-      |fx AS (SELECT vec_id, s,
+      |fx AS MATERIALIZED (SELECT vec_id, s,
       |         list_transform(sub, y ->
       |           CAST(round(CAST(y AS DOUBLE) * ${PqFx}.0) AS BIGINT)) AS fxv
       |       FROM subs),
@@ -1611,7 +1611,7 @@ object Similarity extends QueryPack {
       $ivfCellsSqlCte,
       cents AS (SELECT vec_id AS cell_id, embedding AS ctr FROM e
                 WHERE vec_id < (SELECT nc FROM nc)),
-      cellof AS (
+      cellof AS MATERIALIZED (
         SELECT vec_id, cell_id FROM (
           SELECT e.vec_id, c.cell_id,
                  row_number() OVER (
@@ -1706,20 +1706,27 @@ object Similarity extends QueryPack {
     * The residual training chain reuses the Lloyd engine
     * ([[pqCodebooksFx]]) and its oracle CTE tail verbatim — only the
     * `fx` frame definition changes (and stays PURE INTEGER: fxe − ctrm,
-    * no extra rounding step to diverge on). */
+    * no extra rounding step to diverge on).
+    *
+    * The oracle's heavy shared CTEs are `MATERIALIZED` (DuckDB-only
+    * syntax — oracle strings never run through Spark): DuckDB inlines
+    * CTEs per reference by default, and the train/encode tail
+    * references `fx` (and transitively `cellof`/`cmean`/`fxe`) five
+    * times — the re-evaluated join pyramid OOM'd a 100 GiB budget at
+    * sf1; materialized once, the whole query runs in ~53 s / 24 GB. */
   val qSimIvfPqRes: Q = Q(
     "q_sim_ivfpq_res",
     Some(s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
-      subs AS (
+      subs AS MATERIALIZED (
         SELECT e.vec_id, ss.s,
                e.embedding[(ss.s*$PqDim+1):(ss.s*$PqDim+$PqDim)] AS sub
         FROM e, ss),
       $ivfCellsSqlCte,
       cents AS (SELECT vec_id AS cell_id, embedding AS ctr FROM e
                 WHERE vec_id < (SELECT nc FROM nc)),
-      cellof AS (
+      cellof AS MATERIALIZED (
         SELECT vec_id, cell_id FROM (
           SELECT e.vec_id, c.cell_id,
                  row_number() OVER (
@@ -1727,21 +1734,21 @@ object Similarity extends QueryPack {
                    ORDER BY ${cosSql("e.embedding", "c.ctr")} DESC,
                             c.cell_id ASC) AS rn
           FROM e, cents c) WHERE rn = 1),
-      fxe AS (SELECT vec_id,
+      fxe AS MATERIALIZED (SELECT vec_id,
                 list_transform(embedding, y ->
                   CAST(round(CAST(y AS DOUBLE) * ${PqFx}.0) AS BIGINT)) AS fxe
               FROM e),
-      cm AS (SELECT co.cell_id, u.d,
+      cm AS MATERIALIZED (SELECT co.cell_id, u.d,
                CAST(round(CAST(SUM(f.fxe[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
              FROM fxe f JOIN cellof co ON f.vec_id = co.vec_id,
                   generate_series(1, ${PqSub * PqDim}) u(d)
              GROUP BY co.cell_id, u.d),
-      cmean AS (SELECT cell_id, list(c ORDER BY d) AS ctrm
+      cmean AS MATERIALIZED (SELECT cell_id, list(c ORDER BY d) AS ctrm
                 FROM cm GROUP BY cell_id),
       cmf AS (SELECT cell_id,
                 list_transform(ctrm, z -> CAST(z AS DOUBLE) / ${PqFx}.0) AS ctrmf
               FROM cmean),
-      fx AS (
+      fx AS MATERIALIZED (
         SELECT f.vec_id, ss.s,
                list_transform(range(1, $PqDim + 1), k ->
                  f.fxe[ss.s*$PqDim+k] - m.ctrm[ss.s*$PqDim+k]) AS fxv
