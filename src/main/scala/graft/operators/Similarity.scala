@@ -1714,10 +1714,12 @@ object Similarity extends QueryPack {
     * references `fx` (and transitively `cellof`/`cmean`/`fxe`) five
     * times — the re-evaluated join pyramid OOM'd a 100 GiB budget at
     * sf1; materialized once, the whole query runs in ~53 s / 24 GB. */
-  val qSimIvfPqRes: Q = Q(
-    "q_sim_ivfpq_res",
-    Some(s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** The residual IVF-PQ ADC chain as oracle CTEs, through the scored
+    * candidate set `scores(query_id, neighbor_id, score)` — shared by
+    * [[qSimIvfPqRes]] (direct rank) and [[qSimIvfPqRerank]] (shortlist
+    * → exact re-rank). */
+  private def ivfPqResScoreSqlCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
       ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
       subs AS MATERIALIZED (
         SELECT e.vec_id, ss.s,
@@ -1783,17 +1785,12 @@ object Similarity extends QueryPack {
         WHERE i.vec_id <> p.query_id),
       scores AS (
         SELECT query_id, neighbor_id, (MIN(base) + $pqScoreSql) AS score
-        FROM terms GROUP BY query_id, neighbor_id),
-      ranked AS (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, neighbor_id ASC) AS rank
-        FROM scores)
-      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-      FROM ranked WHERE rank <= $TopK
-      ORDER BY query_id, rank
-      """.stripMargin.trim)
-  ) { (s, dir) =>
+        FROM terms GROUP BY query_id, neighbor_id)""".stripMargin.trim
+
+  /** The residual IVF-PQ scored candidate frame `(query_id,
+    * neighbor_id, score)` — the Spark twin of [[ivfPqResScoreSqlCtes]],
+    * shared by both residual queries. */
+  private def ivfPqResScores(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cents = ivfCentroids(e)
     val (cbT, index, cmeans) = pqResIndexFor(s, dir)
@@ -1828,16 +1825,91 @@ object Similarity extends QueryPack {
     // (query, neighbor) group (one cell per neighbor), MIN keeps the
     // aggregation deterministic; addition order matches the oracle's
     // (base + (((t0+t1)+t2)+t3))
-    val scores = terms.groupBy(col("query_id"), col("vec_id"))
+    terms.groupBy(col("query_id"), col("vec_id"))
       .agg((min(col("base")) + (0 until PqSub).map(s0 =>
           sum(when(col("s") === s0, col("term"))))
         .reduce(_ + _)).as("score"))
-    rankTopK(scores.withColumnRenamed("vec_id", "neighbor_id"), "score", TopK)
+      .withColumnRenamed("vec_id", "neighbor_id")
+  }
+
+  val qSimIvfPqRes: Q = Q(
+    "q_sim_ivfpq_res",
+    Some(s"""
+      $ivfPqResScoreSqlCtes,
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scores)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    rankTopK(ivfPqResScores(s, dir), "score", TopK)
+  }
+
+  /** How many ADC candidates survive into the exact re-rank stage. */
+  private val RerankK = 20
+
+  /** Two-stage IVF-PQ serving — the production search path (Jégou et
+    * al. §V.C): the compressed index produces an ADC SHORTLIST of
+    * [[RerankK]] candidates per query (bounded-heap, code-only scan —
+    * exactly [[qSimIvfPqRes]]'s stage), then ONLY those
+    * NQueries·RerankK vectors are fetched for an exact-cosine re-rank
+    * to the final top-k. This is why PQ's lossy scores are acceptable
+    * at 100 TB: the approximate stage never has to order the true
+    * neighbors correctly, only to CATCH them in a slightly wider net;
+    * the exact stage reads a bounded number of full vectors (an index
+    * lookup per candidate, broadcast-joined against the corpus scan —
+    * never a second pass over the data). Guaranteed recall@k ≥ the
+    * direct ADC rank's (the re-rank picks the exact-best k of a
+    * candidate pool that CONTAINS the ADC top-k) — spec-asserted. */
+  val qSimIvfPqRerank: Q = Q(
+    "q_sim_ivfpq_rerank",
+    Some(s"""
+      $ivfPqResScoreSqlCtes,
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS rn
+          FROM scores) WHERE rn <= $RerankK),
+      rr AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               ${cosSql("q.qv", "e.embedding")} AS cos
+        FROM short sh
+        JOIN q ON sh.query_id = q.query_id
+        JOIN e ON sh.neighbor_id = e.vec_id),
+      reranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM rr)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM reranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // stage 1: ADC shortlist off the compressed index (bounded heap)
+    val short = rankTopK(ivfPqResScores(s, dir), "score", RerankK)
+      .select("query_id", "neighbor_id")
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // stage 2: fetch ONLY the shortlisted vectors (broadcast the tiny
+    // shortlist against the corpus scan) and re-rank by exact cosine
+    val rr = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    rankTopK(rr, "cos", TopK)
   }
 
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
-      qSimIvfPqRes)
+      qSimIvfPqRes, qSimIvfPqRerank)
 }

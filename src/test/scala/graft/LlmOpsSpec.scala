@@ -465,13 +465,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 5.0 * 5 / n, f"no better than random: $mean%.3f")
   }
 
+  test("two-stage re-rank: recall@5 dominates the direct ADC rank per query") {
+    // the §V.C serving guarantee: the shortlist CONTAINS the ADC top-5,
+    // and exact-top-5 members present in the shortlist always win the
+    // exact-cosine re-rank (they hold the globally highest cosines), so
+    // per-query recall can only go up vs reading the ADC rank directly
+    def byQuery(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = byQuery(Similarity.qSimTopk.build(spark, sf))
+    val direct = byQuery(Similarity.qSimIvfPqRes.build(spark, sf))
+    val rr = byQuery(Similarity.qSimIvfPqRerank.build(spark, sf))
+    assert(rr.size == 8 && rr.values.forall(_.size == 5), rr.mapValues(_.size))
+    val (dRecs, rRecs) = exact.toSeq.map { case (q, ex) =>
+      ((direct(q) & ex).size.toDouble / ex.size,
+       (rr(q) & ex).size.toDouble / ex.size)
+    }.unzip
+    info(f"recall@5: direct ADC=${dRecs.sum / dRecs.size}%.2f " +
+      f"re-ranked=${rRecs.sum / rRecs.size}%.2f")
+    dRecs.zip(rRecs).zip(exact.keys).foreach { case ((d, r), q) =>
+      assert(r >= d, s"query $q: re-rank recall $r < direct ADC recall $d") }
+  }
+
   test("PQ ranking goes through the bounded-heap plan, not a bare window") {
     // r10 verdict items 1-2: PQ/ADC scores every corpus code per query
     // (and IVF-PQ every probed-cell code), so the final top-k MUST prune
     // map-side via TopKPerGroupExec — a row_number window would funnel
     // all scored rows through <= NQueries reducers.
     for (q <- Seq(Similarity.qSimPq, Similarity.qSimIvfPq,
-                  Similarity.qSimIvfPqRes)) {
+                  Similarity.qSimIvfPqRes, Similarity.qSimIvfPqRerank)) {
       val df = q.build(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
