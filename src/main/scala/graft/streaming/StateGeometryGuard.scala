@@ -86,6 +86,45 @@ object StateGeometryGuard {
   def ivf(centroids: Seq[(Long, Seq[Long], Long)]): Family =
     Family("ivf-maintain", Seq("centroids" -> centroidHash(centroids)))
 
+  /** Order-insensitive content hash of a trained PQ codebook set
+    * `(subspace, codeword id, fixed-point coords)`. */
+  private def codebookHash(cb: Seq[(Int, Long, Seq[Long])]): Long =
+    cb.map { case (s, j, cv) =>
+        scala.util.hashing.MurmurHash3.orderedHash(s.toLong +: j +: cv)
+      }
+      .sorted.foldLeft(0L)((acc, h) => acc * 1000003L + h)
+
+  /** Order-insensitive content hash of an IVF-PQ cell set `(cell_id,
+    * routing centroid as doubles, fixed-point mean centroid)` — doubles
+    * ride as IEEE-754 bit images, like [[semantic]]'s tau. */
+  private def cellHash(cells: Seq[(Long, Seq[Double], Seq[Long])]): Long =
+    cells.map { case (cid, ctr, ctrm) =>
+        scala.util.hashing.MurmurHash3.orderedHash(
+          cid +: (ctr.map(java.lang.Double.doubleToLongBits) ++ ctrm))
+      }
+      .sorted.foldLeft(0L)((acc, h) => acc * 1000003L + h)
+
+  /** The codebook fingerprint of [[StreamOps.pqEncodeStream]] /
+    * [[StreamOps.pqSearchStream]]. The encoder is STATELESS, but its
+    * SINK is not: codes are bare small ints, meaningful only against
+    * the codebooks that produced them — a resume with retrained
+    * codebooks would silently append a second code space to the same
+    * index (and a search leaderboard would merge scores from two
+    * incomparable quantizers). Codebook upgrades go through
+    * [[PqMigration]]: re-encode + fresh checkpoint, never in place. */
+  def pq(codebooks: Seq[(Int, Long, Seq[Long])]): Family =
+    Family("pq-codebook", Seq("codebooks" -> codebookHash(codebooks)))
+
+  /** The cell + residual-codebook fingerprint of
+    * [[StreamOps.ivfPqEncodeStream]] / [[StreamOps.ivfPqSearchStream]]
+    * — residual codes additionally depend on WHICH mean centroid was
+    * subtracted, so the cell set is part of the code space. */
+  def ivfpq(cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): Family =
+    Family("ivfpq-codebook", Seq(
+      "cells" -> cellHash(cells),
+      "codebooks" -> codebookHash(codebooks)))
+
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")
 

@@ -710,9 +710,17 @@ object StreamOps {
     * floats per embedding. Assignment arithmetic (integer squared L2
     * over the shared fixed-point encoding, struct-min ties to the
     * smallest codeword id) is integer-identical to the batch path;
-    * equivalence is spec-pinned. */
+    * equivalence is spec-pinned.
+    *
+    * `checkpointLocation` binds the CODEBOOK fingerprint
+    * ([[StateGeometryGuard.pq]]): the encoder holds no state, but its
+    * sink accumulates one code space — restarting the same checkpoint
+    * with retrained codebooks must fail loudly, not silently mix eras
+    * in the index. Upgrades go through [[PqMigration]]. */
   def pqEncodeStream(vecs: DataFrame,
-      codebooks: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.pq(codebooks))
     val bySub = codebooks.groupBy(_._1)
     val sub = graft.operators.Similarity.PqSub
     val fxScale = graft.operators.Similarity.PqFx
@@ -757,11 +765,16 @@ object StreamOps {
     *
     * Equivalence with the batch query (same codebooks, same index, same
     * ties) is spec-pinned; consumers read the max-`ver` set per query,
-    * [[topkStream]]'s leaderboard contract. */
+    * [[topkStream]]'s leaderboard contract. `checkpointLocation` binds
+    * the codebook fingerprint: the leaderboard state accumulates ADC
+    * scores, which are comparable only within one quantizer — a resume
+    * under retrained codebooks would merge incomparable score eras. */
   def pqSearchStream(queries: DataFrame,
       codes: DataFrame,
       codebooks: Seq[(Int, Long, Seq[Long])],
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.pq(codebooks))
     import graft.operators.VectorOps.dot
     val sub = graft.operators.Similarity.PqSub
     val fx = graft.operators.Similarity.PqFx.toDouble
@@ -814,10 +827,17 @@ object StreamOps {
     * lesson); cells are a bounded index artifact (√n-flavored count,
     * the same class as codebooks). No state, no shuffle: a pure
     * per-row map, horizontally partition-parallel at any scale.
-    * Equivalence with the batch index is spec-pinned. */
+    * Equivalence with the batch index is spec-pinned.
+    *
+    * `checkpointLocation` binds the cell + codebook fingerprint
+    * ([[StateGeometryGuard.ivfpq]]) — residual codes are meaningful
+    * only against the exact (cells, codebooks) pair that produced
+    * them; upgrades go through [[PqMigration]]. */
   def ivfPqEncodeStream(vecs: DataFrame,
       cells: Seq[(Long, Seq[Double], Seq[Long])],
-      codebooks: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.ivfpq(cells, codebooks))
     import graft.operators.VectorOps.{dot => vdot}
     val sub = graft.operators.Similarity.PqSub
     val fxScale = graft.operators.Similarity.PqFx
@@ -883,13 +903,16 @@ object StreamOps {
     *
     * Equivalence with the batch query is spec-pinned; consumers read
     * the max-`ver` set per query ([[topkStream]]'s leaderboard
-    * contract). */
+    * contract). `checkpointLocation` binds the cell + codebook
+    * fingerprint, same rationale as [[pqSearchStream]]. */
   def ivfPqSearchStream(queries: DataFrame,
       index: DataFrame,
       cells: Seq[(Long, Seq[Double], Seq[Long])],
       codebooks: Seq[(Int, Long, Seq[Long])],
       k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.ivfpq(cells, codebooks))
     import graft.operators.VectorOps.{dot => vdot}
     val sub = graft.operators.Similarity.PqSub
     val fxScale = graft.operators.Similarity.PqFx

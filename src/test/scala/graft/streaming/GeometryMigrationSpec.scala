@@ -132,6 +132,118 @@ class GeometryMigrationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ codebook upgrade: drain → batch re-encode → fresh resume; " +
+      "re-encoded ∪ live ≡ the batch encoding under the new codebooks") {
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (first, second) = all.splitAt(all.length / 2)
+    val firstDf = first.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("pq_migration").toString
+
+    // ---- life under the OLD quantizer (trained on the half corpus)
+    val oldCb = Similarity.pqCodebooks(firstDf)
+    val in1 = MemoryStream[(Long, Array[Float])](spark)
+    val q1 = StreamOps.pqEncodeStream(in1.toDF().toDF("vec_id", "embedding"),
+        oldCb, checkpointLocation = s"$dir/ckpt_v1")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v1")
+      .format("memory").queryName("pqmig_p1").outputMode("append").start()
+    try { in1.addData(first); q1.processAllAvailable() } finally q1.stop()
+    val p1 = spark.table("pqmig_p1").as[(Long, Seq[Long])].collect().toMap
+    assert(p1.size == first.size)
+
+    // ---- the quantizer is retrained on the grown corpus
+    val newCb = Similarity.pqCodebooks(all.toDF("vec_id", "embedding"))
+
+    // the old checkpoint cannot switch code spaces — the guard refuses
+    intercept[IllegalStateException] {
+      StreamOps.pqEncodeStream(in1.toDF().toDF("vec_id", "embedding"),
+        newCb, checkpointLocation = s"$dir/ckpt_v1")
+    }
+
+    // step 2: batch re-encode of the processed corpus (index rebuild)
+    val re = PqMigration.reencoded(firstDf, newCb)
+      .as[(Long, Seq[Long])].collect().toMap
+    // step 3: fresh checkpoint over the LIVE feed only
+    val in2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = PqMigration.resume(in2.toDF().toDF("vec_id", "embedding"),
+        newCb, s"$dir/ckpt_v2")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v2")
+      .format("memory").queryName("pqmig_p2").outputMode("append").start()
+    try {
+      val (s1, s2) = second.splitAt(second.length / 2)
+      in2.addData(s1); q2.processAllAvailable()
+      in2.addData(s2); q2.processAllAvailable()
+    } finally q2.stop()
+    val p2 = spark.table("pqmig_p2").as[(Long, Seq[Long])].collect().toMap
+
+    // ---- the contract: the migrated index IS the new-space encoding
+    val want = PqMigration.reencoded(all.toDF("vec_id", "embedding"), newCb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((re.keySet & p2.keySet).isEmpty, "legs must partition by vec_id")
+    assert(re ++ p2 == want,
+      s"mixed/lost codes: got=${(re ++ p2).toSeq.diff(want.toSeq).take(3)} " +
+        s"want=${want.toSeq.diff((re ++ p2).toSeq).take(3)}")
+    // sanity: the upgrade actually moved codewords — otherwise the
+    // fixture proves nothing about era mixing
+    assert(re.exists { case (id, cs) => p1(id) != cs },
+      "retraining changed no codes — pick a fixture where training data " +
+        "matters")
+  }
+
+  test("residual IVF-PQ upgrade: cells + codebooks migrate together; " +
+      "re-encoded ∪ live ≡ the batch residual index under the new artifacts") {
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (first, second) = all.splitAt(all.length / 2)
+    val firstDf = first.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ivfpq_migration").toString
+
+    val (oldCells, oldCb, _) = Similarity.pqResArtifacts(firstDf)
+    val in1 = MemoryStream[(Long, Array[Float])](spark)
+    val q1 = StreamOps.ivfPqEncodeStream(
+        in1.toDF().toDF("vec_id", "embedding"), oldCells, oldCb,
+        checkpointLocation = s"$dir/ckpt_v1")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v1")
+      .format("memory").queryName("ivfpqmig_p1").outputMode("append").start()
+    try { in1.addData(first); q1.processAllAvailable() } finally q1.stop()
+    val p1 = spark.table("ivfpqmig_p1").as[(Long, Long, Seq[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val (newCells, newCb, _) =
+      Similarity.pqResArtifacts(all.toDF("vec_id", "embedding"))
+
+    intercept[IllegalStateException] {
+      StreamOps.ivfPqEncodeStream(in1.toDF().toDF("vec_id", "embedding"),
+        newCells, newCb, checkpointLocation = s"$dir/ckpt_v1")
+    }
+
+    val re = PqMigration.reencodedResidual(firstDf, newCells, newCb)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val in2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = PqMigration.resumeResidual(
+        in2.toDF().toDF("vec_id", "embedding"), newCells, newCb,
+        s"$dir/ckpt_v2")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt_v2")
+      .format("memory").queryName("ivfpqmig_p2").outputMode("append").start()
+    try { in2.addData(second); q2.processAllAvailable() } finally q2.stop()
+    val p2 = spark.table("ivfpqmig_p2").as[(Long, Long, Seq[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val want = PqMigration
+      .reencodedResidual(all.toDF("vec_id", "embedding"), newCells, newCb)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((re.keySet & p2.keySet).isEmpty, "legs must partition by vec_id")
+    assert(re ++ p2 == want,
+      s"mixed/lost rows: got=${(re ++ p2).toSeq.diff(want.toSeq).take(3)} " +
+        s"want=${want.toSeq.diff((re ++ p2).toSeq).take(3)}")
+    assert(re.exists { case (id, row) => p1(id) != row },
+      "new artifacts changed no rows — fixture proves nothing")
+  }
+
   test("tws (RocksDB) path: seeded resume is pair-equivalent to the " +
       "flatMapGroupsWithState path") {
     val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")

@@ -252,7 +252,8 @@ class StreamOpsSpec extends SparkSpec {
     val cbs = graft.operators.Similarity.pqCodebooks(e)
     val rows = e.as[VecRow].collect().sortBy(_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.pqEncodeStream(in.toDF(), cbs)
+    val q = StreamOps.pqEncodeStream(in.toDF(), cbs,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_pq_encode")
       .outputMode("append").start()
     try {
@@ -279,7 +280,8 @@ class StreamOpsSpec extends SparkSpec {
     val (cells, cbs, idx) = graft.operators.Similarity.pqResArtifacts(e)
     val rows = e.as[VecRow].collect().sortBy(_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.ivfPqEncodeStream(in.toDF(), cells, cbs)
+    val q = StreamOps.ivfPqEncodeStream(in.toDF(), cells, cbs,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_ivfpq_encode")
       .outputMode("append").start()
     try {
@@ -311,7 +313,8 @@ class StreamOpsSpec extends SparkSpec {
     // across micro-batches; the index and codebooks are static
     val rows = e.where(col("vec_id") < 8).as[VecRow].collect().sortBy(_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.pqSearchStream(in.toDF(), codes, cbs, k = 5)
+    val q = StreamOps.pqSearchStream(in.toDF(), codes, cbs, k = 5,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_pq_search")
       .outputMode("append").start()
     try {
@@ -340,7 +343,8 @@ class StreamOpsSpec extends SparkSpec {
     val (cells, cbs, idx) = graft.operators.Similarity.pqResArtifacts(e)
     val rows = e.where(col("vec_id") < 8).as[VecRow].collect().sortBy(_.vec_id)
     val in = MemoryStream[VecRow](spark)
-    val q = StreamOps.ivfPqSearchStream(in.toDF(), idx, cells, cbs, k = 5)
+    val q = StreamOps.ivfPqSearchStream(in.toDF(), idx, cells, cbs, k = 5,
+      checkpointLocation = StreamOps.EphemeralState)
       .writeStream.format("memory").queryName("s_ivfpq_search")
       .outputMode("append").start()
     try {
