@@ -49,7 +49,11 @@ class ScaleLintSpec extends SparkSpec {
       // broadcast assignment; the PQ half joins only on (s, j) keys
       "q_sim_ivfpq",
       // residual IVF-PQ: identical routing shape, residual codebooks
-      "q_sim_ivfpq_res")
+      "q_sim_ivfpq_res",
+      // two-stage rerank: stage 1 IS q_sim_ivfpq_res's plan (the
+      // exempt bounded broadcast shapes above); stage 2 adds only
+      // broadcast EQUI-joins on the RerankK·NQueries shortlist
+      "q_sim_ivfpq_rerank")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
