@@ -1226,18 +1226,28 @@ object Similarity extends QueryPack {
     * 16-codeword literals stay under the limit and keep that form.) */
   private def pqAssign(fx: DataFrame, cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
     require(cb.length == PqSub * PqK, s"codebook incomplete: ${cb.length}")
-    val spark = fx.sparkSession
-    import spark.implicits._
-    val cbDf = broadcast(cb.toDF("s", "j", "cv"))
-    fx.join(cbDf, "s")
-      .select(col("vec_id"), col("s"), col("j"), col("fxv"),
-        aggregate(zip_with(col("fxv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, z) => acc + z).as("dist"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("dist"), col("j"))).as("pick"),
-        first(col("fxv")).as("fxv"))
-      .select(col("vec_id"), col("s"), col("pick.j").as("j"),
-        col("pick.dist").as("dist"), col("fxv"))
+    // The codebook rides as ONE typedLit array value — a single
+    // Catalyst literal node, not a thousand-node literal tree (the r11
+    // codegen-limit lesson) and not a broadcast join either (which
+    // costs a groupBy SHUFFLE of n·PqSub rows carrying the fxv payload
+    // just to re-collapse the 16 joined candidates; measured 2.15×
+    // q_sim_pq shuffle bytes). Assignment is a pure per-row projection:
+    // array_min over (dist, j) structs ≡ lexicographic dist ASC then
+    // j ASC — the exact tie-break of the previous min(struct) agg and
+    // of the streaming encoder, exact integers throughout.
+    val cbBySub: Seq[Seq[(Long, Seq[Long])]] =
+      (0 until PqSub).map(s0 => cb.filter(_._1 == s0).sortBy(_._2)
+        .map { case (_, j, cv) => (j, cv) })
+    require(cbBySub.forall(_.length == PqK), "codebook missing subspaces")
+    val pick = array_min(transform(
+      element_at(typedLit(cbBySub), col("s").cast("int") + 1),
+      c => struct(
+        aggregate(zip_with(col("fxv"), c.getField("_2"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+          .as("dist"),
+        c.getField("_1").as("j"))))
+    fx.select(col("vec_id"), col("s"), pick.getField("j").as("j"),
+      pick.getField("dist").as("dist"), col("fxv"))
   }
 
   /** Total quantization error of the corpus under a codebook — Σ over
