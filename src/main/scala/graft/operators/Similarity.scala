@@ -1917,9 +1917,129 @@ object Similarity extends QueryPack {
     rankTopK(rr, "cos", TopK)
   }
 
+  // ------------------------------------------------ binary (sign) quantization
+
+  /** 64-bit SIGN code of a 64-dim vector: bit `d−1` set iff
+    * `embedding[d] > 0` — binary quantization, the most aggressive
+    * compression tier a vector index offers (64 float32 → 8 bytes,
+    * 32×; PQ's 4 codes are the middle tier, int8 the gentle one).
+    * Built as a static 64-term `bitwiseOR` tree over literal bit masks
+    * (each term one `element_at` + one `when`) — a pure codegen'd
+    * projection, no explode, no shuffle, no lambda. The Hamming
+    * distance between two sign codes estimates the ANGLE between the
+    * vectors (Goemans–Williamson / Charikar SimHash bound:
+    * P[bit differs] = θ/π per independent hyperplane; here the
+    * hyperplanes are the coordinate axes, which for unit-norm random
+    * embeddings is the same argument dimension-wise). */
+  private def signCode(v: Column): Column =
+    (0 until 64).map { d =>
+      when(element_at(v, d + 1) > 0f, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** How many Hamming candidates survive into the exact re-rank. */
+  private[graft] val HamShortK = RerankK
+
+  /** Binary-quantization ANN with exact re-rank — the two-stage layout
+    * a Hamming index serves (sign codes ↔ e.g. faiss
+    * `IndexBinaryFlat`): the corpus scan reads ONLY the 8-byte sign
+    * codes (at 100 TB the codes are the stored index — 32× less I/O
+    * than the vectors; here the encode fuses into the scan projection
+    * as [[signCode]]), each query's code XORs against every corpus
+    * code (`bit_count(xor)` — two ALU ops per candidate vs 64
+    * multiply-adds for a float dot), the [[HamShortK]]-candidate
+    * shortlist per query comes off the bounded-heap [[rankTopK]] plan
+    * (never a per-query window funnel), and ONLY NQueries·[[HamShortK]]
+    * full vectors are fetched (broadcast shortlist join — never a
+    * second corpus pass) for the exact-cosine re-rank to the final
+    * top-k. Hamming distances are small ints with heavy ties — the
+    * deterministic neighbor_id tiebreak keeps the shortlist (and so
+    * the result) engine-independent. */
+  val qSimHamming: Q = Q(
+    "q_sim_hamming",
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+               bit_or(CASE WHEN embedding[d] > 0 THEN
+                        (CASE WHEN d = 64 THEN -9223372036854775808
+                              ELSE 1::BIGINT << (d - 1) END)
+                      ELSE 0::BIGINT END) AS code
+        FROM e, range(1, 65) t(d) GROUP BY vec_id),
+      q AS (SELECT c.vec_id AS query_id, c.code AS qcode, e.embedding AS qv
+            FROM codes c JOIN e ON c.vec_id = e.vec_id
+            WHERE c.vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(c.code, q.qcode)) AS ham
+        FROM codes c, q WHERE c.vec_id <> q.query_id),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY ham ASC, neighbor_id ASC) AS rn
+          FROM scored) WHERE rn <= $HamShortK),
+      rr AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               ${cosSql("q.qv", "e.embedding")} AS cos
+        FROM short sh
+        JOIN q ON sh.query_id = q.query_id
+        JOIN e ON sh.neighbor_id = e.vec_id),
+      reranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM rr)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM reranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) => hammingTopK(Tables.embeddings(s, dir)) }
+
+  /** Stage 1 of [[qSimHamming]]: the [[HamShortK]]-candidate Hamming
+    * shortlist per query off the 8-byte codes (bounded heap —
+    * per-partition ≤ queries×k rows survive to the exchange). Shared
+    * with the streaming search twin's equivalence spec. */
+  def hammingShortlist(e0: DataFrame, k: Int = HamShortK): DataFrame = {
+    val codes = hammingCodes(e0.select(col("vec_id"), col("embedding")))
+    val q = codes.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("ham"))
+    graft.plans.TopK.perGroup(scored, k, Seq("query_id"),
+        Seq(col("ham").asc, col("neighbor_id").asc))
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Stage 2 of [[qSimHamming]]: fetch ONLY the shortlisted vectors
+    * (broadcast shortlist join against the corpus scan — never a
+    * second pass) and re-rank by exact cosine to the final top-k. */
+  def hammingRerank(e0: DataFrame, short: DataFrame, k: Int = TopK): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rr = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    rankTopK(rr, "cos", k)
+  }
+
+  /** The [[qSimHamming]] plan against an explicit embeddings frame —
+    * shared with the streaming search twin and the recall spec. */
+  def hammingTopK(e0: DataFrame, k: Int = TopK): DataFrame =
+    hammingRerank(e0, hammingShortlist(e0), k)
+
+  /** Sign codes for an embeddings frame — exposed for the streaming
+    * search twin (the code column IS the stored index at scale). */
+  def hammingCodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), signCode(col("embedding")).as("code"))
+
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
-      qSimIvfPqRes, qSimIvfPqRerank)
+      qSimIvfPqRes, qSimIvfPqRerank, qSimHamming)
 }

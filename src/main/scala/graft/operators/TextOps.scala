@@ -1191,10 +1191,83 @@ object TextOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** A bigram is "rare" when it occurs at most this many times in the
+    * whole corpus (including the occurrence being scored). */
+  private val RareBigramMax = 2
+
+  /** Bigram-rarity fluency filter — the hash-stable core of an n-gram
+    * LM quality score (the CCNet recipe filters training data by
+    * KenLM perplexity; the dominant signal at the filtering margin is
+    * how many of a document's word transitions the corpus has never
+    * or almost never seen — boilerplate and fluent prose reuse
+    * transitions, gibberish/OCR noise/mis-segmented text invents
+    * them). Emits per doc: bigram count, rare-bigram count, and the
+    * rare ratio (decimal-exact division, round 6 — no transcendental
+    * log whose libm could diverge between engines).
+    *
+    * Scale shape: bigram extraction is a pure projection
+    * (`zip_with` over two slices of the token array — no explode
+    * before the count, no window, no per-doc shuffle); corpus counts
+    * are one hash aggregation; and the join back to documents touches
+    * ONLY the rare keys — each by construction ≤ [[RareBigramMax]]
+    * occurrences corpus-wide, so the join is provably skew-free (the
+    * "the the"-grade hot bigrams never enter it; they are exactly the
+    * ones the filter doesn't need). n_bigrams comes straight off the
+    * array length, never from the exploded frame. */
+  val qRareBigram: Q = Q(
+    "q_rare_bigram",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (SELECT doc_id,
+                      CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
+               FROM t),
+      bgl AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t),
+      counts AS (SELECT bg, COUNT(*) AS cnt FROM bgl GROUP BY bg),
+      rare AS (SELECT bg FROM counts WHERE cnt <= $RareBigramMax),
+      nr AS (SELECT doc_id, COUNT(*) AS n_rare
+             FROM bgl JOIN rare USING (bg) GROUP BY doc_id)
+      SELECT b.doc_id, b.n_bigrams,
+             COALESCE(nr.n_rare, 0) AS n_rare,
+             CASE WHEN b.n_bigrams > 0 THEN
+               CAST(round(CAST(COALESCE(nr.n_rare, 0) AS DECIMAL(18,9))
+                          / b.n_bigrams, 6) AS DOUBLE)
+             END AS rare_ratio
+      FROM base b LEFT JOIN nr ON b.doc_id = nr.doc_id
+      ORDER BY b.doc_id
+      """.stripMargin.trim)
+  ) { (s, dir) => rareBigram(Tables.documents(s, dir)) }
+
+  /** The [[qRareBigram]] plan against an explicit documents frame. */
+  def rareBigram(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = t.select(col("doc_id"),
+      greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"))
+    // adjacent-pair extraction as a projection: zip the token array
+    // with itself shifted by one — no posexplode+self-join, no window
+    val docBg = t.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val rare = docBg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") <= RareBigramMax).select("bg")
+    val nRare = docBg.join(rare, "bg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    base.join(nRare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_bigrams") > 0,
+          round(coalesce(col("n_rare"), lit(0L)).cast("decimal(18,9)")
+            / col("n_bigrams"), 6).cast("double")).as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qNgramContainment, qMinhashEst, qHeavyHitters, qTextNormalize,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
-    qDedupCluster, qClusterRep, qDedupVerdict, qLangMix)
+    qDedupCluster, qClusterRep, qDedupVerdict, qLangMix, qRareBigram)
 }

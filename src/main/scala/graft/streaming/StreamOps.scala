@@ -960,6 +960,44 @@ object StreamOps {
       idCol = "neighbor_id")
   }
 
+  /** `s_hamming_search`: streaming ANN serving over the binary
+    * SIGN-CODE index — the search twin of the batch `q_sim_hamming`
+    * shortlist stage. Arriving query vectors encode to their 64-bit
+    * sign code in the projection ([[graft.operators.Similarity
+    * .hammingCodes]] — the identical codegen'd bit tree as the batch
+    * index build), score the code-only static index via a
+    * stream-static join (`bit_count(xor)` — two ALU ops per candidate,
+    * the corpus side contributes 8 bytes per vector), and rank through
+    * [[topkStream]]'s bounded per-query heap. The leaderboard value is
+    * the NEGATED Hamming distance (the heap keeps value-DESC, ties to
+    * the smallest neighbor_id — exactly the batch
+    * `TopK.perGroup(..., ham.asc, neighbor_id.asc)` order).
+    *
+    * Consumers re-rank the shortlist by exact cosine downstream
+    * (`Similarity.hammingRerank` — a bounded broadcast join fetching
+    * only k vectors per query, the batch query's stage 2); the spec
+    * pins streamed-shortlist + shared re-rank ≡ `q_sim_hamming`.
+    *
+    * Unlike the PQ twins there is NO geometry fingerprint to bind:
+    * sign codes are CANONICAL (bit d = sign of dimension d — no
+    * trained artifact, no quantizer eras), so checkpoints compose
+    * freely across restarts and no re-encode migration discipline
+    * exists for this index. That version-freeness is binary
+    * quantization's operational selling point at 100 TB. */
+  def hammingSearchStream(queries: DataFrame, codes: DataFrame,
+      k: Int = graft.operators.Similarity.HamShortK): DataFrame = {
+    val qc = graft.operators.Similarity.hammingCodes(queries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val scored = qc
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bit_count(col("code").bitwiseXOR(col("qcode"))))
+          .cast("double").as("negham"))
+    topkStream(scored, k, keyCol = "query_id", valCol = "negham",
+      idCol = "neighbor_id")
+  }
+
   def ivfMaintain(
       vectors: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)],

@@ -714,4 +714,58 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fps(1L) != fps(2L))
   }
+
+  test("binary-quantization ANN: sign codes structurally valid, shortlist " +
+      "bounded, recall@5 after exact re-rank clears the random bar") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // every vector gets exactly one 64-bit code; popcounts populate the
+    // middle of 0..64 (unit-norm random vectors → ~Binomial(64, 1/2))
+    val codes = Similarity.hammingCodes(e)
+    assert(codes.count() == n)
+    val pops = codes.select(bit_count(col("code")).as("p"))
+      .agg(min("p"), max("p")).as[(Int, Int)].collect().head
+    info(s"popcount range: $pops")
+    assert(pops._1 >= 8 && pops._2 <= 56,
+      s"sign-bit popcounts implausibly skewed: $pops")
+    // the shortlist is exactly HamShortK candidates per query
+    val short = Similarity.hammingShortlist(e)
+    val sizes = short.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.size == 8 && sizes.values.forall(_ == Similarity.HamShortK), sizes)
+    // recall@5 of the full two-stage query vs exact brute force: sign
+    // codes on clusterless random 64-dim vectors are a coarse angle
+    // sketch, but a 20-candidate net re-ranked exactly must clear 4x
+    // the random-overlap bar (5/n per slot; measured 0.45 at sf0.001,
+    // 0.175 at sf0.01)
+    val r = recallVsBruteForce("q_sim_hamming")
+    info(f"hamming+rerank recall@5 = $r%.3f (n=$n)")
+    assert(r >= 4.0 * 5 / n, f"recall at the random bar: $r%.3f")
+  }
+
+  test("rare-bigram fluency filter: hand-computed fixture and invariants") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // 5 bigrams
+      (2L, "the cat sat on the rug"),   // shares 4 bigrams with doc 1
+      (3L, "zqx glorf the cat"),        // 2 invented transitions + 1 shared
+      (4L, "one")                       // no bigrams -> NULL ratio
+    ).toDF("doc_id", "text")
+    val got = TextOps.rareBigram(docs)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // corpus counts: "the cat"x3, "cat sat"x2, "sat on"x2, "on the"x2,
+    // "the mat"x1, "the rug"x1, "zqx glorf"x1, "glorf the"x1 — with
+    // RareBigramMax=2 everything except "the cat" is rare
+    assert(got(1L) == ((5L, 4L, Some(0.8))), got(1L))
+    assert(got(2L) == ((5L, 4L, Some(0.8))), got(2L))
+    assert(got(3L) == ((3L, 2L, Some(0.666667))), got(3L))
+    assert(got(4L) == ((0L, 0L, None)), got(4L))
+    // fixture-wide invariants: n_rare ≤ n_bigrams, ratio ∈ [0,1], one
+    // row per document
+    val all = TextOps.qRareBigram.build(spark, sf)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(all.length == Tables.documents(spark, sf).count())
+    assert(all.forall { case (_, nb, nr, ratio) =>
+      nr <= nb && ratio.forall(x => x >= 0.0 && x <= 1.0) })
+  }
 }

@@ -53,7 +53,12 @@ class ScaleLintSpec extends SparkSpec {
       // two-stage rerank: stage 1 IS q_sim_ivfpq_res's plan (the
       // exempt bounded broadcast shapes above); stage 2 adds only
       // broadcast EQUI-joins on the RerankK·NQueries shortlist
-      "q_sim_ivfpq_rerank")
+      "q_sim_ivfpq_rerank",
+      // binary-quantization ANN: corpus codes × the fixed query-code
+      // set (same n × NQueries shape as q_sim_topk, but each probe is
+      // one xor+popcount over 8-byte codes); the re-rank stage adds
+      // only broadcast equi-joins on the HamShortK·NQueries shortlist
+      "q_sim_hamming")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right

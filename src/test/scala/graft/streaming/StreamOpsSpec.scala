@@ -365,6 +365,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_hamming_search: streamed sign-code shortlist equals the batch " +
+      "Hamming shortlist, and the shared re-rank reproduces q_sim_hamming") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val codes = graft.operators.Similarity.hammingCodes(e)
+    val rows = e.where(col("vec_id") < 8).as[VecRow].collect().sortBy(_.vec_id)
+    val in = MemoryStream[VecRow](spark)
+    val q = StreamOps.hammingSearchStream(in.toDF(), codes)
+      .writeStream.format("memory").queryName("s_hamming_search")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val t = spark.table("s_hamming_search")
+      val streamed = t.withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id").cast("long"), col("neighbor_id"))
+      val got = streamed.as[(Long, Long)].collect().toSet
+      val expect = graft.operators.Similarity.hammingShortlist(e)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expect,
+        s"shortlist diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+      // streamed shortlist + the batch stage-2 re-rank ≡ the full query
+      val reranked = graft.operators.Similarity
+        .hammingRerank(e, streamed.toDF("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+      val full = graft.operators.Similarity.qSimHamming.build(spark, sf)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(reranked == full,
+        s"reranked diverged: ${reranked.diff(full).take(5)} vs ${full.diff(reranked).take(5)}")
+    } finally q.stop()
+  }
+
   /** Run `body` with the RocksDB state-store provider — the 100 TB path
     * for the corpus-shaped membership states (VERDICT r5 item 5). */
   private def withRocksDb[T](body: => T): T = {
