@@ -1264,10 +1264,143 @@ object TextOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- BM25
+
+  /** Query-doc prefix for BM25 retrieval (mirrors Similarity.NQueries). */
+  private val Bm25NQueries = 8
+  /** Result depth per query (mirrors Similarity.TopK). */
+  private val Bm25TopK = 5
+  /** Fixed-point scale (2^20) for the order-independent score sum. */
+  private val Bm25Fx = 1048576L
+
+  /** BM25 more-like-this retrieval over the 3-shingle inverted index —
+    * the lexical-retrieval complement of the vector-ANN family
+    * (`q_sim_*`): for each of the first [[Bm25NQueries]] docs, rank all
+    * other docs by BM25 (k1 = 1.2, b = 0.75) over the query doc's
+    * shingle terms, keeping the [[Bm25TopK]] best. Terms here are
+    * OCCURRENCE-counted 3-shingles (no per-doc distinct — tf is the
+    * real within-doc term frequency), hashed through the portable
+    * 60-bit h60. The word-level variant is degenerate on any corpus
+    * with heavy-tailed stopwords (and vacuous on the fixture's 31-token
+    * vocabulary, df ≈ 0.8·N for every word); phrase-level terms are how
+    * production more-like-this runs (Elasticsearch MLT with shingle
+    * analyzers), and they make the df-cap a principled stopword prune.
+    *
+    * Determinism discipline: BM25's idf uses the raw odds ratio
+    * (N − df + ½)/(df + ½) instead of its log — a per-term monotone
+    * transform, so each term's contribution keeps BM25's tf-saturation
+    * and length-normalization shape while avoiding the one
+    * transcendental whose libm could diverge between engines. With
+    * k1 = 6/5 and b = 3/4 every factor clears to integers:
+    *   tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) = 22·tf·T / (10·tf·T + 3T + 9·dl·N)
+    *   (N−df+½)/(df+½)                     = (2N−2df+1) / (2df+1)
+    * (T = total corpus shingles, so avgdl = T/N never materializes as a
+    * rounded value). Each factor is one correctly-rounded BIGINT→double
+    * cast + division, the product is floored to [[Bm25Fx]] fixed-point,
+    * and the per-pair score is an exact integer SUM — order-independent
+    * across any partial-aggregation schedule, like the PQ training sums.
+    *
+    * Scale shape: tf is one explode + hash agg; df one more agg over tf
+    * (both map-side combined); the query-term frame is tiny (≤ NQueries
+    * docs' shingles) and BROADCAST, so neither join shuffles the corpus;
+    * candidate volume is Σ df(kept terms) ≤ terms·[[NgramStopDf]] and
+    * every join key carries ≤ NgramStopDf postings corpus-wide — the
+    * same provably-skew-free argument as q_rare_bigram's rare keys (hot
+    * shingles are exactly the ones the df-cap prunes, and BM25 is the
+    * scoring function for which that prune is principled: their idf ≈ 0).
+    * dl rides the tf grouping key (functionally dependent on doc_id), so
+    * no doc-level side join; final rank through the bounded-heap
+    * TopKPerGroup plan, never a bare corpus-wide window. */
+  val qBm25: Q = Q(
+    "q_bm25",
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      shq AS (SELECT doc_id, CAST(greatest(len(l) - 2, 0) AS BIGINT) AS dl,
+                     unnest(list_transform(range(1, greatest(len(l)-1, 1)),
+                       i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS sh
+              FROM toks WHERE len(l) >= 3),
+      hs AS (SELECT doc_id, dl, ${h60Sql("sh")} AS h FROM shq),
+      tf AS (SELECT doc_id, dl, h, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM hs GROUP BY doc_id, dl, h),
+      dfx AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY h),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(greatest(len(l) - 2, 0)) AS BIGINT) AS t FROM toks),
+      qt AS (SELECT tf.doc_id AS query_id, tf.h, dfx.df
+             FROM tf JOIN dfx USING (h)
+             WHERE tf.doc_id < $Bm25NQueries AND dfx.df <= $NgramStopDf),
+      cand AS (SELECT qt.query_id, tf.doc_id AS neighbor_id, tf.tf, tf.dl, qt.df
+               FROM tf JOIN qt ON tf.h = qt.h AND tf.doc_id <> qt.query_id),
+      contrib AS (SELECT c.query_id, c.neighbor_id,
+          CAST(floor((CAST(22 * c.tf * st.t AS DOUBLE)
+                      / CAST(10 * c.tf * st.t + 3 * st.t + 9 * c.dl * st.n AS DOUBLE))
+                     * (CAST(2 * st.n - 2 * c.df + 1 AS DOUBLE)
+                        / CAST(2 * c.df + 1 AS DOUBLE)) * $Bm25Fx.0) AS BIGINT) AS fx
+          FROM cand c CROSS JOIN st),
+      sc AS (SELECT query_id, neighbor_id, CAST(SUM(fx) AS BIGINT) AS sfx
+             FROM contrib GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, sfx,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sfx DESC, neighbor_id ASC) AS rnk
+                 FROM sc)
+      SELECT query_id, neighbor_id,
+             CAST(sfx AS DOUBLE) / $Bm25Fx.0 AS score,
+             CAST(rnk AS BIGINT) AS rank
+      FROM ranked WHERE rnk <= $Bm25TopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) => bm25MoreLikeThis(Tables.documents(s, dir)) }
+
+  /** The [[qBm25]] plan against an explicit documents frame. */
+  def bm25MoreLikeThis(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    // occurrence shingles (NO array_distinct — tf is real), dl riding along
+    val hs = t.where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        greatest(size(col("l")) - 2, lit(0)).cast("long").as("dl"),
+        explode(expr(
+          """transform(sequence(1, size(l)-2),
+             i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
+          .as("sh"))
+      .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
+    val tf = hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val st = t.agg(count(lit(1)).as("n"),
+      sum(greatest(size(col("l")) - 2, lit(0))).cast("long").as("t"))
+    // query-term frame: tiny, broadcast into both joins below
+    val qt = dfx.join(
+        broadcast(tf.where(col("doc_id") < Bm25NQueries)
+          .select(col("doc_id").as("query_id"), col("h"))), "h")
+      .where(col("df") <= NgramStopDf)
+      .select("query_id", "h", "df")
+    val cand = tf.join(broadcast(qt), "h")
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        floor(((lit(22) * col("tf") * col("t")).cast("double")
+            / (lit(10) * col("tf") * col("t") + lit(3) * col("t")
+               + lit(9) * col("dl") * col("n")).cast("double"))
+          * ((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double")
+             / (lit(2) * col("df") + lit(1)).cast("double"))
+          * lit(Bm25Fx.toDouble)).cast("long").as("fx"))
+    val sc = cand.groupBy("query_id", "neighbor_id")
+      .agg(sum("fx").cast("long").as("sfx"))
+    val pruned = graft.plans.TopK.perGroup(sc, Bm25TopK, Seq("query_id"),
+      Seq(col("sfx").desc, col("neighbor_id").asc))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sfx").desc, col("neighbor_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("sfx").cast("double") / Bm25Fx.toDouble).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,
     qNgramContainment, qMinhashEst, qHeavyHitters, qTextNormalize,
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
-    qDedupCluster, qClusterRep, qDedupVerdict, qLangMix, qRareBigram)
+    qDedupCluster, qClusterRep, qDedupVerdict, qLangMix, qRareBigram,
+    qBm25)
 }

@@ -768,4 +768,79 @@ class LlmOpsSpec extends SparkSpec {
     assert(all.forall { case (_, nb, nr, ratio) =>
       nr <= nb && ratio.forall(x => x >= 0.0 && x <= 1.0) })
   }
+
+  test("BM25 more-like-this: independent reference scorer, df-cap prune, invariants") {
+    // Independent reimplementation of the declared scoring (raw shingle
+    // strings as terms — h60 is collision-free on this fixture), same
+    // operation order so fixed-point longs compare exactly.
+    def refBm25(docs: Seq[(Long, String)], nq: Long, cap: Long, k: Int)
+        : Seq[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val sh = toks.collect { case (id, l) if l.size >= 3 =>
+        id -> (0 to l.size - 3).map(i => l.slice(i, i + 3).mkString(" ")) }
+      val tf = sh.flatMap { case (id, ss) => ss.map(s => (id, s)) }
+        .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val df = tf.keys.toSeq.groupBy(_._2).map { case (s, ks) => s -> ks.size.toLong }
+      val dl = sh.map { case (id, ss) => id -> ss.size.toLong }.toMap
+      val n = docs.size.toLong
+      val t = toks.map { case (_, l) => math.max(l.size - 2, 0).toLong }.sum
+      val pairs = for {
+        (qid, qsh) <- sh if qid < nq
+        term <- qsh.distinct if df(term) <= cap
+        ((did, s), f) <- tf if s == term && did != qid
+      } yield {
+        val fx = math.floor(
+          ((22L * f * t).toDouble / (10L * f * t + 3L * t + 9L * dl(did) * n).toDouble)
+            * ((2L * n - 2L * df(term) + 1L).toDouble / (2L * df(term) + 1L).toDouble)
+            * 1048576.0).toLong
+        ((qid, did), fx)
+      }
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .groupBy(_._1._1).toSeq.flatMap { case (qid, scored) =>
+          scored.sortBy { case ((_, did), sfx) => (-sfx, did) }.take(k)
+            .zipWithIndex.map { case (((q, d), sfx), i) => (q, d, sfx, i + 1L) }
+        }.sortBy(r => (r._1, r._4))
+    }
+    // seven docs share the boilerplate "click here now" (df = 7 > cap 5,
+    // pruned whole); 5 and 6 share ONLY boilerplate-born shingles
+    val fixture = Seq(
+      0L -> "alpha beta gamma delta click here now",
+      1L -> "alpha beta gamma zeta eta click here now",
+      2L -> "theta iota kappa click here now",
+      3L -> "theta iota kappa lambda click here now",
+      4L -> "mu nu xi omicron pi click here now",
+      5L -> "foo1 foo2 click here now",
+      6L -> "bar1 bar2 click here now",
+      10L -> "alpha beta gamma delta epsilon sigma",
+      11L -> "theta iota kappa lambda rho tau")
+    val got = TextOps.bm25MoreLikeThis(fixture.toDF("doc_id", "text"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("score") * 1048576.0).cast("long").as("sfx"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = refBm25(fixture, nq = 8L, cap = 5L, k = 5)
+    assert(got == want, s"\ngot  = $got\nwant = $want")
+    // the pure-boilerplate pair never appears: its only shared phrase has
+    // df 7 and was pruned (both directions — 5 and 6 are both queries)
+    assert(!got.exists(r => (r._1 == 5L && r._2 == 6L) || (r._1 == 6L && r._2 == 5L)),
+      s"df-cap failed to prune the boilerplate-only pair: $got")
+    // but each still retrieves something through its unique shingles'
+    // neighbors ("foo2 click here" etc. keep them connected to nothing —
+    // doc 5/6 DO appear as neighbors of others only via sub-cap shingles)
+    // fixture invariants at sf0.001: ≤5 per query, ranks consecutive,
+    // scores non-increasing, no self-matches, bounded-heap plan
+    val full = SparkEntry.queries("q_bm25")(spark, sf)
+    full.collect()
+    val p = full.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"q_bm25 plan lacks bounded-heap top-k:\n$p")
+    val rows = full.as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(qid < 8L && rs.length <= 5)
+      assert(rs.map(_._4).sorted.sameElements(1L to rs.length))
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+      assert(rs.forall(_._2 != qid))
+    }
+  }
 }
