@@ -32,7 +32,7 @@ object TextOps extends QueryPack {
 
   /** Portable 60-bit hash: md5 hex prefix → bigint, mod P.
     * Spark `conv(hex,16,10)` == DuckDB `CAST('0x'||hex AS BIGINT)`. */
-  private def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT) % $P"
@@ -1271,7 +1271,7 @@ object TextOps extends QueryPack {
   /** Result depth per query (mirrors Similarity.TopK). */
   private val Bm25TopK = 5
   /** Fixed-point scale (2^20) for the order-independent score sum. */
-  private val Bm25Fx = 1048576L
+  private[graft] val Bm25Fx = 1048576L
 
   /** BM25 more-like-this retrieval over the 3-shingle inverted index —
     * the lexical-retrieval complement of the vector-ANN family
@@ -1395,6 +1395,55 @@ object TextOps extends QueryPack {
         col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** The SERVED BM25 index over a corpus: df-capped postings
+    * `(h, df, neighbor_id, dl, tf)` — exactly the candidate rows the
+    * batch [[qBm25]] join can produce (terms with df > [[NgramStopDf]]
+    * never match, so the served index simply omits them: the df-cap
+    * prune baked into the artifact). The streaming search twin
+    * ([[graft.streaming.StreamOps.bm25SearchStream]]) scans this as its
+    * stream-static side. */
+  def bm25ServedIndex(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    val hs = t.where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        greatest(size(col("l")) - 2, lit(0)).cast("long").as("dl"),
+        explode(expr(
+          """transform(sequence(1, size(l)-2),
+             i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
+          .as("sh"))
+      .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
+    val tf = hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= NgramStopDf)
+    tf.join(dfx, "h")
+      .select(col("h"), col("df"), col("doc_id").as("neighbor_id"),
+        col("dl"), col("tf"))
+  }
+
+  /** The corpus stats `(N docs, T total shingles)` the BM25 score is
+    * parameterized by — index artifacts, collected once at index-build
+    * time (two longs, not data). */
+  def bm25Stats(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(split(col("text"), " ").as("l"))
+      .agg(count(lit(1)).as("n"),
+        sum(greatest(size(col("l")) - 2, lit(0))).cast("long").as("t"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Per-term BM25 contribution in 2^20 fixed point — the EXACT
+    * arithmetic of [[qBm25]]'s `contrib` stage (two correctly-rounded
+    * BIGINT→double divisions, product, floor), shared with the
+    * streaming search twin so streamed scores are bit-identical. */
+  private[graft] def bm25FxCol(tf: Column, dl: Column, df: Column,
+      n: Long, t: Long): Column =
+    floor(((lit(22) * tf * lit(t)).cast("double")
+        / (lit(10) * tf * lit(t) + lit(3) * lit(t)
+           + lit(9) * dl * lit(n)).cast("double"))
+      * ((lit(2) * lit(n) - lit(2) * df + lit(1)).cast("double")
+         / (lit(2) * df + lit(1)).cast("double"))
+      * lit(Bm25Fx.toDouble)).cast("long")
 
   override def all: Seq[Q] = Seq(
     qDedupExact, qMinhashDedup, qSimhashDedup, qNgramJaccard,

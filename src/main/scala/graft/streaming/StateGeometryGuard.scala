@@ -125,6 +125,15 @@ object StateGeometryGuard {
       "cells" -> cellHash(cells),
       "codebooks" -> codebookHash(codebooks)))
 
+  /** The corpus-era fingerprint of [[StreamOps.bm25SearchStream]]: BM25
+    * scores are parameterized by the indexed corpus's (N, T) stats and
+    * the df-cap — a leaderboard accumulated under one index era is not
+    * comparable with scores computed against a re-indexed corpus, so a
+    * resume across an index rebuild must fail loudly (fresh checkpoint
+    * + re-serve, the [[PqMigration]] discipline). */
+  def bm25(n: Long, t: Long, dfCap: Int): Family =
+    Family("bm25-index", Seq("n" -> n, "t" -> t, "dfCap" -> dfCap.toLong))
+
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")
 

@@ -807,6 +807,91 @@ object StreamOps {
       idCol = "neighbor_id")
   }
 
+  /** `s_bm25_search`: streaming LEXICAL retrieval over the static BM25
+    * index — the search twin of the batch `q_bm25`, and the lexical
+    * counterpart of [[pqSearchStream]] (vector ANN serving). Arriving
+    * query docs are answered from the served df-capped postings index
+    * ([[graft.operators.TextOps.bm25ServedIndex]]) per micro-batch:
+    *
+    *  - the query's distinct shingle terms are extracted in the ARRAY
+    *    domain (`array_distinct` inside the projection — a stateless
+    *    map, never a streaming `dropDuplicates`);
+    *  - the stream-static equi-join on the term hash touches only the
+    *    capped postings (every key ≤ NgramStopDf rows corpus-wide — the
+    *    batch query's provably-skew-free candidate bound);
+    *  - per-term contributions use the EXACT batch arithmetic
+    *    ([[graft.operators.TextOps.bm25FxCol]], fixed-point floor), so
+    *    streamed scores are bit-identical to `q_bm25`'s;
+    *  - ranking state is a bounded per-query heap (k rows per query,
+    *    like [[topkStream]]) — but with a per-batch PRE-SUM: all of a
+    *    query's candidate rows derive from its single arriving row, so
+    *    they land in one micro-batch and the per-(query, neighbor) SUM
+    *    closes batch-locally before the heap merge. A re-delivered
+    *    query recomputes identical sums and REPLACES its neighbors'
+    *    entries (dedup by neighbor id) — idempotent, never duplicated
+    *    leaderboard slots.
+    *
+    * `n`/`t` are the indexed corpus's stats ([[graft.operators.TextOps
+    * .bm25Stats]]); `checkpointLocation` binds the (n, t, dfCap) index
+    * era — BM25 scores are only comparable within one index build, so a
+    * resume across a corpus re-index fails loudly (fresh checkpoint +
+    * re-serve, the PqMigration discipline). */
+  def bm25SearchStream(queries: DataFrame,
+      index: DataFrame,
+      n: Long,
+      t: Long,
+      k: Int = 5,
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation,
+      StateGeometryGuard.bm25(n, t, graft.operators.TextOps.NgramStopDf))
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val inEnc: Encoder[(Long, Long, Long)] = Encoders.product
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[(Long, Array[(Long, Long)])] = ExpressionEncoder()
+    implicit val outEnc: Encoder[(Long, Long, Int, Long, Double)] = Encoders.product
+
+    val fxScale = graft.operators.TextOps.Bm25Fx.toDouble
+    val qh = queries
+      .select(col("doc_id").as("query_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 3)
+      .select(col("query_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(l)-2),
+           i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))""")))
+        .as("sh"))
+      .select(col("query_id"), graft.operators.TextOps.h60(col("sh")).as("h"))
+    val scored = qh.join(index, "h")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.operators.TextOps.bm25FxCol(
+          col("tf"), col("dl"), col("df"), n, t).as("fx"))
+
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[(Long, Long)]),
+        (Long, Long, Int, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (qid, batch, state: GroupState[(Long, Array[(Long, Long)])]) =>
+          val (ver, top) = state.getOption.getOrElse((0L, Array.empty[(Long, Long)]))
+          // batch-local per-neighbor sum (a query's candidates are
+          // batch-atomic), then neighbor-dedup merge: new sums replace
+          val sums = batch.foldLeft(Map.empty[Long, Long]) {
+            case (m, (_, nb, fx)) => m.updated(nb, m.getOrElse(nb, 0L) + fx)
+          }
+          // NOTE: .toSeq BEFORE the swap — mapping a Map to (sfx, nb)
+          // would re-key by sfx and silently collapse score TIES
+          val merged = (top.filterNot { case (_, nb) => sums.contains(nb) }
+              ++ sums.toSeq.map { case (nb, sfx) => (sfx, nb) })
+            .sortBy { case (sfx, nb) => (-sfx, nb) }
+            .take(k)
+          val nextVer = ver + 1
+          state.update((nextVer, merged))
+          merged.iterator.zipWithIndex.map { case ((sfx, nb), i) =>
+            (qid, nextVer, i + 1, nb, sfx.toDouble / fxScale)
+          }
+      }
+      .toDF("query_id", "ver", "rank", "neighbor_id", "score")
+  }
+
   /** `s_ivfpq_encode`: STATELESS streaming residual IVF-PQ encoder —
     * the compress-on-ingest twin of the batch `q_sim_ivfpq_res` index
     * build. Each arriving vector (a) routes to its cosine-nearest cell

@@ -15,6 +15,7 @@ case class PackDoc(lang: String, doc_id: Long, n_tok: Long)
 case class FuzzyArrival(id: Long, name: String)
 case class FunnelEv(user_id: Long, event_type: String, us: Long)
 case class VecRow(vec_id: Long, embedding: Seq[Float])
+case class DocText(doc_id: Long, text: String)
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -333,6 +334,45 @@ class StreamOpsSpec extends SparkSpec {
         .as[(Long, Int, Long)].collect().toSet
       assert(got == expect,
         s"diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("s_bm25_search: streaming lexical retrieval from the served index " +
+      "equals the batch q_bm25 leaderboard exactly, re-delivery idempotent") {
+    val docs = graft.Tables.documents(spark, sf)
+    val index = graft.operators.TextOps.bm25ServedIndex(docs)
+    val (n, t) = graft.operators.TextOps.bm25Stats(docs)
+    // the batch query set (doc_id < 8) arrives as a STREAM across
+    // micro-batches; the postings index and (n, t) stats are static
+    val rows = docs.where(col("doc_id") < 8)
+      .select(col("doc_id"), col("text")).as[DocText].collect().sortBy(_.doc_id)
+    val in = MemoryStream[DocText](spark)
+    val q = StreamOps.bm25SearchStream(in.toDF(), index, n, t, k = 5,
+      checkpointLocation = StreamOps.EphemeralState)
+      .writeStream.format("memory").queryName("s_bm25_search")
+      .outputMode("append").start()
+    def leaderboard(): Set[(Long, Int, Long, Double)] = {
+      val tab = spark.table("s_bm25_search")
+      tab.withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    try {
+      rows.grouped(3).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val expect = graft.operators.TextOps.qBm25.build(spark, sf)
+        .select(col("query_id"), col("rank").cast("int"),
+          col("neighbor_id"), col("score"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val got = leaderboard()
+      assert(got == expect,
+        s"diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+      // re-deliver a query doc: identical sums REPLACE its neighbors'
+      // entries (dedup by id) — leaderboard unchanged, no duplicate slots
+      in.addData(rows.head); q.processAllAvailable()
+      assert(leaderboard() == expect, "re-delivery changed the leaderboard")
     } finally q.stop()
   }
 
