@@ -27,7 +27,8 @@ object SparkEntry {
     TrainPrep,
     Events,
     Corpus,
-    Bucketing
+    Bucketing,
+    Retrieval
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the fusion layer production search stacks run on
+  * top of the two retrieval families this engine already ships: lexical
+  * (BM25 over the shingle inverted index, [[TextOps.qBm25]]) and vector
+  * (cosine over the embedding column, [[Similarity]]'s ANN family). The
+  * `documents` and `embeddings` fixtures share one id space (doc_id ≡
+  * vec_id), so a query doc has both a lexical and a vector
+  * representation — exactly the hybrid-search setup.
+  */
+object Retrieval extends QueryPack {
+
+  /** Leg depth fed into the fusion (both legs contribute their top 20). */
+  private val FuseDepth = 20
+  /** Reciprocal-rank-fusion smoothing constant (the k=60 of Cormack &
+    * Clarke's original RRF — SIGIR'09). */
+  private val RrfC = 60
+  /** Fixed-point numerator: `RrfFx DIV (RrfC + rank)` is EXACT integer
+    * arithmetic — 1/(60+r) never materializes as a float, so fused
+    * scores are bit-identical in any engine and any sum order (the
+    * quotients are distinct for every rank ≤ FuseDepth, preserving
+    * RRF's strict rank discount). */
+  private val RrfFx = 1048576L
+  /** Fused results per query. */
+  private val FuseTopK = 5
+
+  /** Reciprocal-rank fusion of the lexical and vector top-[[FuseDepth]]
+    * lists: score(d) = Σ_legs RrfFx DIV (RrfC + rank_leg(d)), missing
+    * legs contribute 0 — the standard hybrid-search combiner (RRF beats
+    * score-interpolation because it needs NO score calibration between
+    * BM25's unbounded sums and cosine's [−1, 1]; only ranks cross the
+    * leg boundary, which also makes the fusion integer-exact).
+    *
+    * Scale shape: both legs end in their own bounded-heap top-k plans,
+    * so the fusion input is ≤ 2·NQueries·FuseDepth rows — the full
+    * outer join and final heap are driver-trivial at ANY corpus size;
+    * the heavy lifting stays inside the two legs' established plans
+    * (df-capped skew-free postings join; corpus × fixed-query-set
+    * cosine scan, the q_sim_topk exemption — at production scale the
+    * vector leg swaps to q_sim_ivfpq_res's compressed index, same
+    * (query_id, neighbor_id, rank) contract). */
+  val qHybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    Some(s"""
+      WITH ${TextOps.bm25OracleCtes},
+      ltop AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank_lex
+               FROM ranked WHERE rnk <= $FuseDepth),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+            WHERE vec_id < ${Similarity.NQueries}),
+      vscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         ${Similarity.cosSql("qv", "e.embedding")} AS cos
+                  FROM q, e WHERE e.vec_id <> query_id),
+      vranked AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM vscored),
+      vtop AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank_vec
+               FROM vranked WHERE rnk <= $FuseDepth),
+      fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                       COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+                       CAST(COALESCE($RrfFx // ($RrfC + l.rank_lex), 0)
+                            + COALESCE($RrfFx // ($RrfC + v.rank_vec), 0) AS BIGINT) AS rrf_fx,
+                       l.rank_lex, v.rank_vec
+                FROM ltop l FULL OUTER JOIN vtop v
+                  ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id),
+      franked AS (SELECT query_id, neighbor_id, rrf_fx, rank_lex, rank_vec,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rrf_fx DESC, neighbor_id ASC) AS rnk
+                  FROM fused)
+      SELECT query_id, neighbor_id, rrf_fx, rank_lex, rank_vec,
+             CAST(rnk AS BIGINT) AS rank
+      FROM franked WHERE rnk <= $FuseTopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    hybridRrf(
+      TextOps.bm25Ranked(Tables.documents(s, dir), FuseDepth)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lex")),
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), FuseDepth)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
+  }
+
+  /** RRF over two ranked legs `(query_id, neighbor_id, rank_lex|vec)` —
+    * leg-agnostic, so callers can swap the exact-cosine leg for any ANN
+    * variant's (query_id, neighbor_id, rank) output. */
+  def hybridRrf(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(expr(s"$RrfFx DIV ($RrfC + rank_lex)"), lit(0L))
+          + coalesce(expr(s"$RrfFx DIV ($RrfC + rank_vec)"), lit(0L))).as("rrf_fx"),
+        col("rank_lex"), col("rank_vec"))
+    val pruned = graft.plans.TopK.perGroup(fused, FuseTopK, Seq("query_id"),
+      Seq(col("rrf_fx").desc, col("neighbor_id").asc))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fx").desc, col("neighbor_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= FuseTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_fx"),
+        col("rank_lex"), col("rank_vec"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  override def all: Seq[Q] = Seq(qHybridRrf)
+}

@@ -33,8 +33,8 @@ object VectorOps {
 object Similarity extends QueryPack {
   import VectorOps._
 
-  private val NQueries = 8
-  private val TopK     = 5
+  private[graft] val NQueries = 8
+  private val TopK             = 5
 
   /** Oracle-side cosine with EXPLICIT double casts mirroring
     * [[graft.functions.DotProduct]]: elements cast to DOUBLE before the
@@ -46,7 +46,7 @@ object Similarity extends QueryPack {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Exact brute-force cosine top-k for a small query set (the baseline

@@ -1311,10 +1311,13 @@ object TextOps extends QueryPack {
     * dl rides the tf grouping key (functionally dependent on doc_id), so
     * no doc-level side join; final rank through the bounded-heap
     * TopKPerGroup plan, never a bare corpus-wide window. */
-  val qBm25: Q = Q(
-    "q_bm25",
-    Some(s"""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  /** The full BM25 oracle CTE chain (shingles → tf/df/stats → capped
+    * query terms → fixed-point contributions → per-pair sums → dense
+    * rank), shared by [[qBm25]] and the hybrid-fusion oracle. Ends at
+    * `ranked(query_id, neighbor_id, sfx, rnk)`; consumers filter to
+    * their depth. */
+  private[graft] def bm25OracleCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       shq AS (SELECT doc_id, CAST(greatest(len(l) - 2, 0) AS BIGINT) AS dl,
                      unnest(list_transform(range(1, greatest(len(l)-1, 1)),
                        i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS sh
@@ -1341,7 +1344,12 @@ object TextOps extends QueryPack {
       ranked AS (SELECT query_id, neighbor_id, sfx,
                         row_number() OVER (PARTITION BY query_id
                                            ORDER BY sfx DESC, neighbor_id ASC) AS rnk
-                 FROM sc)
+                 FROM sc)""".stripMargin
+
+  val qBm25: Q = Q(
+    "q_bm25",
+    Some(s"""
+      WITH $bm25OracleCtes
       SELECT query_id, neighbor_id,
              CAST(sfx AS DOUBLE) / $Bm25Fx.0 AS score,
              CAST(rnk AS BIGINT) AS rank
@@ -1350,8 +1358,10 @@ object TextOps extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) => bm25MoreLikeThis(Tables.documents(s, dir)) }
 
-  /** The [[qBm25]] plan against an explicit documents frame. */
-  def bm25MoreLikeThis(docs: DataFrame): DataFrame = {
+  /** The per-(query, neighbor) BM25 fixed-point sums — [[qBm25]]'s plan
+    * up to (but not including) the rank stage, reusable at any result
+    * depth (the hybrid-fusion query ranks the same sums deeper). */
+  def bm25Sums(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
     // occurrence shingles (NO array_distinct — tf is real), dl riding along
     val hs = t.where(size(col("l")) >= 3)
@@ -1382,19 +1392,31 @@ object TextOps extends QueryPack {
           * ((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double")
              / (lit(2) * col("df") + lit(1)).cast("double"))
           * lit(Bm25Fx.toDouble)).cast("long").as("fx"))
-    val sc = cand.groupBy("query_id", "neighbor_id")
+    cand.groupBy("query_id", "neighbor_id")
       .agg(sum("fx").cast("long").as("sfx"))
-    val pruned = graft.plans.TopK.perGroup(sc, Bm25TopK, Seq("query_id"),
+  }
+
+  /** [[bm25Sums]] ranked to the top `k` per query through the
+    * bounded-heap plan: `(query_id, neighbor_id, sfx, rank)`. */
+  def bm25Ranked(docs: DataFrame, k: Int): DataFrame = {
+    val sc = bm25Sums(docs)
+    val pruned = graft.plans.TopK.perGroup(sc, k, Seq("query_id"),
       Seq(col("sfx").desc, col("neighbor_id").asc))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sfx").desc, col("neighbor_id").asc)
     pruned.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= Bm25TopK)
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sfx"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** The [[qBm25]] plan against an explicit documents frame. */
+  def bm25MoreLikeThis(docs: DataFrame): DataFrame =
+    bm25Ranked(docs, Bm25TopK)
       .select(col("query_id"), col("neighbor_id"),
         (col("sfx").cast("double") / Bm25Fx.toDouble).as("score"),
-        col("rank").cast("long").as("rank"))
+        col("rank"))
       .orderBy("query_id", "rank")
-  }
 
   /** The SERVED BM25 index over a corpus: df-capped postings
     * `(h, df, neighbor_id, dl, tf)` — exactly the candidate rows the

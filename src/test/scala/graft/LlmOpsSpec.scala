@@ -843,4 +843,46 @@ class LlmOpsSpec extends SparkSpec {
       assert(rs.forall(_._2 != qid))
     }
   }
+
+  test("hybrid RRF fusion: independent recombination of the two legs, " +
+      "both-leg dominance, bounded-heap plan") {
+    import graft.operators.{Retrieval, TextOps, Similarity}
+    // the two legs as the fusion consumes them
+    val lex = TextOps.bm25Ranked(Tables.documents(spark, sf), 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    val vec = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    // independent RRF recombination in plain Scala
+    val lexM = lex.map(r => (r._1, r._2) -> r._3).toMap
+    val vecM = vec.map(r => (r._1, r._2) -> r._3).toMap
+    val want = (lexM.keySet ++ vecM.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq.map { k =>
+          val fx = lexM.get(k).map(r => 1048576L / (60L + r)).getOrElse(0L) +
+            vecM.get(k).map(r => 1048576L / (60L + r)).getOrElse(0L)
+          (k._2, fx, lexM.get(k), vecM.get(k))
+        }.sortBy { case (nid, fx, _, _) => (-fx, nid) }.take(5)
+          .zipWithIndex.map { case ((nid, fx, rl, rv), i) =>
+            (qid, nid, fx, rl, rv, i + 1L) }
+    }.toSet
+    val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"fusion lacks bounded-heap top-k:\n$plan")
+    val got = df.as[(Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+    assert(got == want, s"diverged: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+    // RRF's defining property on this fixture: any neighbor present in
+    // BOTH legs outscores every single-leg rank-1 (2 legs at depth ≤ 20
+    // give fx ≥ 2·(2^20/80) > 2^20/61)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val both = rs.filter(r => r._4.isDefined && r._5.isDefined)
+      val single1 = rs.filter(r =>
+        (r._4.isEmpty || r._5.isEmpty) && (r._4.contains(1L) || r._5.contains(1L)))
+      for (b <- both; s1 <- single1)
+        assert(b._3 > s1._3, s"both-leg $b not above single-leg rank-1 $s1")
+    }
+  }
 }

@@ -58,7 +58,12 @@ class ScaleLintSpec extends SparkSpec {
       // set (same n × NQueries shape as q_sim_topk, but each probe is
       // one xor+popcount over 8-byte codes); the re-rank stage adds
       // only broadcast equi-joins on the HamShortK·NQueries shortlist
-      "q_sim_hamming")
+      "q_sim_hamming",
+      // hybrid RRF fusion: the vector leg IS q_sim_topk's exempt
+      // corpus × fixed-query-set shape (leg-agnostic — swaps to the
+      // compressed-index ANN at scale); the fusion itself joins two
+      // ≤ NQueries·FuseDepth ranked lists
+      "q_hybrid_rrf")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
