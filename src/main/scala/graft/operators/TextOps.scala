@@ -1270,6 +1270,24 @@ object TextOps extends QueryPack {
   private val Bm25NQueries = 8
   /** Result depth per query (mirrors Similarity.TopK). */
   private val Bm25TopK = 5
+  /** SCALE-AWARE df-cap denominator: BM25 terms with corpus df >
+    * `max(NgramStopDf, N DIV Bm25DfFrac)` are pruned — a RELATIVE
+    * rarity threshold (df/N ≤ 1%), floored at the ngram family's
+    * absolute cap so the official small SFs keep their values
+    * bit-for-bit (the NCells/ndBits migration pattern). The r11 sf1
+    * audit caught why relative beats absolute here: with the fixed cap
+    * the 10× corpus pushed EVERY query term over df=5 and the
+    * retrieval surface silently emptied (0 rows, oracle agreeing) —
+    * the ngram-jaccard queries keep their fixed cap because theirs is
+    * a boilerplate prune (true near-dup shingles stay rare in absolute
+    * terms), but a retrieval index must keep matching as the corpus
+    * grows. Skew note: the postings join is BROADCAST on the tiny
+    * query-term side, so postings never shuffle by term — the cap
+    * bounds per-query candidate volume (Σ df ≤ terms·N/100, the
+    * standard BM25 postings-scan cost), not shuffle skew. */
+  private val Bm25DfFrac = 100
+  private[graft] def bm25DfCap(n: Long): Long =
+    math.max(NgramStopDf.toLong, n / Bm25DfFrac)
   /** Fixed-point scale (2^20) for the order-independent score sum. */
   private[graft] val Bm25Fx = 1048576L
 
@@ -1329,8 +1347,9 @@ object TextOps extends QueryPack {
       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                     CAST(SUM(greatest(len(l) - 2, 0)) AS BIGINT) AS t FROM toks),
       qt AS (SELECT tf.doc_id AS query_id, tf.h, dfx.df
-             FROM tf JOIN dfx USING (h)
-             WHERE tf.doc_id < $Bm25NQueries AND dfx.df <= $NgramStopDf),
+             FROM tf JOIN dfx USING (h) CROSS JOIN st
+             WHERE tf.doc_id < $Bm25NQueries
+               AND dfx.df <= greatest($NgramStopDf, st.n // $Bm25DfFrac)),
       cand AS (SELECT qt.query_id, tf.doc_id AS neighbor_id, tf.tf, tf.dl, qt.df
                FROM tf JOIN qt ON tf.h = qt.h AND tf.doc_id <> qt.query_id),
       contrib AS (SELECT c.query_id, c.neighbor_id,
@@ -1376,11 +1395,14 @@ object TextOps extends QueryPack {
     val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
     val st = t.agg(count(lit(1)).as("n"),
       sum(greatest(size(col("l")) - 2, lit(0))).cast("long").as("t"))
-    // query-term frame: tiny, broadcast into both joins below
+    // query-term frame: tiny, broadcast into both joins below; the
+    // df-cap derives from the corpus count (scale-aware, see bm25DfCap)
     val qt = dfx.join(
         broadcast(tf.where(col("doc_id") < Bm25NQueries)
           .select(col("doc_id").as("query_id"), col("h"))), "h")
-      .where(col("df") <= NgramStopDf)
+      .crossJoin(broadcast(st))
+      .where(col("df") <= greatest(lit(NgramStopDf.toLong),
+        expr(s"n DIV $Bm25DfFrac")))
       .select("query_id", "h", "df")
     val cand = tf.join(broadcast(qt), "h")
       .where(col("doc_id") =!= col("query_id"))
@@ -1436,8 +1458,9 @@ object TextOps extends QueryPack {
           .as("sh"))
       .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
     val tf = hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+    val cap = bm25DfCap(docs.count())
     val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") <= NgramStopDf)
+      .where(col("df") <= cap)
     tf.join(dfx, "h")
       .select(col("h"), col("df"), col("doc_id").as("neighbor_id"),
         col("dl"), col("tf"))

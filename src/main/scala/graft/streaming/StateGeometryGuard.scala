@@ -131,8 +131,8 @@ object StateGeometryGuard {
     * comparable with scores computed against a re-indexed corpus, so a
     * resume across an index rebuild must fail loudly (fresh checkpoint
     * + re-serve, the [[PqMigration]] discipline). */
-  def bm25(n: Long, t: Long, dfCap: Int): Family =
-    Family("bm25-index", Seq("n" -> n, "t" -> t, "dfCap" -> dfCap.toLong))
+  def bm25(n: Long, t: Long, dfCap: Long): Family =
+    Family("bm25-index", Seq("n" -> n, "t" -> t, "dfCap" -> dfCap))
 
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")

@@ -843,7 +843,7 @@ object StreamOps {
       k: Int = 5,
       checkpointLocation: String): DataFrame = {
     bindGeometry(checkpointLocation,
-      StateGeometryGuard.bm25(n, t, graft.operators.TextOps.NgramStopDf))
+      StateGeometryGuard.bm25(n, t, graft.operators.TextOps.bm25DfCap(n)))
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val inEnc: Encoder[(Long, Long, Long)] = Encoders.product
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong

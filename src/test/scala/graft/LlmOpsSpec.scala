@@ -813,6 +813,12 @@ class LlmOpsSpec extends SparkSpec {
       6L -> "bar1 bar2 click here now",
       10L -> "alpha beta gamma delta epsilon sigma",
       11L -> "theta iota kappa lambda rho tau")
+    // scale-aware df-cap: relative (N/100) above the absolute floor —
+    // official SFs keep cap=5 bit-for-bit, sf1 (50k docs) gets 500
+    // (the r11 sf1 audit caught the fixed cap silently emptying the
+    // retrieval surface at 10x corpus)
+    assert(TextOps.bm25DfCap(9) == 5L && TextOps.bm25DfCap(500) == 5L)
+    assert(TextOps.bm25DfCap(5000) == 50L && TextOps.bm25DfCap(50000) == 500L)
     val got = TextOps.bm25MoreLikeThis(fixture.toDF("doc_id", "text"))
       .select(col("query_id"), col("neighbor_id"),
         (col("score") * 1048576.0).cast("long").as("sfx"), col("rank"))
