@@ -1859,6 +1859,12 @@ object Similarity extends QueryPack {
     rankTopK(ivfPqResScores(s, dir), "score", TopK)
   }
 
+  /** The residual-ADC leg at an explicit depth — `(query_id,
+    * neighbor_id, rank)` through the bounded-heap plan. The hybrid
+    * fusion consumes this as its production vector leg. */
+  def ivfPqResTopK(s: SparkSession, dir: String, k: Int): DataFrame =
+    rankTopK(ivfPqResScores(s, dir), "score", k)
+
   /** How many ADC candidates survive into the exact re-rank stage. */
   private val RerankK = 20
 

@@ -134,6 +134,16 @@ object StateGeometryGuard {
   def bm25(n: Long, t: Long, dfCap: Long): Family =
     Family("bm25-index", Seq("n" -> n, "t" -> t, "dfCap" -> dfCap))
 
+  /** The combined fingerprint of [[StreamOps.hybridSearchStream]]: the
+    * fused leaderboard depends on BOTH index eras (lexical corpus stats
+    * + the residual-ADC cells/codebooks), so a resume across EITHER
+    * index rebuild must fail loudly. */
+  def hybrid(n: Long, t: Long, dfCap: Long,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): Family =
+    Family("hybrid-rrf", Seq("n" -> n, "t" -> t, "dfCap" -> dfCap,
+      "cells" -> cellHash(cells), "codebooks" -> codebookHash(codebooks)))
+
   private def marker(checkpointLocation: String) =
     Paths.get(checkpointLocation, "_graft_state_geometry.json")
 

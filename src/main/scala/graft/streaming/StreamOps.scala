@@ -851,21 +851,7 @@ object StreamOps {
     implicit val outEnc: Encoder[(Long, Long, Int, Long, Double)] = Encoders.product
 
     val fxScale = graft.operators.TextOps.Bm25Fx.toDouble
-    val qh = queries
-      .select(col("doc_id").as("query_id"), split(col("text"), " ").as("l"))
-      .where(size(col("l")) >= 3)
-      .select(col("query_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(l)-2),
-           i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))""")))
-        .as("sh"))
-      .select(col("query_id"), graft.operators.TextOps.h60(col("sh")).as("h"))
-    val scored = qh.join(index, "h")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.operators.TextOps.bm25FxCol(
-          col("tf"), col("dl"), col("df"), n, t).as("fx"))
-
-    scored.as[(Long, Long, Long)]
+    bm25ScoredStream(queries, index, n, t).as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Array[(Long, Long)]),
         (Long, Long, Int, Long, Double)](
@@ -890,6 +876,120 @@ object StreamOps {
           }
       }
       .toDF("query_id", "ver", "rank", "neighbor_id", "score")
+  }
+
+  /** The lexical leg's per-candidate scored frame `(query_id,
+    * neighbor_id, fx)` — [[bm25SearchStream]]'s stream-static pipeline
+    * up to (not including) the stateful rank, reused by the hybrid
+    * fusion stream. */
+  def bm25ScoredStream(queries: DataFrame, index: DataFrame,
+      n: Long, t: Long): DataFrame = {
+    val qh = queries
+      .select(col("doc_id").as("query_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 3)
+      .select(col("query_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(l)-2),
+           i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))""")))
+        .as("sh"))
+      .select(col("query_id"), graft.operators.TextOps.h60(col("sh")).as("h"))
+    qh.join(index, "h")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.operators.TextOps.bm25FxCol(
+          col("tf"), col("dl"), col("df"), n, t).as("fx"))
+  }
+
+  /** `s_hybrid_search`: streaming HYBRID retrieval — arriving query
+    * docs carrying both representations (`doc_id`, `text`,
+    * `embedding`) are answered by BOTH index families per micro-batch
+    * and fused with reciprocal-rank fusion, the full online hybrid
+    * search service (the streaming twin of the batch `q_hybrid_rrf`,
+    * with the production vector leg: the residual compressed index
+    * instead of the exact-cosine baseline).
+    *
+    *  - lexical leg: [[bm25ScoredStream]] against the served df-capped
+    *    postings (skew-free stream-static equi-join);
+    *  - vector leg: [[ivfPqScoredStream]] against the residual
+    *    compressed index (probe NProbe cells, ADC lookups — a query
+    *    scans cells, never the corpus);
+    *  - fusion: both legs' candidate rows derive from the query's
+    *    single arriving row, so they land in ONE micro-batch and the
+    *    per-query fmgs sees both COMPLETE candidate sets at once: it
+    *    ranks each leg to `fuseDepth` (lexical by exact fixed-point
+    *    sum, vector by ADC score — the legs' own tie disciplines),
+    *    fuses with exact integer RRF (RrfFx DIV (60+rank)), and keeps
+    *    the top `k`. State per query is the fused top-k ONLY; each
+    *    firing REPLACES it wholesale (a re-delivered query re-derives
+    *    identical complete legs — idempotent; a query doc UPDATE is
+    *    last-write-wins, the natural serving semantics).
+    *
+    * `checkpointLocation` binds BOTH index eras
+    * ([[StateGeometryGuard.hybrid]]) — the fused leaderboard depends on
+    * the lexical corpus stats AND the cells/codebooks, so a resume
+    * across either rebuild fails loudly. */
+  def hybridSearchStream(queries: DataFrame,
+      lexIndex: DataFrame,
+      n: Long,
+      t: Long,
+      vecIndex: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      k: Int = 5,
+      fuseDepth: Int = 20,
+      rrfC: Long = 60L,
+      rrfFx: Long = 1048576L,
+      nProbe: Int = 4,
+      checkpointLocation: String): DataFrame = {
+    bindGeometry(checkpointLocation, StateGeometryGuard.hybrid(
+      n, t, graft.operators.TextOps.bm25DfCap(n), cells, codebooks))
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val inEnc: Encoder[(Long, Int, Long, Long, Double)] = Encoders.product
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[(Long, Array[(Long, Long, Long, Long)])] =
+      ExpressionEncoder()
+    implicit val outEnc: Encoder[(Long, Long, Int, Long, Long, Long, Long)] =
+      Encoders.product
+
+    val lex = bm25ScoredStream(
+        queries.select(col("doc_id"), col("text")), lexIndex, n, t)
+      .select(col("query_id"), lit(0).as("leg"), col("neighbor_id"),
+        col("fx"), lit(0.0).as("score"))
+    val vec = ivfPqScoredStream(
+        queries.select(col("doc_id").as("vec_id"), col("embedding")),
+        vecIndex, cells, codebooks, nProbe)
+      .select(col("query_id"), lit(1).as("leg"), col("neighbor_id"),
+        lit(0L).as("fx"), col("score"))
+
+    lex.unionByName(vec).as[(Long, Int, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[(Long, Long, Long, Long)]),
+        (Long, Long, Int, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (qid, batch, state: GroupState[(Long, Array[(Long, Long, Long, Long)])]) =>
+          val rows = batch.toSeq
+          // lexical: sum fx per neighbor, rank by (sfx desc, nb asc)
+          val lexRank = rows.filter(_._2 == 0)
+            .groupBy(_._3).map { case (nb, rs) => (nb, rs.map(_._4).sum) }
+            .toSeq.sortBy { case (nb, sfx) => (-sfx, nb) }.take(fuseDepth)
+            .zipWithIndex.map { case ((nb, _), i) => nb -> (i + 1L) }.toMap
+          // vector: one ADC score per neighbor, rank by (score desc, nb asc)
+          val vecRank = rows.filter(_._2 == 1)
+            .map(r => (r._3, r._5))
+            .sortBy { case (nb, s) => (-s, nb) }.take(fuseDepth)
+            .zipWithIndex.map { case ((nb, _), i) => nb -> (i + 1L) }.toMap
+          val fused = (lexRank.keySet ++ vecRank.keySet).toSeq.map { nb =>
+            val fx = lexRank.get(nb).map(r => rrfFx / (rrfC + r)).getOrElse(0L) +
+              vecRank.get(nb).map(r => rrfFx / (rrfC + r)).getOrElse(0L)
+            (fx, nb, lexRank.getOrElse(nb, 0L), vecRank.getOrElse(nb, 0L))
+          }.sortBy { case (fx, nb, _, _) => (-fx, nb) }.take(k).toArray
+          val ver = state.getOption.map(_._1).getOrElse(0L) + 1
+          state.update((ver, fused))
+          fused.iterator.zipWithIndex.map { case ((fx, nb, rl, rv), i) =>
+            (qid, ver, i + 1, nb, fx, rl, rv)
+          }
+      }
+      .toDF("query_id", "ver", "rank", "neighbor_id", "rrf_fx",
+        "rank_lex", "rank_vec")
   }
 
   /** `s_ivfpq_encode`: STATELESS streaming residual IVF-PQ encoder —
@@ -998,6 +1098,19 @@ object StreamOps {
       nProbe: Int = 4,
       checkpointLocation: String): DataFrame = {
     bindGeometry(checkpointLocation, StateGeometryGuard.ivfpq(cells, codebooks))
+    topkStream(ivfPqScoredStream(queries, index, cells, codebooks, nProbe),
+      k, keyCol = "query_id", valCol = "score", idCol = "neighbor_id")
+  }
+
+  /** The residual-ADC leg's per-candidate scored frame `(query_id,
+    * neighbor_id, score)` — [[ivfPqSearchStream]]'s stream-static
+    * pipeline up to (not including) the stateful rank, reused by the
+    * hybrid fusion stream. */
+  def ivfPqScoredStream(queries: DataFrame,
+      index: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])],
+      nProbe: Int = 4): DataFrame = {
     import graft.operators.VectorOps.{dot => vdot}
     val sub = graft.operators.Similarity.PqSub
     val fxScale = graft.operators.Similarity.PqFx
@@ -1033,7 +1146,7 @@ object StreamOps {
       .groupBy(col("vec_id").as("neighbor_id"), col("cell_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
       .select(col("neighbor_id"), col("cell_id"), col("cs.j").as("cs"))
-    val scored = probes
+    probes
       .join(codesPerVec, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1041,8 +1154,6 @@ object StreamOps {
           element_at(element_at(col("dt"), s0 + 1),
             (element_at(col("cs"), s0 + 1) + 1).cast("int")))
           .reduce(_ + _)).as("score"))
-    topkStream(scored, k, keyCol = "query_id", valCol = "score",
-      idCol = "neighbor_id")
   }
 
   /** `s_hamming_search`: streaming ANN serving over the binary

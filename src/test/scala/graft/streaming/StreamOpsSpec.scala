@@ -16,6 +16,7 @@ case class FuzzyArrival(id: Long, name: String)
 case class FunnelEv(user_id: Long, event_type: String, us: Long)
 case class VecRow(vec_id: Long, embedding: Seq[Float])
 case class DocText(doc_id: Long, text: String)
+case class DocQuery(doc_id: Long, text: String, embedding: Seq[Float])
 
 /** MemoryStream-driven specs for the `s_*` streaming ops (SURVEY.md §5
   * item 4) plus the CDC-source → latest-state integration — the full
@@ -373,6 +374,64 @@ class StreamOpsSpec extends SparkSpec {
       // entries (dedup by id) — leaderboard unchanged, no duplicate slots
       in.addData(rows.head); q.processAllAvailable()
       assert(leaderboard() == expect, "re-delivery changed the leaderboard")
+    } finally q.stop()
+  }
+
+  test("s_hybrid_search: streaming hybrid retrieval equals the batch RRF " +
+      "fusion of the BM25 and residual-ADC legs exactly") {
+    val docs = graft.Tables.documents(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val lexIndex = graft.operators.TextOps.bm25ServedIndex(docs)
+    val (n, t) = graft.operators.TextOps.bm25Stats(docs)
+    val (cells, cbs, idx) = graft.operators.Similarity.pqResArtifacts(e)
+    // query docs carry BOTH representations (shared id space)
+    val rows = docs.where(col("doc_id") < 8).select(col("doc_id"), col("text"))
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .as[DocQuery].collect().sortBy(_.doc_id)
+    val in = MemoryStream[DocQuery](spark)
+    val q = StreamOps.hybridSearchStream(in.toDF(), lexIndex, n, t,
+      idx, cells, cbs, k = 5, fuseDepth = 20,
+      checkpointLocation = StreamOps.EphemeralState)
+      .writeStream.format("memory").queryName("s_hybrid_search")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val tab = spark.table("s_hybrid_search")
+      val got = tab.withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"),
+          col("rrf_fx"), col("rank_lex"), col("rank_vec"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4,
+          if (r._5 == 0L) None else Some(r._5),
+          if (r._6 == 0L) None else Some(r._6))).toSet
+      // batch reference: the leg-agnostic fusion over the SAME legs —
+      // bm25Ranked at fuseDepth and the residual-ADC leg at fuseDepth
+      val expect = graft.operators.Retrieval.hybridRrf(
+          graft.operators.TextOps.bm25Ranked(docs, 20)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lex")),
+          graft.operators.Similarity.ivfPqResTopK(spark, sf, 20)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
+        .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect()
+        .map(r => (r._1, r._6, r._2, r._3, r._4, r._5)).toSet
+      assert(got == expect,
+        s"diverged: ${got.diff(expect).take(5)} vs ${expect.diff(got).take(5)}")
+      // re-delivery: complete legs re-derive identically, state replaced
+      in.addData(rows.head); q.processAllAvailable()
+      val got2 = spark.table("s_hybrid_search").withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"),
+          col("rrf_fx"), col("rank_lex"), col("rank_vec"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4,
+          if (r._5 == 0L) None else Some(r._5),
+          if (r._6 == 0L) None else Some(r._6))).toSet
+      assert(got2 == expect, "re-delivery changed the fused leaderboard")
     } finally q.stop()
   }
 
