@@ -1447,7 +1447,11 @@ object TextOps extends QueryPack {
     * prune baked into the artifact). The streaming search twin
     * ([[graft.streaming.StreamOps.bm25SearchStream]]) scans this as its
     * stream-static side. */
-  def bm25ServedIndex(docs: DataFrame): DataFrame = {
+  /** The raw postings frame `(doc_id, dl, h, tf)` of a documents frame
+    * — the per-doc, per-term rows an incremental index maintainer
+    * appends ([[graft.streaming.Bm25IndexView]]); doc-local, so a
+    * batch's postings never depend on the rest of the corpus. */
+  def bm25Postings(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
     val hs = t.where(size(col("l")) >= 3)
       .select(col("doc_id"),
@@ -1457,13 +1461,22 @@ object TextOps extends QueryPack {
              i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
           .as("sh"))
       .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
-    val tf = hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
-    val cap = bm25DfCap(docs.count())
-    val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") <= cap)
-    tf.join(dfx, "h")
+    hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The served index assembled from postings + a term-df table + the
+    * corpus size: scale-aware cap filter on df, join back — shared by
+    * the batch build (fresh df aggregation) and the maintained view's
+    * read path (pre-merged df table, no postings re-aggregation). */
+  def bm25ServedFrom(postings: DataFrame, dfx: DataFrame, n: Long): DataFrame =
+    postings.join(dfx.where(col("df") <= bm25DfCap(n)), "h")
       .select(col("h"), col("df"), col("doc_id").as("neighbor_id"),
         col("dl"), col("tf"))
+
+  def bm25ServedIndex(docs: DataFrame): DataFrame = {
+    val postings = bm25Postings(docs)
+    bm25ServedFrom(postings,
+      postings.groupBy("h").agg(count(lit(1)).as("df")), docs.count())
   }
 
   /** The corpus stats `(N docs, T total shingles)` the BM25 score is

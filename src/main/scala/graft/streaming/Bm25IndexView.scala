@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained BM25 index from a document INGEST stream —
+  * the lexical counterpart of `s_ivf_maintain` (which maintains the
+  * vector index's cell statistics), completing the lexical lifecycle:
+  * ingest (this view) → serve ([[StreamOps.bm25SearchStream]] /
+  * [[StreamOps.hybridSearchStream]] read the maintained artifacts).
+  *
+  * Layout under `baseDir`:
+  *  - `postings/` — `(doc_id, dl, h, tf)`, APPEND-ONLY: a batch's
+  *    postings are a pure function of its own docs
+  *    ([[graft.operators.TextOps.bm25Postings]] is doc-local), so
+  *    ingest never touches existing rows — the property that makes a
+  *    100 TB postings log maintainable at all;
+  *  - `terms/` — the merged `(h, df)` dictionary: per batch, the
+  *    batch's term→doc-count aggregation full-outer-merges into the
+  *    stored table (df is a count MONOID — increments only, since the
+  *    corpus feed is append-only). The merge reads |dict| + |batch
+  *    terms| rows and rewrites the dictionary; at real scale the
+  *    rewrite drops to O(touched buckets) under a hash-bucketed layout
+  *    with dynamic partition overwrite (the
+  *    `CdcSink.applyChangelogBucketed` discipline — same upgrade, not
+  *    re-derived here);
+  *  - `stats/` — one row `(n, t)`: corpus doc count and total shingle
+  *    count, the BM25 score parameters (monoid adds).
+  *
+  * Exactly-once: each artifact carries its own `_applied_batch` marker
+  * committed atomically with its content (append guarded by a
+  * per-batch marker file; merged tables by the two-rename swap with
+  * the marker INSIDE the new directory — the CdcAggView discipline).
+  * A foreachBatch retry re-runs only the steps whose marker lags, and
+  * every step derives from the batch alone plus its own current state,
+  * so partial-crash recovery is per-step idempotent.
+  *
+  * The declared ingest contract is APPEND-ONLY unique doc_ids (the
+  * standard corpus-ingest shape); a doc UPDATE/DELETE needs the
+  * re-index discipline (stop → rebuild → fresh serve checkpoints —
+  * the served (n, t, dfCap) era is geometry-bound downstream anyway).
+  *
+  * The SERVED index derives at read time: the scale-aware df-cap
+  * (`bm25DfCap(n)`) is applied against the MAINTAINED df table — so a
+  * term that outgrows the cap as the corpus grows leaves the served
+  * index automatically, without ever rewriting postings.
+  */
+object Bm25IndexView {
+
+  /** foreachBatch adapter:
+    * `docs.writeStream.foreachBatch(Bm25IndexView.writer(dir)).start()` */
+  def writer(baseDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => applyBatch(batch, batchId, baseDir)
+
+  def applyBatch(docs: DataFrame, batchId: Long, baseDir: String): Unit = {
+    val spark = docs.sparkSession
+    new java.io.File(baseDir).mkdirs()
+    val batchPostings = graft.operators.TextOps.bm25Postings(docs)
+      .localCheckpoint(eager = true) // evaluated once, reused three times
+
+    // 1. postings append (non-idempotent => marker-guarded)
+    val pMarker = java.nio.file.Paths.get(s"$baseDir/_postings-batch-$batchId")
+    if (!java.nio.file.Files.exists(pMarker)) {
+      if (!batchPostings.isEmpty)
+        batchPostings.write.mode(SaveMode.Append).parquet(s"$baseDir/postings")
+      java.nio.file.Files.createFile(pMarker)
+    }
+
+    // 2. term-dictionary merge (df count monoid)
+    val termsDir = s"$baseDir/terms"
+    if (lastApplied(termsDir) < batchId) {
+      val batchDf = batchPostings.groupBy("h")
+        .agg(count(lit(1)).as("df"))
+      val current =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(termsDir)))
+          spark.read.parquet(termsDir).where(col("h").isNotNull)
+        else batchDf.limit(0)
+      val merged = current.select(col("h"), col("df").as("df_cur"))
+        .join(batchDf.select(col("h"), col("df").as("df_new")), Seq("h"), "full_outer")
+        .select(col("h"),
+          (coalesce(col("df_cur"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+            .as("df"))
+      swapInWithMarker(merged, termsDir, batchId)
+    }
+
+    // 3. stats merge ((n, t) monoid)
+    val statsDir = s"$baseDir/stats"
+    if (lastApplied(statsDir) < batchId) {
+      val b = docs.select(split(col("text"), " ").as("l"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(greatest(size(col("l")) - 2, lit(0))), lit(0L))
+            .cast("long").as("t"))
+        .head()
+      val (cn, ct) =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsDir))) {
+          val r = spark.read.parquet(statsDir).head()
+          (r.getLong(0), r.getLong(1))
+        } else (0L, 0L)
+      import spark.implicits._
+      swapInWithMarker(
+        Seq((cn + b.getLong(0), ct + b.getLong(1))).toDF("n", "t"),
+        statsDir, batchId)
+    }
+  }
+
+  /** The maintained corpus stats `(n, t)`. */
+  def stats(spark: SparkSession, baseDir: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$baseDir/stats").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The SERVED index over the maintained artifacts — row-identical to
+    * `TextOps.bm25ServedIndex` over the ingested corpus (spec-pinned):
+    * postings join the pre-merged df table under the scale-aware cap,
+    * never re-aggregating postings. */
+  def served(spark: SparkSession, baseDir: String): DataFrame = {
+    val (n, _) = stats(spark, baseDir)
+    graft.operators.TextOps.bm25ServedFrom(
+      spark.read.parquet(s"$baseDir/postings"),
+      spark.read.parquet(s"$baseDir/terms").where(col("h").isNotNull),
+      n)
+  }
+
+  private def lastApplied(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, "_applied_batch")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private def swapInWithMarker(
+      df: DataFrame, dir: String, batchId: Long): Unit = {
+    val target = java.nio.file.Paths.get(dir)
+    val next = java.nio.file.Paths.get(dir + ".next-" + System.nanoTime())
+    val old  = java.nio.file.Paths.get(dir + ".old-" + System.nanoTime())
+    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    java.nio.file.Files.write(next.resolve("_applied_batch"),
+      batchId.toString.getBytes("UTF-8"))
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, old)
+    java.nio.file.Files.move(next, target)
+    if (java.nio.file.Files.exists(old)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(old).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The maintained BM25 index: ingest stream in, served index out —
+  * row-identical to the batch build over the ingested corpus, replay
+  * no-op, and the maintained artifacts serve the search stream with
+  * results ≡ the batch `q_bm25`. */
+class Bm25IndexViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def servedSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("h", "df", "neighbor_id", "dl", "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("ingested index ≡ batch build; replay no-op; maintained artifacts " +
+      "serve the search stream ≡ batch q_bm25") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25view").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[DocText].collect().sortBy(_.doc_id)
+
+    val in = MemoryStream[DocText](spark)
+    val q = in.toDF().writeStream
+      .foreachBatch(Bm25IndexView.writer(dir))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bm25view-ckpt").toString)
+      .start()
+    try {
+      rows.grouped((rows.length + 2) / 3)
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // 1. served view ≡ the batch build over the same corpus
+    val got = servedSet(Bm25IndexView.served(spark, dir))
+    val want = servedSet(TextOps.bm25ServedIndex(docs))
+    assert(got == want,
+      s"served view diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // stats match the batch stats
+    assert(Bm25IndexView.stats(spark, dir) == TextOps.bm25Stats(docs))
+
+    // 2. replay of an already-applied batch is a no-op on every artifact
+    val before = (got, Bm25IndexView.stats(spark, dir))
+    Bm25IndexView.applyBatch(
+      rows.take(5).toSeq.toDF("doc_id", "text"), batchId = 0L, baseDir = dir)
+    assert((servedSet(Bm25IndexView.served(spark, dir)),
+      Bm25IndexView.stats(spark, dir)) == before, "replay changed the view")
+
+    // 3. maintain → serve: the search stream over the MAINTAINED index
+    // equals the batch q_bm25 (ranks and scores)
+    val (n, t) = Bm25IndexView.stats(spark, dir)
+    val qrows = rows.filter(_.doc_id < 8)
+    val qin = MemoryStream[DocText](spark)
+    val sq = StreamOps.bm25SearchStream(qin.toDF(),
+      Bm25IndexView.served(spark, dir), n, t, k = 5,
+      checkpointLocation = StreamOps.EphemeralState)
+      .writeStream.format("memory").queryName("bm25_view_search")
+      .outputMode("append").start()
+    try {
+      qin.addData(qrows.toIndexedSeq); sq.processAllAvailable()
+      val gotS = spark.table("bm25_view_search")
+        .withColumn("maxv", max("ver").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id"), col("rank").cast("long"),
+          col("neighbor_id"), col("score"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val wantS = TextOps.qBm25.build(spark, sf)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(gotS == wantS,
+        s"served search diverged: ${gotS.diff(wantS).take(5)} vs ${wantS.diff(gotS).take(5)}")
+    } finally sq.stop()
+  }
+}
