@@ -1391,7 +1391,13 @@ object TextOps extends QueryPack {
              i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
           .as("sh"))
       .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
+    // the postings table feeds THREE consumers (candidate side, df agg,
+    // query-term side) whose differing pushed filters defeat exchange
+    // reuse — materialize the explode+agg ONCE (the ngramKeptShingles
+    // "materialize the signature table" discipline; the plan audit
+    // showed a duplicate corpus explode without it, a flat 2× at scale)
     val tf = hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
     val st = t.agg(count(lit(1)).as("n"),
       sum(greatest(size(col("l")) - 2, lit(0))).cast("long").as("t"))
