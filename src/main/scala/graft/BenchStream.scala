@@ -239,6 +239,100 @@ object BenchStream {
         "state_bytes" -> dirBytes(s"$dir/ckpt/state").toString)
     }
 
+    // --------------------- s_bm25_maintain → s_bm25_search (r11)
+    // the lexical retrieval lifecycle at 10x: ingest the corpus into
+    // the maintained index, then serve a query stream from the
+    // maintained artifacts — per-batch ingest cost and serving rate
+    locally {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val rows = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val dir = s"$work/bm25"
+      val in = MemoryStream[(Long, String)](spark)
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(graft.streaming.Bm25IndexView.writer(s"$dir/index"))
+        .start()
+      val perBatch = try rows.grouped(10000).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      section("bm25_maintain",
+        "docs" -> rows.length.toString,
+        "docs_per_sec" -> "%.0f".format(rows.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "postings_bytes" -> dirBytes(s"$dir/index/postings").toString,
+        "terms_bytes" -> dirBytes(s"$dir/index/terms").toString)
+
+      // serve 64 query docs in 4 batches from the MAINTAINED artifacts
+      val (n, t) = graft.streaming.Bm25IndexView.stats(spark, s"$dir/index")
+      val served = graft.streaming.Bm25IndexView.served(spark, s"$dir/index")
+      val qrows = rows.filter(_._1 < 64)
+      val qin = MemoryStream[(Long, String)](spark)
+      val nOut = new java.util.concurrent.atomic.AtomicLong
+      val sq = graft.streaming.StreamOps.bm25SearchStream(
+          qin.toDF().toDF("doc_id", "text"), served, n, t, k = 5,
+          checkpointLocation = graft.streaming.StreamOps.EphemeralState)
+        .writeStream.option("checkpointLocation", s"$dir/search-ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          nOut.addAndGet(b.count()); ()
+        }
+        .start()
+      val servePerBatch = try qrows.grouped(16).map { chunk =>
+        qin.addData(chunk.toIndexedSeq)
+        timeIt(sq.processAllAvailable())._2
+      }.toSeq finally sq.stop()
+      section("bm25_search",
+        "queries" -> qrows.length.toString,
+        "queries_per_sec" -> "%.1f".format(qrows.length / servePerBatch.sum),
+        "batch_secs" -> batchSecs(servePerBatch),
+        "leaderboard_rows" -> nOut.get().toString)
+    }
+
+    // ------------------------------------- s_hybrid_search (r11)
+    // hybrid serving at 10x: both legs per arriving query — the
+    // lexical served index + the residual compressed ADC index
+    locally {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      // materialize the static sides ONCE — a streaming serve re-reads
+      // them per micro-batch (production passes the maintained view's
+      // parquet artifacts; localCheckpoint is the in-process stand-in)
+      val lexIndex = graft.operators.TextOps.bm25ServedIndex(docs)
+        .localCheckpoint(eager = true)
+      val (n, t) = graft.operators.TextOps.bm25Stats(docs)
+      val ((cells, cbs, idx), artifactSecs) =
+        timeIt(graft.operators.Similarity.pqResArtifacts(e))
+      val qrows = docs.where(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"), col("text"))
+        .join(e.select(col("vec_id").cast("long").as("doc_id"),
+          col("embedding")), "doc_id")
+        .as[(Long, String, Seq[Float])].collect()
+      val dir = s"$work/hybrid"
+      val in = MemoryStream[(Long, String, Seq[Float])](spark)
+      val nOut = new java.util.concurrent.atomic.AtomicLong
+      val q = graft.streaming.StreamOps.hybridSearchStream(
+          in.toDF().toDF("doc_id", "text", "embedding"),
+          lexIndex, n, t, idx, cells, cbs, k = 5, fuseDepth = 20,
+          checkpointLocation = graft.streaming.StreamOps.EphemeralState)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          nOut.addAndGet(b.count()); ()
+        }
+        .start()
+      val perBatch = try qrows.grouped(16).map { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        timeIt(q.processAllAvailable())._2
+      }.toSeq finally q.stop()
+      section("hybrid_search",
+        "queries" -> qrows.length.toString,
+        "queries_per_sec" -> "%.1f".format(qrows.length / perBatch.sum),
+        "batch_secs" -> batchSecs(perBatch),
+        "index_build_secs" -> f(artifactSecs),
+        "fused_rows" -> nOut.get().toString)
+    }
+
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val json = s"""{"metric":"stream_soak","sf":"$sfDir","cpus":$cpus,""" +
       out.toString +

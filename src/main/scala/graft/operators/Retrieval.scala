@@ -86,6 +86,52 @@ object Retrieval extends QueryPack {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
   }
 
+  /** The PRODUCTION-leg hybrid: the same RRF fusion with the residual
+    * IVF-PQ compressed index as the vector leg instead of the exact
+    * brute-force scan — the composition actually deployable at corpus
+    * scale (the compressed leg probes cells and reads codes; nothing
+    * scans raw vectors), and the batch twin the streaming
+    * `s_hybrid_search` is spec-pinned against. Oracle: the factored
+    * BM25 CTE chain composed with the full residual-ADC training/
+    * scoring chain (both independently proven) plus the fusion CTEs —
+    * one SQL statement re-deriving the entire hybrid stack. */
+  val qHybridRrfAnn: Q = Q(
+    "q_hybrid_rrf_ann",
+    Some(s"""
+      WITH ${TextOps.bm25OracleCtes},
+      ltop AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank_lex
+               FROM ranked WHERE rnk <= $FuseDepth),
+      ${Similarity.ivfPqResScoreSqlCtes.stripPrefix("WITH ")},
+      adcranked AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id ASC) AS rnk
+                    FROM scores),
+      vtop AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank_vec
+               FROM adcranked WHERE rnk <= $FuseDepth),
+      fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                       COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+                       CAST(COALESCE($RrfFx // ($RrfC + l.rank_lex), 0)
+                            + COALESCE($RrfFx // ($RrfC + v.rank_vec), 0) AS BIGINT) AS rrf_fx,
+                       l.rank_lex, v.rank_vec
+                FROM ltop l FULL OUTER JOIN vtop v
+                  ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id),
+      franked AS (SELECT query_id, neighbor_id, rrf_fx, rank_lex, rank_vec,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rrf_fx DESC, neighbor_id ASC) AS rnk
+                  FROM fused)
+      SELECT query_id, neighbor_id, rrf_fx, rank_lex, rank_vec,
+             CAST(rnk AS BIGINT) AS rank
+      FROM franked WHERE rnk <= $FuseTopK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    hybridRrf(
+      TextOps.bm25Ranked(Tables.documents(s, dir), FuseDepth)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lex")),
+      Similarity.ivfPqResTopK(s, dir, FuseDepth)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
+  }
+
   /** RRF over two ranked legs `(query_id, neighbor_id, rank_lex|vec)` —
     * leg-agnostic, so callers can swap the exact-cosine leg for any ANN
     * variant's (query_id, neighbor_id, rank) output. */
@@ -106,5 +152,5 @@ object Retrieval extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def all: Seq[Q] = Seq(qHybridRrf)
+  override def all: Seq[Q] = Seq(qHybridRrf, qHybridRrfAnn)
 }

@@ -1431,11 +1431,18 @@ object Similarity extends QueryPack {
       Seq[(Int, Long, Seq[Long])], DataFrame) = {
     val cents = ivfCentroids(e)
     val cellOf = ivfCellOf(e, cents)
-    val cmeans = ivfCellMeansFx(e, cellOf)
+    // PERSIST the build artifacts: the returned index frame is consumed
+    // repeatedly (a streaming serve re-reads its static side EVERY
+    // micro-batch) — without this the whole route/residual/assign chain
+    // re-executed per batch, which the r11 sf1 streaming soak measured
+    // as a 26 s/batch hybrid serve (0.6 q/s) against a 10 s build.
+    // pqResIndexFor (the per-dir batch cache) already did this; the
+    // deploy-side artifacts function now matches.
+    val cmeans = ivfCellMeansFx(e, cellOf).persist()
     val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
     val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
       .select(col("vec_id"), col("s"), col("j"))
-      .join(cellOf, "vec_id")
+      .join(cellOf, "vec_id").persist()
     val cells = cents.join(cmeans, "cell_id").orderBy("cell_id")
       .collect()
       .map { r =>
@@ -1728,7 +1735,7 @@ object Similarity extends QueryPack {
     * candidate set `scores(query_id, neighbor_id, score)` — shared by
     * [[qSimIvfPqRes]] (direct rank) and [[qSimIvfPqRerank]] (shortlist
     * → exact re-rank). */
-  private def ivfPqResScoreSqlCtes: String =
+  private[operators] def ivfPqResScoreSqlCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
       ss AS (SELECT s FROM generate_series(0, ${PqSub - 1}) t(s)),
       subs AS MATERIALIZED (

@@ -926,7 +926,14 @@ object StreamOps {
     * `checkpointLocation` binds BOTH index eras
     * ([[StateGeometryGuard.hybrid]]) — the fused leaderboard depends on
     * the lexical corpus stats AND the cells/codebooks, so a resume
-    * across either rebuild fails loudly. */
+    * across either rebuild fails loudly.
+    *
+    * Pass MATERIALIZED index frames (the maintained views' parquet
+    * reads, a persisted `pqResArtifacts` index, or a localCheckpoint):
+    * a stream-static join re-executes its static side every
+    * micro-batch, so a lazy build plan here re-runs the whole index
+    * construction per batch — the r11 sf1 soak measured that mistake
+    * at 40× the served rate. */
   def hybridSearchStream(queries: DataFrame,
       lexIndex: DataFrame,
       n: Long,

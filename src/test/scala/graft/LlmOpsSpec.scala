@@ -880,6 +880,10 @@ class LlmOpsSpec extends SparkSpec {
     val got = df.as[(Long, Long, Long, Option[Long], Option[Long], Long)]
       .collect().map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
     assert(got == want, s"diverged: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+    // the production-leg variant ranks through the bounded heap too
+    val ann = SparkEntry.queries("q_hybrid_rrf_ann")(spark, sf)
+    ann.collect()
+    assert(ann.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
     // RRF's defining property on this fixture: any neighbor present in
     // BOTH legs outscores every single-leg rank-1 (2 legs at depth ≤ 20
     // give fx ≥ 2·(2^20/80) > 2^20/61)

@@ -63,7 +63,10 @@ class ScaleLintSpec extends SparkSpec {
       // corpus × fixed-query-set shape (leg-agnostic — swaps to the
       // compressed-index ANN at scale); the fusion itself joins two
       // ≤ NQueries·FuseDepth ranked lists
-      "q_hybrid_rrf")
+      "q_hybrid_rrf",
+      // production-leg hybrid: the vector leg IS q_sim_ivfpq_res's
+      // exempt routing shape; fusion adds only the tiny ranked-list join
+      "q_hybrid_rrf_ann")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
