@@ -790,11 +790,16 @@ object StreamOps {
         dot(subv, array(cv.map(c => lit(c.toDouble / fx)): _*))
       }: _*)
     }: _*)
-    // the static index: one row per corpus vector, codes in subspace order
+    // the static index: one row per corpus vector, codes in subspace
+    // order — PIVOTED ONCE at plan-build time (lazy localCheckpoint):
+    // a stream-static join re-executes its static side per micro-batch,
+    // so without this every batch re-ran the groupBy/collect_list pivot
+    // over the whole index (the r11 soak's lazy-static-side lesson)
     val codesPerVec = codes
       .groupBy(col("vec_id").as("neighbor_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
       .select(col("neighbor_id"), col("cs.j").as("cs"))
+      .localCheckpoint(eager = false)
     val scored = queries
       .select(col("vec_id").as("query_id"), dtCol.as("dt"))
       .join(codesPerVec, col("query_id") =!= col("neighbor_id"))
@@ -1148,11 +1153,14 @@ object StreamOps {
         explode(probeArr).as("p"))
       .select(col("query_id"), col("dt"),
         col("p.cell_id").as("cell_id"), col("p.base").as("base"))
-    // the static index pivoted to one code row per vector per cell
+    // the static index pivoted to one code row per vector per cell —
+    // pivoted ONCE at plan-build time (lazy localCheckpoint), not per
+    // micro-batch (the r11 soak's lazy-static-side lesson)
     val codesPerVec = index
       .groupBy(col("vec_id").as("neighbor_id"), col("cell_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
       .select(col("neighbor_id"), col("cell_id"), col("cs.j").as("cs"))
+      .localCheckpoint(eager = false)
     probes
       .join(codesPerVec, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
