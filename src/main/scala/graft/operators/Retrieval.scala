@@ -132,6 +132,82 @@ object Retrieval extends QueryPack {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
   }
 
+  /** Recall evaluation depth (matches the ANN family's TopK). */
+  private val RecallK = 5
+  /** Fixed-point scale for the exact recall ratio (`hits·Fx DIV k`). */
+  private val RecallFx = 1048576L
+
+  /** ANN-index recall metrology — recall@[[RecallK]] of the PRODUCTION
+    * compressed index (residual IVF-PQ ADC, [[Similarity.ivfPqResTopK]])
+    * against the exact brute-force cosine ground truth, per query plus a
+    * `query_id = -1` macro row. This is the number an index operator
+    * watches in production: it prices the compression + probe trade
+    * directly, and a probe-count or codebook regression moves it
+    * immediately.
+    *
+    * Scale shape: BOTH legs end in their bounded-heap top-k plans, so
+    * the recall join sees ≤ NQueries·k rows per side — evaluation cost
+    * is the two legs' own (already-priced) cost, and the ground-truth
+    * brute-force pass runs over the FIXED eval query set only (the
+    * standard recall-eval setup: exact scan for a handful of held-out
+    * queries, never for live traffic). Integer-only output — the recall
+    * ratio is exact fixed-point (`hits·2^20 DIV k`), no float division
+    * to diverge between engines. */
+  val qAnnRecall: Q = Q(
+    "q_ann_recall",
+    Some(s"""
+      ${Similarity.ivfPqResScoreSqlCtes},
+      adcranked AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id ASC) AS rnk
+                    FROM scores),
+      adctop AS (SELECT query_id, neighbor_id FROM adcranked WHERE rnk <= $RecallK),
+      gscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         ${Similarity.cosSql("qv", "e.embedding")} AS cos
+                  FROM q, e WHERE e.vec_id <> query_id),
+      granked AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM gscored),
+      gtop AS (SELECT query_id, neighbor_id FROM granked WHERE rnk <= $RecallK),
+      hits AS (SELECT a.query_id, COUNT(*) AS h
+               FROM adctop a JOIN gtop g
+                 ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+               GROUP BY a.query_id),
+      perq AS (SELECT q.query_id,
+                      CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+                      CAST(COALESCE(h.h, 0) * $RecallFx // $RecallK AS BIGINT) AS recall_fx
+               FROM q LEFT JOIN hits h ON q.query_id = h.query_id)
+      SELECT query_id, hits, recall_fx FROM perq
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS query_id,
+             CAST(SUM(hits) AS BIGINT) AS hits,
+             CAST(SUM(hits) * $RecallFx // (${Similarity.NQueries} * $RecallK) AS BIGINT) AS recall_fx
+      FROM perq
+      ORDER BY query_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val gt = Similarity.bruteForceTopK(e, RecallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.ivfPqResTopK(s, dir, RecallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ann.join(gt, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    val perq = e.where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr(s"(coalesce(h, 0) * $RecallFx) DIV $RecallK").as("recall_fx"))
+    val macroRow = perq.agg(
+      sum(col("hits")).as("hits"),
+      expr(s"(sum(hits) * $RecallFx) DIV (${Similarity.NQueries} * $RecallK)")
+        .as("recall_fx"))
+      .select(lit(-1L).as("query_id"), col("hits"), col("recall_fx"))
+    perq.unionByName(macroRow).orderBy("query_id")
+  }
+
   /** RRF over two ranked legs `(query_id, neighbor_id, rank_lex|vec)` —
     * leg-agnostic, so callers can swap the exact-cosine leg for any ANN
     * variant's (query_id, neighbor_id, rank) output. */
@@ -152,5 +228,5 @@ object Retrieval extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def all: Seq[Q] = Seq(qHybridRrf, qHybridRrfAnn)
+  override def all: Seq[Q] = Seq(qHybridRrf, qHybridRrfAnn, qAnnRecall)
 }

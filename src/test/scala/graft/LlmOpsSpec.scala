@@ -895,4 +895,30 @@ class LlmOpsSpec extends SparkSpec {
         assert(b._3 > s1._3, s"both-leg $b not above single-leg rank-1 $s1")
     }
   }
+
+  test("ANN recall metrology: q_ann_recall recombines from the two proven " +
+    "legs, exact fixed-point ratios, macro row consistent") {
+    import spark.implicits._
+    // independent recombination: intersect the two ALREADY-ORACLE-PROVEN
+    // queries' outputs and count hits per query — q_ann_recall must agree
+    val gt = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = SparkEntry.queries("q_sim_ivfpq_res")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wantHits = (0L until 8L).map(q =>
+      q -> adc.count(p => p._1 == q && gt(p))).toMap
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (-1L +: (0L until 8L)).sorted,
+      "one row per query plus the macro row, ordered")
+    val perq = rows.filter(_._1 >= 0)
+    perq.foreach { case (q, hits, fx) =>
+      assert(hits == wantHits(q), s"query $q hits $hits != recombined ${wantHits(q)}")
+      assert(hits >= 0 && hits <= 5)
+      assert(fx == hits * 1048576L / 5L, s"recall_fx not the exact fixed-point ratio")
+    }
+    val macroRow = rows.find(_._1 == -1L).get
+    assert(macroRow._2 == perq.map(_._2).sum, "macro hits = sum of per-query hits")
+    assert(macroRow._3 == macroRow._2 * 1048576L / 40L)
+  }
 }

@@ -66,7 +66,13 @@ class ScaleLintSpec extends SparkSpec {
       "q_hybrid_rrf",
       // production-leg hybrid: the vector leg IS q_sim_ivfpq_res's
       // exempt routing shape; fusion adds only the tiny ranked-list join
-      "q_hybrid_rrf_ann")
+      "q_hybrid_rrf_ann",
+      // recall metrology: the ground-truth leg IS q_sim_topk's exempt
+      // corpus × fixed-EVAL-query-set scan (recall eval runs exact
+      // search for a handful of held-out queries by definition); the
+      // ANN leg IS q_sim_ivfpq_res's exempt routing shape; the recall
+      // join itself sees ≤ NQueries·k rows per side
+      "q_ann_recall")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
