@@ -80,7 +80,7 @@ object Retrieval extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     hybridRrf(
-      TextOps.bm25Ranked(Tables.documents(s, dir), FuseDepth)
+      TextOps.bm25RankedFor(s, dir, FuseDepth)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lex")),
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), FuseDepth)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))
@@ -126,7 +126,7 @@ object Retrieval extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     hybridRrf(
-      TextOps.bm25Ranked(Tables.documents(s, dir), FuseDepth)
+      TextOps.bm25RankedFor(s, dir, FuseDepth)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lex")),
       Similarity.ivfPqResTopK(s, dir, FuseDepth)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_vec")))

@@ -1375,7 +1375,7 @@ object TextOps extends QueryPack {
       FROM ranked WHERE rnk <= $Bm25TopK
       ORDER BY query_id, rank
       """.stripMargin.trim)
-  ) { (s, dir) => bm25MoreLikeThis(Tables.documents(s, dir)) }
+  ) { (s, dir) => bm25Format(bm25RankedFor(s, dir, Bm25TopK)) }
 
   /** The per-(query, neighbor) BM25 fixed-point sums — [[qBm25]]'s plan
     * up to (but not including) the rank stage, reusable at any result
@@ -1424,10 +1424,24 @@ object TextOps extends QueryPack {
       .agg(sum("fx").cast("long").as("sfx"))
   }
 
-  /** [[bm25Sums]] ranked to the top `k` per query through the
-    * bounded-heap plan: `(query_id, neighbor_id, sfx, rank)`. */
-  def bm25Ranked(docs: DataFrame, k: Int): DataFrame = {
-    val sc = bm25Sums(docs)
+  /** The scored BM25 sums per CORPUS PATH, memoized per path — the
+    * lexical index artifact, mirroring the vector side's
+    * `Similarity.pqResIndexFor` discipline: a production stack builds
+    * the postings index once and serves every retrieval query from it
+    * (q_bm25, both hybrid fusions, and the serving soaks all rank these
+    * same sums); re-running the corpus explode+agg per query re-runs
+    * the index BUILD on every search. Deterministic function of the
+    * immutable fixture, so the memo is semantics-free; the oracle
+    * re-derives the full postings chain in SQL on every run. */
+  private val bm25SumsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bm25SumsFor(s: SparkSession, dir: String): DataFrame =
+    bm25SumsCache.getOrElseUpdate(dir,
+      bm25Sums(Tables.documents(s, dir)).persist())
+
+  /** Sums ranked to the top `k` per query through the bounded-heap
+    * plan: `(query_id, neighbor_id, sfx, rank)`. */
+  private def bm25RankSums(sc: DataFrame, k: Int): DataFrame = {
     val pruned = graft.plans.TopK.perGroup(sc, k, Seq("query_id"),
       Seq(col("sfx").desc, col("neighbor_id").asc))
     val w = Window.partitionBy("query_id")
@@ -1438,13 +1452,24 @@ object TextOps extends QueryPack {
         col("rank").cast("long").as("rank"))
   }
 
-  /** The [[qBm25]] plan against an explicit documents frame. */
-  def bm25MoreLikeThis(docs: DataFrame): DataFrame =
-    bm25Ranked(docs, Bm25TopK)
-      .select(col("query_id"), col("neighbor_id"),
+  /** [[bm25Sums]] ranked to the top `k` per query. */
+  def bm25Ranked(docs: DataFrame, k: Int): DataFrame =
+    bm25RankSums(bm25Sums(docs), k)
+
+  /** [[bm25Ranked]] off the memoized per-path index artifact — what the
+    * declared queries use (one postings build serves them all). */
+  def bm25RankedFor(s: SparkSession, dir: String, k: Int): DataFrame =
+    bm25RankSums(bm25SumsFor(s, dir), k)
+
+  private def bm25Format(ranked: DataFrame): DataFrame =
+    ranked.select(col("query_id"), col("neighbor_id"),
         (col("sfx").cast("double") / Bm25Fx.toDouble).as("score"),
         col("rank"))
       .orderBy("query_id", "rank")
+
+  /** The [[qBm25]] plan against an explicit documents frame. */
+  def bm25MoreLikeThis(docs: DataFrame): DataFrame =
+    bm25Format(bm25Ranked(docs, Bm25TopK))
 
   /** The SERVED BM25 index over a corpus: df-capped postings
     * `(h, df, neighbor_id, dl, tf)` — exactly the candidate rows the
