@@ -187,25 +187,90 @@ object Retrieval extends QueryPack {
       ORDER BY query_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    val gt = Similarity.bruteForceTopK(e, RecallK)
-      .select(col("query_id"), col("neighbor_id"))
-    val ann = Similarity.ivfPqResTopK(s, dir, RecallK)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = ann.join(gt, Seq("query_id", "neighbor_id"))
+    overlapMetric(Tables.embeddings(s, dir),
+      Similarity.ivfPqResTopK(s, dir, RecallK),
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), RecallK),
+      "recall_fx")
+  }
+
+  /** Per-query top-k overlap between two ranked legs, as exact
+    * fixed-point ratios plus the `query_id = -1` macro row — the shared
+    * frame behind both metrology queries ([[qAnnRecall]]: ADC vs exact
+    * ground truth; [[qRerankAgreement]]: ADC vs its own deployed
+    * re-rank). Legs arrive as bounded top-k frames, so everything here
+    * is ≤ NQueries·k rows. */
+  private def overlapMetric(e: DataFrame, legA: DataFrame, legB: DataFrame,
+      ratioCol: String): DataFrame = {
+    val hits = legA.select(col("query_id"), col("neighbor_id"))
+      .join(legB.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("h"))
     val perq = e.where(col("vec_id") < Similarity.NQueries)
       .select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("h"), lit(0L)).as("hits"),
-        expr(s"(coalesce(h, 0) * $RecallFx) DIV $RecallK").as("recall_fx"))
+        expr(s"(coalesce(h, 0) * $RecallFx) DIV $RecallK").as(ratioCol))
     val macroRow = perq.agg(
       sum(col("hits")).as("hits"),
       expr(s"(sum(hits) * $RecallFx) DIV (${Similarity.NQueries} * $RecallK)")
-        .as("recall_fx"))
-      .select(lit(-1L).as("query_id"), col("hits"), col("recall_fx"))
+        .as(ratioCol))
+      .select(lit(-1L).as("query_id"), col("hits"), col(ratioCol))
     perq.unionByName(macroRow).orderBy("query_id")
+  }
+
+  /** Rerank-agreement metrology — the GROUND-TRUTH-FREE shadow metric:
+    * overlap@[[RecallK]] between the direct ADC top-k and the deployed
+    * two-stage rerank top-k ([[Similarity.ivfPqRerankTopK]]). Unlike
+    * [[qAnnRecall]] this costs no brute-force pass at all — the rerank
+    * leg IS the production serving path, so the metric is free to
+    * compute on live traffic (the standard shadow-scoring setup: when
+    * agreement drifts down, the compressed index's ordering has
+    * degraded relative to exact scores and it's time to look at probes
+    * or retrain — an alarm that needs no labeled ground truth).
+    * Integer-exact fixed-point ratios, macro row at `query_id = -1`. */
+  val qRerankAgreement: Q = Q(
+    "q_rerank_agreement",
+    Some(s"""
+      ${Similarity.ivfPqResScoreSqlCtes},
+      adcranked AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id ASC) AS rnk
+                    FROM scores),
+      adctop AS (SELECT query_id, neighbor_id FROM adcranked WHERE rnk <= $RecallK),
+      short AS (SELECT query_id, neighbor_id FROM adcranked
+                WHERE rnk <= ${Similarity.RerankK}),
+      rr AS (SELECT sh.query_id, sh.neighbor_id,
+                    ${Similarity.cosSql("q.qv", "e.embedding")} AS cos
+             FROM short sh
+             JOIN q ON sh.query_id = q.query_id
+             JOIN e ON sh.neighbor_id = e.vec_id),
+      rtop AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                 FROM rr) WHERE rnk <= $RecallK),
+      hits AS (SELECT a.query_id, COUNT(*) AS h
+               FROM adctop a JOIN rtop r
+                 ON a.query_id = r.query_id AND a.neighbor_id = r.neighbor_id
+               GROUP BY a.query_id),
+      perq AS (SELECT q.query_id,
+                      CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+                      CAST(COALESCE(h.h, 0) * $RecallFx // $RecallK AS BIGINT) AS agree_fx
+               FROM q LEFT JOIN hits h ON q.query_id = h.query_id)
+      SELECT query_id, hits, agree_fx FROM perq
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS query_id,
+             CAST(SUM(hits) AS BIGINT) AS hits,
+             CAST(SUM(hits) * $RecallFx // (${Similarity.NQueries} * $RecallK) AS BIGINT) AS agree_fx
+      FROM perq
+      ORDER BY query_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    overlapMetric(Tables.embeddings(s, dir),
+      Similarity.ivfPqResTopK(s, dir, RecallK),
+      Similarity.ivfPqRerankTopK(s, dir, RecallK),
+      "agree_fx")
   }
 
   /** RRF over two ranked legs `(query_id, neighbor_id, rank_lex|vec)` —
@@ -228,5 +293,6 @@ object Retrieval extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  override def all: Seq[Q] = Seq(qHybridRrf, qHybridRrfAnn, qAnnRecall)
+  override def all: Seq[Q] =
+    Seq(qHybridRrf, qHybridRrfAnn, qAnnRecall, qRerankAgreement)
 }

@@ -1873,7 +1873,29 @@ object Similarity extends QueryPack {
     rankTopK(ivfPqResScores(s, dir), "score", k)
 
   /** How many ADC candidates survive into the exact re-rank stage. */
-  private val RerankK = 20
+  private[graft] val RerankK = 20
+
+  /** The two-stage serving pipeline as a frame: ADC shortlist of
+    * [[RerankK]] off the compressed index, exact-cosine re-rank of ONLY
+    * the fetched shortlist vectors to the top `k` — [[qSimIvfPqRerank]]'s
+    * plan, reusable by the agreement metrology (which compares this
+    * against the direct ADC rank) and the streaming rerank monitor. */
+  def ivfPqRerankTopK(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // stage 1: ADC shortlist off the compressed index (bounded heap)
+    val short = rankTopK(ivfPqResScores(s, dir), "score", RerankK)
+      .select("query_id", "neighbor_id")
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // stage 2: fetch ONLY the shortlisted vectors (broadcast the tiny
+    // shortlist against the corpus scan) and re-rank by exact cosine
+    val rr = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    rankTopK(rr, "cos", k)
+  }
 
   /** Two-stage IVF-PQ serving — the production search path (Jégou et
     * al. §V.C): the compressed index produces an ADC SHORTLIST of
@@ -1913,22 +1935,7 @@ object Similarity extends QueryPack {
       FROM reranked WHERE rank <= $TopK
       ORDER BY query_id, rank
       """.stripMargin.trim)
-  ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // stage 1: ADC shortlist off the compressed index (bounded heap)
-    val short = rankTopK(ivfPqResScores(s, dir), "score", RerankK)
-      .select("query_id", "neighbor_id")
-    val q = e.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // stage 2: fetch ONLY the shortlisted vectors (broadcast the tiny
-    // shortlist against the corpus scan) and re-rank by exact cosine
-    val rr = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      .join(broadcast(short), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("nv")).as("cos"))
-    rankTopK(rr, "cos", TopK)
-  }
+  ) { (s, dir) => ivfPqRerankTopK(s, dir, TopK) }
 
   // ------------------------------------------------ binary (sign) quantization
 

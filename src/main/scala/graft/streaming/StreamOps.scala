@@ -1122,6 +1122,28 @@ object StreamOps {
       index: DataFrame,
       cells: Seq[(Long, Seq[Double], Seq[Long])],
       codebooks: Seq[(Int, Long, Seq[Long])],
+      nProbe: Int = 4): DataFrame =
+    ivfPqScoredFrom(queries, pqCodesPivot(index), cells, codebooks, nProbe)
+
+  /** The residual compressed index pivoted to one code row per vector
+    * per cell `(neighbor_id, cell_id, cs)` — the SERVING layout of the
+    * static side, pivoted ONCE at plan-build time (lazy
+    * localCheckpoint, the r11 soak's lazy-static-side lesson).
+    * Factored out so batch-mode consumers ([[RerankMonitorView]]'s
+    * foreachBatch) can pivot once per deployment instead of once per
+    * micro-batch. */
+  def pqCodesPivot(index: DataFrame): DataFrame = index
+    .groupBy(col("vec_id").as("neighbor_id"), col("cell_id"))
+    .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
+    .select(col("neighbor_id"), col("cell_id"), col("cs.j").as("cs"))
+    .localCheckpoint(eager = false)
+
+  /** [[ivfPqScoredStream]] against an ALREADY-PIVOTED codes frame
+    * (see [[pqCodesPivot]]). */
+  def ivfPqScoredFrom(queries: DataFrame,
+      codesPerVec: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])],
       nProbe: Int = 4): DataFrame = {
     import graft.operators.VectorOps.{dot => vdot}
     val sub = graft.operators.Similarity.PqSub
@@ -1153,14 +1175,6 @@ object StreamOps {
         explode(probeArr).as("p"))
       .select(col("query_id"), col("dt"),
         col("p.cell_id").as("cell_id"), col("p.base").as("base"))
-    // the static index pivoted to one code row per vector per cell —
-    // pivoted ONCE at plan-build time (lazy localCheckpoint), not per
-    // micro-batch (the r11 soak's lazy-static-side lesson)
-    val codesPerVec = index
-      .groupBy(col("vec_id").as("neighbor_id"), col("cell_id"))
-      .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("cs"))
-      .select(col("neighbor_id"), col("cell_id"), col("cs.j").as("cs"))
-      .localCheckpoint(eager = false)
     probes
       .join(codesPerVec, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -921,4 +921,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(macroRow._2 == perq.map(_._2).sum, "macro hits = sum of per-query hits")
     assert(macroRow._3 == macroRow._2 * 1048576L / 40L)
   }
+
+  test("rerank-agreement metrology: q_rerank_agreement recombines from the " +
+    "two proven serving queries, no ground truth touched") {
+    import spark.implicits._
+    val adc = SparkEntry.queries("q_sim_ivfpq_res")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = SparkEntry.queries("q_sim_ivfpq_rerank")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wantHits = (0L until 8L).map(q =>
+      q -> adc.count(p => p._1 == q && rr(p))).toMap
+    val rows = SparkEntry.queries("q_rerank_agreement")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (-1L +: (0L until 8L)).sorted)
+    val perq = rows.filter(_._1 >= 0)
+    perq.foreach { case (q, hits, fx) =>
+      assert(hits == wantHits(q), s"query $q hits $hits != recombined ${wantHits(q)}")
+      assert(fx == hits * 1048576L / 5L)
+    }
+    val macroRow = rows.find(_._1 == -1L).get
+    assert(macroRow._2 == perq.map(_._2).sum)
+    assert(macroRow._3 == macroRow._2 * 1048576L / 40L)
+    // the shadow metric's defining property: it never beats what the
+    // rerank stage can see — every agreed neighbor is in BOTH top-5s
+    assert(perq.forall(_._2 <= 5))
+  }
 }

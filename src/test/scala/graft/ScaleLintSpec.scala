@@ -72,7 +72,11 @@ class ScaleLintSpec extends SparkSpec {
       // search for a handful of held-out queries by definition); the
       // ANN leg IS q_sim_ivfpq_res's exempt routing shape; the recall
       // join itself sees ≤ NQueries·k rows per side
-      "q_ann_recall")
+      "q_ann_recall",
+      // agreement metrology: both legs ARE q_sim_ivfpq_res's /
+      // q_sim_ivfpq_rerank's exempt shapes; the overlap join sees
+      // ≤ NQueries·k rows per side
+      "q_rerank_agreement")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
