@@ -1937,6 +1937,82 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) => ivfPqRerankTopK(s, dir, TopK) }
 
+  /** Fixed-point scale for the health query's share ratio. */
+  private val ShareFx = 1048576L
+
+  /** Index-health metrology for the residual compressed index — the
+    * "when to retrain" signal completing the index-ops lifecycle
+    * (build → serve → monitor [[graft.operators.Retrieval]] →
+    * HEALTH → migrate `PqMigration`): per cell, the population, its
+    * fixed-point share of the corpus, and the total residual
+    * quantization error (Σ over members and subspaces of the integer
+    * squared L2 to the STORED codeword), plus a `cell_id = -1` macro
+    * row. Share skew says the coarse quantizer has hot cells (probe
+    * recall degrades as a probed hot cell floods the candidate set);
+    * rising per-vector inertia says the codebooks have gone stale for
+    * the corpus that grew under them — both are the numbers that
+    * trigger the re-encode migration.
+    *
+    * Scale shape: ONE pass over the stored index equi-joined to the raw
+    * vectors (shuffle on vec_id — co-partitionable with the index
+    * layout; no routing pass, no assignment search: the error is
+    * measured against the codes AS STORED, which is the auditable
+    * thing), cell means broadcast, codebooks folded as one literal;
+    * the group-by holds √n-flavored cell rows. Integer-exact end to
+    * end — counts, fixed-point shares, integer inertia. */
+  val qIndexHealth: Q = Q(
+    "q_index_health",
+    Some(s"""
+      $ivfPqResScoreSqlCtes,
+      percell AS (SELECT co.cell_id,
+                         CAST(COUNT(*) // $PqSub AS BIGINT) AS n_vecs,
+                         CAST(SUM(m.md) AS BIGINT) AS inertia_fx
+                  FROM mf m JOIN cellof co ON m.vec_id = co.vec_id
+                  GROUP BY co.cell_id),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+                     CAST(SUM(inertia_fx) AS BIGINT) AS ti FROM percell)
+      SELECT cell_id, n_vecs,
+             CAST(n_vecs * $ShareFx // t.n AS BIGINT) AS share_fx,
+             inertia_fx
+      FROM percell, tot t
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS cell_id, n AS n_vecs,
+             CAST($ShareFx AS BIGINT) AS share_fx, ti AS inertia_fx
+      FROM tot
+      ORDER BY cell_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (cb, idx, cmeans) = pqResIndexFor(s, dir)
+    // codebook coords by (subspace, code) as ONE literal node (the
+    // pqAssign discipline)
+    val cbCv: Seq[Seq[Seq[Long]]] =
+      (0 until PqSub).map(s0 => cb.filter(_._1 == s0).sortBy(_._2).map(_._3))
+    val cvCol = element_at(
+      element_at(typedLit(cbCv), col("s").cast("int") + 1),
+      col("j").cast("int") + 1)
+    val res = zip_with(
+      slice(col("fxe"), col("s").cast("int") * PqDim + 1, lit(PqDim)),
+      slice(col("ctrm"), col("s").cast("int") * PqDim + 1, lit(PqDim)),
+      (x, m) => x - m)
+    val dist = aggregate(zip_with(res, cvCol, (r, c) => (r - c) * (r - c)),
+      lit(0L), (acc, z) => acc + z)
+    val rows = idx.join(pqFixedPointFull(e), "vec_id")
+      .join(broadcast(cmeans), "cell_id")
+      .select(col("cell_id"), dist.as("dist"))
+    val perCell = rows.groupBy("cell_id").agg(
+      expr(s"count(1) DIV $PqSub").as("n_vecs"),
+      sum("dist").as("inertia_fx"))
+    val tot = perCell.agg(sum("n_vecs").as("n"), sum("inertia_fx").as("ti"))
+    val out = perCell.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_vecs"),
+        expr(s"(n_vecs * $ShareFx) DIV n").as("share_fx"),
+        col("inertia_fx"))
+    val macroRow = tot.select(lit(-1L).as("cell_id"), col("n").as("n_vecs"),
+      lit(ShareFx).as("share_fx"), col("ti").as("inertia_fx"))
+    out.unionByName(macroRow).orderBy("cell_id")
+  }
+
   // ------------------------------------------------ binary (sign) quantization
 
   /** 64-bit SIGN code of a 64-dim vector: bit `d−1` set iff
@@ -2061,5 +2137,5 @@ object Similarity extends QueryPack {
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
-      qSimIvfPqRes, qSimIvfPqRerank, qSimHamming)
+      qSimIvfPqRes, qSimIvfPqRerank, qSimHamming, qIndexHealth)
 }

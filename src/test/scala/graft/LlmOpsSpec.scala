@@ -946,4 +946,30 @@ class LlmOpsSpec extends SparkSpec {
     // rerank stage can see — every agreed neighbor is in BOTH top-5s
     assert(perq.forall(_._2 <= 5))
   }
+
+  test("index health: per-cell populations partition the corpus, shares " +
+    "are exact fixed-point, macro inertia equals the independent " +
+    "from-scratch reconstruction error") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val rows = SparkEntry.queries("q_index_health")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val perCell = rows.filter(_._1 >= 0)
+    val macroRow = rows.find(_._1 == -1L).get
+    assert(perCell.map(_._2).sum == n, "cell populations must partition the corpus")
+    assert(macroRow._2 == n)
+    assert(macroRow._3 == 1048576L)
+    perCell.foreach { case (c, nv, sh, in) =>
+      assert(sh == nv * 1048576L / n, s"cell $c share not exact fixed-point")
+      assert(in >= 0L)
+    }
+    // the macro inertia is the sum of the cells' — and equals the
+    // INDEPENDENT from-scratch path (route + train + assign, min-dist
+    // objective) because stored codes ARE the argmin codewords
+    assert(macroRow._4 == perCell.map(_._4).sum)
+    assert(macroRow._4 == graft.operators.Similarity.pqResInertia(e),
+      "stored-code inertia diverged from the training objective")
+  }
 }
