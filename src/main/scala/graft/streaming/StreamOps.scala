@@ -1035,6 +1035,18 @@ object StreamOps {
       codebooks: Seq[(Int, Long, Seq[Long])],
       checkpointLocation: String): DataFrame = {
     bindGeometry(checkpointLocation, StateGeometryGuard.ivfpq(cells, codebooks))
+    ivfPqEncodeProj(vecs, cells, codebooks).drop("err")
+  }
+
+  /** The encoder's pure projection, INCLUDING the per-vector
+    * quantization error `err = Σ_s ‖r_s − ĉ_s‖²` (integer fixed-point²
+    * — the min-dist the assignment computes anyway, normally dropped).
+    * The ingest-side health view aggregates it; the public encoder
+    * stays code-only. Works on batch frames too (no geometry binding
+    * here — callers bind their own). */
+  private[streaming] def ivfPqEncodeProj(vecs: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): DataFrame = {
     import graft.operators.VectorOps.{dot => vdot}
     val sub = graft.operators.Similarity.PqSub
     val fxScale = graft.operators.Similarity.PqFx
@@ -1062,7 +1074,7 @@ object StreamOps {
           transform(col("embedding"),
             x => round(x.cast("double") * fxScale).cast("long")),
           col("pick.ctrm"), (x, c) => x - c).as("rfx"))
-    val codeCols = (0 until sub).map { s0 =>
+    val pickCols = (0 until sub).map { s0 =>
       val cbArr = array(bySub(s0).sortBy(_._2).map { case (_, j, cv) =>
         struct(lit(j).as("j"), array(cv.map(lit): _*).as("cv"))
       }: _*)
@@ -1071,10 +1083,11 @@ object StreamOps {
         aggregate(zip_with(subv, c.getField("cv"),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
           .as("dist"),
-        c.getField("j").as("j")))).getField("j")
+        c.getField("j").as("j"))))
     }
     routed.select(col("vec_id"), col("cell_id"),
-      array(codeCols: _*).as("codes"))
+      array(pickCols.map(_.getField("j")): _*).as("codes"),
+      pickCols.map(_.getField("dist")).reduce(_ + _).as("err"))
   }
 
   /** `s_ivfpq_search`: streaming ANN query serving over the RESIDUAL
