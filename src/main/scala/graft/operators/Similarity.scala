@@ -1780,7 +1780,7 @@ object Similarity extends QueryPack {
       q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
             WHERE vec_id < $NQueries),
       probes AS (
-        SELECT query_id, cell_id, base FROM (
+        SELECT query_id, cell_id, base, rn FROM (
           SELECT q.query_id, c.cell_id,
                  ${dotSql("q.qv", "m.ctrmf")} AS base,
                  row_number() OVER (
@@ -1795,7 +1795,8 @@ object Similarity extends QueryPack {
         SELECT qs.query_id, cb.s, cb.j, ${dotSql("qs.qsub", "cb.cv")} AS term
         FROM qsubs qs JOIN cb ON qs.s = cb.s),
       terms AS (
-        SELECT p.query_id, i.vec_id AS neighbor_id, i.s, dt.term, p.base
+        SELECT p.query_id, i.vec_id AS neighbor_id, i.s, dt.term, p.base,
+               p.rn AS prn
         FROM idx i
         JOIN probes p ON i.cell_id = p.cell_id
         JOIN dt ON dt.query_id = p.query_id AND dt.s = i.s AND dt.j = i.j
@@ -1829,7 +1830,8 @@ object Similarity extends QueryPack {
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("cell_id").asc)))
       .where(col("rn") <= NProbe)
-      .select(col("query_id"), col("cell_id"), col("base"))
+      .select(col("query_id"), col("cell_id"), col("base"),
+        col("rn").as("prn"))
     val qsubs = pqSubvectors(e).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
     val dt = qsubs.join(broadcast(cb), "s")
@@ -1841,11 +1843,13 @@ object Similarity extends QueryPack {
     // score = MIN(base) + fixed-order 4-term pivot: base is constant per
     // (query, neighbor) group (one cell per neighbor), MIN keeps the
     // aggregation deterministic; addition order matches the oracle's
-    // (base + (((t0+t1)+t2)+t3))
+    // (base + (((t0+t1)+t2)+t3)). prn (the probe rank of the neighbor's
+    // one cell — also group-constant) rides along for the probe sweep.
     terms.groupBy(col("query_id"), col("vec_id"))
       .agg((min(col("base")) + (0 until PqSub).map(s0 =>
           sum(when(col("s") === s0, col("term"))))
-        .reduce(_ + _)).as("score"))
+        .reduce(_ + _)).as("score"),
+        min(col("prn")).as("prn"))
       .withColumnRenamed("vec_id", "neighbor_id")
   }
 
@@ -2013,6 +2017,87 @@ object Similarity extends QueryPack {
     out.unionByName(macroRow).orderBy("cell_id")
   }
 
+  /** Probe-count sweep — recall@[[TopK]] of the residual compressed
+    * index at EVERY probe depth 1..[[NProbe]], per query plus a
+    * `query_id = -1` macro row per depth: the tuning curve behind the
+    * nProbe knob ([[qIndexHealth]] says WHEN to act; this says whether
+    * more probes would buy the recall back before a retrain is
+    * warranted — the standard operating curve of Jégou-style IVF
+    * serving). Because every corpus vector lives in exactly ONE cell,
+    * the depth-p candidate set is just the `prn ≤ p` subset of the
+    * already-scored frame — the sweep costs ONE scoring pass plus a
+    * ≤ NProbe-way row expansion of the cells-bounded candidates
+    * (`explode(sequence(prn, NProbe))`), ranked in one bounded-heap
+    * pass grouped by (depth, query). Ground truth is the same
+    * fixed-eval-set brute-force pass q_ann_recall prices. Integer-exact
+    * fixed-point ratios. */
+  val qProbeSweep: Q = Q(
+    "q_probe_sweep",
+    Some(s"""
+      $ivfPqResScoreSqlCtes,
+      ps AS (SELECT CAST(p AS BIGINT) AS p FROM generate_series(1, $NProbe) t(p)),
+      scoresp AS (
+        SELECT ps.p, t.query_id, t.neighbor_id, (MIN(t.base) + $pqScoreSql) AS score
+        FROM terms t JOIN ps ON t.prn <= ps.p
+        GROUP BY ps.p, t.query_id, t.neighbor_id),
+      topp AS (SELECT p, query_id, neighbor_id FROM (
+                 SELECT p, query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY p, query_id
+                                           ORDER BY score DESC, neighbor_id ASC) AS rnk
+                 FROM scoresp) WHERE rnk <= $TopK),
+      gscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         ${cosSql("qv", "e.embedding")} AS cos
+                  FROM q, e WHERE e.vec_id <> query_id),
+      gtop AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                 FROM gscored) WHERE rnk <= $TopK),
+      hits AS (SELECT t.p, t.query_id, COUNT(*) AS h
+               FROM topp t JOIN gtop g
+                 ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+               GROUP BY t.p, t.query_id),
+      perq AS (SELECT ps.p, q.query_id,
+                      CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+                      CAST(COALESCE(h.h, 0) * $ShareFx // $TopK AS BIGINT) AS recall_fx
+               FROM ps CROSS JOIN q
+               LEFT JOIN hits h ON h.p = ps.p AND h.query_id = q.query_id)
+      SELECT p AS n_probe, query_id, hits, recall_fx FROM perq
+      UNION ALL
+      SELECT p AS n_probe, CAST(-1 AS BIGINT) AS query_id,
+             CAST(SUM(hits) AS BIGINT) AS hits,
+             CAST(SUM(hits) * $ShareFx // ($NQueries * $TopK) AS BIGINT) AS recall_fx
+      FROM perq GROUP BY p
+      ORDER BY n_probe, query_id
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val swept = ivfPqResScores(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        explode(sequence(col("prn").cast("long"), lit(NProbe.toLong))).as("p"))
+    val top = graft.plans.TopK.perGroup(swept, TopK, Seq("p", "query_id"),
+        Seq(col("score").desc, col("neighbor_id").asc))
+      .select("p", "query_id", "neighbor_id")
+    val gt = bruteForceTopK(e, TopK).select("query_id", "neighbor_id")
+    val hits = top.join(gt, Seq("query_id", "neighbor_id"))
+      .groupBy("p", "query_id").agg(count(lit(1)).as("h"))
+    val perq = s.range(1, NProbe + 1).select(col("id").as("p"))
+      .crossJoin(e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id")))
+      .join(hits, Seq("p", "query_id"), "left")
+      .select(col("p"), col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr(s"(coalesce(h, 0) * $ShareFx) DIV $TopK").as("recall_fx"))
+    val macroRows = perq.groupBy("p").agg(
+      sum(col("hits")).as("hits"),
+      expr(s"(sum(hits) * $ShareFx) DIV (${NQueries.toLong} * $TopK)")
+        .as("recall_fx"))
+      .select(col("p"), lit(-1L).as("query_id"), col("hits"), col("recall_fx"))
+    perq.unionByName(macroRows)
+      .withColumnRenamed("p", "n_probe")
+      .orderBy("n_probe", "query_id")
+  }
+
   // ------------------------------------------------ binary (sign) quantization
 
   /** 64-bit SIGN code of a 64-dim vector: bit `d−1` set iff
@@ -2137,5 +2222,5 @@ object Similarity extends QueryPack {
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
-      qSimIvfPqRes, qSimIvfPqRerank, qSimHamming, qIndexHealth)
+      qSimIvfPqRes, qSimIvfPqRerank, qSimHamming, qIndexHealth, qProbeSweep)
 }

@@ -972,4 +972,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(macroRow._4 == graft.operators.Similarity.pqResInertia(e),
       "stored-code inertia diverged from the training objective")
   }
+
+  test("probe sweep: recall monotone in probe depth, full-depth row " +
+    "equals q_ann_recall, structure complete") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_probe_sweep")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 4 * 9, "4 depths x (8 queries + macro)")
+    // deeper probes add candidates; strict monotonicity is NOT a
+    // theorem (a new higher-ADC-scored candidate can displace a true
+    // hit from the top-5), but the operating curve must trend up and
+    // never collapse — that trend is the whole point of the knob
+    val macroByP = rows.filter(_._2 == -1L).sortBy(_._1).map(_._3)
+    assert(macroByP.last >= macroByP.head,
+      s"more probes lost recall end-to-end: ${macroByP.toSeq}")
+    assert(macroByP.zip(macroByP.tail).forall { case (a, b) => b >= a - 2 },
+      s"macro recall collapsed with more probes: ${macroByP.toSeq}")
+    // the full-depth (p = NProbe) rows ARE q_ann_recall's rows — same
+    // candidates, same k, same ground truth
+    val full = rows.filter(r => r._1 == 4L)
+      .map(r => (r._2, r._3, r._4)).toSet
+    val recall = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == recall,
+      s"depth-4 sweep != q_ann_recall: ${full.diff(recall)} vs ${recall.diff(full)}")
+  }
 }

@@ -76,7 +76,12 @@ class ScaleLintSpec extends SparkSpec {
       // agreement metrology: both legs ARE q_sim_ivfpq_res's /
       // q_sim_ivfpq_rerank's exempt shapes; the overlap join sees
       // ≤ NQueries·k rows per side
-      "q_rerank_agreement")
+      "q_rerank_agreement",
+      // probe sweep: the ground-truth leg IS q_sim_topk's exempt
+      // corpus × fixed-eval-set scan, the ADC leg IS q_sim_ivfpq_res's
+      // exempt routing shape, and the output skeleton is an
+      // NProbe × NQueries constant cross join (32 rows)
+      "q_probe_sweep")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right
