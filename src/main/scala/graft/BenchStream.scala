@@ -333,6 +333,63 @@ object BenchStream {
         "fused_rows" -> nOut.get().toString)
     }
 
+    // ------------------------------------- s_rerank_monitor + s_index_health (r11)
+    // the index-ops sidecars: online agreement metrology over the served
+    // compressed index, and the ingest-maintained health monoids
+    locally {
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val ((cells, cbs, idx), artifactSecs) =
+        timeIt(graft.operators.Similarity.pqResArtifacts(e))
+
+      // monitor: 64 shadow-checked queries in 4 batches
+      val qrows = e.where(col("vec_id") < 64)
+        .as[(Long, Seq[Float])].collect()
+      val mdir = s"$work/rerank-monitor"
+      val min0 = MemoryStream[(Long, Seq[Float])](spark)
+      val mq = min0.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch(graft.streaming.RerankMonitorView.writer(
+          mdir, e, idx, cells, cbs))
+        .option("checkpointLocation", s"$mdir/ckpt")
+        .start()
+      val monPerBatch = try qrows.grouped(16).map { chunk =>
+        min0.addData(chunk.toIndexedSeq)
+        timeIt(mq.processAllAvailable())._2
+      }.toSeq finally mq.stop()
+      val monRows = graft.streaming.RerankMonitorView.monitorRows(spark, mdir)
+      section("rerank_monitor",
+        "queries" -> qrows.length.toString,
+        "queries_per_sec" -> "%.1f".format(qrows.length / monPerBatch.sum),
+        "batch_secs" -> batchSecs(monPerBatch),
+        "index_build_secs" -> f(artifactSecs),
+        "macro_agree_fx" -> {
+          val r = monRows.agg(sum("hits"), count(lit(1))).head()
+          (r.getLong(0) * 1048576L / (r.getLong(1) * 5L)).toString
+        })
+
+      // ingest-side health: a 20k-vector slice in 4 batches (per-batch
+      // cost must stay flat — the monoid merge rewrites only the tiny
+      // per-cell table)
+      val hrows = e.where(col("vec_id") >= 64 && col("vec_id") < 20064)
+        .as[(Long, Seq[Float])].collect()
+      val hdir = s"$work/index-health"
+      val hin = MemoryStream[(Long, Seq[Float])](spark)
+      val hq = hin.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch(graft.streaming.IndexHealthView.writer(hdir, cells, cbs))
+        .option("checkpointLocation", s"$hdir/ckpt")
+        .start()
+      val healthPerBatch = try hrows.grouped(5000).map { chunk =>
+        hin.addData(chunk.toIndexedSeq)
+        timeIt(hq.processAllAvailable())._2
+      }.toSeq finally hq.stop()
+      section("index_health",
+        "vecs" -> hrows.length.toString,
+        "vecs_per_sec" -> "%.0f".format(hrows.length / healthPerBatch.sum),
+        "batch_secs" -> batchSecs(healthPerBatch),
+        "health_cells" -> (graft.streaming.IndexHealthView
+          .health(spark, hdir).count() - 1).toString)
+    }
+
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val json = s"""{"metric":"stream_soak","sf":"$sfDir","cpus":$cpus,""" +
       out.toString +

@@ -2008,7 +2008,12 @@ object Similarity extends QueryPack {
       expr(s"count(1) DIV $PqSub").as("n_vecs"),
       sum("dist").as("inertia_fx"))
     val tot = perCell.agg(sum("n_vecs").as("n"), sum("inertia_fx").as("ti"))
-    val out = perCell.crossJoin(broadcast(tot))
+    // constant-key broadcast EQUI-join against the 1-row totals: plans
+    // as BroadcastHashJoin regardless of what the cache manager
+    // substitutes into either side (a bare crossJoin flaked the scale
+    // lint's scalar-build recognition under cross-suite cached plans)
+    val out = perCell.withColumn("one", lit(1))
+      .join(broadcast(tot.withColumn("one", lit(1))), "one")
       .select(col("cell_id"), col("n_vecs"),
         expr(s"(n_vecs * $ShareFx) DIV n").as("share_fx"),
         col("inertia_fx"))

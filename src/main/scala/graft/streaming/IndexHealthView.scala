@@ -78,7 +78,8 @@ object IndexHealthView {
     val perCell = spark.read.parquet(s"$baseDir/health")
       .where(col("cell_id").isNotNull)
     val tot = perCell.agg(sum("n_vecs").as("n"), sum("inertia_fx").as("ti"))
-    perCell.crossJoin(broadcast(tot))
+    perCell.withColumn("one", lit(1))
+      .join(broadcast(tot.withColumn("one", lit(1))), "one")
       .select(col("cell_id"), col("n_vecs"),
         expr(s"(n_vecs * $ShareFx) DIV n").as("share_fx"),
         col("inertia_fx"))

@@ -8,7 +8,14 @@ import org.apache.spark.sql.functions._
   * q_percentile). */
 class ApproxSpec extends SparkSpec {
 
-  private lazy val li = Tables.lineitem(spark, sf).cache()
+  // cache a PROJECTED frame, never the bare relation: a cached bare
+  // scan's leaf matches the analyzed plan of EVERY lineitem query in
+  // the shared session, so the cache manager substitutes it into
+  // concurrently-running suites' plans (it broke PushdownSpec's
+  // column-pruning assertions, which need real parquet scans)
+  private lazy val li = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_partkey", "l_extendedprice", "l_returnflag")
+    .cache()
 
   test("approx_percentile lands within rank tolerance of the exact percentile") {
     val exact = li.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)

@@ -41,7 +41,15 @@ class NgramJaccardSpec extends SparkSpec {
     val safe = TextOps.ngramKeptShinglesFrom(docs, TextOps.NgramStopDf, reliable = true)
     try {
       assert(safe.as[(Long, Long)].collect().toSet == fast)
-    } finally spark.catalog.clearCache() // drop the persisted projection
+    } finally
+      // drop ONLY this test's persisted projection: with maxDf=MaxValue
+      // the helper returns the persisted frame itself, so unpersist hits
+      // the exact cache entry. A global spark.catalog.clearCache() here
+      // raced the parallel ScaleLintSpec sweep (shared session), nuking
+      // the memoized index artifacts mid-plan-build and inlining index
+      // BUILD shapes into steady-state query plans.
+      TextOps.ngramKeptShinglesFrom(docs, Int.MaxValue, reliable = true)
+        .unpersist()
   }
 
   test("boilerplate shingle floods the uncapped index; the cap drops it whole") {
