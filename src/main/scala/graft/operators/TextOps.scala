@@ -1471,6 +1471,60 @@ object TextOps extends QueryPack {
   def bm25MoreLikeThis(docs: DataFrame): DataFrame =
     bm25Format(bm25Ranked(docs, Bm25TopK))
 
+  /** Lexical-index health metrology — the BM25 side of the index-ops
+    * lifecycle's HEALTH leg (`q_index_health` is the vector side):
+    * corpus stats, the scale-aware df-cap in force, and the kept/total
+    * split of terms and postings under it, as `(metric, value)` rows.
+    * This is what an operator of the maintained lexical index
+    * ([[graft.streaming.Bm25IndexView]]) watches: `terms_kept /
+    * terms_total` collapsing means the relative cap is pruning the
+    * vocabulary (query terms going dark — the failure mode the r11 sf1
+    * audit caught when a FIXED cap emptied q_bm25 at 10× corpus);
+    * `postings_kept` is the actual served-index volume, the number
+    * capacity planning reads.
+    *
+    * Scale shape: one postings build (the doc-local explode+agg the
+    * index maintainer already runs), one df aggregation, and a handful
+    * of global counts — the kept-postings count reuses the served-index
+    * equi-join on `h`. Integer-exact; no floats anywhere. */
+  val qLexicalHealth: Q = Q(
+    "q_lexical_health",
+    Some(s"""
+      WITH $bm25OracleCtes,
+      capv AS (SELECT greatest($NgramStopDf, n // $Bm25DfFrac) AS cap, n, t FROM st),
+      m AS (
+        SELECT 'n_docs' AS metric, n AS value FROM capv
+        UNION ALL SELECT 't_shingles', t FROM capv
+        UNION ALL SELECT 'df_cap', cap FROM capv
+        UNION ALL SELECT 'terms_total', (SELECT COUNT(*) FROM dfx)
+        UNION ALL SELECT 'terms_kept',
+          (SELECT COUNT(*) FROM dfx, capv WHERE df <= cap)
+        UNION ALL SELECT 'postings_total', (SELECT COUNT(*) FROM tf)
+        UNION ALL SELECT 'postings_kept',
+          (SELECT COUNT(*) FROM tf JOIN dfx USING (h), capv
+           WHERE dfx.df <= cap))
+      SELECT metric, CAST(value AS BIGINT) AS value FROM m
+      ORDER BY metric
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val postings = bm25Postings(docs).localCheckpoint(eager = false)
+    val dfx = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val (n, t) = bm25Stats(docs)
+    val cap = bm25DfCap(n)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    Seq(("df_cap", cap), ("n_docs", n), ("t_shingles", t))
+      .toDF("metric", "value")
+      .unionByName(counted("terms_total", dfx))
+      .unionByName(counted("terms_kept", dfx.where(col("df") <= cap)))
+      .unionByName(counted("postings_total", postings))
+      .unionByName(counted("postings_kept", bm25ServedFrom(postings, dfx, n)))
+      .orderBy("metric")
+  }
+
   /** The SERVED BM25 index over a corpus: df-capped postings
     * `(h, df, neighbor_id, dl, tf)` — exactly the candidate rows the
     * batch [[qBm25]] join can produce (terms with df > [[NgramStopDf]]
@@ -1540,5 +1594,5 @@ object TextOps extends QueryPack {
     qTextStats, qTokenCount, qLangId, qQualityScore, qDocFingerprint,
     qWordcount, qRepetition, qNeardupPrune, qNeardupCapped,
     qDedupCluster, qClusterRep, qDedupVerdict, qLangMix, qRareBigram,
-    qBm25)
+    qBm25, qLexicalHealth)
 }

@@ -997,4 +997,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(full == recall,
       s"depth-4 sweep != q_ann_recall: ${full.diff(recall)} vs ${recall.diff(full)}")
   }
+
+  test("lexical health: metrics recombine from the served index and the " +
+    "corpus stats, kept never exceeds total") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val m = SparkEntry.queries("q_lexical_health")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(m.keySet == Set("n_docs", "t_shingles", "df_cap", "terms_total",
+      "terms_kept", "postings_total", "postings_kept"))
+    val (n, t) = TextOps.bm25Stats(docs)
+    assert(m("n_docs") == n && m("t_shingles") == t)
+    assert(m("df_cap") == TextOps.bm25DfCap(n))
+    // independent recombination: the served-index frame IS the kept
+    // postings; its distinct terms ARE the kept terms
+    val served = TextOps.bm25ServedIndex(docs)
+    assert(m("postings_kept") == served.count())
+    assert(m("terms_kept") == served.select("h").distinct().count())
+    assert(m("postings_total") == TextOps.bm25Postings(docs).count())
+    assert(m("terms_kept") <= m("terms_total"))
+    assert(m("postings_kept") <= m("postings_total"))
+    // the health signal is alive: the fixture's cap actually prunes
+    assert(m("terms_kept") < m("terms_total"),
+      "cap did not bite on the fixture — the kept/total signal is vacuous")
+  }
 }
