@@ -1436,8 +1436,46 @@ object TextOps extends QueryPack {
   private val bm25SumsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def bm25SumsFor(s: SparkSession, dir: String): DataFrame =
-    bm25SumsCache.getOrElseUpdate(dir,
-      bm25Sums(Tables.documents(s, dir)).persist())
+    bm25SumsCache.getOrElseUpdate(dir, {
+      val (n, t) = bm25StatsFor(s, dir)
+      bm25SumsFromTf(bm25TfFor(s, dir), n, t).persist()
+    })
+
+  /** The postings table per CORPUS PATH — the lexical index artifact
+    * itself (`(doc_id, dl, h, tf)`, what [[graft.streaming
+    * .Bm25IndexView]] maintains incrementally), memoized so retrieval
+    * ([[bm25SumsFor]]) and health metrology ([[qLexicalHealth]]) share
+    * ONE corpus explode+agg per path. */
+  private val bm25TfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bm25TfFor(s: SparkSession, dir: String): DataFrame =
+    bm25TfCache.getOrElseUpdate(dir,
+      bm25Postings(Tables.documents(s, dir)).persist())
+
+  private val bm25StatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private def bm25StatsFor(s: SparkSession, dir: String): (Long, Long) =
+    bm25StatsCache.getOrElseUpdate(dir,
+      bm25Stats(Tables.documents(s, dir)))
+
+  /** [[bm25Sums]] against an explicit postings table + corpus stats —
+    * the same candidate join and [[bm25FxCol]] arithmetic (n, t as
+    * literals instead of the st cross join; bit-identical scores, the
+    * contract the streaming-search spec already pins). */
+  private def bm25SumsFromTf(tf: DataFrame, n: Long, t: Long): DataFrame = {
+    val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val qt = dfx.join(
+        broadcast(tf.where(col("doc_id") < Bm25NQueries)
+          .select(col("doc_id").as("query_id"), col("h"))), "h")
+      .where(col("df") <= bm25DfCap(n))
+      .select("query_id", "h", "df")
+    tf.join(broadcast(qt), "h")
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        bm25FxCol(col("tf"), col("dl"), col("df"), n, t).as("fx"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("fx").cast("long").as("sfx"))
+  }
 
   /** Sums ranked to the top `k` per query through the bounded-heap
     * plan: `(query_id, neighbor_id, sfx, rank)`. */
@@ -1508,10 +1546,9 @@ object TextOps extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val postings = bm25Postings(docs).localCheckpoint(eager = false)
+    val postings = bm25TfFor(s, dir)
     val dfx = postings.groupBy("h").agg(count(lit(1)).as("df"))
-    val (n, t) = bm25Stats(docs)
+    val (n, t) = bm25StatsFor(s, dir)
     val cap = bm25DfCap(n)
     def counted(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).cast("long").as("value"))
