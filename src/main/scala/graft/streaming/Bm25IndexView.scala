@@ -121,6 +121,33 @@ object Bm25IndexView {
       n)
   }
 
+  /** Health metrics over the MAINTAINED artifacts, in the batch
+    * `q_lexical_health` shape `(metric, value)` — derived at read time
+    * from the postings log, the merged df dictionary, and the (n, t)
+    * stats, so the ingest path never computes anything extra for
+    * health (the postings/df merges already happened). The kept/total
+    * collapse is the query-terms-going-dark alarm; `postings_kept` is
+    * the served-index volume. */
+  def health(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    val (n, t) = stats(spark, baseDir)
+    val cap = graft.operators.TextOps.bm25DfCap(n)
+    val postings = spark.read.parquet(s"$baseDir/postings")
+    val dfx = spark.read.parquet(s"$baseDir/terms")
+      .where(col("h").isNotNull)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    Seq(("df_cap", cap), ("n_docs", n), ("t_shingles", t))
+      .toDF("metric", "value")
+      .unionByName(counted("terms_total", dfx))
+      .unionByName(counted("terms_kept", dfx.where(col("df") <= cap)))
+      .unionByName(counted("postings_total", postings))
+      .unionByName(counted("postings_kept",
+        graft.operators.TextOps.bm25ServedFrom(postings, dfx, n)))
+      .orderBy("metric")
+  }
+
   private def lastApplied(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir, "_applied_batch")
     if (java.nio.file.Files.exists(p))

@@ -41,6 +41,12 @@ class Bm25IndexViewSpec extends SparkSpec {
       s"served view diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
     // stats match the batch stats
     assert(Bm25IndexView.stats(spark, dir) == TextOps.bm25Stats(docs))
+    // maintained health ≡ the batch q_lexical_health over the same corpus
+    val gotH = Bm25IndexView.health(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    val wantH = graft.SparkEntry.queries("q_lexical_health")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(gotH == wantH, s"maintained health diverged: $gotH vs $wantH")
 
     // 2. replay of an already-applied batch is a no-op on every artifact
     val before = (got, Bm25IndexView.stats(spark, dir))
