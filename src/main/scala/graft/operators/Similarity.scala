@@ -1322,32 +1322,93 @@ object Similarity extends QueryPack {
     } finally { fx.unpersist(); () }
   }
 
-  /** Trained codebooks for a CORPUS PATH, memoized per path: codebooks
-    * are an INDEX ARTIFACT — a production pipeline trains them once at
-    * index build and persists them next to the index (the class doc has
-    * said so since r10); re-training per query would re-run the build
-    * step on every search. Training is a pure deterministic function of
-    * the immutable fixture, so the memo is semantics-free; the oracle
-    * re-derives the full training chain in SQL on every run, which is
-    * what keeps the chain itself verified. */
-  private val pqCbCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Long, Seq[Long])]]
-  private def pqCodebooksFor(s: SparkSession, dir: String): Seq[(Int, Long, Seq[Long])] =
-    pqCbCache.getOrElseUpdate(dir,
-      pqCodebooks(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))))
+  /** ON-DISK vector index artifacts per corpus path — trained once by
+    * the first query that needs them, then read as plain parquet by
+    * every consumer, session, and JVM (replacing the r11 in-JVM
+    * `.persist()` memos: at 100 TB codebooks/cells/codes are tables on
+    * shared storage, not resident executor memory). Layout under one
+    * fingerprint-keyed directory ([[graft.IndexStore]]):
+    *
+    *  - `codebooks_raw/`, `codes_raw/` — the raw-subvector PQ layout
+    *    (q_sim_pq / q_sim_ivfpq): trained codebooks `(s, j, cv)` and
+    *    the encoded corpus `(vec_id, s, j)` PARTITIONED BY cell_id, so
+    *    a probed query reads only its cells' files;
+    *  - `cells/` — the per-cell mean centroids `(cell_id, ctrm)` of the
+    *    residual chain;
+    *  - `codebooks_res/`, `index_res/` — the residual IVFADC layout
+    *    (q_sim_ivfpq_res / rerank / health / probe sweep / hybrid), the
+    *    index again partitioned by cell_id.
+    *
+    * One build shares the routing pass (cells assignment) between the
+    * raw and residual layouts. Everything is a pure deterministic
+    * function of the immutable fixture; the oracle re-derives the full
+    * training chains in SQL on every run, which is what keeps the
+    * chains themselves verified. */
+  private def pqArtifactDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "pqvec", Seq("embeddings")) { out =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // ONE routing pass feeds both layouts (lazy localCheckpoint:
+      // materialized by the first consumer, reused by the rest)
+      val cellOf = ivfCellOf(e, ivfCentroids(e)).localCheckpoint(eager = false)
+      val cbRaw = pqCodebooks(e)
+      pqCodebookRows(s, cbRaw).write.parquet(s"$out/codebooks_raw")
+      pqCodes(e, cbRaw).join(cellOf, "vec_id")
+        .write.partitionBy("cell_id").parquet(s"$out/codes_raw")
+      val cmeans = ivfCellMeansFx(e, cellOf).localCheckpoint(eager = false)
+      cmeans.write.parquet(s"$out/cells")
+      val cbRes = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
+      pqCodebookRows(s, cbRes).write.parquet(s"$out/codebooks_res")
+      pqAssign(pqResFixedPoint(e, cellOf, cmeans), cbRes)
+        .select(col("vec_id"), col("s"), col("j"))
+        .join(cellOf, "vec_id")
+        .write.partitionBy("cell_id").parquet(s"$out/index_res")
+    }
 
-  /** The encoded corpus for a CORPUS PATH — the other index artifact:
-    * at 100 TB the codes ARE the stored index (4 small ints per vector,
-    * written once at build); a search never re-encodes the corpus.
-    * Memoized as a persisted frame per path, same determinism argument
-    * as [[pqCodebooksFor]]; the oracle re-derives the encoding CTEs on
-    * every run. */
-  private val pqCodesCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pqCodebookRows(s: SparkSession,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    cb.toDF("s", "j", "cv")
+  }
+
+  /** The loaded artifact set `(raw codebooks, raw codes, residual
+    * codebooks, residual index, cell means)` — lazy parquet reads of
+    * [[pqArtifactDir]], memoized per (session, dir): frames are
+    * session-bound, so the session is part of the key (a restarted
+    * session re-resolves from the same on-disk artifact). */
+  private val pqArtCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, Long, Seq[Long])], DataFrame,
+      Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame)]
+  private def pqArtifactsFor(s: SparkSession, dir: String)
+      : (Seq[(Int, Long, Seq[Long])], DataFrame,
+         Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) =
+    pqArtCache.getOrElseUpdate((s, dir), {
+      val a = pqArtifactDir(s, dir)
+      def cbOf(p: String): Seq[(Int, Long, Seq[Long])] =
+        s.read.parquet(p).collect()
+          .map(r => (r.getInt(r.fieldIndex("s")), r.getLong(r.fieldIndex("j")),
+            r.getSeq[Long](r.fieldIndex("cv")).toSeq))
+          .toSeq.sortBy(x => (x._1, x._2))
+      // cell_id comes back as a partition column — normalize its type
+      def idxOf(p: String): DataFrame = s.read.parquet(p)
+        .select(col("vec_id"), col("s"), col("j"),
+          col("cell_id").cast("long").as("cell_id"))
+      (cbOf(s"$a/codebooks_raw"), idxOf(s"$a/codes_raw"),
+        cbOf(s"$a/codebooks_res"), idxOf(s"$a/index_res"),
+        s.read.parquet(s"$a/cells"))
+    })
+
+  /** Trained raw-PQ codebooks for a corpus path — an index artifact
+    * read from disk; re-training per query would re-run the build step
+    * on every search. */
+  private def pqCodebooksFor(s: SparkSession, dir: String): Seq[(Int, Long, Seq[Long])] =
+    pqArtifactsFor(s, dir)._1
+
+  /** The stored raw-PQ compressed index `(vec_id, s, j, cell_id)` —
+    * at 100 TB the codes ARE the index (4 small ints per vector,
+    * written once at build, partitioned by cell); a search never
+    * re-encodes the corpus. */
   private def pqIndexFor(s: SparkSession, dir: String): DataFrame =
-    pqCodesCache.getOrElseUpdate(dir,
-      pqCodes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        pqCodebooksFor(s, dir)).persist())
+    pqArtifactsFor(s, dir)._2
 
   /** The full vector in the 2^20 fixed-point long domain:
     * `(vec_id, fxe: array<long>)`, `fxe_i = round(x_i·2^20)`. */
@@ -1398,27 +1459,17 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("x.s").as("s"), col("x.fxv").as("fxv"))
 
   /** Residual-PQ index artifacts per corpus path — trained residual
-    * codebooks, the encoded index `(vec_id, s, j, cell_id)`, and the
-    * per-cell mean centroids — memoized like [[pqCodebooksFor]]/
-    * [[pqIndexFor]] (same determinism argument; the oracle re-derives
-    * the full residual training chain in SQL on every run). Routing
-    * (one n·cells cosine pass) and the mean pass happen only at build,
-    * never at query time. */
-  private val pqResCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame)]
+    * codebooks, the encoded index `(vec_id, s, j, cell_id)` partitioned
+    * by cell, and the per-cell mean centroids — read from the on-disk
+    * artifact ([[pqArtifactDir]]; the oracle re-derives the full
+    * residual training chain in SQL on every run). Routing (one n·cells
+    * cosine pass) and the mean pass happen only at build, never at
+    * query time. */
   private def pqResIndexFor(s: SparkSession,
-      dir: String): (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) =
-    pqResCache.getOrElseUpdate(dir, {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = ivfCentroids(e)
-      val cellOf = ivfCellOf(e, cents)
-      val cmeans = ivfCellMeansFx(e, cellOf).persist()
-      val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
-      val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
-        .select(col("vec_id"), col("s"), col("j"))
-        .join(cellOf, "vec_id").persist()
-      (cb, idx, cmeans)
-    })
+      dir: String): (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) = {
+    val (_, _, cbRes, idxRes, cmeans) = pqArtifactsFor(s, dir)
+    (cbRes, idxRes, cmeans)
+  }
 
   /** Deploy-side view of the residual-index artifacts (spec/production
     * hook for the streaming encoder twin): per-cell records `(cell_id,
@@ -1436,8 +1487,9 @@ object Similarity extends QueryPack {
     // micro-batch) — without this the whole route/residual/assign chain
     // re-executed per batch, which the r11 sf1 streaming soak measured
     // as a 26 s/batch hybrid serve (0.6 q/s) against a 10 s build.
-    // pqResIndexFor (the per-dir batch cache) already did this; the
-    // deploy-side artifacts function now matches.
+    // (The per-dir batch path now serves from the on-disk artifact,
+    // [[pqArtifactDir]]; this explicit-frame deploy builder keeps the
+    // persist for callers that hand it ad-hoc corpora.)
     val cmeans = ivfCellMeansFx(e, cellOf).persist()
     val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
     val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
@@ -1674,12 +1726,12 @@ object Similarity extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // IVF routing — qSimIvf's exact discipline, scale-aware cell count
+    // IVF routing — qSimIvf's exact discipline, scale-aware cell count;
+    // only the centroids are re-derived here (tiny filter): the corpus
+    // assignment is baked into the stored index's cell_id partitions
     val cents = ivfCentroids(e)
-    val cellOf = ivfCellOf(e, cents)
-    // the compressed index: (cell_id, codes) — no vector data
     val cbT = pqCodebooksFor(s, dir)  // shared with q_sim_pq's build
-    val index = pqIndexFor(s, dir).join(cellOf, "vec_id")
+    val index = pqIndexFor(s, dir)
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = q.crossJoin(broadcast(cents))

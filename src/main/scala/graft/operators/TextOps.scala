@@ -1424,46 +1424,64 @@ object TextOps extends QueryPack {
       .agg(sum("fx").cast("long").as("sfx"))
   }
 
-  /** The scored BM25 sums per CORPUS PATH, memoized per path — the
-    * lexical index artifact, mirroring the vector side's
-    * `Similarity.pqResIndexFor` discipline: a production stack builds
-    * the postings index once and serves every retrieval query from it
-    * (q_bm25, both hybrid fusions, and the serving soaks all rank these
-    * same sums); re-running the corpus explode+agg per query re-runs
-    * the index BUILD on every search. Deterministic function of the
-    * immutable fixture, so the memo is semantics-free; the oracle
+  /** ON-DISK lexical index artifact per corpus path — the
+    * [[graft.streaming.Bm25IndexView]] layout (`postings/` `(doc_id,
+    * dl, h, tf)`, `terms/` `(h, df)`, `stats/` `(n, t)`), built once by
+    * the first query that needs it and read as plain parquet by every
+    * consumer after: q_bm25, both hybrid fusions, q_lexical_health, and
+    * any fresh session or JVM. This replaces the r11 in-JVM `.persist()`
+    * memos — at 100 TB the postings log IS a table on shared storage,
+    * not executor memory (and the resident memo copies were the
+    * suspected memory-pressure mechanism behind the r11 q_winsorize
+    * capture regression). Determinism: a pure function of the immutable
+    * fixture, fingerprint-keyed ([[graft.IndexStore]]); the oracle
     * re-derives the full postings chain in SQL on every run. */
-  private val bm25SumsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def bm25SumsFor(s: SparkSession, dir: String): DataFrame =
-    bm25SumsCache.getOrElseUpdate(dir, {
-      val (n, t) = bm25StatsFor(s, dir)
-      bm25SumsFromTf(bm25TfFor(s, dir), n, t).persist()
+  private def bm25ArtifactDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "bm25", Seq("documents")) { out =>
+      val docs = Tables.documents(s, dir)
+      // one corpus explode+agg feeds both writes (lazy localCheckpoint:
+      // materialized by the postings write, reused by the df agg)
+      val postings = bm25Postings(docs).localCheckpoint(eager = false)
+      postings.write.parquet(s"$out/postings")
+      postings.groupBy("h").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$out/terms")
+      val (n, t) = bm25Stats(docs)
+      import s.implicits._
+      Seq((n, t)).toDF("n", "t").write.parquet(s"$out/stats")
+    }
+
+  /** The served lexical artifacts `(postings, terms, (n, t))` — lazy
+    * parquet reads of [[bm25ArtifactDir]], memoized per (session, dir)
+    * so plan handles reuse file listings (frames are session-bound, so
+    * the session is part of the key — a restarted session re-resolves
+    * from the same on-disk artifact). */
+  private val bm25IdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, (Long, Long))]
+  private def bm25IndexFor(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, (Long, Long)) =
+    bm25IdxCache.getOrElseUpdate((s, dir), {
+      val a = bm25ArtifactDir(s, dir)
+      val st = s.read.parquet(s"$a/stats").head()
+      (s.read.parquet(s"$a/postings"), s.read.parquet(s"$a/terms"),
+        (st.getLong(0), st.getLong(1)))
     })
 
-  /** The postings table per CORPUS PATH — the lexical index artifact
-    * itself (`(doc_id, dl, h, tf)`, what [[graft.streaming
-    * .Bm25IndexView]] maintains incrementally), memoized so retrieval
-    * ([[bm25SumsFor]]) and health metrology ([[qLexicalHealth]]) share
-    * ONE corpus explode+agg per path. */
-  private val bm25TfCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def bm25TfFor(s: SparkSession, dir: String): DataFrame =
-    bm25TfCache.getOrElseUpdate(dir,
-      bm25Postings(Tables.documents(s, dir)).persist())
+  /** The scored BM25 sums off the on-disk index — what every batch
+    * retrieval query ranks. Each consumer action re-reads the (small,
+    * df-capped-bounded) artifact: serving cost, not build cost. */
+  private def bm25SumsFor(s: SparkSession, dir: String): DataFrame = {
+    val (postings, terms, (n, t)) = bm25IndexFor(s, dir)
+    bm25SumsFromServed(postings, terms, n, t)
+  }
 
-  private val bm25StatsCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
-  private def bm25StatsFor(s: SparkSession, dir: String): (Long, Long) =
-    bm25StatsCache.getOrElseUpdate(dir,
-      bm25Stats(Tables.documents(s, dir)))
-
-  /** [[bm25Sums]] against an explicit postings table + corpus stats —
-    * the same candidate join and [[bm25FxCol]] arithmetic (n, t as
-    * literals instead of the st cross join; bit-identical scores, the
-    * contract the streaming-search spec already pins). */
-  private def bm25SumsFromTf(tf: DataFrame, n: Long, t: Long): DataFrame = {
-    val dfx = tf.groupBy("h").agg(count(lit(1)).as("df"))
+  /** [[bm25Sums]] against an explicit postings table + pre-merged df
+    * dictionary + corpus stats — the artifact-serving plan: the same
+    * candidate join and [[bm25FxCol]] arithmetic (n, t as literals
+    * instead of the st cross join; bit-identical scores, the contract
+    * the streaming-search spec already pins), with df read from the
+    * stored dictionary instead of re-aggregated from postings. */
+  private def bm25SumsFromServed(tf: DataFrame, dfx: DataFrame,
+      n: Long, t: Long): DataFrame = {
     val qt = dfx.join(
         broadcast(tf.where(col("doc_id") < Bm25NQueries)
           .select(col("doc_id").as("query_id"), col("h"))), "h")
@@ -1494,8 +1512,8 @@ object TextOps extends QueryPack {
   def bm25Ranked(docs: DataFrame, k: Int): DataFrame =
     bm25RankSums(bm25Sums(docs), k)
 
-  /** [[bm25Ranked]] off the memoized per-path index artifact — what the
-    * declared queries use (one postings build serves them all). */
+  /** [[bm25Ranked]] off the on-disk per-corpus index artifact — what
+    * the declared queries use (one postings build serves them all). */
   def bm25RankedFor(s: SparkSession, dir: String, k: Int): DataFrame =
     bm25RankSums(bm25SumsFor(s, dir), k)
 
@@ -1546,9 +1564,9 @@ object TextOps extends QueryPack {
       """.stripMargin.trim)
   ) { (s, dir) =>
     import s.implicits._
-    val postings = bm25TfFor(s, dir)
-    val dfx = postings.groupBy("h").agg(count(lit(1)).as("df"))
-    val (n, t) = bm25StatsFor(s, dir)
+    // all three legs read the ON-DISK artifact: postings and the
+    // pre-merged df dictionary are never re-derived from text here
+    val (postings, dfx, (n, t)) = bm25IndexFor(s, dir)
     val cap = bm25DfCap(n)
     def counted(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).cast("long").as("value"))
