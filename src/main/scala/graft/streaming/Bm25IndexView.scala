@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   *  - `stats/` — one row `(n, t)`: corpus doc count and total shingle
   *    count, the BM25 score parameters (monoid adds).
   *
-  * Exactly-once: each artifact carries its own `_applied_batch` marker
-  * committed atomically with its content (append guarded by a
-  * per-batch marker file; merged tables by the two-rename swap with
-  * the marker INSIDE the new directory — the CdcAggView discipline).
-  * A foreachBatch retry re-runs only the steps whose marker lags, and
-  * every step derives from the batch alone plus its own current state,
-  * so partial-crash recovery is per-step idempotent.
+  * Exactly-once: the postings log is per-batch IDEMPOTENT — each batch
+  * writes its own `postings/batch=<id>/` partition with Overwrite, so
+  * a retry that crashed after the write but before the marker replaces
+  * the partition instead of appending duplicates (the marker file is a
+  * fast-skip only). The merged tables (`terms/`, `stats/`) commit by
+  * the two-rename swap with the `_applied_batch` marker INSIDE the new
+  * directory — the CdcAggView discipline. A foreachBatch retry re-runs
+  * only the steps whose marker lags, and every step derives from the
+  * batch alone plus its own current state, so partial-crash recovery
+  * is per-step idempotent.
   *
   * The declared ingest contract is APPEND-ONLY unique doc_ids (the
   * standard corpus-ingest shape); a doc UPDATE/DELETE needs the
@@ -58,11 +61,18 @@ object Bm25IndexView {
     val batchPostings = graft.operators.TextOps.bm25Postings(docs)
       .localCheckpoint(eager = true) // evaluated once, reused three times
 
-    // 1. postings append (non-idempotent => marker-guarded)
+    // 1. postings append — idempotent PER BATCH: each batch owns its
+    //    `batch=<id>` partition directory and writes it with Overwrite,
+    //    so a foreachBatch retry that crashed between the write and the
+    //    marker REPLACES the partition instead of re-appending duplicate
+    //    postings rows (which would silently double-count tf in served
+    //    scores). The marker is now only a fast-skip; correctness no
+    //    longer depends on its atomicity with the write.
     val pMarker = java.nio.file.Paths.get(s"$baseDir/_postings-batch-$batchId")
     if (!java.nio.file.Files.exists(pMarker)) {
       if (!batchPostings.isEmpty)
-        batchPostings.write.mode(SaveMode.Append).parquet(s"$baseDir/postings")
+        batchPostings.write.mode(SaveMode.Overwrite)
+          .parquet(s"$baseDir/postings/batch=$batchId")
       java.nio.file.Files.createFile(pMarker)
     }
 

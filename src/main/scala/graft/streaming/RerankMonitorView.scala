@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   * (never a second corpus pass); both ranks go through the bounded-heap
   * `TopK.perGroup` plan. All metrology joins see ≤ batch·k rows.
   *
-  * Exactly-once: the output is APPEND-ONLY (each batch's rows are a
-  * pure function of that batch's queries and the static index), guarded
-  * by a per-batch marker file — a foreachBatch retry re-runs nothing
-  * (the Bm25IndexView postings discipline). The monitor binds the
+  * Exactly-once: each batch's rows are a pure function of that batch's
+  * queries and the static index, and the batch OWNS its
+  * `monitor/batch_id=<id>/` partition (written with Overwrite, so a
+  * retry that crashed before the skip-marker replaces rather than
+  * duplicates — the Bm25IndexView postings discipline). The monitor binds the
   * cells + codebook fingerprint under `baseDir` at writer creation:
   * agreement rows are only comparable within ONE quantizer era, so a
   * monitor pointed at a re-trained index with an old output directory
@@ -107,14 +108,21 @@ object RerankMonitorView {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("h"), lit(0L)).as("hits"),
-          expr(s"(coalesce(h, 0) * $Fx) DIV $k").as("agree_fx"),
-          lit(batchId).as("batch_id"))
-      out.write.mode(SaveMode.Append).parquet(s"$baseDir/monitor")
+          expr(s"(coalesce(h, 0) * $Fx) DIV $k").as("agree_fx"))
+      // idempotent per batch: the batch owns its `batch_id=<id>`
+      // partition and writes it with Overwrite — a retry that crashed
+      // between the write and the marker replaces the partition instead
+      // of appending duplicate monitor rows (which would skew the macro
+      // agreement aggregate); the marker is a fast-skip only
+      out.write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/monitor/batch_id=$batchId")
     }
     java.nio.file.Files.createFile(marker)
   }
 
-  /** The appended monitor rows `(query_id, hits, agree_fx, batch_id)`. */
+  /** The appended monitor rows `(query_id, hits, agree_fx, batch_id)` —
+    * batch_id is the partition column, normalized back to long. */
   def monitorRows(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/monitor")
+      .withColumn("batch_id", col("batch_id").cast("long"))
 }

@@ -850,13 +850,13 @@ object StreamOps {
     bindGeometry(checkpointLocation,
       StateGeometryGuard.bm25(n, t, graft.operators.TextOps.bm25DfCap(n)))
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val inEnc: Encoder[(Long, Long, Long)] = Encoders.product
+    implicit val inEnc: Encoder[(Long, Long, Long, Long)] = Encoders.product
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stateEnc: Encoder[(Long, Array[(Long, Long)])] = ExpressionEncoder()
     implicit val outEnc: Encoder[(Long, Long, Int, Long, Double)] = Encoders.product
 
     val fxScale = graft.operators.TextOps.Bm25Fx.toDouble
-    bm25ScoredStream(queries, index, n, t).as[(Long, Long, Long)]
+    bm25ScoredStream(queries, index, n, t).as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Array[(Long, Long)]),
         (Long, Long, Int, Long, Double)](
@@ -864,10 +864,14 @@ object StreamOps {
         case (qid, batch, state: GroupState[(Long, Array[(Long, Long)])]) =>
           val (ver, top) = state.getOption.getOrElse((0L, Array.empty[(Long, Long)]))
           // batch-local per-neighbor sum (a query's candidates are
-          // batch-atomic), then neighbor-dedup merge: new sums replace
-          val sums = batch.foldLeft(Map.empty[Long, Long]) {
-            case (m, (_, nb, fx)) => m.updated(nb, m.getOrElse(nb, 0L) + fx)
-          }
+          // batch-atomic), then neighbor-dedup merge: new sums replace.
+          // distinctBy (neighbor, term hash) first: a query row
+          // re-delivered WITHIN one micro-batch duplicates every
+          // candidate row — summing duplicates would double tf.
+          val sums = batch.toSeq.distinctBy(r => (r._2, r._3))
+            .foldLeft(Map.empty[Long, Long]) {
+              case (m, (_, nb, _, fx)) => m.updated(nb, m.getOrElse(nb, 0L) + fx)
+            }
           // NOTE: .toSeq BEFORE the swap — mapping a Map to (sfx, nb)
           // would re-key by sfx and silently collapse score TIES
           val merged = (top.filterNot { case (_, nb) => sums.contains(nb) }
@@ -884,9 +888,15 @@ object StreamOps {
   }
 
   /** The lexical leg's per-candidate scored frame `(query_id,
-    * neighbor_id, fx)` — [[bm25SearchStream]]'s stream-static pipeline
-    * up to (not including) the stateful rank, reused by the hybrid
-    * fusion stream. */
+    * neighbor_id, h, fx)` — [[bm25SearchStream]]'s stream-static
+    * pipeline up to (not including) the stateful rank, reused by the
+    * hybrid fusion stream. The term hash `h` rides along so the
+    * stateful consumers can dedupe WITHIN-batch re-deliveries of a
+    * query row: (neighbor, h) is unique per query in a clean batch
+    * (the query side is term-distinct and the served index holds one
+    * posting per (h, neighbor)), so a duplicate (neighbor, h) row can
+    * only come from the same query arriving twice in one micro-batch —
+    * summing it would double-count tf. */
   def bm25ScoredStream(queries: DataFrame, index: DataFrame,
       n: Long, t: Long): DataFrame = {
     val qh = queries
@@ -899,7 +909,7 @@ object StreamOps {
       .select(col("query_id"), graft.operators.TextOps.h60(col("sh")).as("h"))
     qh.join(index, "h")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"), col("h"),
         graft.operators.TextOps.bm25FxCol(
           col("tf"), col("dl"), col("df"), n, t).as("fx"))
   }
@@ -955,7 +965,7 @@ object StreamOps {
     bindGeometry(checkpointLocation, StateGeometryGuard.hybrid(
       n, t, graft.operators.TextOps.bm25DfCap(n), cells, codebooks))
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val inEnc: Encoder[(Long, Int, Long, Long, Double)] = Encoders.product
+    implicit val inEnc: Encoder[(Long, Int, Long, Long, Long, Double)] = Encoders.product
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stateEnc: Encoder[(Long, Array[(Long, Long, Long, Long)])] =
       ExpressionEncoder()
@@ -965,28 +975,34 @@ object StreamOps {
     val lex = bm25ScoredStream(
         queries.select(col("doc_id"), col("text")), lexIndex, n, t)
       .select(col("query_id"), lit(0).as("leg"), col("neighbor_id"),
-        col("fx"), lit(0.0).as("score"))
+        col("h"), col("fx"), lit(0.0).as("score"))
     val vec = ivfPqScoredStream(
         queries.select(col("doc_id").as("vec_id"), col("embedding")),
         vecIndex, cells, codebooks, nProbe)
       .select(col("query_id"), lit(1).as("leg"), col("neighbor_id"),
-        lit(0L).as("fx"), col("score"))
+        lit(0L).as("h"), lit(0L).as("fx"), col("score"))
 
-    lex.unionByName(vec).as[(Long, Int, Long, Long, Double)]
+    lex.unionByName(vec).as[(Long, Int, Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Array[(Long, Long, Long, Long)]),
         (Long, Long, Int, Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (qid, batch, state: GroupState[(Long, Array[(Long, Long, Long, Long)])]) =>
+          // a query row re-delivered WITHIN one micro-batch duplicates
+          // every candidate row of both legs: the lexical sums would
+          // double and the vector duplicates would occupy fuseDepth
+          // slots (and their .toMap overwrite corrupted ranks) — dedupe
+          // per leg first: lexical by (neighbor, term hash), vector by
+          // neighbor (one ADC row per neighbor in a clean batch).
           val rows = batch.toSeq
           // lexical: sum fx per neighbor, rank by (sfx desc, nb asc)
-          val lexRank = rows.filter(_._2 == 0)
-            .groupBy(_._3).map { case (nb, rs) => (nb, rs.map(_._4).sum) }
+          val lexRank = rows.filter(_._2 == 0).distinctBy(r => (r._3, r._4))
+            .groupBy(_._3).map { case (nb, rs) => (nb, rs.map(_._5).sum) }
             .toSeq.sortBy { case (nb, sfx) => (-sfx, nb) }.take(fuseDepth)
             .zipWithIndex.map { case ((nb, _), i) => nb -> (i + 1L) }.toMap
           // vector: one ADC score per neighbor, rank by (score desc, nb asc)
-          val vecRank = rows.filter(_._2 == 1)
-            .map(r => (r._3, r._5))
+          val vecRank = rows.filter(_._2 == 1).distinctBy(_._3)
+            .map(r => (r._3, r._6))
             .sortBy { case (nb, s) => (-s, nb) }.take(fuseDepth)
             .zipWithIndex.map { case ((nb, _), i) => nb -> (i + 1L) }.toMap
           val fused = (lexRank.keySet ++ vecRank.keySet).toSeq.map { nb =>

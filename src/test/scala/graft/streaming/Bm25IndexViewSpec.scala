@@ -55,6 +55,24 @@ class Bm25IndexViewSpec extends SparkSpec {
     assert((servedSet(Bm25IndexView.served(spark, dir)),
       Bm25IndexView.stats(spark, dir)) == before, "replay changed the view")
 
+    // 2b. CRASH-RETRY on the postings log: a crash AFTER batch 0's
+    // postings committed but BEFORE its skip-marker re-runs the batch —
+    // the per-batch partition Overwrite replaces instead of appending
+    // duplicate postings (which would double-count tf in served scores;
+    // ADVICE r11). terms/stats markers already read 0 = applied, so
+    // only the postings step re-executes, exactly the crash window.
+    val batch0 = rows.grouped((rows.length + 2) / 3).next()
+    val postingsBefore =
+      spark.read.parquet(s"$dir/postings").count()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_postings-batch-0"))
+    Bm25IndexView.applyBatch(
+      batch0.toSeq.toDF("doc_id", "text"), batchId = 0L, baseDir = dir)
+    assert(spark.read.parquet(s"$dir/postings").count() == postingsBefore,
+      "crash-retry duplicated postings rows")
+    assert(servedSet(Bm25IndexView.served(spark, dir)) == got,
+      "crash-retry changed the served index")
+
     // 3. maintain → serve: the search stream over the MAINTAINED index
     // equals the batch q_bm25 (ranks and scores)
     val (n, t) = Bm25IndexView.stats(spark, dir)

@@ -47,6 +47,21 @@ class RerankMonitorSpec extends SparkSpec {
     assert(RerankMonitorView.monitorRows(spark, dir).count() == before,
       "replayed batch appended monitor rows")
 
+    // CRASH-RETRY: a crash AFTER the batch-0 rows committed but BEFORE
+    // the skip-marker re-runs the batch — the per-batch partition
+    // Overwrite replaces instead of duplicating (ADVICE r11)
+    val allBefore = RerankMonitorView.monitorRows(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_monitor-batch-0"))
+    RerankMonitorView.applyBatch(
+      rows.take(3).toSeq.toDF("vec_id", "embedding"), batchId = 0L,
+      baseDir = dir, corpus = e, codesPerVec = StreamOps.pqCodesPivot(idx),
+      cells = cells, codebooks = cbs, k = 5, nProbe = 4)
+    assert(RerankMonitorView.monitorRows(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet == allBefore,
+      "crash-retry duplicated or changed monitor rows")
+
     // a monitor writer for a DIFFERENT quantizer era must fail loudly
     // against the same output directory (agreement rows are only
     // comparable within one era)

@@ -374,6 +374,11 @@ class StreamOpsSpec extends SparkSpec {
       // entries (dedup by id) — leaderboard unchanged, no duplicate slots
       in.addData(rows.head); q.processAllAvailable()
       assert(leaderboard() == expect, "re-delivery changed the leaderboard")
+      // WITHIN-batch duplicate (same query twice in ONE micro-batch):
+      // the (neighbor, term-hash) dedup keeps the sums single-counted
+      in.addData(Seq(rows.head, rows.head)); q.processAllAvailable()
+      assert(leaderboard() == expect,
+        "within-batch duplicate query doubled the sums")
     } finally q.stop()
   }
 
@@ -432,6 +437,22 @@ class StreamOpsSpec extends SparkSpec {
           if (r._5 == 0L) None else Some(r._5),
           if (r._6 == 0L) None else Some(r._6))).toSet
       assert(got2 == expect, "re-delivery changed the fused leaderboard")
+      // WITHIN-batch duplicate: without per-leg dedup the vector
+      // duplicates would occupy fuseDepth slots with corrupted ranks
+      // (2,4,6,…) and the lexical sums would double
+      in.addData(Seq(rows.head, rows.head)); q.processAllAvailable()
+      val got3 = spark.table("s_hybrid_search").withColumn("maxv",
+          max("ver").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"),
+          col("rrf_fx"), col("rank_lex"), col("rank_vec"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4,
+          if (r._5 == 0L) None else Some(r._5),
+          if (r._6 == 0L) None else Some(r._6))).toSet
+      assert(got3 == expect,
+        "within-batch duplicate query corrupted the fusion")
     } finally q.stop()
   }
 
