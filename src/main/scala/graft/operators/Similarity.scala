@@ -1208,7 +1208,7 @@ object Similarity extends QueryPack {
 
   /** Per-subspace slices in the fixed-point long domain ([[PqFx]]) —
     * the training representation: `(vec_id, s, fxv: array<long>)`. */
-  private def pqFixedPoint(e: DataFrame): DataFrame =
+  private[graft] def pqFixedPoint(e: DataFrame): DataFrame =
     pqSubvectors(e.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("s"),
         transform(col("sub"), x =>
@@ -1270,7 +1270,7 @@ object Similarity extends QueryPack {
     val cellOf = ivfCellOf(e, cents)
     val cmeans = ivfCellMeansFx(e, cellOf)
     val fx = pqResFixedPoint(e, cellOf, cmeans)
-    pqInertiaFx(fx, pqCodebooksFx(fx))
+    pqInertiaFx(fx, pqCodebooksFx(fx, corpusN = Some(e.count())))
   }
 
   /** TRAINED PQ codebooks — per-subspace Lloyd k-means in the
@@ -1288,25 +1288,49 @@ object Similarity extends QueryPack {
     * subvector)` — [[PqSub]]×[[PqK]] = 64 rows a production pipeline
     * would persist next to the index. */
   def pqCodebooks(e: DataFrame, iters: Int = PqIters): Seq[(Int, Long, Seq[Long])] =
-    pqCodebooksFx(pqFixedPoint(e), iters)
+    pqCodebooksFx(pqFixedPoint(e), iters, Some(e.count()))
+
+  /** Deterministic TRAINING-SAMPLE cap: Lloyd re-estimation iterates
+    * over a ≈[[PqTrainCap]]-vector sample instead of the corpus once
+    * the corpus outgrows it — quantizer training needs a representative
+    * sample, not every row (Jégou et al. train on held-out samples;
+    * k-means cost per iteration drops from O(n) to O(cap)). Membership
+    * is a pure function of vec_id (the md5 machinery of q_sample_hash:
+    * keep iff h40(vec_id) < cap·2^40 DIV n), so the oracle re-derives
+    * the identical sample from COUNT(*) — and every corpus with
+    * n ≤ cap keeps ALL rows, which pins the official SFs bit-for-bit
+    * (the NCells/ndBits migration pattern). Seeds and the final
+    * encoding pass always run over the FULL frame; only the iteration
+    * loop samples. */
+  private[graft] val PqTrainCap = 4096L
+  private def pqTrainPred(n: Long): Column =
+    conv(substring(md5(col("vec_id").cast("string")), 1, 10), 16, 10)
+      .cast("long") < lit(PqTrainCap * (1L << 40) / math.max(n, 1L))
 
   /** Lloyd training against an EXPLICIT fixed-point frame `(vec_id, s,
     * fxv)` — the shared engine behind the raw-subvector codebooks
     * ([[pqCodebooks]]) and the residual codebooks ([[pqResFixedPoint]]):
-    * the training arithmetic never cares what the longs encode. */
-  def pqCodebooksFx(fxIn: DataFrame, iters: Int = PqIters): Seq[(Int, Long, Seq[Long])] = {
+    * the training arithmetic never cares what the longs encode.
+    * `corpusN = Some(n)` enables the [[PqTrainCap]] training sample
+    * (a no-op below the cap); None trains on everything. */
+  def pqCodebooksFx(fxIn: DataFrame, iters: Int = PqIters,
+      corpusN: Option[Long] = None): Seq[(Int, Long, Seq[Long])] = {
     // training is iters+1 sequential passes over the SAME fixed-point
     // frame (seed collect + one assignment/re-estimation job per round)
-    // — cache it for the loop so only the first pass reads the source
-    val fx = fxIn.persist()
+    // — cache the (sampled) training frame for the loop so iterations
+    // read O(sample), never the source
+    val train = corpusN.map(n => fxIn.where(pqTrainPred(n)))
+      .getOrElse(fxIn).persist()
     try {
-      var cb: Seq[(Int, Long, Seq[Long])] = fx.where(col("vec_id") < PqK)
+      // seeds come from the FULL frame (vec_id < PqK — deterministic
+      // regardless of sample membership)
+      var cb: Seq[(Int, Long, Seq[Long])] = fxIn.where(col("vec_id") < PqK)
         .select(col("s"), col("vec_id").as("j"), col("fxv"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
         .toSeq
       for (_ <- 1 to iters) {
-        val means = pqAssign(fx, cb)
+        val means = pqAssign(train, cb)
           .select(col("s"), col("j"), posexplode(col("fxv")))
           .groupBy(col("s"), col("j"), col("pos"))
           .agg(sum("col").as("sv"), count(lit(1)).as("n"))
@@ -1319,7 +1343,7 @@ object Similarity extends QueryPack {
         cb = cb.map { case (s0, j, old) => (s0, j, means.getOrElse((s0, j), old)) }
       }
       cb
-    } finally { fx.unpersist(); () }
+    } finally { train.unpersist(); () }
   }
 
   /** ON-DISK vector index artifacts per corpus path — trained once by
@@ -1345,7 +1369,10 @@ object Similarity extends QueryPack {
     * training chains in SQL on every run, which is what keeps the
     * chains themselves verified. */
   private def pqArtifactDir(s: SparkSession, dir: String): String =
-    graft.IndexStore.artifact(dir, "pqvec", Seq("embeddings")) { out =>
+    // kind carries a VERSION: bump it whenever the build chain's output
+    // changes (the fingerprint only covers the source data, not code) —
+    // v2 = sampled Lloyd training (PqTrainCap)
+    graft.IndexStore.artifact(dir, "pqvec-v2", Seq("embeddings")) { out =>
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // ONE routing pass feeds both layouts (lazy localCheckpoint:
       // materialized by the first consumer, reused by the rest)
@@ -1356,7 +1383,8 @@ object Similarity extends QueryPack {
         .write.partitionBy("cell_id").parquet(s"$out/codes_raw")
       val cmeans = ivfCellMeansFx(e, cellOf).localCheckpoint(eager = false)
       cmeans.write.parquet(s"$out/cells")
-      val cbRes = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
+      val cbRes = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans),
+        corpusN = Some(e.count()))
       pqCodebookRows(s, cbRes).write.parquet(s"$out/codebooks_res")
       pqAssign(pqResFixedPoint(e, cellOf, cmeans), cbRes)
         .select(col("vec_id"), col("s"), col("j"))
@@ -1491,7 +1519,8 @@ object Similarity extends QueryPack {
     // [[pqArtifactDir]]; this explicit-frame deploy builder keeps the
     // persist for callers that hand it ad-hoc corpora.)
     val cmeans = ivfCellMeansFx(e, cellOf).persist()
-    val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans))
+    val cb = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans),
+      corpusN = Some(e.count()))
     val idx = pqAssign(pqResFixedPoint(e, cellOf, cmeans), cb)
       .select(col("vec_id"), col("s"), col("j"))
       .join(cellOf, "vec_id").persist()
@@ -1538,14 +1567,14 @@ object Similarity extends QueryPack {
       |  SELECT f.vec_id, f.s, c.j,
       |         list_sum(list_transform(range(1, len(f.fxv) + 1),
       |                  k -> (f.fxv[k] - c.cv[k]) * (f.fxv[k] - c.cv[k]))) AS dist
-      |  FROM fx f JOIN $prev c ON f.s = c.s),
+      |  FROM tfx f JOIN $prev c ON f.s = c.s),
       |m$i AS (SELECT vec_id, s, MIN(dist) AS md FROM d$i GROUP BY vec_id, s),
       |a$i AS (SELECT d.vec_id, d.s, MIN(d.j) AS j
       |        FROM d$i d JOIN m$i m
       |          ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
       |        GROUP BY d.vec_id, d.s),
       |x$i AS (SELECT a.s, a.j, u.d, f.fxv[u.d] AS v
-      |        FROM a$i a JOIN fx f ON a.vec_id = f.vec_id AND a.s = f.s,
+      |        FROM a$i a JOIN tfx f ON a.vec_id = f.vec_id AND a.s = f.s,
       |             generate_series(1, $PqDim) u(d)),
       |s$i AS (SELECT s, j, d, SUM(v) AS sv, COUNT(*) AS n
       |        FROM x$i GROUP BY s, j, d),
@@ -1582,6 +1611,11 @@ object Similarity extends QueryPack {
     * chain verbatim. */
   private def pqTrainEncodeSqlCtes: String =
     s"""cb0 AS (SELECT s, vec_id AS j, fxv AS cv FROM fx WHERE vec_id < $PqK),
+      |tfx AS MATERIALIZED (
+      |  SELECT f.* FROM fx f
+      |  WHERE CAST(('0x' || substr(md5(CAST(f.vec_id AS VARCHAR)), 1, 10)) AS BIGINT)
+      |        < $PqTrainCap * ${1L << 40} //
+      |          (SELECT COUNT(DISTINCT vec_id) FROM fx)),
       |${(1 to PqIters).map(pqTrainIterSql).mkString(",\n")},
       |cb AS (SELECT s, j,
       |         list_transform(cv, z -> CAST(z AS DOUBLE) / ${PqFx}.0) AS cv

@@ -419,6 +419,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean >= 2.0 * 5 * 5 / n, f"ADC under 2x the random bar: $mean%.3f")
   }
 
+  test("sampled quantizer training: below the cap the sample IS the corpus " +
+      "(bit-identical codebooks); a forced sub-corpus sample still descends " +
+      "the full-corpus objective") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val fx = Similarity.pqFixedPoint(e)
+    // official SFs sit below PqTrainCap: the md5 predicate keeps every
+    // row, so sampled training ≡ unsampled training exactly
+    assert(n <= Similarity.PqTrainCap, s"fixture outgrew the cap: $n")
+    assert(Similarity.pqCodebooksFx(fx, corpusN = Some(n)) ==
+      Similarity.pqCodebooksFx(fx),
+      "below-cap sampling changed the trained codebooks")
+    // force the >cap regime by declaring a 4x corpus: ≈25% of vectors
+    // train, yet the trained codebooks must still beat the seeds ON THE
+    // FULL corpus objective (the representative-sample claim)
+    val sampledCb = Similarity.pqCodebooksFx(fx, corpusN = Some(n * 4))
+    val seedCb = Similarity.pqCodebooks(e, iters = 0)
+    val sampledInertia = Similarity.pqInertiaFx(fx, sampledCb)
+    val seedInertia = Similarity.pqInertiaFx(fx, seedCb)
+    info(s"quantization error: seeds=$seedInertia sampled-trained=" +
+      f"$sampledInertia (${100.0 * (seedInertia - sampledInertia) / seedInertia}%.1f%% lower)")
+    assert(sampledInertia < seedInertia,
+      s"sample-trained codebooks did not descend: $sampledInertia >= $seedInertia")
+  }
+
   test("IVF-PQ: full result per query, recall above the random baseline, " +
       "and the probed-cell candidate set prunes the corpus") {
     val n = Tables.embeddings(spark, sf).count()
