@@ -802,6 +802,10 @@ object StreamOps {
       .localCheckpoint(eager = false)
     val scored = queries
       .select(col("vec_id").as("query_id"), dtCol.as("dt"))
+      // broadcast the per-batch query side: the full-scan ADC is a
+      // nested-loop by design, but the LOOP must stream the big static
+      // index against a broadcast of the tiny batch, never the reverse
+      .hint("broadcast")
       .join(codesPerVec, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (0 until sub).map(s0 =>
@@ -907,7 +911,11 @@ object StreamOps {
            i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))""")))
         .as("sh"))
       .select(col("query_id"), graft.operators.TextOps.h60(col("sh")).as("h"))
-    qh.join(index, "h")
+    // BROADCAST the per-batch query-term side (≤ batch·terms rows):
+    // without the hint the planner cannot size the micro-batch relation
+    // and may sort/shuffle the whole static postings index EVERY
+    // trigger — the serving-rate killer the sf1 soak measured
+    qh.hint("broadcast").join(index, "h")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("h"),
         graft.operators.TextOps.bm25FxCol(
@@ -1204,7 +1212,10 @@ object StreamOps {
         explode(probeArr).as("p"))
       .select(col("query_id"), col("dt"),
         col("p.cell_id").as("cell_id"), col("p.base").as("base"))
-    probes
+    // broadcast the per-batch probe side (batch·nProbe rows) so the
+    // code index never shuffles or sorts per trigger — the static side
+    // is scanned hash-joined, the serving shape at any index size
+    probes.hint("broadcast")
       .join(codesPerVec, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1242,7 +1253,9 @@ object StreamOps {
       k: Int = graft.operators.Similarity.HamShortK): DataFrame = {
     val qc = graft.operators.Similarity.hammingCodes(queries)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"))
-    val scored = qc
+    // broadcast the per-batch query codes; the 8-byte/vector static
+    // index streams against them (same rationale as pqSearchStream)
+    val scored = qc.hint("broadcast")
       .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

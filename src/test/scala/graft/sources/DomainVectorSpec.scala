@@ -527,6 +527,10 @@ class DomainVectorSpec extends SparkSpec {
       val got = java.util.concurrent.ConcurrentHashMap
         .newKeySet[(String, Int, Int, String)]()
       val counts = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, String), Integer]()
+      // full normalized rows (all six meta columns + payload) for the
+      // typed-view assertion below
+      val full = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Int, Int, Int, Int, Int, String, String)]()
       def start() = spark.readStream.format("maxscale-cdc")
         .option("host", "127.0.0.1").option("port", srv.port)
         .option("user", "u").option("password", "p")
@@ -535,12 +539,17 @@ class DomainVectorSpec extends SparkSpec {
         .option("domainMode", "vector")
         .option("timeoutSeconds", 1)
         .load()
-        .select("_table", "domain", "sequence", "payload")
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          df.as[(String, Int, Int, String)].collect().foreach { r =>
+          df.select("_table", "domain", "sequence", "payload")
+            .as[(String, Int, Int, String)].collect().foreach { r =>
             got.add(r); counts.merge(r, 1, (a, b) => a + b)
           }
+          df.select("_table", "domain", "server_id", "sequence",
+              "event_number", "timestamp", "event_type", "payload")
+            .as[(String, Int, Int, Int, Int, Int, String, String)]
+            .collect().foreach(full.add)
+          ()
         }
         .start()
       val q1 = start()
@@ -567,6 +576,48 @@ class DomainVectorSpec extends SparkSpec {
         assert(counts.values.asScala.forall(_ == 1),
           counts.asScala.filter(_._2 > 1).toString)
       } finally q2.stop()
+
+      // per-table AND per-domain watermarks RESUMED: the last committed
+      // composite offset holds BOTH tables, each with BOTH domain floors
+      // at sequence n+1 — structural proof that the kill/resume advanced
+      // every watermark (row-level exactly-once above could also pass by
+      // accident of replay dedup; this cannot)
+      val lastOff = new java.io.File(s"$ckpt/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      val offLine = {
+        val src = scala.io.Source.fromFile(lastOff)
+        try src.getLines().find(_.contains("=v:")).get finally src.close()
+      }
+      val mv = MultiVectorOffset.fromJson(offLine)
+      for (tb <- Seq("db.a", "db.b"); d <- 0L to 1L)
+        assert(mv.of(tb).of(d).exists(_.sequence == n + 1),
+          s"watermark not at head for $tb domain $d: ${mv.of(tb)}")
+
+      // payload typed views green: the per-table typed projection parses
+      // every routed payload — ids/bids typed INT with the generators'
+      // exact values, names non-null, across both domains and the resume
+      val rowsDf = full.asScala.toSeq.toDF("_table", "domain", "server_id",
+        "sequence", "event_number", "timestamp", "event_type", "payload")
+      val meta = Seq(CdcField("domain", "int"), CdcField("server_id", "int"),
+        CdcField("sequence", "int"), CdcField("event_number", "int"),
+        CdcField("timestamp", "int"), CdcField("event_type", "varchar(32)"))
+      val ta = NormalizedCdc.typedView(rowsDf, "db.a",
+        meta ++ Seq(CdcField("id", "int"), CdcField("name", "varchar(64)")))
+      val tb = NormalizedCdc.typedView(rowsDf, "db.b",
+        meta ++ Seq(CdcField("bid", "int"), CdcField("name", "varchar(64)")))
+      assert(ta.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+      val aRows = ta.select("domain", "sequence", "id", "name")
+        .as[(Int, Int, Int, String)].collect()
+      val bRows = tb.select("domain", "sequence", "bid", "name")
+        .as[(Int, Int, Int, String)].collect()
+      assert(aRows.length == 2 * (n + 1) && bRows.length == 2 * (n + 1))
+      assert(aRows.forall(r => r._4 != null && r._4.nonEmpty))
+      assert(aRows.map(_._3).toSet ==
+        ((1 to n).toSet ++ (101 to 100 + n).toSet + 901 + 911),
+        aRows.map(_._3).toSeq.sorted.toString)
+      assert(bRows.map(_._3).toSet ==
+        ((1 to n).toSet ++ (101 to 100 + n).toSet + 902 + 921),
+        bRows.map(_._3).toSeq.sorted.toString)
     } finally {
       srv.close()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))

@@ -113,12 +113,24 @@ def main():
             for k in common]
     rows.sort(reverse=True)
     regressions = 0
+    opm = old.get("plan_metrics") or {}
+    npm = new.get("plan_metrics") or {}
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for ratio, k, o, n in rows:
         mark = ""
         if ratio > flag and n > 0.2:
             mark = "  <-- REGRESSION"
             regressions += 1
+        # The q_winsorize class (VERDICT r11): wall >2x while the
+        # deterministic plan metrics are IDENTICAL means the slowdown
+        # has no plan-shape explanation (environment, memory pressure,
+        # a driver-side stall) — machine-caught, hard fail, regardless
+        # of the wall-clock flag the caller chose.
+        if (ratio > 2.0 and n > 0.5 and k in opm and k in npm
+                and opm[k] == npm[k]):
+            if "REGRESSION" not in mark:
+                regressions += 1
+            mark += "  (UNEXPLAINED: plan metrics unchanged)"
         print(f"{k:34s} {o:8.3f} {n:8.3f} {ratio:7.2f}{mark}")
     ot = sum(oq[k] for k in common)
     nt = sum(nq[k] for k in common)
