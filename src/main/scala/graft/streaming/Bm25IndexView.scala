@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * [[StreamOps.hybridSearchStream]] read the maintained artifacts).
   *
   * Layout under `baseDir`:
-  *  - `postings/` — `(doc_id, dl, h, tf)`, APPEND-ONLY: a batch's
-  *    postings are a pure function of its own docs
-  *    ([[graft.operators.TextOps.bm25Postings]] is doc-local), so
+  *  - `postings/` — `(doc_id, dl, h, tf)`, APPEND-ONLY per-batch
+  *    partitions: a batch's postings are a pure function of its own
+  *    docs ([[graft.operators.TextOps.bm25Postings]] is doc-local), so
   *    ingest never touches existing rows — the property that makes a
-  *    100 TB postings log maintainable at all;
+  *    100 TB postings log maintainable at all. A long-lived log folds
+  *    into the hash-bucketed `postings_compacted/` base via
+  *    [[compact]] (touched-buckets-only rewrite); readers see the
+  *    union of both zones;
   *  - `terms/` — the merged `(h, df)` dictionary: per batch, the
   *    batch's term→doc-count aggregation full-outer-merges into the
   *    stored table (df is a count MONOID — increments only, since the
@@ -119,6 +122,87 @@ object Bm25IndexView {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** How many hash buckets the compacted postings base uses. */
+  val CompactBuckets = 16
+
+  /** COMPACTION: fold the per-batch postings log into a hash-bucketed
+    * base (`postings_compacted/bucket=<h mod CompactBuckets>/`), so a
+    * long-lived index's read amplification stays bounded by the bucket
+    * count instead of growing one directory per ingested batch — the
+    * `CdcSink.applyChangelogBucketed` discipline applied to the lexical
+    * index. Only buckets that received new rows are rewritten (dynamic
+    * partition overwrite); untouched buckets stay byte-identical, so
+    * compaction cost is O(touched buckets), not O(index).
+    *
+    * Crash-safe: the fold dedupes on (doc_id, h) — globally unique
+    * under the append-only-unique-doc contract — so a crash between
+    * the bucket rewrite and the log cleanup re-folds idempotently; the
+    * per-batch `_postings-batch-<id>` markers survive compaction, so a
+    * late foreachBatch replay of a folded batch is still skipped. */
+  def compact(spark: SparkSession, baseDir: String): Unit = {
+    val logRoot = java.nio.file.Paths.get(s"$baseDir/postings")
+    val batchDirs = listBatchDirs(logRoot)
+    if (batchDirs.isEmpty) return
+    val baseRoot = s"$baseDir/postings_compacted"
+    val fresh = spark.read.parquet(batchDirs.map(_.toString): _*)
+      .select(col("doc_id"), col("dl"), col("h"), col("tf"))
+      .withColumn("bucket", pmod(col("h"), lit(CompactBuckets.toLong)))
+      .localCheckpoint(eager = true) // evaluated once: bucket probe + fold
+    val touched = fresh.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val existing =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(baseRoot)))
+        spark.read.parquet(baseRoot)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .where(col("bucket").isin(touched: _*)) // partition-pruned read
+          .select("doc_id", "dl", "h", "tf", "bucket")
+      else fresh.limit(0)
+    val merged = existing.unionByName(fresh)
+      .dropDuplicates("doc_id", "h") // re-fold idempotency (values equal)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(baseRoot)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // folded: clear the log (idempotent-by-dedup if we crash mid-way)
+    batchDirs.foreach(deleteTree)
+  }
+
+  private def listBatchDirs(logRoot: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(logRoot)) Nil
+    else java.nio.file.Files.list(logRoot).iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.isDirectory(p)
+        && p.getFileName.toString.startsWith("batch="))
+      .sortBy(_.getFileName.toString)
+  }
+
+  /** The full postings frame `(doc_id, dl, h, tf)` across BOTH zones:
+    * the compacted bucketed base plus any not-yet-folded batch log. */
+  private def postingsFrame(spark: SparkSession, baseDir: String): DataFrame = {
+    val zones = Seq(s"$baseDir/postings_compacted", s"$baseDir/postings")
+      .filter { p =>
+        val path = java.nio.file.Paths.get(p)
+        java.nio.file.Files.exists(path) && (p.endsWith("postings_compacted")
+          || listBatchDirs(path).nonEmpty)
+      }
+    require(zones.nonEmpty, s"no postings under $baseDir")
+    zones.map(z => spark.read.parquet(z)
+        .select(col("doc_id"), col("dl"), col("h"), col("tf")))
+      .reduce(_ unionByName _)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   /** The SERVED index over the maintained artifacts — row-identical to
     * `TextOps.bm25ServedIndex` over the ingested corpus (spec-pinned):
     * postings join the pre-merged df table under the scale-aware cap,
@@ -126,7 +210,7 @@ object Bm25IndexView {
   def served(spark: SparkSession, baseDir: String): DataFrame = {
     val (n, _) = stats(spark, baseDir)
     graft.operators.TextOps.bm25ServedFrom(
-      spark.read.parquet(s"$baseDir/postings"),
+      postingsFrame(spark, baseDir),
       spark.read.parquet(s"$baseDir/terms").where(col("h").isNotNull),
       n)
   }
@@ -142,7 +226,7 @@ object Bm25IndexView {
     import spark.implicits._
     val (n, t) = stats(spark, baseDir)
     val cap = graft.operators.TextOps.bm25DfCap(n)
-    val postings = spark.read.parquet(s"$baseDir/postings")
+    val postings = postingsFrame(spark, baseDir)
     val dfx = spark.read.parquet(s"$baseDir/terms")
       .where(col("h").isNotNull)
     def counted(name: String, df: DataFrame): DataFrame =

@@ -99,4 +99,70 @@ class Bm25IndexViewSpec extends SparkSpec {
         s"served search diverged: ${gotS.diff(wantS).take(5)} vs ${wantS.diff(gotS).take(5)}")
     } finally sq.stop()
   }
+
+  test("compaction: folded postings serve row-identically; untouched " +
+      "buckets stay byte-identical; re-compaction and crash re-fold are " +
+      "no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25compact").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[DocText].collect().sortBy(_.doc_id)
+    // ingest three batches through the maintained view's own writer
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (c, i) =>
+      Bm25IndexView.applyBatch(c.toSeq.toDF("doc_id", "text"), i.toLong, dir)
+    }
+    val want = Bm25IndexView.served(spark, dir)
+      .select("h", "df", "neighbor_id", "dl", "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantPostings = spark.read.parquet(s"$dir/postings").count()
+
+    // 1. fold the whole log: served row-identical, log drained
+    Bm25IndexView.compact(spark, dir)
+    def servedSet() = Bm25IndexView.served(spark, dir)
+      .select("h", "df", "neighbor_id", "dl", "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(servedSet() == want, "compaction changed the served index")
+    assert(spark.read.parquet(s"$dir/postings_compacted").count() == wantPostings)
+    assert(!new java.io.File(s"$dir/postings").listFiles()
+      .exists(_.getName.startsWith("batch=")), "log not drained")
+
+    // 2. re-compaction with an empty log is a no-op (byte-identical base)
+    def baseFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/postings_compacted"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val before = baseFiles()
+    Bm25IndexView.compact(spark, dir)
+    assert(baseFiles() == before, "empty-log compaction rewrote the base")
+
+    // 3. a tiny late batch (one doc, one shingle -> ONE bucket): only
+    // that bucket rewrites, every other bucket stays byte-identical
+    val late = Seq((999999L, "alpha beta gamma")).toDF("doc_id", "text")
+    Bm25IndexView.applyBatch(late, 99L, dir)
+    val lateBucket = graft.operators.TextOps
+      .bm25Postings(late).select(pmod(col("h"),
+        lit(Bm25IndexView.CompactBuckets.toLong))).head().getLong(0)
+    Bm25IndexView.compact(spark, dir)
+    val after = baseFiles()
+    val untouched = before.filterNot(_._1.contains(s"bucket=$lateBucket"))
+    assert(untouched.forall { case (f, sig) => after.get(f).contains(sig) },
+      "an untouched bucket was rewritten")
+    assert(spark.read.parquet(s"$dir/postings_compacted").count()
+      == wantPostings + 1)
+
+    // 4. crash re-fold: the log deletion raced a crash — re-present the
+    // folded batch and compact again; the (doc_id, h) dedup absorbs it
+    graft.operators.TextOps.bm25Postings(late)
+      .write.parquet(s"$dir/postings/batch=99")
+    Bm25IndexView.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings_compacted").count()
+      == wantPostings + 1, "crash re-fold duplicated postings")
+    assert(servedSet().size == want.size + 1)
+  }
 }
