@@ -273,6 +273,159 @@ object Retrieval extends QueryPack {
       "agree_fx")
   }
 
+  /** MMR selection depth (the final diversified result size). */
+  private val MmrK = 5
+
+  /** One MMR greedy step as oracle CTEs: candidates = shortlist minus
+    * the selected set; `mmr = rel/2 − max(sim to selected)/2` (λ = ½ —
+    * exact halving in binary FP, no calibration constant to diverge);
+    * pick rn = 1 by (mmr DESC, neighbor_id ASC); fold into the
+    * cumulative `sel$i`. */
+  private def mmrStepSql(i: Int): String =
+    s"""mmr_c$i AS MATERIALIZED (
+      |  SELECT r.query_id, r.neighbor_id, r.rel / 2 - MAX(s.sim) / 2 AS mmr
+      |  FROM rel r
+      |  JOIN sims s ON s.query_id = r.query_id AND s.na = r.neighbor_id
+      |  JOIN mmr_sel${i - 1} p ON p.query_id = s.query_id AND p.neighbor_id = s.nb
+      |  LEFT JOIN mmr_sel${i - 1} x
+      |    ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+      |  WHERE x.neighbor_id IS NULL
+      |  GROUP BY r.query_id, r.neighbor_id, r.rel),
+      |mmr_s$i AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY mmr DESC, neighbor_id ASC) AS rn
+      |  FROM mmr_c$i) WHERE rn = 1),
+      |mmr_sel$i AS MATERIALIZED (SELECT * FROM mmr_sel${i - 1}
+      |          UNION ALL SELECT query_id, neighbor_id, $i AS rank FROM mmr_s$i)"""
+      .stripMargin
+
+  /** MMR-diversified serving (Carbonell & Goldstein, SIGIR'98 — the
+    * diversity re-rank production retrieval runs between the ANN
+    * shortlist and the consumer): from the residual compressed index's
+    * ADC shortlist of [[Similarity.RerankK]] candidates per query,
+    * greedily select [[MmrK]] results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` with λ = ½ —
+    * relevance is the exact query-candidate cosine over the FETCHED
+    * shortlist vectors (the two-stage rerank's own stage-2 economics:
+    * never a corpus pass), redundancy the exact candidate-candidate
+    * cosine within the shortlist. Training-data pipelines run exactly
+    * this shape to de-duplicate retrieved context windows.
+    *
+    * Scale shape: everything downstream of the shortlist is bounded by
+    * the legs — rel is NQueries·RerankK rows, the pairwise sims frame
+    * NQueries·RerankK² (8·20² = 3200 here, query-count-bounded at any
+    * corpus size), and each greedy step joins/aggregates only those.
+    * The [[MmrK]] greedy iterations are FIXED-DEPTH plan composition
+    * (k is a constant), not a data-dependent driver loop.
+    *
+    * Determinism: cosines through the shared [[Similarity.cosSql]]
+    * arithmetic; λ = ½ halves exactly; MAX over identical double sets
+    * and (mmr DESC, neighbor_id ASC) tie-breaks agree engine-to-engine
+    * — the oracle mirrors the greedy chain as [[MmrK]] fixed CTE
+    * steps. */
+  val qMmrRerank: Q = Q(
+    "q_mmr_rerank",
+    Some(s"""
+      ${Similarity.ivfPqResScoreSqlCtes},
+      short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS rn
+          FROM scores) WHERE rn <= ${Similarity.RerankK}),
+      rel AS MATERIALIZED (
+        SELECT sh.query_id, sh.neighbor_id,
+               ${Similarity.cosSql("q.qv", "e.embedding")} AS rel
+        FROM short sh
+        JOIN q ON sh.query_id = q.query_id
+        JOIN e ON sh.neighbor_id = e.vec_id),
+      sims AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+               ${Similarity.cosSql("ea.embedding", "eb.embedding")} AS sim
+        FROM short a
+        JOIN short b ON a.query_id = b.query_id
+                    AND a.neighbor_id <> b.neighbor_id
+        JOIN e ea ON a.neighbor_id = ea.vec_id
+        JOIN e eb ON b.neighbor_id = eb.vec_id),
+      mmr_s1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, neighbor_id ASC) AS rn
+        FROM rel) WHERE rn = 1),
+      mmr_sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, 1 AS rank FROM mmr_s1),
+      ${(2 to MmrK).map(mmrStepSql).mkString(",\n")}
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM mmr_sel$MmrK
+      ORDER BY query_id, rank
+      """.stripMargin.trim)
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val short = Similarity.ivfPqResTopK(s, dir, Similarity.RerankK)
+      .select("query_id", "neighbor_id")
+    val q = e.where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    mmrOver(e, q, short)
+  }
+
+  /** MMR selection over an explicit corpus / query / shortlist triple —
+    * the shared engine behind [[qMmrRerank]] and the streaming serve
+    * sidecar ([[graft.streaming.MmrServeView]]). `qs` is `(query_id,
+    * qv)`, `short` `(query_id, neighbor_id)`; returns `(query_id,
+    * neighbor_id, rank)` with rank = greedy selection order. */
+  def mmrOver(e: DataFrame, qs: DataFrame, short: DataFrame,
+      k: Int = MmrK): DataFrame = {
+    // stage-2 fetch: only the shortlisted vectors (broadcast equi-join
+    // against the corpus scan — the rerank query's exact shape)
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(short), "neighbor_id")
+      .localCheckpoint(eager = false) // queries·RerankK rows, reused 3×
+    val rel = cv.join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.operators.VectorOps.cosine(col("qv"), col("nv")).as("rel"))
+      .localCheckpoint(eager = false)
+    val sims = cv.select(col("query_id"), col("neighbor_id").as("na"), col("nv").as("va"))
+      .join(cv.select(col("query_id"), col("neighbor_id").as("nb"), col("nv").as("vb")),
+        Seq("query_id"))
+      .where(col("na") =!= col("nb"))
+      .select(col("query_id"), col("na"), col("nb"),
+        graft.operators.VectorOps.cosine(col("va"), col("vb")).as("sim"))
+      .localCheckpoint(eager = false)
+    mmrSelect(rel, sims, k)
+  }
+
+  /** The greedy MMR loop over explicit `rel(query_id, neighbor_id,
+    * rel)` / `sims(query_id, na, nb, sim)` frames — FIXED-DEPTH plan
+    * composition (k is a constant), each step bounded by the shortlist
+    * row counts. */
+  def mmrSelect(rel: DataFrame, sims: DataFrame, k: Int = MmrK): DataFrame = {
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    var sel = rel.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("rank"))
+    for (i <- 2 to k) {
+      val cand = rel.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = sims
+        .join(sel.select(col("query_id"), col("neighbor_id").as("nb")),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na").as("neighbor_id"))
+        .agg(max("sim").as("maxsim"))
+        .join(cand, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("rel") / 2 - col("maxsim") / 2).as("mmr"))
+      val wi = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("neighbor_id").asc)
+      sel = sel.unionByName(scored.withColumn("rn", row_number().over(wi))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(i).as("rank")))
+    }
+    sel.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** RRF over two ranked legs `(query_id, neighbor_id, rank_lex|vec)` —
     * leg-agnostic, so callers can swap the exact-cosine leg for any ANN
     * variant's (query_id, neighbor_id, rank) output. */
@@ -294,5 +447,5 @@ object Retrieval extends QueryPack {
   }
 
   override def all: Seq[Q] =
-    Seq(qHybridRrf, qHybridRrfAnn, qAnnRecall, qRerankAgreement)
+    Seq(qHybridRrf, qHybridRrfAnn, qAnnRecall, qRerankAgreement, qMmrRerank)
 }

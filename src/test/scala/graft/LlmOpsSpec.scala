@@ -1046,4 +1046,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(m("terms_kept") < m("terms_total"),
       "cap did not bite on the fixture — the kept/total signal is vacuous")
   }
+
+  test("MMR diversified re-rank: an independent greedy reference " +
+      "reimplementation (plain Scala, same IEEE arithmetic and " +
+      "tie-breaks) reproduces the selection exactly") {
+    import spark.implicits._
+    val got = Retrieval.qMmrRerank.build(spark, sf)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // reference: greedy MMR over the SAME shortlist, cosines mirrored
+    // as left-to-right double accumulation (DotProduct's contract)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def sdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def scos(a: Array[Float], b: Array[Float]): Double =
+      sdot(a, b) / (math.sqrt(sdot(a, a)) * math.sqrt(sdot(b, b)))
+    val short = Similarity.ivfPqResTopK(spark, sf, Similarity.RerankK)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val want = short.map { case (q, cands) =>
+      val rel = cands.map(c => c -> scos(e(q), e(c))).toMap
+      val first = cands.minBy(c => (-rel(c), c))
+      val sel = scala.collection.mutable.ArrayBuffer(first)
+      while (sel.length < 5) {
+        val remaining = cands.filterNot(sel.contains)
+        val next = remaining.minBy { c =>
+          val maxsim = sel.map(p => scos(e(c), e(p))).max
+          (-(rel(c) / 2 - maxsim / 2), c)
+        }
+        sel += next
+      }
+      q -> sel.toSeq
+    }
+    assert(got == want,
+      s"greedy reference diverged: ${got.toSeq.sortBy(_._1)} vs ${want.toSeq.sortBy(_._1)}")
+    // rank 1 is the exact-cosine argmax of the shortlist by construction
+    got.foreach { case (q, sel) =>
+      val cands = short(q)
+      assert(sel.head == cands.minBy(c => (-scos(e(q), e(c)), c)))
+    }
+  }
 }
