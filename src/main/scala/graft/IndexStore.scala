@@ -81,6 +81,7 @@ object IndexStore {
       if (!java.nio.file.Files.exists(marker)) {
         val tmp = baseDir.resolve(
           s"${dir.getFileName}.build-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.createDirectories(tmp)
         build(tmp.toString)
         java.nio.file.Files.write(tmp.resolve("_COMPLETE"),
           Array.emptyByteArray)
