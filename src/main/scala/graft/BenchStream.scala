@@ -264,6 +264,27 @@ object BenchStream {
         "postings_bytes" -> dirBytes(s"$dir/index/postings").toString,
         "terms_bytes" -> dirBytes(s"$dir/index/terms").toString)
 
+      // compaction: fold the per-batch postings log into the bucketed
+      // base — read amplification (file count) before/after, fold cost
+      def parquetFiles(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) return 0L
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .count(f => f.toString.endsWith(".parquet"))
+      }
+      val filesBefore = parquetFiles(s"$dir/index/postings")
+      val (_, compactSecs) = timeIt(
+        graft.streaming.Bm25IndexView.compact(spark, s"$dir/index"))
+      section("bm25_compact",
+        "fold_secs" -> f(compactSecs),
+        "log_files_before" -> filesBefore.toString,
+        "base_files_after" ->
+          parquetFiles(s"$dir/index/postings_compacted").toString,
+        "served_rows" ->
+          graft.streaming.Bm25IndexView.served(spark, s"$dir/index")
+            .count().toString)
+
       // serve 64 query docs in 4 batches from the MAINTAINED artifacts
       val (n, t) = graft.streaming.Bm25IndexView.stats(spark, s"$dir/index")
       val served = graft.streaming.Bm25IndexView.served(spark, s"$dir/index")

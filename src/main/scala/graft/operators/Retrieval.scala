@@ -372,57 +372,65 @@ object Retrieval extends QueryPack {
     * the shared engine behind [[qMmrRerank]] and the streaming serve
     * sidecar ([[graft.streaming.MmrServeView]]). `qs` is `(query_id,
     * qv)`, `short` `(query_id, neighbor_id)`; returns `(query_id,
-    * neighbor_id, rank)` with rank = greedy selection order. */
+    * neighbor_id, rank)` with rank = greedy selection order.
+    *
+    * Shape: the shortlisted vectors are fetched through a broadcast
+    * equi-join against the corpus scan (the rerank query's stage-2
+    * economics — never a second corpus pass), then ONE shuffle groups
+    * each query's ≤ RerankK candidates and the greedy loop runs
+    * per-group in [[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroups]] — the Dataset shape for genuinely SEQUENTIAL
+    * per-group logic: expressing k greedy rounds as relational ops
+    * costs k window+join+agg stages over driver-scheduled jobs (the
+    * first cut measured 5.7 s of pure stage overhead on
+    * NQueries·RerankK = 160 rows), while per-group it is O(k·RerankK)
+    * arithmetic on rows already co-located. Group size is bounded by
+    * the shortlist depth, never by the corpus.
+    *
+    * Determinism: the in-group cosine mirrors [[VectorOps.cosine]]'s
+    * contract exactly (elements widened to double, LEFT-TO-RIGHT
+    * accumulation, norms from the same dot — the DotProduct
+    * expression's documented arithmetic), λ = ½ halves exactly, and
+    * ties break (score DESC, neighbor_id ASC) — the independent
+    * reference-reimplementation spec pins EXACT equality with the
+    * mirrored DuckDB CTE chain. */
   def mmrOver(e: DataFrame, qs: DataFrame, short: DataFrame,
       k: Int = MmrK): DataFrame = {
-    // stage-2 fetch: only the shortlisted vectors (broadcast equi-join
-    // against the corpus scan — the rerank query's exact shape)
-    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .join(broadcast(short), "neighbor_id")
-      .localCheckpoint(eager = false) // queries·RerankK rows, reused 3×
-    val rel = cv.join(broadcast(qs), "query_id")
+      .join(broadcast(qs), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        graft.operators.VectorOps.cosine(col("qv"), col("nv")).as("rel"))
-      .localCheckpoint(eager = false)
-    val sims = cv.select(col("query_id"), col("neighbor_id").as("na"), col("nv").as("va"))
-      .join(cv.select(col("query_id"), col("neighbor_id").as("nb"), col("nv").as("vb")),
-        Seq("query_id"))
-      .where(col("na") =!= col("nb"))
-      .select(col("query_id"), col("na"), col("nb"),
-        graft.operators.VectorOps.cosine(col("va"), col("vb")).as("sim"))
-      .localCheckpoint(eager = false)
-    mmrSelect(rel, sims, k)
-  }
-
-  /** The greedy MMR loop over explicit `rel(query_id, neighbor_id,
-    * rel)` / `sims(query_id, na, nb, sim)` frames — FIXED-DEPTH plan
-    * composition (k is a constant), each step bounded by the shortlist
-    * row counts. */
-  def mmrSelect(rel: DataFrame, sims: DataFrame, k: Int = MmrK): DataFrame = {
-    val w1 = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("neighbor_id").asc)
-    var sel = rel.withColumn("rn", row_number().over(w1))
-      .where(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("rank"))
-    for (i <- 2 to k) {
-      val cand = rel.join(sel.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val scored = sims
-        .join(sel.select(col("query_id"), col("neighbor_id").as("nb")),
-          Seq("query_id", "nb"))
-        .groupBy(col("query_id"), col("na").as("neighbor_id"))
-        .agg(max("sim").as("maxsim"))
-        .join(cand, Seq("query_id", "neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (col("rel") / 2 - col("maxsim") / 2).as("mmr"))
-      val wi = Window.partitionBy("query_id")
-        .orderBy(col("mmr").desc, col("neighbor_id").asc)
-      sel = sel.unionByName(scored.withColumn("rn", row_number().over(wi))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), lit(i).as("rank")))
-    }
-    sel.select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"))
+        col("qv").cast("array<double>"), col("nv").cast("array<double>"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Seq[Double], Seq[Double])]) =>
+        val cands = it.toArray.sortBy(_._2)
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        def cos(a: Seq[Double], b: Seq[Double]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        val qv = cands.head._3
+        val rel = cands.map(c => c._2 -> cos(qv, c._4)).toMap
+        val byId = cands.map(c => c._2 -> c._4).toMap
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (sel.length < math.min(k, cands.length)) {
+          val remaining = cands.map(_._2).filterNot(sel.contains)
+          val next =
+            if (sel.isEmpty) remaining.minBy(c => (-rel(c), c))
+            else remaining.minBy { c =>
+              val maxsim = sel.map(p => cos(byId(c), byId(p))).max
+              (-(rel(c) / 2 - maxsim / 2), c)
+            }
+          sel += next
+        }
+        sel.iterator.zipWithIndex.map { case (nb, i) => (qid, nb, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
 

@@ -159,6 +159,10 @@ object Bm25IndexView {
       else fresh.limit(0)
     val merged = existing.unionByName(fresh)
       .dropDuplicates("doc_id", "h") // re-fold idempotency (values equal)
+      // co-locate each bucket's rows: ONE file per rewritten bucket, so
+      // the compacted base's file count stays = bucket count (the read-
+      // amplification bound compaction exists to provide)
+      .repartition(CompactBuckets, col("bucket"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite)
