@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 import scala.collection.mutable
@@ -57,17 +57,34 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     child: SparkPlan,
-    spillThreshold: Int) extends UnaryExecNode {
+    spillThreshold: Int,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each group on one partition; Spark inserts the hash
-    * exchange (or reuses an existing partitioning) to satisfy this.
-    * Empty `groupExprs` = global top-k: `ClusteredDistribution(Nil)` fails
-    * Spark's internal require, so demand AllTuples (single partition)
-    * instead — the k-heap then runs once over the whole input. */
+  /** Final mode: co-locate each group on one partition; Spark inserts
+    * the hash exchange (or reuses an existing partitioning) to satisfy
+    * this. Empty `groupExprs` = global top-k: `ClusteredDistribution
+    * (Nil)` fails Spark's internal require, so demand AllTuples (single
+    * partition) instead — the k-heap then runs once over the whole
+    * input.
+    *
+    * PARTIAL mode (r12): no distribution requirement — the same k-heap
+    * runs per input partition BEFORE the exchange, so at most
+    * groups-in-partition × k rows survive to the shuffle (the map-side
+    * combine of top-k; previously EVERY scored row shuffled — measured
+    * n·NQueries records on the ANN queries). Partial-then-final is
+    * exactly top-k because the final heap over per-partition survivors
+    * selects the same rows the global heap would — PROVIDED the order
+    * is total (every call site tie-breaks to a unique key, which the
+    * oracle-determinism discipline already required of them). */
   override def requiredChildDistribution: Seq[Distribution] =
-    (if (groupExprs.isEmpty) AllTuples else ClusteredDistribution(groupExprs)) :: Nil
+    (if (partial) UnspecifiedDistribution
+     else if (groupExprs.isEmpty) AllTuples
+     else ClusteredDistribution(groupExprs)) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartialExec" else "TopKPerGroupExec"
 
   override protected def doExecute(): RDD[InternalRow] = {
     // locals only — codegen'd projection/ordering must be built per
@@ -221,7 +238,13 @@ private final class TopKMergeIterator(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, groups, order, child, spillAt) =>
-      TopKPerGroupExec(k, groups, order, planLater(child), spillAt) :: Nil
+      // two-phase: per-partition partial heap (no distribution demand,
+      // runs before the exchange) under the clustering final heap —
+      // the aggregation partial/final split applied to top-k
+      TopKPerGroupExec(k, groups, order,
+        TopKPerGroupExec(k, groups, order, planLater(child), spillAt,
+          partial = true),
+        spillAt) :: Nil
     case _ => Nil
   }
 }

@@ -86,7 +86,12 @@ class ScaleLintSpec extends SparkSpec {
       // (equi-joins only), but a cold or cleared cache inlines the
       // index BUILD — q_sim_ivfpq_res's exempt routing shape — into
       // the plan; the exemption makes the lint cache-state-independent
-      "q_index_health")
+      "q_index_health",
+      // MMR re-rank: the shortlist leg IS q_sim_ivfpq_res's exempt
+      // probes × NCells routing shape (queries × a constant-bounded
+      // centroid set); everything MMR adds is broadcast equi-joins on
+      // the NQueries·RerankK shortlist plus one grouped flatMapGroups
+      "q_mmr_rerank")
 
   private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build = if (j.buildSide == BuildLeft) j.left else j.right

@@ -95,4 +95,39 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), plan)
     assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
   }
+
+  test("two-phase: a partial heap runs BELOW the exchange and bounds " +
+      "shuffled rows to surviving candidates, result unchanged") {
+    val orders = Tables.orders(spark, sf)
+    val k = 3
+    val df = TopK.perGroup(orders, k, Seq("o_custkey"),
+      Seq(orders("o_totalprice").desc, orders("o_orderkey").asc))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial below the exchange, final above it
+    val iPartial = plan.indexOf("TopKPerGroupPartialExec")
+    val iExchange = plan.indexOf("Exchange hashpartitioning(o_custkey")
+    val iFinal = plan.indexOf("TopKPerGroupExec")
+    assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0, plan)
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected final/exchange/partial order in:\n$plan")
+    // the map-side prune bit: shuffled records = per-partition survivors,
+    // strictly fewer than the input rows (every group × k per partition
+    // is the bound; the input has ~10 orders per customer)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val written = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }.sum
+    val input = orders.count()
+    assert(written > 0 && written < input,
+      s"partial heap did not prune: shuffled $written of $input input rows")
+  }
 }
