@@ -2265,14 +2265,42 @@ object Similarity extends QueryPack {
       FROM reranked WHERE rank <= $TopK
       ORDER BY query_id, rank
       """.stripMargin.trim)
-  ) { (s, dir) => hammingTopK(Tables.embeddings(s, dir)) }
+  ) { (s, dir) =>
+    hammingRerank(Tables.embeddings(s, dir),
+      hammingShortlistFrom(hamCodesFor(s, dir)), TopK)
+  }
+
+  /** ON-DISK sign-code table per corpus path — the binary index
+    * artifact (8 bytes/vector; stage 1 then scans codes, never the
+    * 256-byte float vectors — the 32× I/O cut that IS binary
+    * quantization's point at 100 TB). Codes are CANONICAL (bit d =
+    * sign of dimension d, no trained geometry), so the artifact has no
+    * quantizer-era discipline — only the fingerprint/kind invalidation
+    * every IndexStore artifact gets. */
+  private def hamArtifactDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "ham-v1", Seq("embeddings")) { out =>
+      hammingCodes(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")))
+        .write.parquet(s"$out/codes")
+    }
+  private val hamCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def hamCodesFor(s: SparkSession, dir: String): DataFrame =
+    hamCache.getOrElseUpdate((s, dir),
+      s.read.parquet(s"${hamArtifactDir(s, dir)}/codes"))
 
   /** Stage 1 of [[qSimHamming]]: the [[HamShortK]]-candidate Hamming
     * shortlist per query off the 8-byte codes (bounded heap —
     * per-partition ≤ queries×k rows survive to the exchange). Shared
     * with the streaming search twin's equivalence spec. */
-  def hammingShortlist(e0: DataFrame, k: Int = HamShortK): DataFrame = {
-    val codes = hammingCodes(e0.select(col("vec_id"), col("embedding")))
+  def hammingShortlist(e0: DataFrame, k: Int = HamShortK): DataFrame =
+    hammingShortlistFrom(
+      hammingCodes(e0.select(col("vec_id"), col("embedding"))), k)
+
+  /** [[hammingShortlist]] against an explicit code table — the
+    * artifact-serving plan (the declared query reads the stored codes;
+    * the explicit-frame form computes them inline). */
+  def hammingShortlistFrom(codes: DataFrame, k: Int = HamShortK): DataFrame = {
     val q = codes.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"))
     val scored = codes.crossJoin(broadcast(q))
