@@ -1400,17 +1400,21 @@ object Similarity extends QueryPack {
 
   /** The loaded artifact set `(raw codebooks, raw codes, residual
     * codebooks, residual index, cell means)` — lazy parquet reads of
-    * [[pqArtifactDir]], memoized per (session, dir): frames are
-    * session-bound, so the session is part of the key (a restarted
-    * session re-resolves from the same on-disk artifact). */
+    * [[pqArtifactDir]], memoized per (session, RESOLVED artifact path):
+    * frames are session-bound, so the session is part of the key (a
+    * restarted session re-resolves from the same on-disk artifact),
+    * and the artifact path embeds the corpus fingerprint — resolved on
+    * EVERY lookup (a metadata-only walk), so a fixture regenerated
+    * within one session gets a fresh entry instead of the stale
+    * frames a corpus-dir key would keep serving. */
   private val pqArtCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Seq[(Int, Long, Seq[Long])], DataFrame,
       Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame)]
   private def pqArtifactsFor(s: SparkSession, dir: String)
       : (Seq[(Int, Long, Seq[Long])], DataFrame,
-         Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) =
-    pqArtCache.getOrElseUpdate((s, dir), {
-      val a = pqArtifactDir(s, dir)
+         Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame) = {
+    val a = pqArtifactDir(s, dir)
+    pqArtCache.getOrElseUpdate((s, a), {
       def cbOf(p: String): Seq[(Int, Long, Seq[Long])] =
         s.read.parquet(p).collect()
           .map(r => (r.getInt(r.fieldIndex("s")), r.getLong(r.fieldIndex("j")),
@@ -1424,6 +1428,7 @@ object Similarity extends QueryPack {
         cbOf(s"$a/codebooks_res"), idxOf(s"$a/index_res"),
         s.read.parquet(s"$a/cells"))
     })
+  }
 
   /** Trained raw-PQ codebooks for a corpus path — an index artifact
     * read from disk; re-training per query would re-run the build step
@@ -2283,11 +2288,15 @@ object Similarity extends QueryPack {
           .select(col("vec_id"), col("embedding")))
         .write.parquet(s"$out/codes")
     }
+  // memo keyed by the RESOLVED artifact path (embeds the corpus
+  // fingerprint, recomputed per lookup) — a regenerated fixture gets a
+  // fresh entry instead of a stale frame (the pqArtCache discipline)
   private val hamCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private def hamCodesFor(s: SparkSession, dir: String): DataFrame =
-    hamCache.getOrElseUpdate((s, dir),
-      s.read.parquet(s"${hamArtifactDir(s, dir)}/codes"))
+  private def hamCodesFor(s: SparkSession, dir: String): DataFrame = {
+    val a = hamArtifactDir(s, dir)
+    hamCache.getOrElseUpdate((s, a), s.read.parquet(s"$a/codes"))
+  }
 
   /** Stage 1 of [[qSimHamming]]: the [[HamShortK]]-candidate Hamming
     * shortlist per query off the 8-byte codes (bounded heap —

@@ -1451,20 +1451,24 @@ object TextOps extends QueryPack {
     }
 
   /** The served lexical artifacts `(postings, terms, (n, t))` — lazy
-    * parquet reads of [[bm25ArtifactDir]], memoized per (session, dir)
-    * so plan handles reuse file listings (frames are session-bound, so
-    * the session is part of the key — a restarted session re-resolves
-    * from the same on-disk artifact). */
+    * parquet reads of [[bm25ArtifactDir]], memoized per (session,
+    * RESOLVED artifact path) so plan handles reuse file listings
+    * (frames are session-bound, so the session is part of the key — a
+    * restarted session re-resolves from the same on-disk artifact).
+    * The artifact path embeds the corpus fingerprint and is resolved
+    * on EVERY lookup (metadata-only walk), so a fixture regenerated
+    * within one session gets fresh frames, never a stale entry. */
   private val bm25IdxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame, (Long, Long))]
   private def bm25IndexFor(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, (Long, Long)) =
-    bm25IdxCache.getOrElseUpdate((s, dir), {
-      val a = bm25ArtifactDir(s, dir)
+      s: SparkSession, dir: String): (DataFrame, DataFrame, (Long, Long)) = {
+    val a = bm25ArtifactDir(s, dir)
+    bm25IdxCache.getOrElseUpdate((s, a), {
       val st = s.read.parquet(s"$a/stats").head()
       (s.read.parquet(s"$a/postings"), s.read.parquet(s"$a/terms"),
         (st.getLong(0), st.getLong(1)))
     })
+  }
 
   /** The scored BM25 sums off the on-disk index — what every batch
     * retrieval query ranks. Each consumer action re-reads the (small,

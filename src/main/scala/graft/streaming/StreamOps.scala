@@ -869,13 +869,19 @@ object StreamOps {
           val (ver, top) = state.getOption.getOrElse((0L, Array.empty[(Long, Long)]))
           // batch-local per-neighbor sum (a query's candidates are
           // batch-atomic), then neighbor-dedup merge: new sums replace.
-          // distinctBy (neighbor, term hash) first: a query row
-          // re-delivered WITHIN one micro-batch duplicates every
-          // candidate row — summing duplicates would double tf.
-          val sums = batch.toSeq.distinctBy(r => (r._2, r._3))
-            .foldLeft(Map.empty[Long, Long]) {
-              case (m, (_, nb, _, fx)) => m.updated(nb, m.getOrElse(nb, 0L) + fx)
-            }
+          // (neighbor, term hash) dedup inline: a query row re-delivered
+          // WITHIN one micro-batch duplicates every candidate row —
+          // summing duplicates would double tf. Single pass over the
+          // iterator with a seen-keys set (keys only, never whole rows:
+          // per-query candidate volume is bounded by matched postings,
+          // not by k, so materializing tuples here is the one unbounded
+          // buffer in the stateful operator).
+          val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          val sums = scala.collection.mutable.Map.empty[Long, Long]
+          batch.foreach { case (_, nb, h, fx) =>
+            if (seen.add((nb, h)))
+              sums.update(nb, sums.getOrElse(nb, 0L) + fx)
+          }
           // NOTE: .toSeq BEFORE the swap — mapping a Map to (sfx, nb)
           // would re-key by sfx and silently collapse score TIES
           val merged = (top.filterNot { case (_, nb) => sums.contains(nb) }
