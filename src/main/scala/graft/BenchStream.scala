@@ -280,7 +280,7 @@ object BenchStream {
         "fold_secs" -> f(compactSecs),
         "log_files_before" -> filesBefore.toString,
         "base_files_after" ->
-          parquetFiles(s"$dir/index/postings_compacted").toString,
+          parquetFiles(s"$dir/index/postings_compacted2").toString,
         "served_rows" ->
           graft.streaming.Bm25IndexView.served(spark, s"$dir/index")
             .count().toString)

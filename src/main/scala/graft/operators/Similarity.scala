@@ -1539,6 +1539,30 @@ object Similarity extends QueryPack {
     (cells, cb, idx)
   }
 
+  /** The residual-era CELL RECORDS `(cell_id, ctr, ctrm)` under an
+    * EXPLICIT seed-id set — the cell-growth entry point
+    * ([[graft.streaming.VecIndexView.migrateCellSplit]]): seeds are
+    * corpus vectors (`cell_id = vec_id`, the [[pqResArtifacts]]
+    * deterministic-training convention, so a GROWN seed set is a
+    * superset of the old one), membership is the same cosine routing,
+    * and the means recompute over the new membership — cells whose
+    * membership did not change reproduce their old means bit-for-bit
+    * (deterministic integer sums), which is what makes the split a
+    * touched-partition rewrite instead of a full re-encode. */
+  def pqResCellsWithSeeds(e: DataFrame,
+      seedIds: Seq[Long]): Seq[(Long, Seq[Double], Seq[Long])] = {
+    val cents = e.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("ctr"))
+    val cellOf = ivfCellOf(e, cents)
+    val cmeans = ivfCellMeansFx(e, cellOf)
+    cents.join(cmeans, "cell_id").orderBy("cell_id").collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("cell_id")),
+          r.getSeq[Number](r.fieldIndex("ctr")).map(_.doubleValue()).toSeq,
+          r.getSeq[Long](r.fieldIndex("ctrm")).toSeq)
+      }.toSeq
+  }
+
   /** PQ encoding: `(vec_id, s, j)` — codeword j of subspace s is the
     * nearest (integer squared L2 over fixed-point coords, ties to the
     * smallest id) of the [[PqK]] TRAINED codewords. This IS the

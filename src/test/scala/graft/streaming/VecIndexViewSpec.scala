@@ -1,0 +1,225 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class VecEvent(vec_id: Long, embedding: Seq[Float], event_type: String,
+    sequence: Long)
+
+/** The maintained residual IVF-PQ code table: vector changelog in,
+  * served code table out — row-identical to the batch residual index
+  * over the changelog's materialized latest state, replay no-op,
+  * era-mismatch refused, compaction physically drops superseded rows,
+  * and the maintained artifacts serve the search stream ≡ the batch
+  * `q_sim_ivfpq_res`. */
+class VecIndexViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def codeSet(df: DataFrame) =
+    df.select(col("vec_id"), col("s").cast("int"), col("j"),
+        col("cell_id").cast("long"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+
+  test("maintained code table ≡ the batch residual index; " +
+      "updates/deletes follow the changelog; late events lose; replay " +
+      "and crash-retry no-ops; compaction drops superseded rows " +
+      "physically; search over the maintained index ≡ batch " +
+      "q_sim_ivfpq_res; retrained-era writer refused") {
+    val dir = java.nio.file.Files.createTempDirectory("vecview").toString
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // the frozen geometry era + the batch index it produced
+    val (cells, cbs, batchIdx) = graft.operators.Similarity.pqResArtifacts(e)
+    val rows = e.as[VecRow].collect().sortBy(_.vec_id)
+
+    // ---- batch 0: insert the whole corpus through the changelog
+    val b0 = rows.map(r => VecEvent(r.vec_id, r.embedding, "insert",
+      r.vec_id + 1))
+    val in = MemoryStream[VecEvent](spark)
+    val q = in.toDF().writeStream
+      .foreachBatch(VecIndexView.changelogWriter(dir, cells, cbs))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vecview-ckpt").toString)
+      .start()
+    try { in.addData(b0.toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+
+    // 1. full-corpus ingest serves ROW-IDENTICAL to the batch build
+    // (the pqResIndexFor artifact shape) — the vector side now has the
+    // ingest → serve parity BM25 had
+    val afterInsert = codeSet(VecIndexView.servedIndex(spark, dir))
+    assert(afterInsert == codeSet(batchIdx),
+      "full-corpus maintained index diverged from the batch build")
+
+    // 2. search the MAINTAINED index ≡ the batch q_sim_ivfpq_res
+    val qrows = rows.filter(_.vec_id < 8)
+    val qin = MemoryStream[VecRow](spark)
+    val sq = StreamOps.ivfPqSearchStream(qin.toDF(),
+      VecIndexView.servedIndex(spark, dir), cells, cbs, k = 5,
+      checkpointLocation = StreamOps.EphemeralState)
+      .writeStream.format("memory").queryName("vecview_search")
+      .outputMode("append").start()
+    try {
+      qin.addData(qrows.toIndexedSeq); sq.processAllAvailable()
+      val got = spark.table("vecview_search")
+        .withColumn("maxv", max("ver").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+        .where(col("ver") === col("maxv"))
+        .select(col("query_id").cast("long"), col("rank").cast("int"),
+          col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      val expect = graft.operators.Similarity.qSimIvfPqRes.build(spark, sf)
+        .select(col("query_id"), col("rank").cast("int"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expect,
+        s"search over maintained index diverged: ${got.diff(expect).take(5)}")
+    } finally sq.stop()
+
+    // ---- batch 1: update two vectors (swap their embeddings — both
+    // may ROUTE TO DIFFERENT CELLS, the cross-cell marker case),
+    // delete two others
+    val base = rows.map(_.vec_id).max + 2
+    val (va, vb) = (rows(3), rows(5))
+    val (vd1, vd2) = (rows(2).vec_id, rows(7).vec_id)
+    val b1 = Seq(
+      VecEvent(va.vec_id, vb.embedding, "update_after", base),
+      VecEvent(vb.vec_id, va.embedding, "update_after", base + 1),
+      VecEvent(vd1, Seq.empty, "delete", base + 2),
+      VecEvent(vd2, Seq.empty, "delete", base + 3))
+    VecIndexView.applyChangelogBatch(
+      b1.toDF("vec_id", "embedding", "event_type", "sequence"),
+      1L, dir, cells, cbs)
+    // batch 2: resurrect vd1 with vb's old embedding; a LATE event for
+    // va (stale sequence) that must lose
+    val b2 = Seq(
+      VecEvent(vd1, vb.embedding, "insert", base + 4),
+      VecEvent(va.vec_id, va.embedding, "update_after", 1L))
+    VecIndexView.applyChangelogBatch(
+      b2.toDF("vec_id", "embedding", "event_type", "sequence"),
+      2L, dir, cells, cbs)
+
+    // the materialized latest state
+    val snapRows = rows.flatMap { r =>
+      r.vec_id match {
+        case x if x == va.vec_id => Some(VecRow(x, vb.embedding))
+        case x if x == vb.vec_id => Some(VecRow(x, va.embedding))
+        case x if x == vd1       => Some(VecRow(x, vb.embedding))
+        case x if x == vd2       => None
+        case _                   => Some(r)
+      }
+    }
+    val snapshot = snapRows.toSeq.toDF("vec_id", "embedding")
+    // batch encode of the snapshot under the SAME frozen era
+    val wantCodes = codeSet(
+      StreamOps.ivfPqEncodeProj(snapshot, cells, cbs)
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(col("codes")).as(Seq("s", "j")))
+        .select(col("vec_id"), col("s"), col("j"), col("cell_id")))
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == wantCodes,
+      "changelog-maintained code table diverged from the snapshot encode")
+
+    // 3. replay (same batchId) and marker-loss crash-retry are no-ops
+    VecIndexView.applyChangelogBatch(
+      b1.toDF("vec_id", "embedding", "event_type", "sequence"),
+      1L, dir, cells, cbs)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == wantCodes,
+      "replay changed the served table")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_codes-batch-1"))
+    VecIndexView.applyChangelogBatch(
+      b1.toDF("vec_id", "embedding", "event_type", "sequence"),
+      1L, dir, cells, cbs)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == wantCodes,
+      "marker-loss re-run changed the served table")
+    // cross-batch duplicate delivery under a NEW batchId: all late
+    VecIndexView.applyChangelogBatch(
+      b2.toDF("vec_id", "embedding", "event_type", "sequence"),
+      9L, dir, cells, cbs)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == wantCodes,
+      "cross-batch duplicate delivery changed the served table")
+
+    // 4. compaction: served identical; the base physically holds
+    // EXACTLY the snapshot's code rows; log drained
+    VecIndexView.compact(spark, dir)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == wantCodes,
+      "compaction changed the served table")
+    assert(spark.read.parquet(s"$dir/codes_compacted").count()
+      == wantCodes.size, "compacted base retains superseded/deleted rows")
+    assert(IndexFiles.listBatchDirs(
+      java.nio.file.Paths.get(s"$dir/codes")).isEmpty, "log not drained")
+
+    // 5. post-compact delete: serve follows; re-compact rewrites ONLY
+    // the deleted vector's cell partition
+    val d9 = snapRows.find(r => r.vec_id != va.vec_id && r.vec_id != vb.vec_id
+      && r.vec_id != vd1 && r.vec_id > 8).get
+    VecIndexView.applyChangelogBatch(
+      Seq(VecEvent(d9.vec_id, Seq.empty, "delete", base + 9))
+        .toDF("vec_id", "embedding", "event_type", "sequence"),
+      10L, dir, cells, cbs)
+    val want2 = wantCodes.filterNot(_._1 == d9.vec_id)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == want2,
+      "post-compact delete not reflected in serve")
+    def baseFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/codes_compacted"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val filesBefore = baseFiles()
+    val d9cell = wantCodes.find(_._1 == d9.vec_id).get._4
+    VecIndexView.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes_compacted").count()
+      == want2.size, "re-compaction kept the deleted vector's rows")
+    val untouched = filesBefore.filterNot(_._1.contains(s"cell_id=$d9cell"))
+    val after = baseFiles()
+    assert(untouched.forall { case (f, sig) => after.get(f).contains(sig) },
+      "an untouched cell partition was rewritten by the tombstone fold")
+
+    // 6. a retrained-era writer is REFUSED
+    val cbs2 = cbs.map { case (s0, j, cv) => (s0, j, cv.map(_ + 1L)) }
+    val ex = intercept[IllegalStateException] {
+      VecIndexView.applyChangelogBatch(
+        Seq(VecEvent(1L, rows(1).embedding, "insert", base + 20))
+          .toDF("vec_id", "embedding", "event_type", "sequence"),
+        11L, dir, cells, cbs2)
+    }
+    assert(ex.getMessage.contains("quantizer era"),
+      s"wrong era refusal: ${ex.getMessage}")
+
+    // 7. the search stream over the POST-MUTATION maintained index ≡
+    // the same stream over the batch encode of the snapshot (identical
+    // static frames by (1); this pins the end-to-end wiring)
+    val snapIdx = StreamOps.ivfPqEncodeProj(
+        snapshot.where(col("vec_id") =!= d9.vec_id), cells, cbs)
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("s", "j")))
+      .select(col("vec_id"), col("s"), col("j"), col("cell_id"))
+    def searchOver(idx: DataFrame, name: String): Set[(Long, Int, Long)] = {
+      val qin2 = MemoryStream[VecRow](spark)
+      val s2 = StreamOps.ivfPqSearchStream(qin2.toDF(), idx, cells, cbs,
+        k = 5, checkpointLocation = StreamOps.EphemeralState)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        qin2.addData(qrows.toIndexedSeq); s2.processAllAvailable()
+        spark.table(name)
+          .withColumn("maxv", max("ver").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+          .where(col("ver") === col("maxv"))
+          .select(col("query_id").cast("long"), col("rank").cast("int"),
+            col("neighbor_id"))
+          .as[(Long, Int, Long)].collect().toSet
+      } finally s2.stop()
+    }
+    assert(searchOver(VecIndexView.servedIndex(spark, dir), "vv_maint")
+      == searchOver(snapIdx, "vv_batch"),
+      "post-mutation search diverged from the batch-encoded snapshot")
+  }
+}
