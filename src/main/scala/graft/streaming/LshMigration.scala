@@ -83,6 +83,12 @@ object LshMigration {
   *     hold (spec-pinned).
   */
 object IvfMigration {
+  /** Cell-GROWTH of a maintained code table is
+    * [[VecIndexView.migrateCellSplit]]: touched-partition re-shard onto
+    * a grown seed set, frozen codebooks, untouched cells byte-identical
+    * — the cheap path between this stats merge (no re-keying at all)
+    * and [[PqMigration]]'s full re-encode (codebook retrain). */
+
   /** Exact monoid merge of two cell-stat frames (historical ⊕ live). */
   def combinedStats(historical: DataFrame, live: DataFrame): DataFrame =
     historical.unionByName(live)

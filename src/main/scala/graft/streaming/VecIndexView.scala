@@ -282,4 +282,118 @@ object VecIndexView {
     }
     batchDirs.foreach(IndexFiles.deleteTree)
   }
+
+  /** CELL-SPLIT migration (VERDICT r12 #3): re-shard a maintained index
+    * onto a GROWN cell set without a full rebuild. NCells is scale-aware
+    * at build time (`Similarity.ivfCells` grows as √n) but frozen for a
+    * maintained index's lifetime — at 100× corpus growth a frozen cell
+    * count degrades probe selectivity n/NCells linearly. The cheap path
+    * out exploits two facts: (a) routing depends only on the SEED
+    * centroids, so old vectors re-route only if a new seed actually
+    * beats their old cell; (b) residuals depend on the cell MEANS,
+    * which are deterministic integer sums over membership — a cell
+    * whose membership did not change reproduces its mean (and so all
+    * its members' codes) bit-for-bit. The migration therefore touches
+    * exactly the partitions of cells whose (seed, mean) changed or
+    * that gained/lost members, re-encodes only vectors routed into a
+    * touched cell, and leaves every other partition byte-identical —
+    * a from-scratch build at the new cell set (same codebooks)
+    * produces the identical table (spec-pinned).
+    *
+    * The residual CODEBOOKS stay frozen — they are a quantizer of the
+    * residual space, consistent (if gradually suboptimal) across cell
+    * growth; retraining them is the FULL re-encode of [[PqMigration]],
+    * deliberately not this path.
+    *
+    * Offline, stream stopped (like [[compact]]): compacts first, then
+    * rewrites touched partitions, then the catalog, then the `_era`
+    * stamp LAST — so a crash mid-migration leaves the old era stamped
+    * and the re-run (old-era writers still refused? no: `newCells` is
+    * re-presented) recomputes the same touched set against the
+    * unchanged catalog and overwrites idempotently. Serve checkpoints
+    * bound to the OLD geometry refuse the migrated index
+    * ([[StateGeometryGuard]]); searches resume on fresh checkpoints.
+    *
+    * `corpus` is the current snapshot `(vec_id, embedding)` of the
+    * ingested table (the changelog's materialized latest state) — the
+    * maintained index stores codes, not vectors, so re-encoding needs
+    * the source table, exactly like [[PqMigration.reencodedResidual]].
+    * Returns the touched cell ids (observability + spec hook). */
+  def migrateCellSplit(spark: SparkSession, baseDir: String,
+      corpus: DataFrame,
+      oldCells: Seq[(Long, Seq[Double], Seq[Long])],
+      newCells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): Set[Long] = {
+    // refuse a writer whose old geometry is not what the index holds
+    requireEra(baseDir, oldCells, codebooks)
+    compact(spark, baseDir) // all rows into the cell-partitioned base
+    val baseRoot = s"$baseDir/codes_compacted"
+
+    // cells whose seed or mean changed, plus brand-new ids
+    val oldById = oldCells.map(c => c._1 -> c).toMap
+    val geomChanged = newCells.filter { c =>
+      oldById.get(c._1) match {
+        case Some(o) => o._2 != c._2 || o._3 != c._3
+        case None => true
+      }
+    }.map(_._1).toSet ++ oldById.keySet.diff(newCells.map(_._1).toSet)
+
+    val cat = readCatalog(spark, baseDir)
+    val live = cat.where(col("live"))
+      .select(col("vec_id"), col("ver"), col("cell_id").as("old_cell"))
+    // one routing+encode pass of the live corpus under the NEW cells —
+    // the encoder is the stateless streaming projection, so codes are
+    // bit-identical to a from-scratch batch build at the new cell set
+    val enc = StreamOps.ivfPqEncodeProj(
+        corpus.select(col("vec_id"), col("embedding")), cells = newCells,
+        codebooks = codebooks)
+      .select(col("vec_id"), col("cell_id").as("new_cell"), col("codes"))
+      .join(live, "vec_id")
+      .localCheckpoint(eager = true)
+    require(enc.count() == live.count(),
+      "corpus snapshot does not cover every live vector in the catalog")
+
+    // touched = geometry-changed cells ∪ both ends of every moved vector
+    val movedEnds = enc.where(col("new_cell") =!= col("old_cell"))
+      .select(explode(array(col("new_cell"), col("old_cell"))).as("c"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val touched = geomChanged ++ movedEnds
+    if (touched.nonEmpty) {
+      val newRows = enc
+        .where(col("new_cell").isin(touched.toSeq: _*))
+        .select(col("vec_id"), col("ver"), col("new_cell").as("cell_id"),
+          posexplode(col("codes")).as(Seq("s", "j")))
+        .select(col("vec_id"), col("ver"), col("cell_id"),
+          col("s").cast("int").as("s"), col("j"))
+        .repartition(col("cell_id"))
+        .localCheckpoint(eager = true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try newRows.write.mode(SaveMode.Overwrite)
+        .partitionBy("cell_id").parquet(baseRoot)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val kept = newRows.select("cell_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.diff(kept).foreach { c =>
+        IndexFiles.deleteTree(java.nio.file.Paths.get(s"$baseRoot/cell_id=$c"))
+      }
+    }
+    // catalog follows the new routing (ver/liveness unchanged)
+    val newCat = cat.join(
+        enc.select(col("vec_id"), col("new_cell")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ver"), col("live"),
+        coalesce(col("new_cell"), col("cell_id")).as("cell_id"))
+    IndexFiles.swapInWithMarker(newCat, s"$baseDir/catalog",
+      IndexFiles.lastApplied(s"$baseDir/catalog"))
+    // era swap LAST: from here on, old-era writers and serve
+    // checkpoints are refused
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$baseDir/_era"),
+      StateGeometryGuard.ivfpq(newCells, codebooks).render.getBytes("UTF-8"))
+    touched
+  }
 }

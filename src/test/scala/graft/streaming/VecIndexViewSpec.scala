@@ -222,4 +222,120 @@ class VecIndexViewSpec extends SparkSpec {
       == searchOver(snapIdx, "vv_batch"),
       "post-mutation search diverged from the batch-encoded snapshot")
   }
+
+  test("cell-split migration: post-split maintained index ≡ a " +
+      "from-scratch build at the grown cell set (frozen codebooks); " +
+      "untouched cell partitions byte-identical; old-era writers and " +
+      "old-era serve checkpoints refused") {
+    val dir = java.nio.file.Files.createTempDirectory("vecsplit").toString
+    // a CLUSTERED corpus where a split is genuinely local (the fixture's
+    // near-uniform embeddings make any new centroid steal members from
+    // every cell, which would leave nothing byte-identical to check):
+    // 16 anchor directions e_g (the deterministic vec_id<16 seeds) plus
+    // 8 members per group at e_g ± 0.2·e_{32+g} — a new seed placed on
+    // group 0's MINUS side captures exactly that half-cluster (cosine 1
+    // vs ≈0.98 to the anchor) and nothing else.
+    val dim = 64
+    def vec(hot: Map[Int, Float]): Seq[Float] =
+      (0 until dim).map(d => hot.getOrElse(d, 0.0f))
+    val anchors = (0 until 16).map(g =>
+      VecRow(g.toLong, vec(Map(g -> 1.0f))))
+    val members = (0 until 128).map { k =>
+      val g = k % 16
+      val side = if ((k / 16) % 2 == 0) 0.2f else -0.2f
+      VecRow(16L + k, vec(Map(g -> 1.0f, (32 + g) -> side)))
+    }
+    val rows = (anchors ++ members).toArray
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val (cells, cbs, _) = graft.operators.Similarity.pqResArtifacts(e)
+    assert(cells.length == 16)
+
+    // maintain the full corpus, fold it
+    VecIndexView.applyChangelogBatch(
+      rows.map(r => VecEvent(r.vec_id, r.embedding, "insert", r.vec_id + 1))
+        .toSeq.toDF("vec_id", "embedding", "event_type", "sequence"),
+      0L, dir, cells, cbs)
+    VecIndexView.compact(spark, dir)
+
+    // a serve checkpoint bound to the OLD era, committed once
+    val oldCkpt = java.nio.file.Files
+      .createTempDirectory("vecsplit-serve").toString
+    val qin0 = MemoryStream[VecRow](spark)
+    val s0 = StreamOps.ivfPqSearchStream(qin0.toDF(),
+      VecIndexView.servedIndex(spark, dir), cells, cbs, k = 5,
+      checkpointLocation = oldCkpt)
+      .writeStream.format("memory").queryName("vecsplit_old")
+      .option("checkpointLocation", oldCkpt)
+      .outputMode("append").start()
+    try { qin0.addData(rows.take(2).toIndexedSeq); s0.processAllAvailable() }
+    finally s0.stop()
+
+    // grow the seed set: the old seeds plus one on group 0's minus side
+    // (vec_id 16 + 16 + 0 = the first side=-1 member of group 0)
+    val splitSeed = 32L
+    val oldSeedIds = cells.map(_._1)
+    val newCells = graft.operators.Similarity
+      .pqResCellsWithSeeds(e, oldSeedIds :+ splitSeed)
+    assert(newCells.length == cells.length + 1)
+
+    def baseFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/codes_compacted"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val filesBefore = baseFiles()
+    val touched = VecIndexView.migrateCellSplit(
+      spark, dir, e, cells, newCells, cbs)
+
+    // 1. post-split ≡ from-scratch encode at the new cell set
+    val want = codeSet(
+      StreamOps.ivfPqEncodeProj(e, newCells, cbs)
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(col("codes")).as(Seq("s", "j")))
+        .select(col("vec_id"), col("s"), col("j"), col("cell_id")))
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == want,
+      "post-split index diverged from the from-scratch build")
+    // the split is LOCAL: exactly the split cluster's cell and the new
+    // cell are touched (geometry makes this exact, not probabilistic)
+    assert(touched == Set(0L, splitSeed),
+      s"split touched the wrong cells: $touched")
+
+    // 2. untouched cell partitions byte-identical
+    val after = baseFiles()
+    val untouched = filesBefore.filterNot { case (f, _) =>
+      touched.exists(c => f.contains(s"cell_id=$c"))
+    }
+    assert(untouched.nonEmpty, "no untouched partition survived to check")
+    assert(untouched.forall { case (f, sig) => after.get(f).contains(sig) },
+      "an untouched cell partition was rewritten")
+
+    // 3. an old-era writer is refused after the swap
+    intercept[IllegalStateException] {
+      VecIndexView.applyChangelogBatch(
+        Seq(VecEvent(rows(1).vec_id, rows(1).embedding, "update_after",
+          99999L)).toDF("vec_id", "embedding", "event_type", "sequence"),
+        5L, dir, cells, cbs)
+    }
+    // ...and a new-era writer is accepted (live ingest continues)
+    VecIndexView.applyChangelogBatch(
+      Seq(VecEvent(rows(1).vec_id, rows(1).embedding, "update_after",
+        99999L)).toDF("vec_id", "embedding", "event_type", "sequence"),
+      5L, dir, newCells, cbs)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == want,
+      "same-embedding update under the new era changed the table")
+
+    // 4. the OLD serve checkpoint refuses the new geometry
+    val qin1 = MemoryStream[VecRow](spark)
+    intercept[IllegalStateException] {
+      StreamOps.ivfPqSearchStream(qin1.toDF(),
+        VecIndexView.servedIndex(spark, dir), newCells, cbs, k = 5,
+        checkpointLocation = oldCkpt)
+    }
+  }
 }
