@@ -39,11 +39,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Null semantics: null vector → null signature (standard unary null
   * propagation); null *elements* contribute 0, matching [[DotProduct]].
   */
-case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int)
+case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
+    salt: String = "hp")
     extends UnaryExpression {
 
   require(numBands > 0 && bitsPerBand > 0 && bitsPerBand <= 63,
     s"need numBands>0 and 0<bitsPerBand<=63, got ($numBands, $bitsPerBand)")
+  require(salt.matches("[A-Za-z0-9_-]+"),
+    s"salt must be a simple identifier, got '$salt'")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -59,12 +62,13 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int)
   }
 
   override protected def nullSafeEval(a: Any): Any =
-    HyperplaneBands.compute(a.asInstanceOf[ArrayData], isFloat, numBands, bitsPerBand)
+    HyperplaneBands.compute(a.asInstanceOf[ArrayData], isFloat, numBands,
+      bitsPerBand, salt)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.HyperplaneBands.compute(" +
-        s"$a, $isFloat, $numBands, $bitsPerBand);")
+        s"$a, $isFloat, $numBands, $bitsPerBand, \"$salt\");")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -77,9 +81,14 @@ object HyperplaneBands {
     * `CAST(('0x'||substr(md5('hp:'||j||':'||i),1,15)) AS BIGINT) % 2`
     * (+1 when odd, −1 when even). md5 avalanches fully, so the low bit of
     * the 60-bit prefix is unbiased and planes are uncorrelated. */
-  def planeSign(j: Int, i: Int): Double = {
+  def planeSign(j: Int, i: Int): Double = planeSign(j, i, "hp")
+
+  /** [[planeSign]] under an explicit salt — an INDEPENDENT md5-parity
+    * family per salt (the near-dup gate's verify pre-filter uses a
+    * second family, salt "nds", uncorrelated with the band planes). */
+  def planeSign(j: Int, i: Int, salt: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(s"hp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val digest = md.digest(s"$salt:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = digest.map(b => f"$b%02x").mkString
     val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     if (h % 2 == 1) 1.0 else -1.0
@@ -88,16 +97,17 @@ object HyperplaneBands {
   /** Per-JVM cache of the ±1 plane matrix, keyed by (planes, dim) — each
     * executor materializes a given family once (320×64 doubles = 160 KB),
     * then every row is a pure read. */
-  private val signCache = new ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private val signCache =
+    new ConcurrentHashMap[(Int, Int, String), Array[Double]]()
 
-  private def signs(planes: Int, dim: Int): Array[Double] =
-    signCache.computeIfAbsent((planes, dim), { key =>
-      val (p, d) = key
+  private def signs(planes: Int, dim: Int, salt: String): Array[Double] =
+    signCache.computeIfAbsent((planes, dim, salt), { key =>
+      val (p, d, slt) = key
       val out = new Array[Double](p * d)
       var j = 0
       while (j < p) {
         var i = 0
-        while (i < d) { out(j * d + i) = planeSign(j, i); i += 1 }
+        while (i < d) { out(j * d + i) = planeSign(j, i, slt); i += 1 }
         j += 1
       }
       out
@@ -105,9 +115,13 @@ object HyperplaneBands {
 
   /** Shared by interpreted eval and codegen (single static call → stays
     * inside whole-stage codegen). */
-  def compute(a: ArrayData, isFloat: Boolean, bands: Int, bits: Int): ArrayData = {
+  def compute(a: ArrayData, isFloat: Boolean, bands: Int,
+      bits: Int): ArrayData = compute(a, isFloat, bands, bits, "hp")
+
+  def compute(a: ArrayData, isFloat: Boolean, bands: Int, bits: Int,
+      salt: String): ArrayData = {
     val dim = a.numElements()
-    val s = signs(bands * bits, dim)
+    val s = signs(bands * bits, dim, salt)
     val keys = new Array[Long](bands)
     var band = 0
     var plane = 0
@@ -138,4 +152,10 @@ object HyperplaneBands {
   /** Column-level banded LSH signature backed by [[HyperplaneBands]]. */
   def bandKeys(v: Column, numBands: Int, bitsPerBand: Int): Column =
     ColumnShim.column(HyperplaneBands(ColumnShim.expression(v), numBands, bitsPerBand))
+
+  /** [[bandKeys]] under an explicit salt (independent plane family). */
+  def bandKeys(v: Column, numBands: Int, bitsPerBand: Int,
+      salt: String): Column =
+    ColumnShim.column(
+      HyperplaneBands(ColumnShim.expression(v), numBands, bitsPerBand, salt))
 }

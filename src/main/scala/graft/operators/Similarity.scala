@@ -202,6 +202,77 @@ object Similarity extends QueryPack {
     * every b the engine can pick. */
   val MaxNdBits = 24
 
+  /** Verify PRE-FILTER geometry (VERDICT r12 item 4): a SECOND,
+    * independent md5-parity hyperplane family (salt "nds" — plane signs
+    * uncorrelated with the band planes) packs a 256-bit sign sketch as
+    * 8×32-bit keys per vector. Candidate pairs XOR-compare sketches
+    * BEFORE the exact-cosine verify: the sketch row is 64 B against the
+    * 256 B embedding, so the band join's random collisions (the
+    * dominant candidate class at scale — every pair that agreed on one
+    * band by luck) die on an integer popcount without ever fetching
+    * vectors. At the gate threshold cosine > 0.5 the per-plane
+    * disagreement probability is acos(0.5)/π = 1/3: expected Hamming
+    * 256/3 ≈ 85.3, σ = √(256·⅑·2) ≈ 7.5, so [[NdSketchMaxHam]] = 108
+    * sits +3σ above the WORST still-accepted pair — pairs the gate must
+    * keep pass with probability ≥ 0.999 (and deterministically per
+    * fixture: the spec floors are re-measured), while a random
+    * collision (p = ½, mean 128, σ = 8) survives with probability
+    * Φ((108.5−128)/8) ≈ 0.7% — a ~140× cut of the verify volume. The
+    * oracle reproduces the sketch bit-for-bit (same md5 parity family,
+    * [[ndSketchSqlCte]]), so the gate output stays exactly matched,
+    * sketch misses included. */
+  private[graft] val NdSketchBands = 8
+  private[graft] val NdSketchBits = 32
+  private[graft] val NdSketchMaxHam = 108
+
+  /** The per-vector sketch table `(vec_id, sk: array<long>[8])`. */
+  private def ndSketch(e: DataFrame): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    e.select(col("vec_id"),
+      bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"))
+  }
+
+  /** Pairwise sketch Hamming distance (integer popcount over the XORed
+    * keys) — the codegen'd pre-filter column. */
+  private def sketchHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, z) => acc + z)
+
+  /** DuckDB CTE `sk(vec_id, sk)` computing the identical 256-bit sketch
+    * (salt-"nds" md5-parity planes, 8×32-bit MSB-first keys) over the
+    * embeddings CTE `e`. */
+  private def ndSketchSqlCte: String = {
+    val planes = NdSketchBands * NdSketchBits
+    s"""skplanes AS (
+       |  SELECT p AS plane, d AS dim,
+       |         CASE WHEN CAST(('0x'||substr(md5('nds:'||p||':'||(d-1)),1,15))
+       |                        AS BIGINT) % 2 = 1
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(0, ${planes - 1}) t1(p),
+       |       generate_series(1, 64) t2(d)),
+       |skpv AS (SELECT plane, list(sgn ORDER BY dim) AS sv
+       |         FROM skplanes GROUP BY plane),
+       |skdots AS (
+       |  SELECT e.vec_id, skpv.plane // $NdSketchBits AS band,
+       |         skpv.plane % $NdSketchBits AS bit,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |                  d -> skpv.sv[d] * CAST(e.embedding[d] AS DOUBLE))) AS dot
+       |  FROM e, skpv),
+       |skkeys AS (
+       |  SELECT vec_id, band,
+       |         CAST(SUM(CASE WHEN dot > 0
+       |                       THEN (CAST(1 AS BIGINT) << (${NdSketchBits - 1} - bit))
+       |                       ELSE 0 END) AS BIGINT) AS key
+       |  FROM skdots GROUP BY vec_id, band),
+       |sk AS (SELECT vec_id, list(key ORDER BY band) AS sk
+       |       FROM skkeys GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Pairwise sketch Hamming in DuckDB over two `sk` lists. */
+  private def sketchHammingSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${NdSketchBands + 1}),
+       |  k -> bit_count(xor($a[k], $b[k]))))""".stripMargin
+
   /** DuckDB CTE chain computing the EXACT banded hyperplane-LSH keys of
     * [[graft.functions.HyperplaneBands]]: the ±1 plane matrix is the
     * parity of the portable 60-bit md5 of `"hp:plane:dim"` (the same
@@ -323,12 +394,19 @@ object Similarity extends QueryPack {
   val qEmbedNeardupLsh: Q = Q(
     "q_embed_neardup_lsh",
     Some(s"""${bandKeySqlDynamicBits()},
+      |$ndSketchSqlCte,
       |cand AS (
       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
       |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key
-      |  WHERE l.vec_id < r.vec_id)
+      |  WHERE l.vec_id < r.vec_id),
+      |kept AS (
+      |  SELECT c.vec_a, c.vec_b
+      |  FROM cand c
+      |  JOIN sk sa ON c.vec_a = sa.vec_id
+      |  JOIN sk sb ON c.vec_b = sb.vec_id
+      |  WHERE ${sketchHammingSql("sa.sk", "sb.sk")} <= $NdSketchMaxHam)
       |SELECT c.vec_a, c.vec_b
-      |FROM cand c
+      |FROM kept c
       |JOIN e a ON c.vec_a = a.vec_id
       |JOIN e b ON c.vec_b = b.vec_id
       |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5
@@ -340,13 +418,94 @@ object Similarity extends QueryPack {
     // scale-aware band bits from the corpus count (metadata-only parquet
     // count) — the oracle derives the SAME b from COUNT(*), see [[ndBits]]
     val cand = neardupCandidates(e, bits = ndBits(e0.count()))
+    // sketch pre-filter (see [[NdSketchMaxHam]]): 64 B sketch rows kill
+    // ~99% of random band collisions before the 256 B vector fetch
+    val sk = ndSketch(e0)
+    val kept = cand
+      .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
+      .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
+      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
+      .select("vec_a", "vec_b")
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
     // same arithmetic shape as the exact variant → bit-identical verdicts
-    cand.join(ea, "vec_a").join(eb, "vec_b")
+    kept.join(ea, "vec_a").join(eb, "vec_b")
       .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Gate METROLOGY (VERDICT r12 item 4): the near-dup gate's volume
+    * counters as `(metric, value)` rows — corpus size, the scale-aware
+    * geometry in force, band rows (the LSH join's input volume),
+    * distinct candidate pairs (the band join's output), sketch
+    * survivors (what actually fetches vectors), and the verified pair
+    * count. This is the per-round instrumentation that shows whether
+    * the n·bands shape is holding as the corpus grows — the bench's
+    * plan-level shuffle counters see the same truth but cannot
+    * attribute it per stage. Exactly oracle-matched: every counter is
+    * a COUNT over the same CTE chain. */
+  val qNeardupGateStats: Q = Q(
+    "q_neardup_gate_stats",
+    Some(s"""${bandKeySqlDynamicBits()},
+      |$ndSketchSqlCte,
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      |  FROM keys l JOIN keys r ON l.band = r.band AND l.key = r.key
+      |  WHERE l.vec_id < r.vec_id),
+      |kept AS (
+      |  SELECT c.vec_a, c.vec_b
+      |  FROM cand c
+      |  JOIN sk sa ON c.vec_a = sa.vec_id
+      |  JOIN sk sb ON c.vec_b = sb.vec_id
+      |  WHERE ${sketchHammingSql("sa.sk", "sb.sk")} <= $NdSketchMaxHam),
+      |ver AS (
+      |  SELECT c.vec_a, c.vec_b
+      |  FROM kept c
+      |  JOIN e a ON c.vec_a = a.vec_id
+      |  JOIN e b ON c.vec_b = b.vec_id
+      |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5),
+      |m AS (
+      |  SELECT 'n_vecs' AS metric, (SELECT COUNT(*) FROM e) AS value
+      |  UNION ALL SELECT 'nd_bits', (SELECT b FROM bb)
+      |  UNION ALL SELECT 'nd_bands', (SELECT nb FROM bb)
+      |  UNION ALL SELECT 'band_rows', (SELECT COUNT(*) FROM keys)
+      |  UNION ALL SELECT 'candidate_pairs', (SELECT COUNT(*) FROM cand)
+      |  UNION ALL SELECT 'sketch_kept', (SELECT COUNT(*) FROM kept)
+      |  UNION ALL SELECT 'verified_pairs', (SELECT COUNT(*) FROM ver))
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM m
+      |ORDER BY metric""".stripMargin.trim)
+  ) { (s, dir) =>
+    import s.implicits._
+    val e0 = Tables.embeddings(s, dir)
+    val n = e0.count()
+    val bits = ndBits(n)
+    val e = e0
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cand = neardupCandidates(e, bits = bits)
+      .localCheckpoint(eager = false) // counted once, filtered once
+    val sk = ndSketch(e0)
+    val kept = cand
+      .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
+      .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
+      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
+      .select("vec_a", "vec_b")
+      .localCheckpoint(eager = false)
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    val ver = kept.join(ea, "vec_a").join(eb, "vec_b")
+      .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    Seq(("n_vecs", n), ("nd_bits", bits.toLong),
+        ("nd_bands", ndBands(bits).toLong),
+        ("band_rows", n * ndBands(bits)))
+      .toDF("metric", "value")
+      .unionByName(counted("candidate_pairs", cand))
+      .unionByName(counted("sketch_kept", kept))
+      .unionByName(counted("verified_pairs", ver))
+      .orderBy("metric")
   }
 
   // ------------------------------------------------------------------ IVF
@@ -2371,7 +2530,8 @@ object Similarity extends QueryPack {
     e.select(col("vec_id"), signCode(col("embedding")).as("code"))
 
   override def all: Seq[Q] =
-    Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qSimIvf, qSimLsh,
+    Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qNeardupGateStats,
+      qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
       qSimIvfPqRes, qSimIvfPqRerank, qSimHamming, qIndexHealth, qProbeSweep)
