@@ -308,6 +308,31 @@ object BenchStream {
         "queries_per_sec" -> "%.1f".format(qrows.length / servePerBatch.sum),
         "batch_secs" -> batchSecs(servePerBatch),
         "leaderboard_rows" -> nOut.get().toString)
+
+      // PRODUCTION QUERY VOLUME (VERDICT r12 item 7): the 16-per-batch
+      // soak is dominated by fixed per-trigger plan overhead — serve
+      // ONE 1024-query batch to measure the amortized rate
+      val qrows1k = rows.filter(_._1 < 1024)
+      val qin1k = MemoryStream[(Long, String)](spark)
+      val nOut1k = new java.util.concurrent.atomic.AtomicLong
+      val sq1k = graft.streaming.StreamOps.bm25SearchStream(
+          qin1k.toDF().toDF("doc_id", "text"), served, n, t, k = 5,
+          checkpointLocation = graft.streaming.StreamOps.EphemeralState)
+        .writeStream.option("checkpointLocation", s"$dir/search1k-ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          nOut1k.addAndGet(b.count()); ()
+        }
+        .start()
+      val serve1k = try {
+        qin1k.addData(qrows1k.toIndexedSeq)
+        timeIt(sq1k.processAllAvailable())._2
+      } finally sq1k.stop()
+      section("bm25_search_1k",
+        "queries" -> qrows1k.length.toString,
+        "queries_per_sec" -> "%.1f".format(qrows1k.length / serve1k),
+        "batch_secs" -> f(serve1k),
+        "leaderboard_rows" -> nOut1k.get().toString,
+        "leaderboard_rows_expected" -> (qrows1k.length * 5).toString)
     }
 
     // ------------------------------------- s_hybrid_search (r11)
@@ -333,13 +358,20 @@ object BenchStream {
       val dir = s"$work/hybrid"
       val in = MemoryStream[(Long, String, Seq[Float])](spark)
       val nOut = new java.util.concurrent.atomic.AtomicLong
+      val gotSmall = new scala.collection.mutable.HashSet[(Long, Long, Long)]
       val q = graft.streaming.StreamOps.hybridSearchStream(
           in.toDF().toDF("doc_id", "text", "embedding"),
           lexIndex, n, t, idx, cells, cbs, k = 5, fuseDepth = 20,
           checkpointLocation = graft.streaming.StreamOps.EphemeralState)
         .writeStream.option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (b: DataFrame, _: Long) =>
-          nOut.addAndGet(b.count()); ()
+          nOut.addAndGet(b.count())
+          gotSmall.synchronized {
+            gotSmall ++= b.select(col("query_id"),
+                col("rank").cast("long"), col("neighbor_id"))
+              .as[(Long, Long, Long)].collect()
+          }
+          ()
         }
         .start()
       val perBatch = try qrows.grouped(16).map { chunk =>
@@ -352,6 +384,85 @@ object BenchStream {
         "batch_secs" -> batchSecs(perBatch),
         "index_build_secs" -> f(artifactSecs),
         "fused_rows" -> nOut.get().toString)
+
+      // PRODUCTION QUERY VOLUME (VERDICT r12 item 7): one 1024-query
+      // batch — fixed per-trigger plan overhead amortizes, and the
+      // leaderboards must be IDENTICAL per query regardless of batch
+      // composition (fusion is batch-local per query): the overlap
+      // with the small soak's query set is compared exactly.
+      val qrows1k = docs.where(col("doc_id") < 1024)
+        .select(col("doc_id").cast("long"), col("text"))
+        .join(e.select(col("vec_id").cast("long").as("doc_id"),
+          col("embedding")), "doc_id")
+        .as[(Long, String, Seq[Float])].collect()
+      val in1k = MemoryStream[(Long, String, Seq[Float])](spark)
+      val buf1k = new java.util.concurrent.atomic.AtomicLong
+      val got1k = new scala.collection.mutable.HashSet[(Long, Long, Long)]
+      val q1k = graft.streaming.StreamOps.hybridSearchStream(
+          in1k.toDF().toDF("doc_id", "text", "embedding"),
+          lexIndex, n, t, idx, cells, cbs, k = 5, fuseDepth = 20,
+          checkpointLocation = graft.streaming.StreamOps.EphemeralState)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt1k")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buf1k.addAndGet(b.count())
+          got1k.synchronized {
+            got1k ++= b.where(col("query_id") < 64)
+              .select(col("query_id"), col("rank").cast("long"),
+                col("neighbor_id"))
+              .as[(Long, Long, Long)].collect()
+          }
+          ()
+        }
+        .start()
+      val serve1k = try {
+        in1k.addData(qrows1k.toIndexedSeq)
+        timeIt(q1k.processAllAvailable())._2
+      } finally q1k.stop()
+      section("hybrid_search_1k",
+        "queries" -> qrows1k.length.toString,
+        "queries_per_sec" -> "%.1f".format(qrows1k.length / serve1k),
+        "batch_secs" -> f(serve1k),
+        "fused_rows" -> buf1k.get().toString,
+        "fused_rows_expected" -> (qrows1k.length * 5).toString,
+        // fusion is batch-local per query, so the 1024-query batch must
+        // reproduce the small soak's leaderboards for the shared 64
+        // queries EXACTLY — batching may never change results
+        "overlap_identical" ->
+          (got1k.toSet == gotSmall.toSet).toString)
+
+      // ---------------------------------------- s_mmr_serve (r13 soak)
+      // diversified serving off the same residual artifacts: small
+      // batches for the per-trigger shape, then the 1024-query batch
+      val corpus = e.localCheckpoint(eager = true)
+      val mmrDir = s"$work/mmr"
+      val qv = e.where(col("vec_id") < 1024)
+        .as[(Long, Seq[Float])].collect()
+      val mmrIn = MemoryStream[(Long, Seq[Float])](spark)
+      val mmrWriter = graft.streaming.MmrServeView.writer(
+        mmrDir, corpus, idx, cells, cbs, k = 5)
+      val mq = mmrIn.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch(mmrWriter)
+        .option("checkpointLocation", s"$mmrDir/ckpt")
+        .start()
+      val (mmrSmall, mmr1k) = try {
+        val small = qv.take(64).grouped(16).map { chunk =>
+          mmrIn.addData(chunk.toIndexedSeq)
+          timeIt(mq.processAllAvailable())._2
+        }.toSeq
+        mmrIn.addData(qv.drop(64).toIndexedSeq)
+        (small, timeIt(mq.processAllAvailable())._2)
+      } finally mq.stop()
+      section("mmr_serve",
+        "queries" -> "64",
+        "queries_per_sec" -> "%.1f".format(64 / mmrSmall.sum),
+        "batch_secs" -> batchSecs(mmrSmall))
+      section("mmr_serve_1k",
+        "queries" -> (qv.length - 64).toString,
+        "queries_per_sec" -> "%.1f".format((qv.length - 64) / mmr1k),
+        "batch_secs" -> f(mmr1k),
+        "served_rows" -> graft.streaming.MmrServeView
+          .results(spark, mmrDir).count().toString,
+        "served_rows_expected" -> (qv.length * 5).toString)
     }
 
     // ------------------------------------- s_rerank_monitor + s_index_health (r11)
