@@ -223,6 +223,104 @@ class VecIndexViewSpec extends SparkSpec {
       "post-mutation search diverged from the batch-encoded snapshot")
   }
 
+  test("hybrid serving from BOTH maintained views: document + vector " +
+      "changelogs (with updates and deletes) in, s_hybrid_search over " +
+      "the maintained artifacts ≡ the same stream over batch-built " +
+      "artifacts of the materialized state") {
+    val docs = graft.Tables.documents(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cells, cbs, _) = graft.operators.Similarity.pqResArtifacts(e)
+    val docRows = docs.select(col("doc_id"), col("text"))
+      .as[DocText].collect().sortBy(_.doc_id)
+    val vecRows = e.as[VecRow].collect().sortBy(_.vec_id)
+    def rev(t: String) = t.split(" ").reverse.mkString(" ")
+
+    // mutate BOTH corpora consistently for ids in both domains:
+    // update 3, delete 7 (then the queries are ids < 8 minus 7)
+    val lexDir = java.nio.file.Files.createTempDirectory("hyb-lex").toString
+    val vecDir = java.nio.file.Files.createTempDirectory("hyb-vec").toString
+    val base = 1000000L
+    Bm25IndexView.applyChangelogBatch(
+      docRows.map(r => DocEvent(r.doc_id, r.text, "insert", r.doc_id + 1))
+        .toSeq.toDF("doc_id", "text", "event_type", "sequence"),
+      0L, lexDir)
+    Bm25IndexView.applyChangelogBatch(
+      Seq(DocEvent(3L, rev(docRows(3).text), "update_after", base),
+          DocEvent(7L, "", "delete", base + 1))
+        .toDF("doc_id", "text", "event_type", "sequence"), 1L, lexDir)
+    VecIndexView.applyChangelogBatch(
+      vecRows.map(r => VecEvent(r.vec_id, r.embedding, "insert", r.vec_id + 1))
+        .toSeq.toDF("vec_id", "embedding", "event_type", "sequence"),
+      0L, vecDir, cells, cbs)
+    VecIndexView.applyChangelogBatch(
+      Seq(VecEvent(3L, vecRows(5).embedding, "update_after", base),
+          VecEvent(7L, Seq.empty, "delete", base + 1))
+        .toDF("vec_id", "embedding", "event_type", "sequence"),
+      1L, vecDir, cells, cbs)
+    // one compaction each — serving reads the folded bases
+    Bm25IndexView.compact(spark, lexDir)
+    VecIndexView.compact(spark, vecDir)
+
+    // materialized snapshots
+    val snapDocs = docRows.flatMap {
+      case r if r.doc_id == 3L => Some(DocText(3L, rev(docRows(3).text)))
+      case r if r.doc_id == 7L => None
+      case r => Some(r)
+    }.toSeq.toDF("doc_id", "text")
+    val snapVecs = vecRows.flatMap {
+      case r if r.vec_id == 3L => Some(VecRow(3L, vecRows(5).embedding))
+      case r if r.vec_id == 7L => None
+      case r => Some(r)
+    }.toSeq.toDF("vec_id", "embedding")
+
+    val (n, t) = Bm25IndexView.stats(spark, lexDir)
+    assert((n, t) == graft.operators.TextOps.bm25Stats(snapDocs))
+    val batchLex = graft.operators.TextOps.bm25ServedIndex(snapDocs)
+      .localCheckpoint(eager = true)
+    val batchVec = StreamOps.ivfPqEncodeProj(snapVecs, cells, cbs)
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("s", "j")))
+      .select(col("vec_id"), col("s"), col("j"), col("cell_id"))
+      .localCheckpoint(eager = true)
+
+    val qids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L)
+    val qrows = snapDocs.where(col("doc_id").isin(qids: _*))
+      .join(snapVecs.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    def serve(lex: DataFrame, vec: DataFrame, name: String)
+        : Set[(Long, Long, Long)] = {
+      val qin = MemoryStream[(Long, String, Seq[Float])](spark)
+      val sq = StreamOps.hybridSearchStream(
+        qin.toDF().toDF("doc_id", "text", "embedding"),
+        lex, n, t, vec, cells, cbs, k = 5, fuseDepth = 20,
+        checkpointLocation = StreamOps.EphemeralState)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        qin.addData(qrows.toIndexedSeq); sq.processAllAvailable()
+        spark.table(name)
+          .withColumn("maxv", max("ver").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+          .where(col("ver") === col("maxv"))
+          .select(col("query_id"), col("rank").cast("long"),
+            col("neighbor_id"))
+          .as[(Long, Long, Long)].collect().toSet
+      } finally sq.stop()
+    }
+    val gotMaint = serve(
+      Bm25IndexView.served(spark, lexDir).localCheckpoint(eager = true),
+      VecIndexView.servedIndex(spark, vecDir).localCheckpoint(eager = true),
+      "hyb_maint")
+    val gotBatch = serve(batchLex, batchVec, "hyb_batch")
+    assert(gotMaint.nonEmpty && gotMaint == gotBatch,
+      s"maintained-artifact hybrid serving diverged: " +
+        s"${gotMaint.diff(gotBatch).take(5)} vs ${gotBatch.diff(gotMaint).take(5)}")
+    // the deleted doc never surfaces; the updated doc's leaderboard moved
+    assert(!gotMaint.exists(_._3 == 7L), "deleted doc served as a neighbor")
+  }
+
   test("cell-split migration: post-split maintained index ≡ a " +
       "from-scratch build at the grown cell set (frozen codebooks); " +
       "untouched cell partitions byte-identical; old-era writers and " +
