@@ -356,7 +356,21 @@ object Similarity extends QueryPack {
     * frozen streaming-compatible family; batch callers that can count
     * the corpus pass [[ndBits]] for the scale-aware family (bands then
     * grow in lockstep via [[ndBands]] to hold design-point recall). */
-  def neardupCandidates(e: DataFrame, bits: Int = NdBits): DataFrame = {
+  /** Above this many band rows the self-join drops the forced
+    * shuffle-hash hint: SHJ builds a per-partition in-memory hash map
+    * of the whole build side, which the r13 sf10 audit measured
+    * exhausting execution memory at 57.6M band rows (200k vectors ×
+    * 288 bands, 24-way local) — sort-merge spills gracefully at any
+    * scale. Below the budget SHJ stays, on the sf1 measurement (9.2 s
+    * vs 17.2 s for the group-then-pair rewrite). */
+  private val NdShjMaxBandRows = 16L << 20
+
+  def neardupCandidates(e: DataFrame, bits: Int = NdBits): DataFrame =
+    neardupCandidates(e, bits, e.count())
+
+  /** [[neardupCandidates]] with the corpus count supplied (callers that
+    * already counted — the declared queries — skip the extra job). */
+  def neardupCandidates(e: DataFrame, bits: Int, nVecs: Long): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     val bands = e.select(col("vec_id"),
         posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
@@ -368,9 +382,14 @@ object Similarity extends QueryPack {
     // join beats collect_list's object-hash aggregate even though the
     // join computes the band keys and shuffles the key rows twice. The
     // hyperplane hashing is NOT the dominant cost at these occupancies.
+    // The SHJ hint is SCALE-GATED (see [[NdShjMaxBandRows]]): above the
+    // budget the planner's sort-merge join takes over and spills
+    // instead of OOMing.
     val l = bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
     val r = bands.select(col("band"), col("key"), col("vec_id").as("vec_b"))
-    l.hint("shuffle_hash").join(r, Seq("band", "key"))
+    val nBandRows = nVecs * ndBands(bits)
+    val left = if (nBandRows <= NdShjMaxBandRows) l.hint("shuffle_hash") else l
+    left.join(r, Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
   }
@@ -417,7 +436,8 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     // scale-aware band bits from the corpus count (metadata-only parquet
     // count) — the oracle derives the SAME b from COUNT(*), see [[ndBits]]
-    val cand = neardupCandidates(e, bits = ndBits(e0.count()))
+    val n0 = e0.count()
+    val cand = neardupCandidates(e, ndBits(n0), n0)
     // sketch pre-filter (see [[NdSketchMaxHam]]): 64 B sketch rows kill
     // ~99% of random band collisions before the 256 B vector fetch
     val sk = ndSketch(e0)
@@ -482,7 +502,7 @@ object Similarity extends QueryPack {
     val bits = ndBits(n)
     val e = e0
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cand = neardupCandidates(e, bits = bits)
+    val cand = neardupCandidates(e, bits, n)
       .localCheckpoint(eager = false) // counted once, filtered once
     val sk = ndSketch(e0)
     val kept = cand

@@ -469,8 +469,10 @@ object Bm25IndexView {
     val v2Zone =
       if (!java.nio.file.Files.exists(v2Base)) Nil
       else Seq(spark.read.parquet(v2Base.toString)
-        .where(pmod(col("doc_id"), lit(CompactBuckets.toLong))
-          .isin(-1L +: headBuckets(heads): _*)) // partition-prunable
+        // filter on the PARTITION column — this is what makes the
+        // lookup O(touched doc-buckets) instead of O(base)
+        .where(col("bucket").cast("long")
+          .isin(-1L +: headBuckets(heads): _*))
         .select(col("doc_id"), col("ver"), col("h")))
     val zones = batchZone ++ v2Zone ++
       legacyZones(spark, baseDir).map(_.select("doc_id", "ver", "h"))

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r13_sf10.json: the sf1->sf10 growth audit for the
+dedup/ANN/retrieval subset (VERDICT r12 item 8).
+
+Inputs: two raw graft.Bench captures (bench_out.json format) taken with
+the SAME SPARK_GRAFT_ONLY subset at target/sf1 and target/sf10, plus
+the oracle check result for the tractable names. Emits per-query and
+per-family growth; the audit passes when each family's growth exponent
+is <= the sf0.1->sf1 exponent measured in BENCH_r12_sf1.json (the
+scale-aware geometries must keep bending the curve DOWN, not up).
+
+Usage: python3 tools/sf10_report.py <sf1_capture.json> <sf10_capture.json>
+           <oracle_note> [out=BENCH_r13_sf10.json]
+"""
+import json
+import sys
+
+FAMILIES = {
+    "text_dedup": ["q_dedup_exact", "q_minhash_dedup", "q_minhash_est",
+                   "q_simhash_dedup", "q_ngram_jaccard",
+                   "q_ngram_containment", "q_neardup_capped",
+                   "q_neardup_prune", "q_dedup_cluster", "q_cluster_rep",
+                   "q_dedup_verdict", "q_chunk_dedup", "q_span_dedup",
+                   "q_span_maxrep", "q_doc_fingerprint", "q_contamination",
+                   "q_contam_ngram"],
+    "lexical_retrieval": ["q_bm25", "q_lexical_health"],
+    "hybrid_retrieval": ["q_hybrid_rrf", "q_hybrid_rrf_ann", "q_mmr_rerank"],
+    "vector_ann": ["q_embed_quantize", "q_sim_topk", "q_sim_topk_int8",
+                   "q_sim_hamming", "q_embed_neardup_lsh",
+                   "q_neardup_gate_stats", "q_sim_ivf", "q_sim_lsh",
+                   "q_sim_pq", "q_sim_ivfpq_res", "q_ann_recall",
+                   "q_index_health", "q_probe_sweep", "q_semantic_dedup"],
+    "events": ["q_funnel", "q_retention", "q_gap_fill", "q_session_window"],
+    "text_analysis": ["q_token_count", "q_lang_id", "q_quality_score"],
+}
+
+
+def main():
+    sf1 = json.load(open(sys.argv[1]))["queries"]
+    sf10 = json.load(open(sys.argv[2]))["queries"]
+    oracle_note = sys.argv[3]
+    out = sys.argv[4] if len(sys.argv) > 4 else "BENCH_r13_sf10.json"
+    fam_rows = {}
+    for fam, names in FAMILIES.items():
+        a = sum(sf1[n] for n in names if n in sf1 and n in sf10)
+        b = sum(sf10[n] for n in names if n in sf1 and n in sf10)
+        fam_rows[fam] = {
+            "sf1_secs": round(a, 3), "sf10_secs": round(b, 3),
+            "growth_10x_data": round(b / a, 2) if a else None,
+            "queries": {n: {"sf1": sf1.get(n), "sf10": sf10.get(n),
+                            "growth": (round(sf10[n] / sf1[n], 2)
+                                       if n in sf1 and n in sf10 and sf1[n]
+                                       else None)}
+                        for n in names},
+        }
+    total1 = sum(v["sf1_secs"] for v in fam_rows.values())
+    total10 = sum(v["sf10_secs"] for v in fam_rows.values())
+    doc = {
+        "metric": "sf10_subset_audit",
+        "unit": "sec",
+        "note": oracle_note,
+        "sf1_total": round(total1, 2),
+        "sf10_total": round(total10, 2),
+        "growth_10x_data": round(total10 / total1, 2),
+        "families": fam_rows,
+    }
+    json.dump(doc, open(out, "w"), indent=1)
+    print(f"{out}: total {total1:.1f}s -> {total10:.1f}s "
+          f"({total10 / total1:.2f}x for 10x data)")
+    for fam, v in fam_rows.items():
+        print(f"  {fam:20s} {v['sf1_secs']:8.2f}s -> {v['sf10_secs']:8.2f}s"
+              f"  ({v['growth_10x_data']}x)")
+
+
+if __name__ == "__main__":
+    main()
