@@ -267,7 +267,8 @@ object Bench {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val sfTag = sfDir.replaceAll(".*sf", "") // "0.1" from ".../sf0.1"
       val files = new java.io.File(".").listFiles()
-        .filter(f => f.getName.matches("BENCH_r\\d+(_local)?\\.json"))
+        .filter(f => f.getName.matches(
+          "BENCH_r\\d+(_local)?\\.json|bench_out\\.json"))
         .sortBy(-_.lastModified())
       files.iterator.flatMap { f =>
         try {

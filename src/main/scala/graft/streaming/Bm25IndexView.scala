@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *    the PRE-BATCH catalog ([[graft.operators.TextOps.bm25Postings]]
   *    is doc-local — the property that makes a 100 TB postings log
   *    maintainable at all): the batch's EFFECTIVE upsert postings
-  *    plus one `h = NULL` tombstone marker row per effective delete;
+  *    plus one `h = NULL` tombstone marker row per effective delete
+  *    (and per superseding upsert whose new text is too short to
+  *    shingle — compact needs a log trace to touch the old bucket);
   *    late events leave no trace. Superseded rows are EXCLUDED AT
   *    READ by the catalog join (below) and physically dropped by
   *    [[compact]];
@@ -131,7 +133,8 @@ object Bm25IndexView {
       .localCheckpoint(eager = true)
     val hasMutation = resolved
       .where(col("op").isin("update_after", "delete")).limit(1).count() > 0
-    requireFormat(baseDir, hasMutation)
+    val fmt = requireFormat(baseDir, hasMutation)
+    IndexFiles.refuseIfCompacting(baseDir, s"ingest batch $batchId")
 
     // ---- EFFECTIVE events vs the PRE-BATCH catalog: an event whose
     // sequence does not beat the doc's head is LATE and changes
@@ -155,6 +158,7 @@ object Bm25IndexView {
         greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long"))
         .otherwise(lit(0L)))
       .localCheckpoint(eager = true) // batch-sized; reused four times
+    if (fmt == 1) refuseLegacyCollisions(spark, baseDir, eff, batchId)
 
     // ---- the batch's postings-log rows: a pure function of (batch,
     // PRE-BATCH catalog) — deterministic across every foreachBatch
@@ -168,10 +172,22 @@ object Bm25IndexView {
     // shrinks eff to EMPTY (per-doc catalog versions never regress),
     // which skips the overwrite instead of truncating the partition.
     val upserts = eff.where(col("new_live"))
-    val logRows = graft.operators.TextOps.bm25Postings(
+    val upsertRows = graft.operators.TextOps.bm25Postings(
         upserts.select(col("doc_id"), col("text")))
       .join(upserts.select(col("doc_id"), col("ver")), "doc_id")
       .select(col("doc_id"), col("ver"), col("dl"), col("h"), col("tf"))
+    // an effective upsert that SUPERSEDES a live version but whose new
+    // text is too short to shingle (<3 tokens ⇒ bm25Postings emits no
+    // rows) must still leave a log trace, or compact's touched-bucket
+    // set would miss the superseded version and stale rows would stay
+    // physically in the base (ADVICE r13) — emit the same h = NULL
+    // marker a delete does
+    val shortUpserts = upserts.where(col("old_live"))
+      .join(upsertRows.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("ver"), lit(0L).as("dl"),
+        lit(null).cast("long").as("h"), lit(0L).as("tf"))
+    val logRows = upsertRows
+      .unionByName(shortUpserts)
       .unionByName(eff.where(!col("new_live"))
         .select(col("doc_id"), col("ver"), lit(0L).as("dl"),
           lit(null).cast("long").as("h"), lit(0L).as("tf")))
@@ -288,26 +304,37 @@ object Bm25IndexView {
     * distinct doc-buckets of the log; untouched buckets stay
     * byte-identical and compaction cost is O(touched buckets).
     *
-    * Crash-safe: only MARKER-COMMITTED batches fold (a batch whose
-    * postings write completed but whose marker didn't will be
-    * re-written by the foreachBatch replay — folding it early would
-    * leave the same rows in both zones until that replay's Overwrite,
-    * double-counting tf in served scores), the fold dedupes on
-    * (doc_id, h) — unique among live-latest rows — so a crash between
-    * the bucket rewrite and the log cleanup re-folds idempotently, and
-    * the per-batch `_postings-batch-<id>` markers survive compaction,
-    * so a late foreachBatch replay of a folded batch is still skipped.
-    * MUST NOT run concurrently with an in-flight ingest batch (it
-    * reads the catalog and the log as of one moment; the per-batch
-    * markers make interleaved INGEST safe against crashed compactions,
-    * not the reverse). */
-  def compact(spark: SparkSession, baseDir: String): Unit = {
+    * Crash-safe: only FULLY-COMMITTED batches fold — a batch counts
+    * only once the CATALOG (the last merge step) has applied it
+    * (`id <= catalog/_applied_batch`), not merely once its postings
+    * marker exists: the marker precedes the catalog commit, and a
+    * crash between them would otherwise let the fold evaluate the
+    * batch's new-version rows against the PRE-batch catalog heads
+    * (dropping them), delete the batch dir, and have the replay
+    * fast-skip the postings step — losing the updated docs' postings
+    * forever once the catalog commits (ADVICE r13). The fold dedupes
+    * on (doc_id, h) — unique among live-latest rows — so a crash
+    * between the bucket rewrite and the log cleanup re-folds
+    * idempotently, and the per-batch `_postings-batch-<id>` markers
+    * survive compaction, so a late foreachBatch replay of a folded
+    * batch is still skipped. Holds the `_compact-lease` for its
+    * duration (it reads the catalog and the log as of one moment) —
+    * ingest batches landing mid-fold are refused loudly instead of
+    * silently corrupting ([[IndexFiles.withCompactLease]]). */
+  def compact(spark: SparkSession, baseDir: String): Unit =
+    IndexFiles.withCompactLease(baseDir) {
+      compactLocked(spark, baseDir)
+    }
+
+  private def compactLocked(spark: SparkSession, baseDir: String): Unit = {
     val logRoot = java.nio.file.Paths.get(s"$baseDir/postings")
-    // only marker-committed batches fold (see scaladoc)
+    // only fully-committed batches fold (see scaladoc)
+    val committed = lastApplied(s"$baseDir/catalog")
     val batchDirs = listBatchDirs(logRoot).filter { p =>
       val id = p.getFileName.toString.stripPrefix("batch=")
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$baseDir/_postings-batch-$id"))
+      id.toLong <= committed &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$baseDir/_postings-batch-$id"))
     }
     val legacy = legacyZones(spark, baseDir)
     if (batchDirs.isEmpty && legacy.isEmpty) return
@@ -516,8 +543,8 @@ object Bm25IndexView {
 
   /** Update/delete events require a `_format = 2` dir (catalog-covered
     * from birth); append-only inserts of new unique docs stay correct
-    * on any format and are accepted everywhere. */
-  private def requireFormat(baseDir: String, hasMutation: Boolean): Unit = {
+    * on any format and are accepted everywhere. Returns the format. */
+  private def requireFormat(baseDir: String, hasMutation: Boolean): Int = {
     val f = formatOf(baseDir) // stamps on first contact, even insert-only
     if (hasMutation && f < 2)
       throw new IllegalStateException(
@@ -525,6 +552,48 @@ object Bm25IndexView {
           "covering its docs): update/delete events would serve stale " +
           "postings. Rebuild the index from the changelog's snapshot, " +
           "or keep the ingest append-only.")
+    f
+  }
+
+  /** On a legacy (`_format = 1`) dir the catalog does not cover the
+    * pre-existing docs, so an "insert" colliding with a legacy doc_id
+    * would double-count df/n/t and serve skewed scores while the
+    * stale rows silently drop (ADVICE r13). The unique-doc contract
+    * is therefore ENFORCED, not just documented: any catalog-unseen
+    * id in the batch that already holds postings rows in any zone is
+    * refused. Cost is paid only on legacy dirs: the lookup side is
+    * batch-sized (broadcast), the v2 base read is pruned to the
+    * batch's doc buckets, and loose legacy zones exist only until the
+    * first compact folds them. */
+  private def refuseLegacyCollisions(spark: SparkSession, baseDir: String,
+      eff: DataFrame, batchId: Long): Unit = {
+    val newDocs = eff.where(col("cver").isNull)
+      .select("doc_id").distinct().localCheckpoint(eager = true)
+    if (newDocs.isEmpty) return
+    // the batch's OWN partition is excluded: a crash-retry that wrote
+    // its postings but not yet the catalog must not refuse itself
+    val batchZone = listBatchDirs(java.nio.file.Paths.get(s"$baseDir/postings"))
+      .filterNot(_.getFileName.toString == s"batch=$batchId")
+      .map(p => withVer(spark.read.parquet(p.toString)).select("doc_id"))
+    val v2Base = java.nio.file.Paths.get(s"$baseDir/postings_compacted2")
+    val v2Zone =
+      if (!java.nio.file.Files.exists(v2Base)) Nil
+      else Seq(spark.read.parquet(v2Base.toString)
+        .where(col("bucket").cast("long")
+          .isin(-1L +: headBuckets(newDocs): _*)) // partition-pruned
+        .select("doc_id"))
+    val zones = batchZone ++ v2Zone ++
+      legacyZones(spark, baseDir).map(_.select("doc_id"))
+    if (zones.isEmpty) return
+    val hit = zones.reduce(_ unionByName _)
+      .join(broadcast(newDocs), "doc_id").limit(1).collect()
+    if (hit.nonEmpty)
+      throw new IllegalStateException(
+        s"$baseDir is a legacy append-only BM25 index and the batch " +
+          s"inserts doc_id ${hit.head.getLong(0)}, which already holds " +
+          "postings outside the catalog: accepting it would double-count " +
+          "df/n/t. Legacy dirs require globally-unique doc_ids; rebuild " +
+          "from the changelog's snapshot to mutate existing docs.")
   }
 
   /** The SERVED index over the maintained artifacts — row-identical to

@@ -86,6 +86,7 @@ object VecIndexView {
     val spark = events.sparkSession
     new java.io.File(baseDir).mkdirs()
     requireEra(baseDir, cells, codebooks)
+    IndexFiles.refuseIfCompacting(baseDir, s"ingest batch $batchId")
 
     // within-batch resolution: latest sequence per vector wins
     val resolved = events
@@ -236,16 +237,29 @@ object VecIndexView {
     * (marker rows carry the OLD cell of every superseded version, so
     * cross-cell updates touch both partitions); untouched cells stay
     * byte-identical. Crash-safe by the [[Bm25IndexView.compact]]
-    * argument: only marker-committed batches fold, the fold dedupes on
-    * (vec_id, s), and batch markers survive so late replays of folded
-    * batches stay skipped. Must not run concurrently with ingest. */
-  def compact(spark: SparkSession, baseDir: String): Unit = {
+    * argument: only FULLY-COMMITTED batches fold — gated on the
+    * CATALOG's `_applied_batch` (the last merge step), not merely the
+    * codes marker, because a crash between marker and catalog commit
+    * would otherwise let the fold drop the batch's rows against the
+    * pre-batch catalog heads and delete the partition the replay
+    * fast-skips (ADVICE r13) — the fold dedupes on (vec_id, s), and
+    * batch markers survive so late replays of folded batches stay
+    * skipped. Holds the `_compact-lease`; ingest batches landing
+    * mid-fold are refused ([[IndexFiles.withCompactLease]]). */
+  def compact(spark: SparkSession, baseDir: String): Unit =
+    IndexFiles.withCompactLease(baseDir) {
+      compactLocked(spark, baseDir)
+    }
+
+  private def compactLocked(spark: SparkSession, baseDir: String): Unit = {
+    val committed = IndexFiles.lastApplied(s"$baseDir/catalog")
     val batchDirs = IndexFiles
       .listBatchDirs(java.nio.file.Paths.get(s"$baseDir/codes"))
       .filter { p =>
         val id = p.getFileName.toString.stripPrefix("batch=")
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$baseDir/_codes-batch-$id"))
+        id.toLong <= committed &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$baseDir/_codes-batch-$id"))
       }
     if (batchDirs.isEmpty) return
     val baseRoot = s"$baseDir/codes_compacted"
@@ -323,10 +337,20 @@ object VecIndexView {
       corpus: DataFrame,
       oldCells: Seq[(Long, Seq[Double], Seq[Long])],
       newCells: Seq[(Long, Seq[Double], Seq[Long])],
+      codebooks: Seq[(Int, Long, Seq[Long])]): Set[Long] =
+    IndexFiles.withCompactLease(baseDir) {
+      migrateCellSplitLocked(spark, baseDir, corpus, oldCells, newCells,
+        codebooks)
+    }
+
+  private def migrateCellSplitLocked(spark: SparkSession, baseDir: String,
+      corpus: DataFrame,
+      oldCells: Seq[(Long, Seq[Double], Seq[Long])],
+      newCells: Seq[(Long, Seq[Double], Seq[Long])],
       codebooks: Seq[(Int, Long, Seq[Long])]): Set[Long] = {
     // refuse a writer whose old geometry is not what the index holds
     requireEra(baseDir, oldCells, codebooks)
-    compact(spark, baseDir) // all rows into the cell-partitioned base
+    compactLocked(spark, baseDir) // all rows into the cell-partitioned base
     val baseRoot = s"$baseDir/codes_compacted"
 
     // cells whose seed or mean changed, plus brand-new ids
