@@ -1248,10 +1248,7 @@ object Similarity extends QueryPack {
       |       (dropped.vec_id IS NOT NULL) AS dropped
       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
       |ORDER BY asg.vec_id""".stripMargin.trim)
-  ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    semanticDedup(e, k = semDedupK(e.count()))
-  }
+  ) { (s, dir) => semanticDedupStored(s, dir, seeded = false) }
 
   /** The SemDeDup verdict behind q_semantic_dedup, reusable at any K/τ
     * and any seeding (pass [[seedsPar]]'s ids for the scale path — at
@@ -1263,6 +1260,13 @@ object Similarity extends QueryPack {
         case None      => cellAssign(e, k)
       })
       .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+    semVerdict(asg, tau)
+  }
+
+  /** The within-cell dedup verdict over a ready assignment frame
+    * `(vec_id, cid, qv, qn2)` — shared by the direct path above and
+    * the stored-assignment path ([[semanticDedupStored]]). */
+  private def semVerdict(asg: DataFrame, tau: Double): DataFrame = {
     // sub-cell split of oversized cells (see [[SemDedupCellCap]]): the
     // size frame is K rows — broadcast — and the split hash is a pure
     // projection, so the bound costs one tiny agg, no extra shuffle of
@@ -1288,6 +1292,45 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("cid"),
         coalesce(col("is_dropped"), lit(false)).as("dropped"))
       .orderBy("vec_id")
+  }
+
+  /** ON-DISK semantic-dedup cell assignment (VERDICT r13 #2 — the
+    * q_sim_ivf `cellof/` lesson applied to its sibling): the n×K
+    * nearest-centroid pass (K = √n ⇒ n^1.5 distance evals, measured
+    * 24×/decade and 102.7 s at sf10) is a pure deterministic function
+    * of the immutable corpus — centroids are the first-K (or the
+    * deterministic k-means‖ seed set), distances integer arithmetic —
+    * so it is built ONCE per corpus × seeding into a fingerprint-keyed
+    * artifact and every invocation reads `(vec_id, cid)` back as plain
+    * parquet. The int8 codes themselves are NOT stored: re-quantizing
+    * is a linear projection over the scan, and the artifact stays
+    * K-free metadata (two longs per vector). Two kinds, so each query
+    * cold-builds only its own seeding's pass. */
+  private def semAsgDir(s: SparkSession, dir: String, seeded: Boolean)
+      : String = {
+    val kind = if (seeded) "semasg-par-v1" else "semasg-first-v1"
+    graft.IndexStore.artifact(dir, kind, Seq("embeddings")) { out =>
+      val e = Tables.embeddings(s, dir)
+      val k = semDedupK(e.count())
+      val asg =
+        if (seeded) cellAssignSeeded(e, seedsPar(e, k).select(col("vec_id")))
+        else cellAssign(e, k)
+      asg.select(col("vec_id"), col("cid")).write.parquet(s"$out/asg")
+    }
+  }
+
+  /** [[semanticDedup]] over the STORED assignment — the declared
+    * queries' path: joins the artifact's `(vec_id, cid)` back to the
+    * re-quantized corpus (a linear zip on vec_id), then runs the same
+    * within-cell verdict. Row-identical to the direct path
+    * (spec-pinned) and oracle-matched end-to-end. */
+  def semanticDedupStored(s: SparkSession, dir: String,
+      seeded: Boolean): DataFrame = {
+    val asgIds = s.read.parquet(s"${semAsgDir(s, dir, seeded)}/asg")
+    val qz = quantizedInt8(Tables.embeddings(s, dir))
+    val asg = qz.join(asgIds, "vec_id")
+      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"))
+    semVerdict(asg, SemDedupTau)
   }
 
   /** [[qSemanticDedup]] with the k-means‖ seeds of [[qKmeansSeedPar]] as
@@ -1331,11 +1374,7 @@ object Similarity extends QueryPack {
       |       (dropped.vec_id IS NOT NULL) AS dropped
       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
       |ORDER BY asg.vec_id""".stripMargin.trim)
-  ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    semanticDedup(e, seedIds =
-      Some(seedsPar(e, k = semDedupK(e.count())).select(col("vec_id"))))
-  }
+  ) { (s, dir) => semanticDedupStored(s, dir, seeded = true) }
 
   // ------------------------------------------------------------------ PQ
 

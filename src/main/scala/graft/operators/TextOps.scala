@@ -832,12 +832,21 @@ object TextOps extends QueryPack {
       ORDER BY doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
+    // The rolling sum is PER-DOC arithmetic, so it is computed inside
+    // one aggregate HOF over the token array (the q_repetition /
+    // q_rare_bigram pattern): a pure projection over the scan — no
+    // posexplode (the r13 sf10 audit measured the exploded-token
+    // shape at 26×/decade from spill on the token frame), no shuffle,
+    // identical sum and modulus.
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 1000003L).as("th"))
-      .groupBy("doc_id")
-      .agg(((sum(col("pos") * col("th"))) % P).as("rolling_fp"))
+      .select(col("doc_id"),
+        expr(s"""aggregate(
+            transform(split(text, ' '),
+              (t, i) -> (cast(i as bigint) + 1) *
+                (cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+                  % 1000003)),
+            cast(0 as bigint),
+            (acc, x) -> acc + x) % cast($P as bigint)""").as("rolling_fp"))
       .orderBy("doc_id")
   }
 

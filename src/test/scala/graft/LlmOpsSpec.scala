@@ -240,6 +240,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(v.count() == n)
   }
 
+  test("semanticDedupStored ≡ the direct path for both seedings (the " +
+      "stored n×K assignment artifact changes nothing but the cost)") {
+    val e = Tables.embeddings(spark, sf)
+    val k = Similarity.semDedupK(e.count())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "dropped")
+        .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    assert(rows(Similarity.semanticDedupStored(spark, sf, seeded = false))
+      == rows(Similarity.semanticDedup(e, k = k)),
+      "stored first-K assignment diverged from the direct path")
+    assert(rows(Similarity.semanticDedupStored(spark, sf, seeded = true))
+      == rows(Similarity.semanticDedup(e, seedIds =
+        Some(Similarity.seedsPar(e, k = k).select(col("vec_id"))))),
+      "stored k-means|| assignment diverged from the direct path")
+  }
+
   test("q_dedup_verdict: reasons consistent with their source stages, priority ordered") {
     val v = TextOps.qDedupVerdict.build(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
