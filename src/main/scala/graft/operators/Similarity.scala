@@ -150,24 +150,36 @@ object Similarity extends QueryPack {
   private val NdBits  = 10
 
   /** Scale-aware bits per band for the BATCH near-dup gate:
-    * `b = max(10, ⌈log2 n⌉ − 1)`, capped at [[MaxNdBits]].
+    * `b = max(10, L + max(0, (L − 9) / 3))` with `L = ⌈log2 n⌉`,
+    * capped at [[MaxNdBits]].
     *
     * Bucketing bounds the join per (band, key) bucket, but with FROZEN
     * bits the expected bucket population is n/2^b — it grows linearly
     * with the corpus, so candidate pairs grow as n²/2^b: quadratic with
     * a constant that happened to be tuned for sf0.1 (the r9 sf1 audit
     * measured 11× wall for 10× data, and the next decade would be ~100×).
-    * Growing bits with ⌈log2 n⌉ pins the expected bucket population to
-    * the 1..2 range REGARDLESS of n, which makes expected candidates
-    * Θ(bands · n) — the linear scale path. Integer arithmetic only —
-    * `⌈log2 n⌉ = bitLength(n−1)` — so the oracle computes the identical
-    * b from COUNT(*) via `GREATEST($NdBits, LENGTH(bin(n−1)) − 1)` and
-    * the whole pipeline stays bit-matched at every SF; n ≤ 2048 lands on
-    * the historical b = 10, so the official-gate SFs are unchanged. The
-    * STREAMING twin (`s_neardup_stream`) keeps the frozen family: its
-    * LSH state store is keyed by (band, key) and cannot re-key live —
-    * re-sharding the family is a restart-time decision there, as
-    * documented in StreamOps.
+    * The r9→r13 formula `b = L − 1` pinned the expected occupancy to
+    * the 1..2 range, which makes expected candidates Θ(bands · n) —
+    * but bands GROW with bits (+32/bit, the recall companion below),
+    * so per decade candidates still compounded 10× (n) × ~1.3 (bands)
+    * × the occupancy phase — the r13 sf10 metrology measured
+    * 24×/decade, >half the audit wall (VERDICT r13 #1). The extra
+    * `(L − 9)/3` bits — ~1.1 per decade — SHRINK occupancy ≈ 2.2× per
+    * decade instead of holding it flat, so the expected candidate
+    * volume `bands · n² / 2^(b+1)` grows ~9× per decade (sub-linear;
+    * model vs r13 measurements: 3.92M→95.8M then, 0.44M→4.0M now) at
+    * the price of log-linear band rows (n · bands). Integer arithmetic
+    * only — `L = bitLength(n−1)`, truncating division — so the oracle
+    * computes the identical b from COUNT(*) via
+    * `L + GREATEST(0, (L − 9) // 3)` and the whole pipeline stays
+    * bit-matched at every SF; n ≤ 512 lands on the historical b = 10,
+    * so the sf0.001/sf0.01 official-gate fixtures (and every
+    * recall-floor spec measured on them) are unchanged; sf0.1 moves
+    * 10→11 with its oracle moving in lockstep. The STREAMING twin
+    * (`s_neardup_stream`) keeps the frozen family: its LSH state store
+    * is keyed by (band, key) and cannot re-key live — re-sharding the
+    * family is a restart-time decision there, as documented in
+    * StreamOps.
     *
     * RECALL requires bands to grow WITH bits ([[ndBands]]): at the
     * cosine-0.9 design point the per-plane agreement probability is
@@ -176,7 +188,8 @@ object Similarity extends QueryPack {
     * and ~21% at b=24 (ADVICE r9: the old "< 3%" claim was wrong). */
   def ndBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    math.min(MaxNdBits, math.max(NdBits, ceilLog2 - 1))
+    math.min(MaxNdBits,
+      math.max(NdBits, ceilLog2 + math.max(0, (ceilLog2 - 9) / 3)))
   }
 
   /** Bands for a given bits-per-band: `64 + 32·(b − 10)`, the
@@ -185,22 +198,26 @@ object Similarity extends QueryPack {
     * hit rate 0.856^b by 0.856, so holding bands fixed would decay
     * recall geometrically; +32 bands per bit keeps the expected number
     * of hitting bands `bands·0.856^b` in the 12..22 range over the whole
-    * b ∈ [10, 24] domain (13.6 at b=10, 12.4 at b=24), i.e. design-point
-    * miss ≤ e^−12.4 ≈ 4·10⁻⁶ at EVERY corpus size — against the ~1.17×
-    * per bit the constant-product rule asks, 32/64 = 1.17× compounding
-    * is within 10% through b=24. Work grows only linearly (Θ(bands·n)
-    * keys), the price of scale-stable recall; the far-borderline
-    * cosine≈0.5 regime still degrades with b (p = 2/3 there), the
-    * documented trade of every banded-LSH family. Same closed form in
-    * the oracle SQL ([[bandKeySqlDynamicBits]]) keeps candidates
-    * bit-matched. */
+    * b ∈ [10, 24] domain (13.6 at b=10, 12.4 at b=24) and ≥ 8.2 through
+    * b = 28, i.e. design-point miss ≤ e^−8.2 ≈ 3·10⁻⁴ at EVERY corpus
+    * size the cap admits — against the ~1.17× per bit the
+    * constant-product rule asks, 32/64 = 1.17× compounding is within
+    * 10% through b=24 and drifts to the e^−8.2 floor at 28. Work grows
+    * only log-linearly (Θ(bands·n) keys), the price of scale-stable
+    * recall; the far-borderline cosine≈0.5 regime still degrades with
+    * b (p = 2/3 there), the documented trade of every banded-LSH
+    * family. Same closed form in the oracle SQL
+    * ([[bandKeySqlDynamicBits]]) keeps candidates bit-matched. */
   def ndBands(bits: Int): Int = NdBands + 32 * (bits - NdBits)
-  /** Upper bound on [[ndBits]] — 24 bits = 16M buckets per band, enough
-    * to pin bucket occupancy to ~1 through 2^25 ≈ 33M vectors. Past that
-    * the per-band key would still fit a Long; the cap exists so the
-    * oracle's fixed plane series (`bands × MaxNdBits` planes) covers
+  /** Upper bound on [[ndBits]] — 28 bits = 256M buckets per band
+    * (key still a small positive Long; DuckDB's `1 << (b−1−bit)` stays
+    * inside INT32). Under the r14 growth law the cap binds past
+    * n ≈ 3.5M vectors, where expected occupancy resumes growing
+    * linearly — at 100 TB the corpus shards by domain/epoch before any
+    * single LSH family sees that; the cap exists so the oracle's fixed
+    * plane series (`ndBands(MaxNdBits) × MaxNdBits` planes) covers
     * every b the engine can pick. */
-  val MaxNdBits = 24
+  val MaxNdBits = 28
 
   /** Verify PRE-FILTER geometry (VERDICT r12 item 4): a SECOND,
     * independent md5-parity hyperplane family (salt "nds" — plane signs
@@ -226,7 +243,7 @@ object Similarity extends QueryPack {
   private[graft] val NdSketchMaxHam = 108
 
   /** The per-vector sketch table `(vec_id, sk: array<long>[8])`. */
-  private def ndSketch(e: DataFrame): DataFrame = {
+  private[graft] def ndSketch(e: DataFrame): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     e.select(col("vec_id"),
       bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"))
@@ -234,7 +251,7 @@ object Similarity extends QueryPack {
 
   /** Pairwise sketch Hamming distance (integer popcount over the XORed
     * keys) — the codegen'd pre-filter column. */
-  private def sketchHamming(a: Column, b: Column): Column =
+  private[graft] def sketchHamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, z) => acc + z)
 
@@ -308,9 +325,12 @@ object Similarity extends QueryPack {
 
   /** [[bandKeySqlWith]] with DATA-DEPENDENT geometry — the SQL twin of
     * [[ndBits]] AND [[ndBands]]: `bb.b = LEAST($MaxNdBits,
-    * GREATEST($NdBits, LENGTH(bin(n−1)) − 1))` from COUNT(*) and
+    * GREATEST($NdBits, L + GREATEST(0, (L − 9) // 3)))` with
+    * `L = LENGTH(bin(n−1))` from COUNT(*) and
     * `bb.nb = $NdBands + 32·(b − $NdBits)`, integer-exact in both
-    * engines — the LEAST mirrors the Scala-side [[MaxNdBits]] cap, which
+    * engines (`//` is DuckDB floor division; the GREATEST(0, ·) guard
+    * makes floor ≡ Scala's truncation on the only negative case) — the
+    * LEAST mirrors the Scala-side [[MaxNdBits]] cap, which
     * is what makes the fixed plane series sufficient. The plane series
     * is generated to the `ndBands(MaxNdBits) · MaxNdBits` ceiling (a
     * fixed, data-independent literal) and filtered to the first
@@ -324,8 +344,8 @@ object Similarity extends QueryPack {
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |bb AS (SELECT b, $NdBands + 32 * (b - $NdBits) AS nb FROM (
        |       SELECT LEAST($MaxNdBits,
-       |               GREATEST($NdBits, LENGTH(bin(COUNT(*) - 1)) - 1)) AS b
-       |       FROM e)),
+       |               GREATEST($NdBits, L + GREATEST(0, (L - 9) // 3))) AS b
+       |       FROM (SELECT LENGTH(bin(COUNT(*) - 1)) AS L FROM e))),
        |planes AS (
        |  SELECT p AS plane, d AS dim,
        |         CASE WHEN CAST(('0x'||substr(md5('hp:'||p||':'||(d-1)),1,15))
@@ -362,8 +382,10 @@ object Similarity extends QueryPack {
     * exhausting execution memory at 57.6M band rows (200k vectors ×
     * 288 bands, 24-way local) — sort-merge spills gracefully at any
     * scale. Below the budget SHJ stays, on the sf1 measurement (9.2 s
-    * vs 17.2 s for the group-then-pair rewrite). */
-  private val NdShjMaxBandRows = 16L << 20
+    * vs 17.2 s for the group-then-pair rewrite). r14: budget halved
+    * from 16M — the fused gate's band rows carry the 64 B sketch
+    * (~3× the old row), so the same memory bound trips at fewer rows. */
+  private val NdShjMaxBandRows = 8L << 20
 
   def neardupCandidates(e: DataFrame, bits: Int = NdBits): DataFrame =
     neardupCandidates(e, bits, e.count())
@@ -391,6 +413,39 @@ object Similarity extends QueryPack {
     val left = if (nBandRows <= NdShjMaxBandRows) l.hint("shuffle_hash") else l
     left.join(r, Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** The FUSED near-dup gate (VERDICT r13 #1, second lever): candidate
+    * generation with the 256-bit sketch riding the band rows, so the
+    * Hamming pre-filter kills pairs INSIDE the band join's codegen
+    * stage — before the distinct's exchange and without the two
+    * post-candidate sketch joins the r13 shape paid. At sf10 the r13
+    * metrology measured 95.8M candidate pairs entering the distinct
+    * and then two more n-pair shuffles to fetch sketches; here the
+    * ~99% of collisions that are random die on an integer popcount in
+    * the same stage that found them, and only sketch survivors (the
+    * `sketch_kept` counter's set, exactly) reach the exchange. The
+    * band rows grow by the 64 B sketch — the trade is log-linear scan
+    * width for a ~140× cut of the shuffled pair volume. Returns the
+    * identical distinct pair set as [[neardupCandidates]] +
+    * post-filter (the sketch predicate is a pure function of the
+    * pair; spec-pinned), so the oracle CTE chain is unchanged. */
+  def neardupKeptPairs(e0: DataFrame, bits: Int, nVecs: Long): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    val bands = e0.select(col("vec_id"),
+        bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"),
+        posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
+      .toDF("vec_id", "sk", "band", "key")
+    val l = bands.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("sk").as("ska"))
+    val r = bands.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("sk").as("skb"))
+    val nBandRows = nVecs * ndBands(bits)
+    val left = if (nBandRows <= NdShjMaxBandRows) l.hint("shuffle_hash") else l
+    left.join(r, Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
       .select("vec_a", "vec_b").distinct()
   }
 
@@ -437,15 +492,10 @@ object Similarity extends QueryPack {
     // scale-aware band bits from the corpus count (metadata-only parquet
     // count) — the oracle derives the SAME b from COUNT(*), see [[ndBits]]
     val n0 = e0.count()
-    val cand = neardupCandidates(e, ndBits(n0), n0)
-    // sketch pre-filter (see [[NdSketchMaxHam]]): 64 B sketch rows kill
-    // ~99% of random band collisions before the 256 B vector fetch
-    val sk = ndSketch(e0)
-    val kept = cand
-      .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
-      .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
-      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
-      .select("vec_a", "vec_b")
+    // fused gate: the sketch pre-filter rides the band rows and kills
+    // ~99% of random collisions inside the band join, before the
+    // distinct's exchange (see [[neardupKeptPairs]])
+    val kept = neardupKeptPairs(e0, ndBits(n0), n0)
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
     // same arithmetic shape as the exact variant → bit-identical verdicts

@@ -352,39 +352,73 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("scale-aware parameter policies: ndBits and semDedupK (r9 sf1 audit)") {
-    // ndBits = max(10, ceil(log2 n) - 1), capped at MaxNdBits: official
-    // SFs (n <= 2048) stay on the historical b=10 — zero hash churn —
-    // and bucket occupancy n/2^b stays in ~[1,2) at every larger n.
+  test("fused gate ≡ unfused: sketch-in-band-join returns exactly the " +
+      "candidates→sketch-filter pair set (both geometries)") {
+    // the r14 fusion moves the Hamming pre-filter inside the band join
+    // (pre-shuffle); the kept SET must be identical to the r13 shape —
+    // the predicate is a pure function of the pair
+    for (bits <- Seq(10, 12)) {
+      val e0 = Tables.embeddings(spark, sf)
+      val n = e0.count()
+      val fused = Similarity.neardupKeptPairs(e0, bits, n)
+        .as[(Long, Long)].collect().toSet
+      val sk = Similarity.ndSketch(e0)
+      val unfused = Similarity.neardupCandidates(
+          e0.select(col("vec_id"), col("embedding")), bits, n)
+        .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
+        .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
+        .where(Similarity.sketchHamming(col("ska"), col("skb")) <= 108)
+        .select("vec_a", "vec_b")
+        .as[(Long, Long)].collect().toSet
+      assert(fused == unfused,
+        s"bits=$bits: fused ${fused.size} vs unfused ${unfused.size}: " +
+          s"${fused.diff(unfused).take(3)} / ${unfused.diff(fused).take(3)}")
+    }
+  }
+
+  test("scale-aware parameter policies: ndBits and semDedupK " +
+      "(r9 sf1 audit; growth law retuned r14)") {
+    // ndBits = max(10, L + max(0, (L-9)/3)) with L = ceil(log2 n),
+    // capped at MaxNdBits. sf0.001/sf0.01 (n <= 512) stay on the
+    // historical b=10; the extra (L-9)/3 bits SHRINK bucket occupancy
+    // ~2.2x per decade instead of holding it flat, so expected
+    // candidates bands*n^2/2^(b+1) grow sub-linearly per decade
+    // (VERDICT r13 #1: flat occupancy measured 24x/decade candidates).
     assert(Similarity.ndBits(1) == 10)
     assert(Similarity.ndBits(200) == 10)
-    assert(Similarity.ndBits(2000) == 10)   // sf0.1: unchanged family
-    assert(Similarity.ndBits(2048) == 10)
-    assert(Similarity.ndBits(2049) == 11)
-    assert(Similarity.ndBits(20000) == 14)  // sf1
+    assert(Similarity.ndBits(512) == 10)    // sf0.01: unchanged family
+    assert(Similarity.ndBits(2000) == 11)   // sf0.1: 10->11, oracle in lockstep
+    assert(Similarity.ndBits(20000) == 17)  // sf1: occupancy 0.15
+    assert(Similarity.ndBits(200000) == 21) // sf10: occupancy 0.095
     assert(Similarity.ndBits(1L << 40) == Similarity.MaxNdBits)
-    // monotone non-decreasing; occupancy bound holds past the knee
+    // monotone non-decreasing; once the growth law engages, occupancy
+    // is bounded by 1 and DROPS across decades — the r14 exponent fix
     var prev = 0
     for (k <- 1 to 34) {
       val n = 1L << k
       val b = Similarity.ndBits(n)
       assert(b >= prev); prev = b
       if (b > 10 && b < Similarity.MaxNdBits)
-        assert(n.toDouble / (1L << b) <= 2.0 + 1e-9,
+        assert(n.toDouble / (1L << b) <= 1.0 + 1e-9,
           s"bucket occupancy ${n.toDouble / (1L << b)} at n=$n b=$b")
     }
+    assert(200000.0 / (1L << Similarity.ndBits(200000))
+      < 20000.0 / (1L << Similarity.ndBits(20000)),
+      "occupancy must shrink across the sf1->sf10 decade")
     // ndBands = 64 + 32*(b-10), the recall companion (ADVICE r9): the
     // per-band hit rate at the cosine-0.9 design point is 0.856^b, so
     // FROZEN 64 bands would decay recall geometrically as bits grow
     // (~21% miss at b=24). +32 bands per bit keeps the expected number
-    // of hitting bands >= 12 over the whole b domain (miss <= e^-12).
-    assert(Similarity.ndBands(10) == 64)   // official SFs: unchanged
-    assert(Similarity.ndBands(14) == 192)  // sf1
-    assert(Similarity.ndBands(Similarity.MaxNdBits) == 512)
+    // of hitting bands >= 12 through b=24 and >= 8 through the b=28
+    // cap (design-point miss <= e^-8.2 ~ 3e-4 everywhere).
+    assert(Similarity.ndBands(10) == 64)   // sf0.001/sf0.01: unchanged
+    assert(Similarity.ndBands(17) == 288)  // sf1
+    assert(Similarity.ndBands(Similarity.MaxNdBits) == 640)
     for (b <- 10 to Similarity.MaxNdBits) {
       val pBand = math.pow(1.0 - math.acos(0.9) / math.Pi, b)
       val expHits = Similarity.ndBands(b) * pBand
-      assert(expHits >= 12.0,
+      val floor = if (b <= 24) 12.0 else 8.0
+      assert(expHits >= floor,
         f"design-point expected band hits $expHits%.1f at b=$b")
     }
     // semDedupK = max(4, ceil(sqrt n / 12)): official SFs stay K=4;

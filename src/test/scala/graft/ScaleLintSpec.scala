@@ -39,12 +39,11 @@ class ScaleLintSpec extends SparkSpec {
     *    q_sim_topk, over the int8-quantized representation */
   // (q_kmeans_seed_par needs no exemption: its distance passes fuse the
   // ≤ 1+rounds·l candidates as projection literals — no join at all)
+  // (q_semantic_dedup/_seeded need no exemption since r14: the n × K
+  // assignment is a stored fingerprint-keyed artifact — the served plan
+  // is equi-joins only)
   private val boundedBroadcastByDesign =
     Set("q_sim_topk", "q_sim_ivf", "q_sim_topk_int8", "q_kmeans_step",
-      "q_semantic_dedup",
-      // same n × K centroid-assignment shape, centroids from k-means||
-      // seeds instead of first-K (the seeding itself is literal-fused)
-      "q_semantic_dedup_seeded",
       // IVF-PQ routing: the same n × NCells (and queries × NCells)
       // broadcast assignment; the PQ half joins only on (s, j) keys
       "q_sim_ivfpq",
