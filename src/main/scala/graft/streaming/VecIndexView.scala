@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * a writer holding retrained geometry is REFUSED (the
   * [[StateGeometryGuard]] discipline applied to the artifact itself;
   * upgrades go through a re-encode migration + fresh serve
-  * checkpoints, the PqMigration path).
+  * checkpoints — [[migrateCellSplit]] for a grown cell set,
+  * [[migrateCodebooks]] for retrained residual codebooks).
   *
   * Changelog-correct, the [[Bm25IndexView]] contract verbatim: events
   * carry a monotone sequence; insert / update_after / delete
@@ -316,8 +317,8 @@ object VecIndexView {
     *
     * The residual CODEBOOKS stay frozen — they are a quantizer of the
     * residual space, consistent (if gradually suboptimal) across cell
-    * growth; retraining them is the FULL re-encode of [[PqMigration]],
-    * deliberately not this path.
+    * growth; retraining them is the full re-encode of
+    * [[migrateCodebooks]] (r14), deliberately not this path.
     *
     * Offline, stream stopped (like [[compact]]): compacts first, then
     * rewrites touched partitions, then the catalog, then the `_era`
@@ -420,4 +421,99 @@ object VecIndexView {
       StateGeometryGuard.ivfpq(newCells, codebooks).render.getBytes("UTF-8"))
     touched
   }
+
+  /** CODEBOOK-RETRAIN migration (VERDICT r13 #3) — the last lifecycle
+    * asymmetry: cell SPLITS migrate in place ([[migrateCellSplit]]),
+    * but retrained residual CODEBOOKS used to mean refuse + full
+    * rebuild. This is [[PqMigration]]'s re-encode discipline applied
+    * to the maintained artifact, with the CELL SET frozen (routing
+    * depends only on the cells, so the catalog — ver, liveness,
+    * cell_id — is untouched and enforced unchanged):
+    *
+    *  - offline, stream stopped, `_compact-lease` held throughout;
+    *  - compacts first (all rows into the cell-partitioned base);
+    *  - re-encodes the LIVE-LATEST vectors — enumerable from the
+    *    catalog without replaying the changelog — from the `corpus`
+    *    snapshot under the new codebooks (the stateless streaming
+    *    encoder: codes bit-identical to a from-scratch batch build);
+    *  - rewrites every populated cell partition (every code changes —
+    *    unlike a cell split there is no untouched-partition fast
+    *    path; the write is the serving layout's one-file-per-cell);
+    *  - swaps the `_era` stamp LAST: a crash mid-rewrite leaves the
+    *    old era stamped and the RE-RUN (same old+new codebooks)
+    *    recomputes identical rows and overwrites idempotently — the
+    *    index must not serve between a crashed migration and its
+    *    re-run (mixed-era partitions), the same offline contract as
+    *    [[migrateCellSplit]].
+    *
+    * After the swap, old-era writers are refused by [[requireEra]] and
+    * old-era serve checkpoints by [[StateGeometryGuard]]; searches
+    * resume on fresh checkpoints. Returns the rewritten cell ids. */
+  def migrateCodebooks(spark: SparkSession, baseDir: String,
+      corpus: DataFrame,
+      cells: Seq[(Long, Seq[Double], Seq[Long])],
+      oldCodebooks: Seq[(Int, Long, Seq[Long])],
+      newCodebooks: Seq[(Int, Long, Seq[Long])]): Set[Long] =
+    IndexFiles.withCompactLease(baseDir) {
+      // refuse a writer whose old geometry is not what the index holds
+      requireEra(baseDir, cells, oldCodebooks)
+      compactLocked(spark, baseDir)
+      val baseRoot = s"$baseDir/codes_compacted"
+      val cat = readCatalog(spark, baseDir)
+      val live = cat.where(col("live"))
+        .select(col("vec_id"), col("ver"), col("cell_id").as("old_cell"))
+        .localCheckpoint(eager = true)
+      val enc = StreamOps.ivfPqEncodeProj(
+          corpus.select(col("vec_id"), col("embedding")), cells,
+          newCodebooks)
+        .select(col("vec_id"), col("cell_id"), col("codes"))
+        .join(live, "vec_id")
+        .localCheckpoint(eager = true)
+      require(enc.count() == live.count(),
+        "corpus snapshot does not cover every live vector in the catalog")
+      // frozen cells ⇒ routing must be unchanged — enforced, not assumed
+      require(enc.where(col("cell_id") =!= col("old_cell")).isEmpty,
+        "cell routing moved under a codebook-only migration: the cell " +
+          "set differs from the index's — use migrateCellSplit first")
+      val newRows = enc
+        .select(col("vec_id"), col("ver"), col("cell_id"),
+          posexplode(col("codes")).as(Seq("s", "j")))
+        .select(col("vec_id"), col("ver"), col("cell_id"),
+          col("s").cast("int").as("s"), col("j"))
+        .repartition(col("cell_id"))
+        .localCheckpoint(eager = true)
+      val kept: Set[Long] =
+        if (newRows.isEmpty) Set.empty
+        else {
+          val prev =
+            spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try newRows.write.mode(SaveMode.Overwrite)
+            .partitionBy("cell_id").parquet(baseRoot)
+          finally prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None =>
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          newRows.select("cell_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+        }
+      // post-compact the base holds live-latest only, so every on-disk
+      // cell re-encodes; drop any straggler partition defensively
+      import scala.jdk.CollectionConverters._
+      val basePath = java.nio.file.Paths.get(baseRoot)
+      if (java.nio.file.Files.exists(basePath))
+        java.nio.file.Files.list(basePath).iterator().asScala.toSeq
+          .filter(p => java.nio.file.Files.isDirectory(p)
+            && p.getFileName.toString.startsWith("cell_id="))
+          .filterNot(p => kept.contains(
+            p.getFileName.toString.stripPrefix("cell_id=").toLong))
+          .foreach(IndexFiles.deleteTree)
+      // era swap LAST: old-era writers and serve checkpoints refused
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$baseDir/_era"),
+        StateGeometryGuard.ivfpq(cells, newCodebooks).render
+          .getBytes("UTF-8"))
+      kept
+    }
 }

@@ -436,4 +436,133 @@ class VecIndexViewSpec extends SparkSpec {
         checkpointLocation = oldCkpt)
     }
   }
+
+  test("codebook-retrain migration: post-migration index ≡ from-scratch " +
+      "encode under the new codebooks; old-era writers and serve " +
+      "checkpoints refused both directions; search over the migrated " +
+      "index ≡ a fresh-encode serve") {
+    val dir = java.nio.file.Files.createTempDirectory("veccbmig").toString
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cells, cbs, _) = graft.operators.Similarity.pqResArtifacts(e)
+    val rows = e.as[VecRow].collect().sortBy(_.vec_id)
+
+    // a real changelog: insert everything, then update one vector's
+    // embedding and delete another — the migration must re-encode the
+    // MATERIALIZED state, not the insert history
+    VecIndexView.applyChangelogBatch(
+      rows.map(r => VecEvent(r.vec_id, r.embedding, "insert", r.vec_id + 1))
+        .toSeq.toDF("vec_id", "embedding", "event_type", "sequence"),
+      0L, dir, cells, cbs)
+    val base = rows.map(_.vec_id).max + 2
+    val (vu, vd) = (rows(3), rows(2).vec_id)
+    VecIndexView.applyChangelogBatch(
+      Seq(VecEvent(vu.vec_id, rows(5).embedding, "update_after", base),
+          VecEvent(vd, Seq.empty, "delete", base + 1))
+        .toDF("vec_id", "embedding", "event_type", "sequence"),
+      1L, dir, cells, cbs)
+    val snapRows = rows.flatMap { r =>
+      r.vec_id match {
+        case x if x == vu.vec_id => Some(VecRow(x, rows(5).embedding))
+        case x if x == vd        => None
+        case _                   => Some(r)
+      }
+    }
+    val snapshot = snapRows.toSeq.toDF("vec_id", "embedding")
+
+    // an old-era serve checkpoint, committed once
+    val oldCkpt = java.nio.file.Files
+      .createTempDirectory("veccbmig-serve").toString
+    val qin0 = MemoryStream[VecRow](spark)
+    val s0 = StreamOps.ivfPqSearchStream(qin0.toDF(),
+      VecIndexView.servedIndex(spark, dir), cells, cbs, k = 5,
+      checkpointLocation = oldCkpt)
+      .writeStream.format("memory").queryName("veccbmig_old")
+      .option("checkpointLocation", oldCkpt)
+      .outputMode("append").start()
+    try { qin0.addData(rows.take(2).toIndexedSeq); s0.processAllAvailable() }
+    finally s0.stop()
+
+    // "retrained" codebooks: a deterministic perturbation — a valid
+    // quantizer whose nearest-codeword assignments provably move
+    val cbs2 = cbs.map { case (s, j, cv) =>
+      (s, j, cv.updated(0, cv.head + (j + 1) * 4096L)) }
+    def encSet(cb: Seq[(Int, Long, Seq[Long])]) = codeSet(
+      StreamOps.ivfPqEncodeProj(snapshot, cells, cb)
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(col("codes")).as(Seq("s", "j")))
+        .select(col("vec_id"), col("s"), col("j"), col("cell_id")))
+    val want = encSet(cbs2)
+    assert(want != encSet(cbs), "perturbed codebooks moved no codes — " +
+      "the fixture proves nothing")
+
+    // a writer already holding the retrained codebooks is refused
+    // BEFORE the migration runs (era mismatch, the forward direction)
+    intercept[IllegalStateException] {
+      VecIndexView.applyChangelogBatch(
+        Seq(VecEvent(rows(1).vec_id, rows(1).embedding, "update_after",
+          base + 2)).toDF("vec_id", "embedding", "event_type", "sequence"),
+        2L, dir, cells, cbs2)
+    }
+
+    val kept = VecIndexView.migrateCodebooks(
+      spark, dir, snapshot, cells, cbs, cbs2)
+    assert(kept.nonEmpty, "migration rewrote no partitions")
+
+    // 1. post-migration ≡ from-scratch encode under the new codebooks
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == want,
+      "post-migration index diverged from the from-scratch build")
+
+    // 2. old-era writer refused after the swap; new-era accepted, and a
+    // same-embedding update leaves the served set identical
+    intercept[IllegalStateException] {
+      VecIndexView.applyChangelogBatch(
+        Seq(VecEvent(rows(1).vec_id, rows(1).embedding, "update_after",
+          base + 3)).toDF("vec_id", "embedding", "event_type", "sequence"),
+        3L, dir, cells, cbs)
+    }
+    VecIndexView.applyChangelogBatch(
+      Seq(VecEvent(rows(1).vec_id, rows(1).embedding, "update_after",
+        base + 3)).toDF("vec_id", "embedding", "event_type", "sequence"),
+      3L, dir, cells, cbs2)
+    assert(codeSet(VecIndexView.servedIndex(spark, dir)) == want,
+      "same-embedding update under the new era changed the table")
+
+    // 3. the old serve checkpoint refuses the retrained geometry
+    val qin1 = MemoryStream[VecRow](spark)
+    intercept[IllegalStateException] {
+      StreamOps.ivfPqSearchStream(qin1.toDF(),
+        VecIndexView.servedIndex(spark, dir), cells, cbs2, k = 5,
+        checkpointLocation = oldCkpt)
+    }
+
+    // 4. search over the MIGRATED maintained index ≡ the same stream
+    // over a from-scratch encoded static frame (both under cbs2)
+    val staticIdx = StreamOps.ivfPqEncodeProj(snapshot, cells, cbs2)
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("s", "j")))
+      .select(col("vec_id"), col("s"), col("j"), col("cell_id"))
+    def serveOver(idx: org.apache.spark.sql.DataFrame, name: String) = {
+      val qin = MemoryStream[VecRow](spark)
+      val q = StreamOps.ivfPqSearchStream(qin.toDF(), idx, cells, cbs2,
+        k = 5, checkpointLocation = StreamOps.EphemeralState)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        qin.addData(snapRows.filter(_.vec_id < 8).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select(col("query_id").cast("long"), col("rank").cast("int"),
+          col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    val gotServe = serveOver(VecIndexView.servedIndex(spark, dir),
+      "veccbmig_migrated")
+    val wantServe = serveOver(staticIdx, "veccbmig_fresh")
+    assert(gotServe == wantServe,
+      s"search over the migrated index diverged: " +
+        s"${gotServe.diff(wantServe).take(5)} vs " +
+        s"${wantServe.diff(gotServe).take(5)}")
+  }
 }
