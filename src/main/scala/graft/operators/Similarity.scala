@@ -1700,6 +1700,13 @@ object Similarity extends QueryPack {
     })
   }
 
+  /** The resolved pqvec artifact path, exposed for the independent
+    * reference checker ([[graft.RefCheck]]) which reads the stored
+    * cells/codebooks/codes as plain data and recomputes the serve
+    * arithmetic from scratch. */
+  private[graft] def pqArtifactPathFor(s: SparkSession, dir: String): String =
+    pqArtifactDir(s, dir)
+
   /** The stored routing table `(vec_id, cell_id)` — the artifact's one
     * n x NCells pass, read as plain parquet by every consumer that
     * needs the corpus assignment (q_sim_ivf's exact in-cell re-rank). */

@@ -39,7 +39,12 @@ def main():
     sf1 = json.load(open(sys.argv[1]))["queries"]
     sf10 = json.load(open(sys.argv[2]))["queries"]
     oracle_note = sys.argv[3]
-    out = sys.argv[4] if len(sys.argv) > 4 else "BENCH_r13_sf10.json"
+    out = sys.argv[4] if len(sys.argv) > 4 else "BENCH_r14_sf10.json"
+    # optional: graft.RefCheck's one-line JSON (the independent plain-Scala
+    # exact-equality checks for the oracle-blind families, VERDICT r13 #6)
+    refcheck = json.load(open(sys.argv[5])) if len(sys.argv) > 5 else None
+    # optional: a prior round's sf10 report to diff family growth against
+    prior = json.load(open(sys.argv[6])) if len(sys.argv) > 6 else None
     fam_rows = {}
     for fam, names in FAMILIES.items():
         a = sum(sf1[n] for n in names if n in sf1 and n in sf10)
@@ -64,12 +69,30 @@ def main():
         "growth_10x_data": round(total10 / total1, 2),
         "families": fam_rows,
     }
+    if refcheck is not None:
+        doc["refcheck"] = refcheck.get("refcheck", refcheck)
+    if prior is not None:
+        diff = {}
+        for fam, v in fam_rows.items():
+            pg = prior.get("families", {}).get(fam, {}).get("growth_10x_data")
+            diff[fam] = {"prior_growth": pg, "growth": v["growth_10x_data"],
+                         "regressed": (pg is not None
+                                       and v["growth_10x_data"] is not None
+                                       and v["growth_10x_data"] > pg * 1.15)}
+        doc["growth_diff_vs_prior"] = diff
     json.dump(doc, open(out, "w"), indent=1)
     print(f"{out}: total {total1:.1f}s -> {total10:.1f}s "
           f"({total10 / total1:.2f}x for 10x data)")
     for fam, v in fam_rows.items():
+        prior_note = ""
+        if prior is not None:
+            pg = prior.get("families", {}).get(fam, {}).get("growth_10x_data")
+            prior_note = f"  [prior {pg}x]"
         print(f"  {fam:20s} {v['sf1_secs']:8.2f}s -> {v['sf10_secs']:8.2f}s"
-              f"  ({v['growth_10x_data']}x)")
+              f"  ({v['growth_10x_data']}x){prior_note}")
+    if refcheck is not None:
+        for name, r in doc["refcheck"].items():
+            print(f"  refcheck {name}: match={r.get('match')}")
 
 
 if __name__ == "__main__":
