@@ -250,10 +250,16 @@ object Similarity extends QueryPack {
   }
 
   /** Pairwise sketch Hamming distance (integer popcount over the XORed
-    * keys) — the codegen'd pre-filter column. */
+    * keys) — the codegen'd pre-filter column. A custom expression, NOT
+    * the `aggregate(zip_with(...))` HOF: the HOF is a CodegenFallback,
+    * and inside the fused band join's condition it evaluated
+    * interpreted per candidate pair (~53µs/pair — the r14 local bench
+    * measured the fused gate 10× slower than the two-join shape it
+    * replaced). [[graft.functions.SketchHamming]] compiles to an
+    * XOR+popcount loop that stays inside the join's codegen — the
+    * [[graft.functions.DotProduct]] lesson applied to the sketch. */
   private[graft] def sketchHamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0), (acc, z) => acc + z)
+    graft.functions.VectorFunctions.sketchHam(a, b)
 
   /** DuckDB CTE `sk(vec_id, sk)` computing the identical 256-bit sketch
     * (salt-"nds" md5-parity planes, 8×32-bit MSB-first keys) over the
@@ -433,8 +439,18 @@ object Similarity extends QueryPack {
     * pair; spec-pinned), so the oracle CTE chain is unchanged. */
   def neardupKeptPairs(e0: DataFrame, bits: Int, nVecs: Long): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
-    val bands = e0.select(col("vec_id"),
-        bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"),
+    // The sketch is computed in its OWN projection below the explode:
+    // with both expressions in one select, ExtractGenerator leaves every
+    // non-generator expression in the Project ABOVE the Generate, so the
+    // 256-plane sketch re-evaluated once per BAND ROW (bands× per
+    // vector) — the r14 local bench measured that as a 10× wall
+    // regression of this gate at sf0.1. Splitting the select plants the
+    // sketch in the Generate's CHILD project (once per vector); the
+    // band keys stay fused into the generator, which runs per input row
+    // by construction.
+    val bands = e0.select(col("vec_id"), col("embedding"),
+        bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"))
+      .select(col("vec_id"), col("sk"),
         posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
       .toDF("vec_id", "sk", "band", "key")
     val l = bands.select(col("band"), col("key"),

@@ -376,6 +376,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("fused gate plan: the sketch is computed BELOW the explode " +
+      "(once per vector, not once per band row)") {
+    // With sketch + posexplode in ONE select, ExtractGenerator leaves
+    // non-generator expressions in the Project ABOVE the Generate — the
+    // 256-plane sketch then re-evaluates per band row (bands× per
+    // vector), which the r14 local bench measured as a 10× wall
+    // regression of q_embed_neardup_lsh at sf0.1. Pin the fix: every
+    // Generate in the optimized plan exposes the sketch as a CHILD
+    // attribute, and no Project above a Generate recomputes the "nds"
+    // plane family.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Project}
+    import graft.functions.HyperplaneBands
+    val plan = Similarity.qEmbedNeardupLsh.build(spark, sf)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected a Generate (posexplode) in the gate plan")
+    val badProjects = plan.collect {
+      case p: Project if p.child.isInstanceOf[Generate] &&
+          p.projectList.exists(_.exists {
+            case h: HyperplaneBands => h.salt == "nds"
+            case _                  => false
+          }) => p
+    }
+    assert(badProjects.isEmpty,
+      s"sketch recomputed above the Generate (per band row):\n$badProjects")
+  }
+
   test("scale-aware parameter policies: ndBits and semDedupK " +
       "(r9 sf1 audit; growth law retuned r14)") {
     // ndBits = max(10, L + max(0, (L-9)/3)) with L = ceil(log2 n),
