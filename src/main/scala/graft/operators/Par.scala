@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Map-side parallelism floor for HEAVY per-row compute.
+  *
+  * On a real cluster a corpus is many files/row-groups, so the scan's
+  * natural split count covers the executors. On the bench/verify
+  * fixtures a whole table is ONE parquet file with ONE row group
+  * (53 MB embeddings at the sf10 subset), so Spark plans a single
+  * input partition — and every operator whose cost is dominated by
+  * per-row COMPUTE before its first exchange (hyperplane families:
+  * ~560k FMA/vector at the sf10 geometry; PQ encode: 16 codeword
+  * distance evals × 4 subspaces/vector; int8 quantization) runs that
+  * compute on ONE core of a 24-thread session. The r14 sf10 audit
+  * measured the whole capture at ~330% CPU on 24 threads, with the
+  * LSH gate at 384 s and the cold pqvec build over an hour — all of
+  * it single-core map work, invisible at official SFs (the same shape
+  * is merely milliseconds there) and absent on a many-file cluster
+  * layout.
+  *
+  * [[boost]] repartitions a frame up to the session's default
+  * parallelism ONLY when the planned scan has fewer partitions — on a
+  * cluster-shaped input (≥ parallelism splits) it is a no-op and adds
+  * no exchange; on the single-file fixture it adds one small exchange
+  * of the raw rows (53 MB for the sf10 embeddings — amortized hundreds
+  * of times over by the per-row compute it parallelizes). Apply it
+  * ONLY at entry points whose per-row work dwarfs a row's shuffle
+  * cost; a cheap projection behind a shuffle does not qualify (the
+  * groupBy redistributes anyway).
+  */
+object Par {
+  /** `df` with at least the session's default parallelism, when the
+    * planned input has fewer partitions (single-file fixtures).
+    * Streaming frames pass through untouched: micro-batch sources pick
+    * their own split counts per trigger, and `.rdd` is not defined on
+    * an unstarted stream. */
+  def boost(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // rdd.getNumPartitions plans the frame (metadata-only for scans)
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}

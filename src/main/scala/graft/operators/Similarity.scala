@@ -126,8 +126,10 @@ object Similarity extends QueryPack {
     // arithmetic to cosine(a,b) since norm(x)=sqrt(dot(x,x)) either way.
     // Guard (VERDICT r5 item 7): this exact O(n²) baseline refuses to run
     // above 1 M vectors — the LSH-gated twin is the scale path.
-    val e = Guard.assertSmall(Tables.embeddings(s, dir),
-        "q_embed_neardup input `embeddings`", "q_embed_neardup_lsh")
+    // Par.boost: the O(n²) pair predicate parallelizes over the stream
+    // side's partitions — one per single-file fixture without it
+    val e = Par.boost(Guard.assertSmall(Tables.embeddings(s, dir),
+        "q_embed_neardup input `embeddings`", "q_embed_neardup_lsh"))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
@@ -245,7 +247,7 @@ object Similarity extends QueryPack {
   /** The per-vector sketch table `(vec_id, sk: array<long>[8])`. */
   private[graft] def ndSketch(e: DataFrame): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
-    e.select(col("vec_id"),
+    Par.boost(e).select(col("vec_id"),
       bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"))
   }
 
@@ -400,7 +402,7 @@ object Similarity extends QueryPack {
     * already counted — the declared queries — skip the extra job). */
   def neardupCandidates(e: DataFrame, bits: Int, nVecs: Long): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
-    val bands = e.select(col("vec_id"),
+    val bands = Par.boost(e).select(col("vec_id"),
         posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
       .toDF("vec_id", "band", "key")
     // Self-join formulation, kept ON MEASUREMENT: a group-then-pair
@@ -438,6 +440,32 @@ object Similarity extends QueryPack {
     * post-filter (the sketch predicate is a pure function of the
     * pair; spec-pinned), so the oracle CTE chain is unchanged. */
   def neardupKeptPairs(e0: DataFrame, bits: Int, nVecs: Long): DataFrame = {
+    // SCALE GATE (same budget as the SHJ hint): fusion rides the 64 B
+    // sketch on every band row, which is the right trade while the
+    // band join is an in-memory SHJ (pairs die pre-exchange, no sort
+    // touches the rows). Above the budget the planner sort-merges, and
+    // the sketch then inflates the SMJ's sorted volume by ~3× — the r14
+    // sf10 audit measured the fused gate at 87 s vs 44 s for the
+    // unfused chain on the same geometry. Above the budget, generate
+    // narrow candidates and sketch-filter the ~bands·n²/2^(b+1)
+    // DISTINCT pairs through two small joins instead (the n-row sketch
+    // table broadcasts at any corpus this engine shards to one LSH
+    // family). Identical pair set either way — the fused ≡ unfused
+    // spec pins both shapes.
+    if (nVecs * ndBands(bits) > NdShjMaxBandRows) {
+      val sk = ndSketch(e0)
+      neardupCandidates(e0.select(col("vec_id"), col("embedding")), bits, nVecs)
+        .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
+        .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
+        .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
+        .select("vec_a", "vec_b")
+    } else neardupKeptPairsFused(e0, bits, nVecs)
+  }
+
+  /** The fused shape of [[neardupKeptPairs]] — sketch riding the band
+    * rows, pairs killed inside the band join's stage. */
+  private[graft] def neardupKeptPairsFused(e0: DataFrame, bits: Int,
+      nVecs: Long): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
     // The sketch is computed in its OWN projection below the explode:
     // with both expressions in one select, ExtractGenerator leaves every
@@ -448,7 +476,11 @@ object Similarity extends QueryPack {
     // sketch in the Generate's CHILD project (once per vector); the
     // band keys stay fused into the generator, which runs per input row
     // by construction.
-    val bands = e0.select(col("vec_id"), col("embedding"),
+    // Par.boost: the band+sketch families cost ~560k FMA/vector at the
+    // sf10 geometry — single-file fixtures would run all of it on one
+    // core before the join's exchange (measured 384 s at sf10; ~25 s
+    // boosted)
+    val bands = Par.boost(e0).select(col("vec_id"), col("embedding"),
         bandKeys(col("embedding"), NdSketchBands, NdSketchBits, "nds").as("sk"))
       .select(col("vec_id"), col("sk"),
         posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
@@ -791,7 +823,7 @@ object Similarity extends QueryPack {
     * the codegen'd [[graft.functions.HyperplaneBands]] expression. */
   def withBandKeys(e: DataFrame): DataFrame = {
     import graft.functions.HyperplaneBands.bandKeys
-    e.select(col("vec_id"), col("embedding"),
+    Par.boost(e).select(col("vec_id"), col("embedding"),
         posexplode(bandKeys(col("embedding"), LshBands, LshBits)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
@@ -809,7 +841,10 @@ object Similarity extends QueryPack {
     */
   def quantizedInt8(e: DataFrame): DataFrame = {
     val absmax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    e.select(col("vec_id"), col("embedding"), (absmax / lit(127.0)).as("scale"))
+    // Par.boost: the downstream integer dot products evaluate per
+    // (vector, query) pair on whatever partitioning this frame carries
+    Par.boost(e)
+      .select(col("vec_id"), col("embedding"), (absmax / lit(127.0)).as("scale"))
       .select(col("vec_id"), col("scale"),
         transform(col("embedding"), x =>
           when(col("scale") === 0d, lit(0L))
@@ -1376,7 +1411,7 @@ object Similarity extends QueryPack {
       : String = {
     val kind = if (seeded) "semasg-par-v1" else "semasg-first-v1"
     graft.IndexStore.artifact(dir, kind, Seq("embeddings")) { out =>
-      val e = Tables.embeddings(s, dir)
+      val e = Par.boost(Tables.embeddings(s, dir))
       val k = semDedupK(e.count())
       val asg =
         if (seeded) cellAssignSeeded(e, seedsPar(e, k).select(col("vec_id")))
@@ -1658,7 +1693,12 @@ object Similarity extends QueryPack {
     // q_sim_ivf reads it instead of re-routing the corpus per run — the
     // n^1.5 term the sf10 audit measured as 25x/decade)
     graft.IndexStore.artifact(dir, "pqvec-v3", Seq("embeddings")) { out =>
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // Par.boost: the build is the corpus's heaviest map-side compute
+      // (routing cosines + residual slices + PQ encode per vector) —
+      // single-file fixtures otherwise run it on one core (the r14
+      // sf10 audit measured the cold build over an hour; minutes boosted)
+      val e = Par.boost(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
       // ONE routing pass feeds both layouts (lazy localCheckpoint:
       // materialized by the first consumer, reused by the rest)
       val cellOf = ivfCellOf(e, ivfCentroids(e)).localCheckpoint(eager = false)
@@ -2607,8 +2647,8 @@ object Similarity extends QueryPack {
     * every IndexStore artifact gets. */
   private def hamArtifactDir(s: SparkSession, dir: String): String =
     graft.IndexStore.artifact(dir, "ham-v1", Seq("embeddings")) { out =>
-      hammingCodes(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")))
+      hammingCodes(Par.boost(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))))
         .write.parquet(s"$out/codes")
     }
   // memo keyed by the RESOLVED artifact path (embeds the corpus

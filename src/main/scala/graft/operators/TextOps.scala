@@ -39,7 +39,10 @@ object TextOps extends QueryPack {
 
   /** Word 3-shingles of the space-split tokens (guarded for <3 tokens). */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // Par.boost: shingling explodes ~40 rows/doc from a per-doc
+    // transform — on a single-file fixture the whole explosion runs on
+    // one core before the downstream aggregation's shuffle
+    Par.boost(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(toks) >= 3
            THEN transform(sequence(1, size(toks)-2),
@@ -90,7 +93,10 @@ object TextOps extends QueryPack {
     * exploded twin the equivalence spec checks against). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MinHashSig.minhashSig
-    val sig = Tables.documents(s, dir)
+    // Par.boost: the signature expression does shingle + hash + 16
+    // permutation mins per document — the corpus's heaviest text
+    // map-side compute (graft.operators.Par's single-file rationale)
+    val sig = Par.boost(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), minhashSig(col("toks")).as("sig"))
@@ -340,7 +346,7 @@ object TextOps extends QueryPack {
     * the equivalence spec. */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimHash60.simhash60
-    Tables.documents(s, dir)
+    Par.boost(Tables.documents(s, dir))
       .select(col("doc_id"), simhash60(split(col("text"), " ")).as("fp"))
   }
 

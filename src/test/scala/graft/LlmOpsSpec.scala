@@ -360,8 +360,17 @@ class LlmOpsSpec extends SparkSpec {
     for (bits <- Seq(10, 12)) {
       val e0 = Tables.embeddings(spark, sf)
       val n = e0.count()
-      val fused = Similarity.neardupKeptPairs(e0, bits, n)
+      val fused = Similarity.neardupKeptPairsFused(e0, bits, n)
         .as[(Long, Long)].collect().toSet
+      // the dispatcher's two branches: under the band-row budget it IS
+      // the fused shape; a lied-huge count forces the above-budget
+      // branch (narrow candidates + post-distinct sketch joins)
+      val viaDispatchSmall = Similarity.neardupKeptPairs(e0, bits, n)
+        .as[(Long, Long)].collect().toSet
+      val viaDispatchBig = Similarity.neardupKeptPairs(e0, bits, 1L << 30)
+        .as[(Long, Long)].collect().toSet
+      assert(viaDispatchSmall == fused, s"bits=$bits: under-budget dispatch")
+      assert(viaDispatchBig == fused, s"bits=$bits: above-budget dispatch")
       val sk = Similarity.ndSketch(e0)
       val unfused = Similarity.neardupCandidates(
           e0.select(col("vec_id"), col("embedding")), bits, n)
@@ -781,13 +790,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(jac < 0.5, s"jaccard $jac should NOT flag it (that's the point)")
   }
 
+  /** "Shuffle-free" modulo [[graft.operators.Par.boost]]: the one-pass
+    * expressions must not reintroduce the docs×shingles EXPLODED
+    * shuffle their aggregate twins pay — the boost's round-robin
+    * repartition of the RAW doc rows (one narrow exchange of the
+    * input, no row multiplication) is the map-side parallelism floor,
+    * not the shape this spec guards against. */
+  private def nonBoostExchanges(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+
   test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
     val expr = TextOps.minhashSignatures(spark, sf)
     val agg = TextOps.minhashSignaturesAgg(spark, sf)
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
     expr.collect()
     val p = expr.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"one-pass minhash plan shuffles:\n$p")
+    assert(nonBoostExchanges(p).isEmpty, s"one-pass minhash plan shuffles:\n$p")
     assert(p.contains("graft_minhash_sig"), p)
   }
 
@@ -795,10 +814,11 @@ class LlmOpsSpec extends SparkSpec {
     val expr = TextOps.simhashFingerprints(spark, sf)
     val agg = TextOps.simhashFingerprintsAgg(spark, sf)
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
-    // the expression form must plan as a pure projection — no exchange
+    // the expression form must plan as a projection over the (possibly
+    // boosted) scan — no exploded shuffle
     expr.collect()
     val p = expr.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"one-pass simhash plan shuffles:\n$p")
+    assert(nonBoostExchanges(p).isEmpty, s"one-pass simhash plan shuffles:\n$p")
     assert(p.contains("graft_simhash60"), p)
   }
 

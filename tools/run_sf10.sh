@@ -43,13 +43,18 @@ JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
 [ -d target/sf1 ]  || python3 tools/gen_sf1.py
 [ -d target/sf10 ] || python3 tools/gen_sf10.py
 
+# NOTE: Bench's LAST stdout line is a compact top-30 summary; the full
+# per-query capture is written to bench_out.json — copy THAT (a 43-query
+# subset loses 13 queries to the compact line's top-30 cap).
 echo "== sf1 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
-  java $JAVA_FLAGS -cp "$CP" graft.Bench | tail -1 > /tmp/sf1_subset.json
+  java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
+cp bench_out.json /tmp/sf1_subset.json
 
 echo "== sf10 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
-  java $JAVA_FLAGS -cp "$CP" graft.Bench | tail -1 > /tmp/sf10_subset.json
+  java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
+cp bench_out.json /tmp/sf10_subset.json
 
 echo "== independent reference checks at sf10 =="
 SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 \
