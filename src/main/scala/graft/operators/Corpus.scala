@@ -77,7 +77,9 @@ object Corpus extends QueryPack {
   /** The boilerplate scrub behind [[qChunkDedup]], reusable over any
     * (doc_id, text) frame (the AQE skew spec plants a mega-hot chunk). */
   def chunkDedup(docs: DataFrame): DataFrame = {
-    val w = docs
+    // Par.boost: the chunk explosion (len/ChunkTokens rows per doc)
+    // runs on the scan's partitioning — one core on single-file fixtures
+    val w = Par.boost(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val c = w
       .select(col("doc_id"),
@@ -156,7 +158,8 @@ object Corpus extends QueryPack {
       ORDER BY hit.doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    val w = Tables.documents(s, dir)
+    // Par.boost: ~40 n-grams exploded + hashed per doc, pre-shuffle
+    val w = Par.boost(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= ContamNgram)
     val g = w

@@ -729,8 +729,11 @@ object TextOps extends QueryPack {
     }
   ) { (s, dir) =>
     val toks = split(col("text"), " ")
+    // Par.boost: five lexicon filters over every token of every doc,
+    // all ahead of the tiny confusion-matrix aggregation
     val scored = lexicons.foldLeft(
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"), toks.as("toks"))) {
+      Par.boost(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), toks.as("toks"))) {
       case (df, (l, ws)) =>
         val set = ws.map(w => s"'$w'").mkString(", ")
         df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($set)))"))

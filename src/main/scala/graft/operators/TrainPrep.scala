@@ -154,7 +154,9 @@ object TrainPrep extends QueryPack {
       ORDER BY t.doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    // Par.boost: one md5 per 7-gram per doc — the corpus's heaviest
+    // text hashing pass, pre-shuffle (graft.operators.Par's rationale)
+    val sh = Par.boost(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .where(size(col("l")) >= 7)
       .select(col("doc_id"), explode(array_distinct(expr(
