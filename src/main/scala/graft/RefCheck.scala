@@ -48,7 +48,7 @@ object RefCheck {
 
   // ---- the algorithm constants, restated (deliberately duplicated:
   // ---- they are part of the contract under test, not shared code)
-  private val NQueries = 8
+  private[graft] val NQueries = 8
   private val TopK = 5
   private val NProbe = 4
   private val PqSub = 4
@@ -164,8 +164,13 @@ object RefCheck {
     val n = ids.length
     val bits = refNdBits(n)
     val bands = refNdBands(bits)
-    val hpSigns = refSigns(bands * bits, 64, "hp")
-    val skSigns = refSigns(SketchBands * SketchBits, 64, "nds")
+    // dim from the data, NOT hardcoded (ADVICE r14): refBandKeys indexes
+    // the sign matrix with v.length, so a non-64-dim fixture would
+    // misindex a fixed-64 matrix (a confusing spurious mismatch)
+    val dim = vecs(0).length
+    require(vecs.forall(_.length == dim), "ragged embedding dims")
+    val hpSigns = refSigns(bands * bits, dim, "hp")
+    val skSigns = refSigns(SketchBands * SketchBits, dim, "nds")
 
     // per-vector band keys + sketch keys + norm, computed in parallel
     // (independent per vector; parallelism does not touch arithmetic)
@@ -235,6 +240,72 @@ object RefCheck {
       "n" -> n.toLong, "bits" -> bits.toLong, "bands" -> bands.toLong,
       "candidates" -> candidates.get, "sketch_kept" -> kept.size.toLong,
       "verified" -> want.size.toLong, "spark_rows" -> got.size.toLong))
+  }
+
+  /** Multi-probe LSH ANN reference (VERDICT r14 #6 — the third
+    * geometry-moving family): the full q_sim_lsh chain from the raw
+    * embeddings — the fixed 4-band × 4-bit salt-"hp" family, corpus
+    * band keys, the multi-probe query keys (each band key XOR each
+    * 1-bit mask, plus the unflipped key), distinct candidates, the
+    * exact-cosine re-rank and the (cos desc, id asc) top-k. Same
+    * from-scratch discipline as [[checkNeardupLsh]]: plain arrays,
+    * MessageDigest planes, left-to-right double dots. */
+  def checkSimLsh(spark: SparkSession, dir: String)
+      : (Boolean, Map[String, Long]) = {
+    val got = graft.operators.Similarity.qSimLsh.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val (ids, vecs) = loadEmbeddings(spark, dir)
+    val n = ids.length
+    val bands = 4
+    val bits = 4
+    val dim = vecs(0).length
+    require(vecs.forall(_.length == dim), "ragged embedding dims")
+    val signs = refSigns(bands * bits, dim, "hp")
+    val keys = new Array[Array[Long]](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { v =>
+      keys(v) = refBandKeys(vecs(v), signs, bands, bits)
+    }
+    // corpus bucket index: (band, key) → member idxs
+    val buckets = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    var v = 0
+    while (v < n) {
+      var b = 0
+      while (b < bands) {
+        buckets.computeIfAbsent((b.toLong << 32) | keys(v)(b),
+          _ => new java.util.ArrayList[Int]()).add(v)
+        b += 1
+      }
+      v += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val byIdIdx = ids.zipWithIndex.toMap
+    var candTotal = 0L
+    val want = (0L until NQueries).flatMap { qid =>
+      val q = byIdIdx(qid)
+      val cand = scala.collection.mutable.Set.empty[Int]
+      var b = 0
+      while (b < bands) {
+        val masks = 0L +: (0 until bits).map(j => 1L << j)
+        masks.foreach { m =>
+          val bucket = buckets.get((b.toLong << 32) | (keys(q)(b) ^ m))
+          if (bucket != null) bucket.asScala.foreach { x =>
+            if (ids(x) != qid) cand += x
+          }
+        }
+        b += 1
+      }
+      candTotal += cand.size
+      cand.toSeq
+        .map(x => (ids(x), fcos(vecs(q), vecs(x))))
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(TopK)
+        .zipWithIndex.map { case ((nid, _), i) => (qid, nid, (i + 1).toLong) }
+    }
+    (got == want, Map(
+      "n" -> n.toLong, "bands" -> bands.toLong, "bits" -> bits.toLong,
+      "candidates" -> candTotal,
+      "rows" -> want.size.toLong, "spark_rows" -> got.size.toLong))
   }
 
   /** Residual-ADC serve reference over the on-disk pqvec artifact. */
@@ -331,15 +402,20 @@ object RefCheck {
     }
     val ((lshOk, lshStats), lshSec) = timed(checkNeardupLsh(spark, sfDir))
     val ((pqOk, pqStats), pqSec) = timed(checkIvfPqRes(spark, sfDir))
+    val ((annOk, annStats), annSec) = timed(checkSimLsh(spark, sfDir))
     def js(ok: Boolean, stats: Map[String, Long], sec: Double): String = {
       val ss = stats.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s"""{"match":$ok,$ss,"sec":${f"$sec%.2f"}}"""
+      // Locale.ROOT: f"$sec%.2f" uses the JVM default locale, and a
+      // comma-decimal locale would emit invalid JSON (ADVICE r14)
+      val secs = String.format(java.util.Locale.ROOT, "%.2f", sec)
+      s"""{"match":$ok,$ss,"sec":$secs}"""
     }
     // one JSON line — the sf10 audit harness (tools/sf10_report.py) folds it in
     println(s"""{"refcheck":{"q_embed_neardup_lsh":${js(lshOk, lshStats, lshSec)},""" +
-      s""""q_sim_ivfpq_res":${js(pqOk, pqStats, pqSec)}},"sf_dir":"$sfDir"}""")
+      s""""q_sim_ivfpq_res":${js(pqOk, pqStats, pqSec)},""" +
+      s""""q_sim_lsh":${js(annOk, annStats, annSec)}},"sf_dir":"$sfDir"}""")
     spark.stop()
-    if (!(lshOk && pqOk)) sys.exit(1)
+    if (!(lshOk && pqOk && annOk)) sys.exit(1)
   }
 }

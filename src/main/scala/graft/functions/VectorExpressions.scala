@@ -116,8 +116,15 @@ case class DotProduct(left: Expression, right: Expression)
   * loop that stays inside the join's codegen.
   *
   * Null semantics: null array → null (standard binary null
-  * propagation); the sketches are engine-built and never carry null
-  * elements, enforced by the producing expression's containsNull=false.
+  * propagation). Unlike [[DotProduct]] (which tolerates ragged inputs
+  * because arbitrary user vectors flow through it), a sketch is a
+  * FIXED-SHAPE engine artifact — 8 non-null packed keys — so a
+  * length mismatch or a null slot is corrupt input, and silently
+  * truncating to the shorter array (or reading getLong on a null
+  * slot) would return a plausible-but-wrong distance that a filter
+  * swallows without a trace. This expression throws instead (ADVICE
+  * r14): equal lengths are REQUIRED and null elements are rejected,
+  * in both the interpreted and generated paths.
   */
 case class SketchHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -137,13 +144,22 @@ case class SketchHamming(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: sketch lengths differ ($n vs ${y.numElements()})")
     var acc = 0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: null sketch element at slot $i")
       acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
       i += 1
     }
@@ -155,10 +171,25 @@ case class SketchHamming(left: Expression, right: Expression)
       val n = ctx.freshName("hamN")
       val acc = ctx.freshName("hamAcc")
       val i = ctx.freshName("i")
+      // the length check is unconditional (shape is the contract); the
+      // per-slot null check compiles away when the schema already
+      // promises containsNull=false — the engine-built sketches' case
+      val nullGuard =
+        if (containsNull(left) || containsNull(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i))
+             |  throw new IllegalArgumentException(
+             |    "graft_sketch_hamming: null sketch element at slot " + $i);
+             |""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n)
+         |  throw new IllegalArgumentException(
+         |    "graft_sketch_hamming: sketch lengths differ (" + $n + " vs " +
+         |    $b.numElements() + ")");
          |int $acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
          |}
          |${ev.value} = $acc;

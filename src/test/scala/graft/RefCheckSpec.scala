@@ -26,6 +26,15 @@ class RefCheckSpec extends SparkSpec {
     assert(stats("rows") == stats("spark_rows"))
   }
 
+  test("multi-probe LSH ANN: the plain-Scala reference reproduces " +
+      "q_sim_lsh exactly at the fixture SF") {
+    val (ok, stats) = RefCheck.checkSimLsh(spark, sf)
+    assert(ok, s"reference diverged: $stats")
+    // multi-probe candidates are a real subset, not all-pairs
+    assert(stats("candidates") < stats("n") * RefCheck.NQueries)
+    assert(stats("rows") == stats("spark_rows"))
+  }
+
   test("the geometry laws restated in the checker match the engine's") {
     // an independent checker with a DIFFERENT geometry law would compare
     // incomparable pipelines; pin the restatements across the domain
