@@ -30,14 +30,31 @@ import org.apache.spark.sql.DataFrame
   * groupBy redistributes anyway).
   */
 object Par {
+  /** Size floor below which [[boost]] is a no-op (VERDICT r14 #5: the
+    * r14 boost was size-blind, so tiny official-SF fixtures paid a
+    * whole exchange for milliseconds of parallelized compute — the
+    * boosted families were exactly where the sf0.1 driver bench
+    * regressed). The threshold is per-CORE input bytes from the
+    * optimizer's own statistics (file sizes for scans — metadata-only):
+    * below ~128 KiB/core even the heaviest per-row families (~560k
+    * FMA/vector ≈ 0.1 s single-core on the sf0.1 embeddings) finish in
+    * less than the exchange's fixed cost; above it the compute
+    * amortizes the shuffle hundreds of times over (sf1 embeddings:
+    * ~218 KiB/core planned, seconds of single-core hashing skipped). */
+  private val BoostMinBytesPerCore = 128L << 10
+
   /** `df` with at least the session's default parallelism, when the
-    * planned input has fewer partitions (single-file fixtures).
+    * planned input has fewer partitions (single-file fixtures) AND the
+    * input is big enough that the per-row compute being parallelized
+    * outweighs the exchange ([[BoostMinBytesPerCore]]).
     * Streaming frames pass through untouched: micro-batch sources pick
     * their own split counts per trigger, and `.rdd` is not defined on
     * an unstarted stream. */
   def boost(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(BoostMinBytesPerCore) * p) return df
     // rdd.getNumPartitions plans the frame (metadata-only for scans)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
