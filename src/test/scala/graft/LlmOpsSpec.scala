@@ -385,6 +385,144 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("gate artifact ≡ direct chain: q_embed_neardup_lsh and the " +
+      "stats counters serve exactly what the one-path build computed") {
+    // the r15 build-once artifact must be row-identical to running the
+    // chain directly (candidates → sketch filter → exact verify at the
+    // corpus's scale-aware geometry), and the stored counters must be
+    // the recomputed stage volumes
+    val e0 = Tables.embeddings(spark, sf)
+    val n = e0.count()
+    val bits = Similarity.ndBits(n)
+    val served = SparkEntry.queries("q_embed_neardup_lsh")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val cand = Similarity.neardupCandidates(
+      e0.select(col("vec_id"), col("embedding")), bits, n)
+    val kept = Similarity.sketchFilterPairs(cand, Similarity.ndSketch(e0), n)
+    val e = e0.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val direct = kept
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .where(VectorOps.dot(col("ea"), col("eb")) /
+        (col("nrm_a") * col("nrm_b")) > 0.5)
+      .select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(served == direct, s"artifact ${served.size} vs direct ${direct.size}")
+    val stats = SparkEntry.queries("q_neardup_gate_stats")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(stats("n_vecs") == n)
+    assert(stats("nd_bits") == bits.toLong)
+    assert(stats("nd_bands") == Similarity.ndBands(bits).toLong)
+    assert(stats("band_rows") == n * Similarity.ndBands(bits))
+    assert(stats("candidate_pairs") == cand.count())
+    assert(stats("sketch_kept") == kept.count())
+    assert(stats("verified_pairs") == direct.size.toLong)
+  }
+
+  test("above-budget gate branch broadcasts the sketch table " +
+      "(no re-shuffle of the candidate frame)") {
+    // VERDICT r14 "what's wrong" #1: at sf10 both sketch joins shuffled
+    // the 13.2M-pair frame because the ~14 MB sketch table was past the
+    // 10 MB autoBroadcastJoinThreshold. The filter must hint broadcast
+    // explicitly whenever n·72 B fits the guard.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val e0 = Tables.embeddings(spark, sf)
+    val n = e0.count()
+    val cand = Similarity.neardupCandidates(
+      e0.select(col("vec_id"), col("embedding")), 10, n)
+    // a corpus-count within the broadcast guard (200k → 14.4 MB)
+    val filtered = Similarity.sketchFilterPairs(
+      cand, Similarity.ndSketch(e0), 200000L)
+    filtered.collect()
+    def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => bhj(a.executedPlan)
+      case q: QueryStageExec        => bhj(q.plan)
+      case b: BroadcastHashJoinExec => 1 + b.children.map(bhj).sum
+      case other                    => other.children.map(bhj).sum +
+        other.subqueries.map(bhj).sum
+    }
+    val plan = filtered.queryExecution.executedPlan
+    assert(bhj(plan) >= 2,
+      s"expected both sketch joins broadcast:\n${plan.toString.take(4000)}")
+    // past the guard (a lied-huge corpus) the hint must NOT be applied —
+    // the joins fall back to shuffles instead of a driver-OOM broadcast
+    val unhinted = Similarity.sketchFilterPairs(
+      cand, Similarity.ndSketch(e0),
+      Similarity.NdSketchBroadcastMaxBytes / Similarity.NdSketchRowBytes + 1)
+    val lp = unhinted.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), "broadcast hint above the guard")
+  }
+
+  test("single-family gate refuses corpora past the cap; the sharded " +
+      "gate refuses under-sharding") {
+    // VERDICT r14 #3: past MaxNdBits expected bucket occupancy grows
+    // linearly again — the gate must refuse, not silently degrade
+    Similarity.requireUnsharded(Similarity.NdMaxUnshardedVecs) // boundary ok
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.requireUnsharded(Similarity.NdMaxUnshardedVecs + 1)
+    }
+    assert(ex.getMessage.contains("neardupShardedPairs"),
+      s"refusal must point at the sharded operator: ${ex.getMessage}")
+    // the sharded gate itself refuses when the EXPECTED shard size
+    // still exceeds the single-family bound
+    val e0 = Tables.embeddings(spark, sf)
+    intercept[IllegalArgumentException] {
+      Similarity.neardupShardedPairs(e0, col("vec_id") % 2, 2,
+        Similarity.NdMaxUnshardedVecs * 4)
+    }
+  }
+
+  test("sharded gate: within-shard pairs are exactly the single-family " +
+      "gate's co-sharded pairs; a planted cross-shard duplicate is the " +
+      "documented recall trade") {
+    // planted fixture: 40 independent gaussian vectors + two
+    // near-identical duplicate pairs — one CO-SHARDED under shard =
+    // vec_id % 2 (ids 100/102), one CROSS-SHARD (ids 101/104)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val a = vec()
+    val b = vec()
+    val rows = (0L until 40L).map(i => (i, vec())) ++
+      Seq((100L, a), (102L, near(a)), (101L, b), (104L, near(b)))
+    val df = rows.toDF("vec_id", "embedding")
+    val n = df.count()
+    // geometries coincide on this fixture (ndBits(44) == ndBits(22) ==
+    // 10), so the sharded candidate set must be EXACTLY the unsharded
+    // one restricted to co-sharded pairs — the miss is pure sharding
+    assert(Similarity.ndBits(n) == Similarity.ndBits((n + 1) / 2))
+    val sharded = Similarity.neardupShardedPairs(df, col("vec_id") % 2, 2, n)
+      .as[(Long, Long)].collect().toSet
+    val kept = Similarity.neardupKeptPairs(df, Similarity.ndBits(n), n)
+    val e = df.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val unsharded = kept
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .where(VectorOps.dot(col("ea"), col("eb")) /
+        (col("nrm_a") * col("nrm_b")) > 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(unsharded.contains((100L, 102L)) && unsharded.contains((101L, 104L)),
+      s"single-family gate must find both planted dups: $unsharded")
+    val coSharded = unsharded.filter { case (x, y) => x % 2 == y % 2 }
+    assert(sharded == coSharded,
+      s"sharded ${sharded.size} != co-sharded restriction ${coSharded.size}: " +
+        s"${sharded.diff(coSharded)} / ${coSharded.diff(sharded)}")
+    assert(sharded.contains((100L, 102L)), "co-sharded dup missed")
+    assert(!sharded.contains((101L, 104L)),
+      "cross-shard dup found — the shard key leaked into one family")
+    val recall = coSharded.size.toDouble / unsharded.size
+    info(f"cross-shard fixture recall: $recall%.2f " +
+      s"(${coSharded.size}/${unsharded.size}) — the documented trade")
+  }
+
   test("fused gate plan: the sketch is computed BELOW the explode " +
       "(once per vector, not once per band row)") {
     // With sketch + posexplode in ONE select, ExtractGenerator leaves
@@ -395,21 +533,31 @@ class LlmOpsSpec extends SparkSpec {
     // Generate in the optimized plan exposes the sketch as a CHILD
     // attribute, and no Project above a Generate recomputes the "nds"
     // plane family.
-    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
     import graft.functions.HyperplaneBands
-    val plan = Similarity.qEmbedNeardupLsh.build(spark, sf)
+    // ADVICE r14: matching only Project-whose-DIRECT-child-is-Generate
+    // missed the regression when the optimizer interposes a node (e.g.
+    // a Filter) between them. Structural rule instead: a node that
+    // COMPUTES the "nds" sketch must never have a Generate below it —
+    // any nds expression above a Generate re-evaluates per band row.
+    val plan = Similarity.neardupKeptPairsFused(
+        Tables.embeddings(spark, sf), 10,
+        Tables.embeddings(spark, sf).count())
       .queryExecution.optimizedPlan
     val gens = plan.collect { case g: Generate => g }
     assert(gens.nonEmpty, "expected a Generate (posexplode) in the gate plan")
-    val badProjects = plan.collect {
-      case p: Project if p.child.isInstanceOf[Generate] &&
-          p.projectList.exists(_.exists {
-            case h: HyperplaneBands => h.salt == "nds"
-            case _                  => false
-          }) => p
-    }
-    assert(badProjects.isEmpty,
-      s"sketch recomputed above the Generate (per band row):\n$badProjects")
+    def computesNds(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.expressions.exists(_.exists {
+        case h: HyperplaneBands => h.salt == "nds"
+        case _                  => false
+      })
+    val ndsNodes = plan.collect { case p if computesNds(p) => p }
+    assert(ndsNodes.nonEmpty, "expected the nds sketch in the gate plan")
+    val bad = ndsNodes.filter(
+      _.children.exists(_.exists(_.isInstanceOf[Generate])))
+    assert(bad.isEmpty,
+      s"sketch computed above a Generate (re-evaluated per band row):\n$bad")
   }
 
   test("scale-aware parameter policies: ndBits and semDedupK " +
@@ -792,21 +940,51 @@ class LlmOpsSpec extends SparkSpec {
 
   /** "Shuffle-free" modulo [[graft.operators.Par.boost]]: the one-pass
     * expressions must not reintroduce the docs×shingles EXPLODED
-    * shuffle their aggregate twins pay — the boost's round-robin
-    * repartition of the RAW doc rows (one narrow exchange of the
-    * input, no row multiplication) is the map-side parallelism floor,
-    * not the shape this spec guards against. */
-  private def nonBoostExchanges(p: String): Seq[String] =
-    p.linesIterator.filter(_.contains("Exchange"))
-      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    * shuffle their aggregate twins pay. ADVICE r14: excusing EVERY
+    * round-robin exchange by string match would also excuse a
+    * repartition of the exploded/wide rows — the exact regression this
+    * spec guards against. Structural rule instead: at most ONE
+    * round-robin exchange, and it must sit directly above the file
+    * scan (nothing row-multiplying or row-widening below it) — that is
+    * the boost's narrow repartition of raw input rows and nothing
+    * else; all other exchange flavors are failures outright. */
+  private def assertBoostOnlyShuffles(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    df.collect() // finalize any adaptive plan before inspecting it
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => flatten(q.plan)
+      case w: WholeStageCodegenExec => flatten(w.child)
+      case i: InputAdapter          => flatten(i.child)
+      case r: ReusedExchangeExec    => flatten(r.child)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+    val (rr, other) = exchanges.partition(
+      _.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+    assert(other.isEmpty, s"non-boost exchange in a one-pass plan:\n$other")
+    assert(rr.size <= 1, s"more than one round-robin exchange:\n$rr")
+    rr.foreach { e =>
+      val widening = flatten(e.child).filter(n =>
+        n.nodeName.contains("Generate") || n.nodeName.contains("Expand") ||
+        n.nodeName.contains("Join") || n.nodeName.contains("Aggregate") ||
+        n.nodeName.contains("Window") || n.nodeName.contains("Sort"))
+      assert(widening.isEmpty,
+        s"round-robin exchange is not directly above the scan — it " +
+          s"repartitions ${widening.map(_.nodeName).mkString(",")} output:\n$e")
+    }
+  }
 
   test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
     val expr = TextOps.minhashSignatures(spark, sf)
     val agg = TextOps.minhashSignaturesAgg(spark, sf)
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
-    expr.collect()
+    assertBoostOnlyShuffles(expr)
     val p = expr.queryExecution.executedPlan.toString
-    assert(nonBoostExchanges(p).isEmpty, s"one-pass minhash plan shuffles:\n$p")
     assert(p.contains("graft_minhash_sig"), p)
   }
 
@@ -816,9 +994,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
     // the expression form must plan as a projection over the (possibly
     // boosted) scan — no exploded shuffle
-    expr.collect()
+    assertBoostOnlyShuffles(expr)
     val p = expr.queryExecution.executedPlan.toString
-    assert(nonBoostExchanges(p).isEmpty, s"one-pass simhash plan shuffles:\n$p")
     assert(p.contains("graft_simhash60"), p)
   }
 

@@ -22,7 +22,7 @@ ROUND="${1:?usage: run_sf10.sh <round> [prior_report]}"
 PRIOR="${2:-}"
 OUT="BENCH_r${ROUND}_sf10.json"
 
-SUBSET="q_dedup_exact,q_minhash_dedup,q_minhash_est,q_simhash_dedup,q_ngram_jaccard,q_ngram_containment,q_neardup_capped,q_neardup_prune,q_dedup_cluster,q_cluster_rep,q_dedup_verdict,q_chunk_dedup,q_span_dedup,q_span_maxrep,q_doc_fingerprint,q_contamination,q_contam_ngram,q_bm25,q_lexical_health,q_hybrid_rrf,q_hybrid_rrf_ann,q_mmr_rerank,q_embed_quantize,q_sim_topk,q_sim_topk_int8,q_sim_hamming,q_embed_neardup_lsh,q_neardup_gate_stats,q_sim_ivf,q_sim_lsh,q_sim_pq,q_sim_ivfpq_res,q_ann_recall,q_index_health,q_probe_sweep,q_semantic_dedup,q_funnel,q_retention,q_gap_fill,q_session_window,q_token_count,q_lang_id,q_quality_score"
+SUBSET="q_dedup_exact,q_minhash_dedup,q_minhash_est,q_simhash_dedup,q_ngram_jaccard,q_ngram_containment,q_neardup_capped,q_neardup_prune,q_dedup_cluster,q_cluster_rep,q_dedup_verdict,q_chunk_dedup,q_span_dedup,q_span_maxrep,q_doc_fingerprint,q_contamination,q_contam_ngram,q_bm25,q_lexical_health,q_hybrid_rrf,q_hybrid_rrf_ann,q_mmr_rerank,q_embed_quantize,q_sim_topk,q_sim_topk_int8,q_sim_hamming,q_embed_neardup_lsh,q_neardup_gate_stats,q_neardup_sharded,q_sim_ivf,q_sim_lsh,q_sim_pq,q_sim_ivfpq_res,q_ann_recall,q_index_health,q_probe_sweep,q_semantic_dedup,q_funnel,q_retention,q_gap_fill,q_session_window,q_token_count,q_lang_id,q_quality_score"
 
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
@@ -44,13 +44,23 @@ JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
 [ -d target/sf10 ] || python3 tools/gen_sf10.py
 
 # NOTE: Bench's LAST stdout line is a compact top-30 summary; the full
-# per-query capture is written to bench_out.json — copy THAT (a 43-query
-# subset loses 13 queries to the compact line's top-30 cap).
+# per-query capture is written to bench_out.json — copy THAT (the
+# subset loses queries past the compact line's top-30 cap).
+#
+# r15: the near-dup gate is a build-once fingerprint-keyed artifact
+# (ndgate-*). Wipe it before EACH capture so q_embed_neardup_lsh
+# measures the COLD one-path build (candidates -> broadcast-sketch
+# filter -> verify) at both decades — the same-path growth exponent the
+# r14 verdict asked for — and q_neardup_gate_stats measures the
+# pay-once read. Other artifact families keep the r12+ warm-serve
+# methodology (their builds are oracle-audited at official SFs).
+rm -rf target/graft-index/ndgate-*
 echo "== sf1 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
 cp bench_out.json /tmp/sf1_subset.json
 
+rm -rf target/graft-index/ndgate-*
 echo "== sf10 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null

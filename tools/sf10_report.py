@@ -27,7 +27,8 @@ FAMILIES = {
     "hybrid_retrieval": ["q_hybrid_rrf", "q_hybrid_rrf_ann", "q_mmr_rerank"],
     "vector_ann": ["q_embed_quantize", "q_sim_topk", "q_sim_topk_int8",
                    "q_sim_hamming", "q_embed_neardup_lsh",
-                   "q_neardup_gate_stats", "q_sim_ivf", "q_sim_lsh",
+                   "q_neardup_gate_stats", "q_neardup_sharded",
+                   "q_sim_ivf", "q_sim_lsh",
                    "q_sim_pq", "q_sim_ivfpq_res", "q_ann_recall",
                    "q_index_health", "q_probe_sweep", "q_semantic_dedup"],
     "events": ["q_funnel", "q_retention", "q_gap_fill", "q_session_window"],
