@@ -2,7 +2,7 @@
 # The standing sf10 scale-geometry audit (VERDICT r13 item 8).
 #
 # Generates the sf1 + sf10 subset fixtures if missing (deterministic,
-# seeds 42/423), captures the 43-query dedup/ANN/retrieval subset at
+# seeds 42/423), captures the 44-query dedup/ANN/retrieval subset at
 # both decades with graft.Bench, runs the independent plain-Scala
 # reference checks (graft.RefCheck: exact-equality for the oracle-blind
 # banded-LSH and residual IVF-PQ families), and assembles the round's
@@ -47,20 +47,24 @@ JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
 # per-query capture is written to bench_out.json — copy THAT (the
 # subset loses queries past the compact line's top-30 cap).
 #
-# r15: the near-dup gate is a build-once fingerprint-keyed artifact
-# (ndgate-*). Wipe it before EACH capture so q_embed_neardup_lsh
-# measures the COLD one-path build (candidates -> broadcast-sketch
-# filter -> verify) at both decades — the same-path growth exponent the
-# r14 verdict asked for — and q_neardup_gate_stats measures the
-# pay-once read. Other artifact families keep the r12+ warm-serve
-# methodology (their builds are oracle-audited at official SFs).
-rm -rf target/graft-index/ndgate-*
+# r15: the near-dup gates are build-once fingerprint-keyed artifacts
+# (ndgate-* = single-family, ndshard-* = the beyond-cap sharded gate).
+# Wipe them before EACH capture so the first run of
+# q_embed_neardup_lsh / q_neardup_sharded measures the COLD one-path
+# build (candidates -> broadcast-sketch filter -> verify) at both
+# decades — the same-path growth exponent the r14 verdict asked for —
+# and every other run measures the pay-once read. Bench reports
+# min-of-runs, so the report's cold_builds_sf{1,10} blocks carry the
+# first-run build costs explicitly. Other artifact families keep the
+# r12+ warm-serve methodology (their builds are oracle-audited at
+# official SFs).
+rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-*
 echo "== sf1 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
 cp bench_out.json /tmp/sf1_subset.json
 
-rm -rf target/graft-index/ndgate-*
+rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-*
 echo "== sf10 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
@@ -71,6 +75,6 @@ SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 \
   java $JAVA_FLAGS -cp "$CP" graft.RefCheck | tail -1 > /tmp/sf10_refcheck.json
 cat /tmp/sf10_refcheck.json
 
-NOTE="${SF10_NOTE:-43-query dedup/ANN/retrieval subset at target/sf10 (documents 500k, embeddings 200k, events 10M; cpus=24, 32g).}"
+NOTE="${SF10_NOTE:-44-query dedup/ANN/retrieval subset at target/sf10 (documents 500k, embeddings 200k, events 10M; cpus=24, 32g).}"
 python3 tools/sf10_report.py /tmp/sf1_subset.json /tmp/sf10_subset.json \
   "$NOTE" "$OUT" /tmp/sf10_refcheck.json ${PRIOR:+"$PRIOR"}

@@ -36,9 +36,22 @@ FAMILIES = {
 }
 
 
+def cold_builds(capture):
+    """First-run artifact-build costs (r15): Bench reports min-of-runs,
+    which hides a cold fingerprint-keyed build (ndgate/ndshard) paid on
+    a query's FIRST run. Surface run[0] whenever it dwarfs the reported
+    value — the 'paid once per corpus' number the audit must not lose."""
+    runs = capture.get("runs", {})
+    final = capture.get("queries", {})
+    return {q: round(r[0], 2) for q, r in runs.items()
+            if r and q in final and r[0] > 1.0 and r[0] > 3 * final[q]}
+
+
 def main():
-    sf1 = json.load(open(sys.argv[1]))["queries"]
-    sf10 = json.load(open(sys.argv[2]))["queries"]
+    cap1 = json.load(open(sys.argv[1]))
+    cap10 = json.load(open(sys.argv[2]))
+    sf1 = cap1["queries"]
+    sf10 = cap10["queries"]
     oracle_note = sys.argv[3]
     out = sys.argv[4] if len(sys.argv) > 4 else "BENCH_r14_sf10.json"
     # optional: graft.RefCheck's one-line JSON (the independent plain-Scala
@@ -68,6 +81,8 @@ def main():
         "sf1_total": round(total1, 2),
         "sf10_total": round(total10, 2),
         "growth_10x_data": round(total10 / total1, 2),
+        "cold_builds_sf1": cold_builds(cap1),
+        "cold_builds_sf10": cold_builds(cap10),
         "families": fam_rows,
     }
     if refcheck is not None:
@@ -94,6 +109,9 @@ def main():
     if refcheck is not None:
         for name, r in doc["refcheck"].items():
             print(f"  refcheck {name}: match={r.get('match')}")
+    for tag in ("cold_builds_sf1", "cold_builds_sf10"):
+        if doc[tag]:
+            print(f"  {tag}: {doc[tag]}")
 
 
 if __name__ == "__main__":
