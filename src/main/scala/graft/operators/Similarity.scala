@@ -775,6 +775,58 @@ object Similarity extends QueryPack {
       .select("vec_a", "vec_b")
   }
 
+  /** The representative-based CROSS-SHARD escalation of
+    * [[neardupShardedPairs]] — for corpora whose shard key does NOT
+    * perfectly co-locate duplicates. Within-shard pairs are found by
+    * the sharded gate; every vector that LOST a within-shard pair
+    * (the larger vec_id — the same greedy dominance rule as
+    * q_neardup_prune) is dominated, and the surviving REPRESENTATIVES
+    * run one global single-family gate whose output is restricted to
+    * cross-shard pairs. Dedup collapses each within-shard duplicate
+    * group to ~1 rep, so the global pass sees n·(1 − dup rate)
+    * vectors — the intermediate regime between "one family fits"
+    * and "hierarchical re-shard": the guard refuses when even the
+    * representative set exceeds [[NdMaxUnshardedVecs]].
+    *
+    * Returns (vec_a, vec_b, cross_shard): the within-shard verified
+    * pairs (false) plus the representative pass's cross-shard
+    * verified pairs (true) — disjoint sets by construction (within
+    * pairs are co-sharded, the rep pass keeps only differing shards).
+    * Same exact-cosine verify, same sketch pre-filter, fully
+    * deterministic (spec-pinned on a planted fixture where the plain
+    * sharded gate provably misses a cross-shard duplicate and this
+    * pass recovers it). */
+  def neardupShardedWithReps(e0: DataFrame, shard: Column, nShards: Int,
+      nVecs: Long): DataFrame = {
+    val within = neardupShardedPairs(e0, shard, nShards, nVecs)
+    val dominated = within.select(col("vec_b").as("vec_id")).distinct()
+    val reps = e0.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    val nReps = reps.count()
+    require(nReps <= NdMaxUnshardedVecs,
+      s"representative set of $nReps vectors still exceeds the " +
+        s"single-family bound ($NdMaxUnshardedVecs) — the corpus needs a " +
+        "better co-locating shard key or a hierarchical re-shard before " +
+        "the cross-shard pass")
+    val kept = neardupKeptPairs(reps, ndBits(nReps), nReps)
+    val shards = e0.select(col("vec_id"), shard.as("shard"))
+    val e = e0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cross = kept
+      .join(shards.select(col("vec_id").as("vec_a"), col("shard").as("sha")),
+        "vec_a")
+      .join(shards.select(col("vec_id").as("vec_b"), col("shard").as("shb")),
+        "vec_b")
+      .where(col("sha") =!= col("shb"))
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nrm_b")), "vec_b")
+      .where(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")) > 0.5)
+      .select(col("vec_a"), col("vec_b"), lit(true).as("cross_shard"))
+    within.withColumn("cross_shard", lit(false)).unionByName(cross)
+  }
+
   /** Shard count for the DECLARED sharded-gate query — small enough
     * that the official fixtures keep multiple docs per shard, large
     * enough that the sharding actually splits pairs. */

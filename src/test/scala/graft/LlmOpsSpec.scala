@@ -521,6 +521,21 @@ class LlmOpsSpec extends SparkSpec {
     val recall = coSharded.size.toDouble / unsharded.size
     info(f"cross-shard fixture recall: $recall%.2f " +
       s"(${coSharded.size}/${unsharded.size}) — the documented trade")
+    // the representative escalation RECOVERS the planted cross-shard
+    // dup: dominated vectors (102, the within-pair loser) drop out,
+    // the surviving reps run one global family, and only cross-shard
+    // verified pairs come back flagged
+    val withReps = Similarity
+      .neardupShardedWithReps(df, col("vec_id") % 2, 2, n)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(withReps.contains((100L, 102L, false)), "within pair lost")
+    assert(withReps.contains((101L, 104L, true)),
+      s"rep pass failed to recover the planted cross-shard dup: $withReps")
+    val flagged = withReps.filter(_._3).map(t => (t._1, t._2))
+    assert(flagged.forall { case (x, y) => x % 2 != y % 2 },
+      "a co-sharded pair came back flagged cross_shard")
+    assert(flagged.subsetOf(unsharded),
+      "rep pass emitted a pair the exact-verified gate would reject")
   }
 
   test("fused gate plan: the sketch is computed BELOW the explode " +
