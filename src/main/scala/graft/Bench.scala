@@ -7,6 +7,16 @@ import java.lang.management.ManagementFactory
 
 object Bench {
 
+  /** Full-collect ONLY under real heap pressure (used > half of max):
+    * non-evictable localCheckpoint blocks from earlier queries release
+    * only via GC + ContextCleaner, but an unconditional System.gc()
+    * also drops soft-referenced JVM state that every small query then
+    * repays (~+58% measured on a 30-query subset). */
+  private def gcIfPressured(): Unit = {
+    val rt = Runtime.getRuntime
+    if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+  }
+
   /** Task-metric totals across EVERY job a query triggers — including
     * the eagerly-materialized sub-jobs a plan-level walk cannot see
     * (e.g. BinnedPercentile's pinned intermediates, broadcast builds):
@@ -348,8 +358,13 @@ object Bench {
       // (Per RUN, not per query: run 1's blocks are garbage when run 2
       // starts, and the isolated repro measured run 2 of the ngram
       // join 2.7× slower than run 1 behind run 1's pinned blocks.)
+      // PRESSURE-GATED: an unconditional full gc evicts soft-referenced
+      // JVM state the next run repays — measured +58% on a 30-query
+      // small-query subset. Collect only when the heap is actually
+      // half full (small queries never trip it; the multi-GB pinned
+      // checkpoint blocks that motivated the hygiene always do).
       val times = (1 to 2).map { _ =>
-        System.gc()
+        gcIfPressured()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -375,7 +390,7 @@ object Bench {
           var tries = 0
           while (tries < 3 && (extra.isEmpty || extra.min > 1.5 * pSec)) {
             tries += 1
-            System.gc() // same pinned-block hygiene as the timed runs
+            gcIfPressured() // same pinned-block hygiene as the timed runs
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
             extra += (System.nanoTime() - t0) / 1e9
