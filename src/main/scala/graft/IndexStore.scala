@@ -82,7 +82,12 @@ object IndexStore {
         val tmp = baseDir.resolve(
           s"${dir.getFileName}.build-${java.util.UUID.randomUUID()}")
         java.nio.file.Files.createDirectories(tmp)
-        build(tmp.toString)
+        // a failed build (a refused corpus, a mid-stage error) must not
+        // leave its partial tree behind: repeated failing invocations
+        // would otherwise accumulate orphaned .build-* directories, each
+        // possibly holding a large half-written stage (ADVICE r15)
+        try build(tmp.toString)
+        catch { case e: Throwable => deleteTree(tmp); throw e }
         java.nio.file.Files.write(tmp.resolve("_COMPLETE"),
           Array.emptyByteArray)
         try

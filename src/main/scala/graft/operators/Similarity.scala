@@ -460,10 +460,13 @@ object Similarity extends QueryPack {
     * identical distinct pair set as [[neardupCandidates]] +
     * post-filter (the sketch predicate is a pure function of the
     * pair; spec-pinned), so the oracle CTE chain is unchanged. */
-  /** Raw bytes of one sketch row: 8×8 B keys + vec_id + array/row
-    * overhead — what the broadcast guard multiplies by the corpus
-    * count. */
-  private[graft] val NdSketchRowBytes = 72L
+  /** Budgeted bytes of one sketch row IN THE BROADCAST RELATION: the
+    * raw payload is 72 B (8×8 B keys + 8 B vec_id), but the in-memory
+    * broadcast carries per-row UnsafeRow headers, the array's offset
+    * region and the relation's map entries — measured ~1.5-2× raw on
+    * array-bearing rows (ADVICE r15). Budgeting 2× raw makes the guard
+    * bound the PHYSICAL broadcast size, not just the key bytes. */
+  private[graft] val NdSketchRowBytes = 144L
 
   /** Broadcast budget for the sketch table in the above-budget gate
     * branch (VERDICT r14 "what's wrong" #1: both sketch joins shuffled
@@ -474,7 +477,7 @@ object Similarity extends QueryPack {
     * and size-guarded: up to 256 MB — which covers the single-family
     * gate's whole admissible domain, since past [[NdMaxUnshardedVecs]]
     * the corpus must shard ([[neardupShardedPairs]]) before any one
-    * family sees it, and 2^23 · 72 B ≈ 604 MB per SHARD never arises
+    * family sees it, and 2^23 · 144 B ≈ 1.2 GB per SHARD never arises
     * (shards are sized to the band-row budget long before that).
     * Executor cost: one in-memory copy of ≤ 256 MB vs shuffling the
     * candidate frame (pairs grow ~9×/decade, sketches linearly) TWICE.
@@ -577,12 +580,15 @@ object Similarity extends QueryPack {
     * [[requireUnsharded]] refuses corpora past the single-family cap —
     * those shard by domain/epoch ([[neardupShardedPairs]]) before any
     * one family sees them. */
-  private def ndGateDir(s: SparkSession, dir: String): String =
+  private def ndGateDir(s: SparkSession, dir: String): String = {
+    // refuse BEFORE entering the artifact builder: the refusal is a
+    // contract error, not a build failure, and must not cost a temp
+    // build directory (ADVICE r15; the count is parquet footer metadata)
+    requireUnsharded(Tables.embeddings(s, dir).count())
     graft.IndexStore.artifact(dir, "ndgate-v1", Seq("embeddings")) { out =>
       import s.implicits._
       val e0 = Tables.embeddings(s, dir)
       val n = e0.count()
-      requireUnsharded(n)
       val bits = ndBits(n)
       // Each stage materializes to parquet and the next stage reads it
       // back — NOT localCheckpoint: a checkpoint freezes the stage's
@@ -620,6 +626,7 @@ object Similarity extends QueryPack {
         .toDF("metric", "value")
         .coalesce(1).write.parquet(s"$out/stats")
     }
+  }
 
   /** Scale-gated near-duplicate detection: banded hyperplane-LSH prefilter
     * (candidates = pairs sharing ≥1 of 64 10-bit bands) followed by an

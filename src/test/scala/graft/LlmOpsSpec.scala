@@ -428,16 +428,26 @@ class LlmOpsSpec extends SparkSpec {
     // the 13.2M-pair frame because the ~14 MB sketch table was past the
     // 10 MB autoBroadcastJoinThreshold. The filter must hint broadcast
     // explicitly whenever n·72 B fits the guard.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val e0 = Tables.embeddings(spark, sf)
     val n = e0.count()
     val cand = Similarity.neardupCandidates(
       e0.select(col("vec_id"), col("embedding")), 10, n)
-    // a corpus-count within the broadcast guard (200k → 14.4 MB)
-    val filtered = Similarity.sketchFilterPairs(
-      cand, Similarity.ndSketch(e0), 200000L)
-    filtered.collect()
+    // ADVICE r15: assert the hint on the ANALYZED plan (the optimizer's
+    // EliminateResolvedHint erases every ResolvedHint node after folding
+    // it into the Join, so an optimized-plan string check is vacuous),
+    // and disable autoBroadcastJoinThreshold for the positive branch so
+    // ONLY the explicit guard-applied hint can produce the broadcasts
+    // (the fixture sketch table is far below the 10 MB default).
+    // count only BROADCAST-strategy hints: the candidate subtree carries
+    // its own shuffle_hash hint, which is not what this test pins
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }.size
     def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => bhj(a.executedPlan)
       case q: QueryStageExec        => bhj(q.plan)
@@ -445,16 +455,28 @@ class LlmOpsSpec extends SparkSpec {
       case other                    => other.children.map(bhj).sum +
         other.subqueries.map(bhj).sum
     }
-    val plan = filtered.queryExecution.executedPlan
-    assert(bhj(plan) >= 2,
-      s"expected both sketch joins broadcast:\n${plan.toString.take(4000)}")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      // a corpus-count within the broadcast guard (200k → 28.8 MB budgeted)
+      val filtered = Similarity.sketchFilterPairs(
+        cand, Similarity.ndSketch(e0), 200000L)
+      assert(hints(filtered) == 2,
+        s"expected the guard to hint both sketch joins, " +
+          s"got ${hints(filtered)} ResolvedHints")
+      filtered.collect()
+      val plan = filtered.queryExecution.executedPlan
+      assert(bhj(plan) >= 2,
+        s"expected both sketch joins broadcast (auto-threshold off):\n" +
+          plan.toString.take(4000))
+    } finally spark.conf.set(thresholdKey, saved)
     // past the guard (a lied-huge corpus) the hint must NOT be applied —
     // the joins fall back to shuffles instead of a driver-OOM broadcast
     val unhinted = Similarity.sketchFilterPairs(
       cand, Similarity.ndSketch(e0),
       Similarity.NdSketchBroadcastMaxBytes / Similarity.NdSketchRowBytes + 1)
-    val lp = unhinted.queryExecution.optimizedPlan.toString
-    assert(!lp.contains("ResolvedHint"), "broadcast hint above the guard")
+    assert(hints(unhinted) == 0, "broadcast hint above the guard")
   }
 
   test("single-family gate refuses corpora past the cap; the sharded " +

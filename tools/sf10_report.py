@@ -36,15 +36,33 @@ FAMILIES = {
 }
 
 
+# Queries whose first run can pay a fingerprint-keyed IndexStore build
+# (ndgate/ndshard/pqvec/bm25/ham/semasg/shingle). Only these may appear
+# in cold_builds: every query's first run also pays one-time JIT /
+# codegen / page-cache warmup, and flagging that as a "cold artifact
+# build" misattributes ordinary warmup to build cost (ADVICE r15).
+ARTIFACT_QUERIES = {
+    "q_embed_neardup_lsh", "q_neardup_gate_stats", "q_neardup_sharded",
+    "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq", "q_sim_ivfpq_res",
+    "q_sim_ivfpq_rerank", "q_sim_hamming", "q_index_health",
+    "q_probe_sweep", "q_ann_recall", "q_semantic_dedup",
+    "q_semantic_dedup_seeded", "q_bm25", "q_lexical_health",
+    "q_hybrid_rrf", "q_hybrid_rrf_ann", "q_mmr_rerank",
+    "q_ngram_jaccard", "q_ngram_containment",
+}
+
+
 def cold_builds(capture):
     """First-run artifact-build costs (r15): Bench reports min-of-runs,
     which hides a cold fingerprint-keyed build (ndgate/ndshard) paid on
     a query's FIRST run. Surface run[0] whenever it dwarfs the reported
-    value — the 'paid once per corpus' number the audit must not lose."""
+    value — the 'paid once per corpus' number the audit must not lose.
+    Restricted to the artifact-backed queries (ADVICE r15)."""
     runs = capture.get("runs", {})
     final = capture.get("queries", {})
     return {q: round(r[0], 2) for q, r in runs.items()
-            if r and q in final and r[0] > 1.0 and r[0] > 3 * final[q]}
+            if r and q in final and q in ARTIFACT_QUERIES
+            and r[0] > 1.0 and r[0] > 3 * final[q]}
 
 
 def main():
