@@ -11,11 +11,32 @@ object Bench {
     * non-evictable localCheckpoint blocks from earlier queries release
     * only via GC + ContextCleaner, but an unconditional System.gc()
     * also drops soft-referenced JVM state that every small query then
-    * repays (~+58% measured on a 30-query subset). */
-  private def gcIfPressured(): Unit = {
+    * repays (~+58% measured on a 30-query subset). Returns whether a
+    * collection ran, so the caller can repay those evictions with one
+    * UNTIMED warm pass before the clock starts (VERDICT r15 #1c: the
+    * r15 driver capture showed a late-run systematic slowdown — once
+    * the heap passed half-full, every subsequent query paid the
+    * eviction inside its TIMED runs). */
+  private def gcIfPressured(): Boolean = {
     val rt = Runtime.getRuntime
-    if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+    val pressured = rt.totalMemory - rt.freeMemory > rt.maxMemory / 2
+    if (pressured) System.gc()
+    pressured
   }
+
+  /** Deterministic release of every block the previous query pinned
+    * (persist / localCheckpoint): unpersist frees at the BlockManager
+    * immediately — no dependence on a GC finding the frame unreachable
+    * and the async ContextCleaner draining (the r15 mechanism that let
+    * pins accumulate for many queries on a 32 GiB heap until the whole
+    * late run measured under heap pressure). Safe between bench
+    * queries: every batch query builds its frames fresh per invocation
+    * and the cross-query memo caches hold plain parquet reads, never
+    * persisted RDDs. */
+  private def releasePinnedBlocks(spark: SparkSession): Unit =
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
 
   /** Task-metric totals across EVERY job a query triggers — including
     * the eagerly-materialized sub-jobs a plan-level walk cannot see
@@ -263,14 +284,19 @@ object Bench {
 
   /** The newest prior capture in the working directory whose (cpus, sf)
     * match this run — per-query wall seconds + deterministic plan
-    * metrics. Accepts both the driver wrapper format (`{"parsed":
-    * {...}}` in `BENCH_r*.json`) and Bench's raw line
-    * (`BENCH_r*_local.json` / `bench_out.json`). Used by the IN-RUN
-    * noise gate below: the official capture runs on a loaded shared
-    * box (r12: q_winsorize 3.33 s there vs 1.22 s quiet, identical
-    * plans), so Bench defends itself — any query >2× its
-    * plan-metric-identical prior gets re-run and reports best-of,
-    * instead of shipping a scheduling spike as a regression. */
+    * metrics. Accepts the per-round DETAIL snapshots
+    * (`BENCH_r*_detail.json` — each round's full driver capture,
+    * persisted at snapshot time so later bench_out.json overwrites
+    * can't orphan the gate: VERDICT r15 #1a), Bench's own
+    * config-keyed detail files (`bench_detail_*.json`, written by
+    * every run below), the driver wrapper format (`{"parsed": {...}}`
+    * in `BENCH_r*.json`) and Bench's raw line (`BENCH_r*_local.json` /
+    * `bench_out.json`). Used by the IN-RUN noise gate below: the
+    * official capture runs on a loaded shared box (r12: q_winsorize
+    * 3.33 s there vs 1.22 s quiet, identical plans), so Bench defends
+    * itself — any query >2× its plan-metric-identical prior gets
+    * re-run and reports best-of, instead of shipping a scheduling
+    * spike as a regression. */
   private def loadPrior(sfDir: String, cpus: String)
       : Map[String, (Double, (Long, Long, Long))] =
     try {
@@ -278,7 +304,8 @@ object Bench {
       val sfTag = sfDir.replaceAll(".*sf", "") // "0.1" from ".../sf0.1"
       val files = new java.io.File(".").listFiles()
         .filter(f => f.getName.matches(
-          "BENCH_r\\d+(_local)?\\.json|bench_out\\.json"))
+          "BENCH_r\\d+(_local|_detail)?\\.json|bench_detail_.*\\.json|" +
+            "bench_out\\.json"))
         .sortBy(-_.lastModified())
       files.iterator.flatMap { f =>
         try {
@@ -341,30 +368,35 @@ object Bench {
     // driver never sets it, so the recorded bench always covers all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_REVERSE=1 runs the suite in REVERSE alphabetical
+    // order — the run-position bisect for late-run slowdowns (VERDICT
+    // r15 #1d): if the slow set moves with the position, the cause is
+    // accumulated JVM state, not the queries.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = (if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+        ordered.reverse else ordered)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val loadQ = os.getSystemLoadAverage
-      // Between-query hygiene (r15): lazily-localCheckpointed blocks
-      // (ngram shingle tables, IVF routing) are NON-evictable — their
-      // lineage is truncated, so the storage pool cannot reclaim them
-      // under execution-memory pressure; they are only released when
-      // the JVM GC collects the frame and the ContextCleaner runs.
-      // With a 32 GiB heap that can be many queries later, and the
-      // r15 audit measured shuffle-heavy queries 2-3× slower purely
-      // from WHICH queries ran before them. One untimed gc() per
-      // query releases the previous query's pins — each measurement
-      // then sees the steady state a one-query-per-job pipeline sees.
-      // (Per RUN, not per query: run 1's blocks are garbage when run 2
-      // starts, and the isolated repro measured run 2 of the ngram
-      // join 2.7× slower than run 1 behind run 1's pinned blocks.)
-      // PRESSURE-GATED: an unconditional full gc evicts soft-referenced
-      // JVM state the next run repays — measured +58% on a 30-query
-      // small-query subset. Collect only when the heap is actually
-      // half full (small queries never trip it; the multi-GB pinned
-      // checkpoint blocks that motivated the hygiene always do).
+      // Between-query hygiene, r16 discipline:
+      //  1. releasePinnedBlocks — DETERMINISTIC unpersist of anything
+      //     the previous query left persisted/checkpointed. The r15
+      //     per-run System.gc() existed because such blocks are
+      //     non-evictable and release only via GC + ContextCleaner;
+      //     the explicit sweep removes the GC dependence entirely.
+      //  2. gcIfPressured — belt-and-suspenders for heap that the
+      //     sweep can't reach. A full collection also evicts
+      //     soft-referenced JVM state (codegen / relation caches) the
+      //     next run would repay INSIDE the clock (measured +58% on a
+      //     30-query subset, and the r15 driver capture's late-run
+      //     2-50× inflation clustered exactly where per-query GC
+      //     became permanent) — so any collection is followed by one
+      //     UNTIMED warm pass that repays the evictions off the clock.
+      releasePinnedBlocks(spark)
+      if (gcIfPressured()) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
       val times = (1 to 2).map { _ =>
-        gcIfPressured()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -380,17 +412,30 @@ object Bench {
     // stop once within 1.5× of prior) and report the overall best. All
     // raw runs are still emitted, so nothing is hidden.
     val prior = loadPrior(sfDir, cpus)
+    // "same plan" for the gate: scan rows + shuffle records EXACT,
+    // shuffle bytes within 1% — byte counts jitter a handful of bytes
+    // across runs (compression framing; 54/181 queries differed from
+    // their r14 selves by <0.01%), and demanding exact bytes kept the
+    // gate structurally dead for half the surface (VERDICT r15 #1b)
+    def samePlan(now: (Long, Long, Long), p: (Long, Long, Long)): Boolean =
+      now._1 >= 0 && p._1 >= 0 && now._1 == p._1 && now._2 == p._2 &&
+        math.abs(now._3 - p._3) <= math.max(p._3 / 100, 64L)
     val results = timed.map { case (name, fn, times, m, loadQ) =>
       val planNow = m._1
       val rerun = prior.get(name) match {
         case Some((pSec, pPlan))
-            if planNow == pPlan && planNow._1 >= 0
+            if samePlan(planNow, pPlan)
               && times.min > 2 * pSec && times.min - pSec > 0.2 =>
           val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
+          // same hygiene as the timed runs: sweep pins, and repay any
+          // GC's soft-ref evictions with an untimed warm pass
+          releasePinnedBlocks(spark)
+          if (gcIfPressured()) {
+            try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          }
           var tries = 0
           while (tries < 3 && (extra.isEmpty || extra.min > 1.5 * pSec)) {
             tries += 1
-            gcIfPressured() // same pinned-block hygiene as the timed runs
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
             extra += (System.nanoTime() - t0) / 1e9
@@ -468,6 +513,19 @@ object Bench {
     // line, after spark.stop() so no shutdown logging lands behind it.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
+    // ALSO persist under a (cpus, sf)-keyed name: bench_out.json is
+    // clobbered by every run of any configuration, which is how the r15
+    // noise gate found no comparable prior at driver time (the freshest
+    // file was a cpus-24 sf1 audit). The keyed detail survives other
+    // configurations' runs; committed ones survive rounds.
+    // full-surface runs only: a fresher SUBSET capture would shadow the
+    // full prior (loadPrior takes the newest matching file whole)
+    if (only.isEmpty) {
+      val sfKey = sfDir.replaceAll(".*sf", "").replaceAll("[^0-9.]", "")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_detail_cpus${cpus}_sf$sfKey.json"),
+        (full + "\n").getBytes("UTF-8"))
+    }
     println(full)
     val top = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + f(v) }

@@ -406,36 +406,65 @@ object TextOps extends QueryPack {
     ngramJaccardCapped(s, dir, NgramStopDf).orderBy("doc_a", "doc_b")
   }
 
-  /** The stop-shingle-capped inverted index: (doc_id, shingle-hash) rows
-    * with shingles of document frequency > maxDf dropped whole. The df
-    * pass is a window over partitionBy(h) — the SAME key the self-join
-    * shuffles on, so the exchange is planned once and reused. The
-    * shingle->hash projection feeds three consumers (both join sides and
-    * the per-doc counts); localCheckpoint materializes it ONCE — the
-    * derived table is docs x shingles x 16 bytes, i.e. ~1/50th of the
-    * corpus, the standard "materialize the signature table" step of
-    * production similarity pipelines.
+  /** ON-DISK shingle-signature artifact per corpus path: the hashed
+    * distinct word-3-shingle projection `(doc_id, h)` — the standard
+    * "materialize the signature table" step of production similarity
+    * pipelines (docs × shingles × 16 B, ~1/50th of the corpus), built
+    * ONCE per corpus fingerprint and read as plain parquet by every
+    * inverted-index consumer (Jaccard, containment, the PPJoin
+    * equivalence twin). Replaces the r15 per-query lazy localCheckpoint
+    * (VERDICT r15 #4): checkpointed blocks are non-evictable — they
+    * release only via GC + ContextCleaner, and in a many-query JVM the
+    * pins made LATER shuffle-heavy queries measure 2-3× slower (run 2
+    * of the ngram self-join measured 2.7× run 1 behind run 1's pinned
+    * blocks). The parquet read re-splits by maxPartitionBytes, pins
+    * nothing, and the explode now runs once per CORPUS, not once per
+    * query. At 100 TB this is a table on shared storage, the same
+    * architecture as the BM25 postings and PQ code artifacts. */
+  private def shingleArtifactDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "shingle-v1", Seq("documents")) { out =>
+      shingled(Tables.documents(s, dir))
+        .select(col("doc_id"), h60(col("sh")).as("h"))
+        .write.parquet(s"$out/sh")
+    }
+
+  /** The staged shingle table `(doc_id, h)` for a corpus path. */
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${shingleArtifactDir(s, dir)}/sh")
+
+  /** The df-cap prune over a shingle table: shingles of document
+    * frequency > maxDf dropped whole. The df pass is a window over
+    * partitionBy(h) — the SAME key the self-join shuffles on, so the
+    * exchange is planned once and reused. */
+  private def keptUnderDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= maxDf)
+      .select("doc_id", "h")
+
+  /** The stop-shingle-capped inverted index over an EXPLICIT documents
+    * frame (streaming twins, ad-hoc corpora; the dir-based entry points
+    * below stage through the [[shingleTable]] artifact instead).
     *
-    * `reliable = false` (default) truncates lineage with a lazy
-    * localCheckpoint — fastest, but an executor death mid-query makes
-    * the lost blocks unrecoverable and fails the query (re-run needed).
-    * `reliable = true` persists MEMORY_AND_DISK with lineage kept, so
-    * lost blocks recompute — the cluster-grade setting, same contract
-    * as [[ConnectedComponents.stars]]'s flag. */
+    * `reliable = false` (default) leaves the projection as a pure plan —
+    * consumers that reference it more than once recompute it (the two
+    * self-join sides share one exchange, so in practice the explode runs
+    * ~twice). `reliable = true` persists MEMORY_AND_DISK with lineage
+    * kept, so lost blocks recompute — the cluster-grade setting, same
+    * contract as [[ConnectedComponents.stars]]'s flag. (The r15 lazy
+    * localCheckpoint variant is gone: its non-evictable blocks out-lived
+    * the query and taxed every later one — VERDICT r15 #4.) */
   def ngramKeptShinglesFrom(docs: DataFrame, maxDf: Int,
       reliable: Boolean = false): DataFrame = {
     val proj = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
     val sh =
       if (reliable) proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else proj.localCheckpoint(eager = false)
-    if (maxDf == Int.MaxValue) sh
-    else sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("df") <= maxDf)
-      .select("doc_id", "h")
+      else proj
+    keptUnderDf(sh, maxDf)
   }
 
   def ngramKeptShingles(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    ngramKeptShinglesFrom(Tables.documents(s, dir), maxDf)
+    keptUnderDf(shingleTable(s, dir), maxDf)
 
   /** Distinct candidate pairs of the capped inverted-index join — the
     * quantity the stop-shingle cap exists to bound (one shingle with
@@ -454,8 +483,11 @@ object TextOps extends QueryPack {
     * to the uncapped join (kept for the equivalence spec vs
     * [[ppJoinJaccard]], the lossless prefix-filter alternative for
     * exact-result pipelines). */
-  def ngramJaccardFrom(docs: DataFrame, maxDf: Int): DataFrame = {
-    val kept = ngramKeptShinglesFrom(docs, maxDf)
+  def ngramJaccardFrom(docs: DataFrame, maxDf: Int): DataFrame =
+    ngramJaccardOver(ngramKeptShinglesFrom(docs, maxDf))
+
+  /** The Jaccard join over an already-derived kept-shingle table. */
+  private def ngramJaccardOver(kept: DataFrame): DataFrame = {
     val ds = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -471,7 +503,7 @@ object TextOps extends QueryPack {
   }
 
   def ngramJaccardCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    ngramJaccardFrom(Tables.documents(s, dir), maxDf)
+    ngramJaccardOver(ngramKeptShingles(s, dir, maxDf))
 
   /** n-gram CONTAINMENT ≥ 0.8 pairs: `|A∩B| / min(|A|,|B|)` over the same
     * stop-shingle-capped inverted index as [[qNgramJaccard]]. Jaccard
@@ -566,8 +598,7 @@ object TextOps extends QueryPack {
     * NgramJaccardSpec pins their equivalence.
     */
   def ppJoinJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = shingled(docs).select(col("doc_id"), h60(col("sh")).as("h"))
+    val sh = shingleTable(s, dir)
     val docsh = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -1457,11 +1488,13 @@ object TextOps extends QueryPack {
   private def bm25ArtifactDir(s: SparkSession, dir: String): String =
     graft.IndexStore.artifact(dir, "bm25", Seq("documents")) { out =>
       val docs = Tables.documents(s, dir)
-      // one corpus explode+agg feeds both writes (lazy localCheckpoint:
-      // materialized by the postings write, reused by the df agg)
-      val postings = bm25Postings(docs).localCheckpoint(eager = false)
-      postings.write.parquet(s"$out/postings")
-      postings.groupBy("h").agg(count(lit(1)).as("df"))
+      // one corpus explode+agg feeds both writes: stage through the
+      // postings parquet and read it back for the df agg — NOT
+      // localCheckpoint, whose non-evictable blocks stay pinned in the
+      // JVM long after the build (VERDICT r15 #4)
+      bm25Postings(docs).write.parquet(s"$out/postings")
+      s.read.parquet(s"$out/postings")
+        .groupBy("h").agg(count(lit(1)).as("df"))
         .write.parquet(s"$out/terms")
       val (n, t) = bm25Stats(docs)
       import s.implicits._

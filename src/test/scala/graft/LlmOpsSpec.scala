@@ -560,6 +560,37 @@ class LlmOpsSpec extends SparkSpec {
       "rep pass emitted a pair the exact-verified gate would reject")
   }
 
+  test("declared q_neardup_shard_reps: within rows ≡ q_neardup_sharded, " +
+      "cross rows are exact-verified pairs of differing hash shards") {
+    // the oracle certifies exact values per SF; this pins the declared
+    // query's internal consistency with its sibling on the fixture
+    val out = SparkEntry.queries("q_neardup_shard_reps")(spark, sf)
+    val within = out.where(!col("cross_shard")).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    val sharded = SparkEntry.queries("q_neardup_sharded")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(within == sharded,
+      s"within rows diverge from q_neardup_sharded: " +
+        s"${within.diff(sharded)} / ${sharded.diff(within)}")
+    // cross rows: genuinely cross-shard under the declared md5 hash
+    // shard, and exact-cosine verified (> 0.5) against the raw vectors
+    val shardOf = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 4
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), shardOf.as("shd"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val cross = out.where(col("cross_shard"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("shd").as("sha"), col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("shd").as("shb"), col("nrm").as("nrm_b")), "vec_b")
+    assert(cross.where(col("sha") === col("shb")).isEmpty,
+      "a co-sharded pair came back flagged cross_shard")
+    assert(cross.where(VectorOps.dot(col("ea"), col("eb")) /
+        (col("nrm_a") * col("nrm_b")) <= 0.5).isEmpty,
+      "a flagged pair fails the exact-cosine verify")
+  }
+
   test("fused gate plan: the sketch is computed BELOW the explode " +
       "(once per vector, not once per band row)") {
     // With sketch + posexplode in ONE select, ExtractGenerator leaves

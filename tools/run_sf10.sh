@@ -58,13 +58,13 @@ JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
 # first-run build costs explicitly. Other artifact families keep the
 # r12+ warm-serve methodology (their builds are oracle-audited at
 # official SFs).
-rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-*
+rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-* target/graft-index/ndshardreps-* target/graft-index/shingle-*
 echo "== sf1 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null
 cp bench_out.json /tmp/sf1_subset.json
 
-rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-*
+rm -rf target/graft-index/ndgate-* target/graft-index/ndshard-* target/graft-index/ndshardreps-* target/graft-index/shingle-*
 echo "== sf10 subset capture =="
 SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_ONLY="$SUBSET" \
   java $JAVA_FLAGS -cp "$CP" graft.Bench > /dev/null

@@ -77,6 +77,12 @@ def main():
     refcheck = json.load(open(sys.argv[5])) if len(sys.argv) > 5 else None
     # optional: a prior round's sf10 report to diff family growth against
     prior = json.load(open(sys.argv[6])) if len(sys.argv) > 6 else None
+    # carry the deterministic plan counters per query at BOTH decades
+    # (VERDICT r15 #3: without them, a flagged family regression cannot
+    # be adjudicated between box variance — ±20-60% measured on this VM
+    # for shuffle-heavy queries — and a real plan shift)
+    pm1 = cap1.get("plan_metrics", {})
+    pm10 = cap10.get("plan_metrics", {})
     fam_rows = {}
     for fam, names in FAMILIES.items():
         a = sum(sf1[n] for n in names if n in sf1 and n in sf10)
@@ -87,7 +93,8 @@ def main():
             "queries": {n: {"sf1": sf1.get(n), "sf10": sf10.get(n),
                             "growth": (round(sf10[n] / sf1[n], 2)
                                        if n in sf1 and n in sf10 and sf1[n]
-                                       else None)}
+                                       else None),
+                            "plan_sf1": pm1.get(n), "plan_sf10": pm10.get(n)}
                         for n in names},
         }
     total1 = sum(v["sf1_secs"] for v in fam_rows.values())
