@@ -104,6 +104,11 @@ object IndexStore {
     dir.toString
   }
 
+  /** Delete a build-scratch subtree (staging tables a builder writes
+    * under its temp dir and discards before publish). */
+  def deleteSubtree(path: String): Unit =
+    deleteTree(java.nio.file.Paths.get(path))
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p))
