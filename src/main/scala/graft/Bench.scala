@@ -24,17 +24,21 @@ object Bench {
     pressured
   }
 
-  /** Deterministic release of every block the previous query pinned
-    * (persist / localCheckpoint): unpersist frees at the BlockManager
-    * immediately — no dependence on a GC finding the frame unreachable
-    * and the async ContextCleaner draining (the r15 mechanism that let
-    * pins accumulate for many queries on a 32 GiB heap until the whole
-    * late run measured under heap pressure). Safe between bench
-    * queries: every batch query builds its frames fresh per invocation
-    * and the cross-query memo caches hold plain parquet reads, never
-    * persisted RDDs. */
+  /** Deterministic release of the blocks the previous query pinned via
+    * plain persist(): unpersist frees at the BlockManager immediately —
+    * no dependence on a GC finding the frame unreachable and the async
+    * ContextCleaner draining (the r15 mechanism that let pins
+    * accumulate for many queries on a 32 GiB heap until the whole late
+    * run measured under heap pressure). CHECKPOINTED RDDs are skipped:
+    * their lineage is truncated, so unpersisting one makes it
+    * unrecomputable — the first sweep draft killed the connected-
+    * components label state mid-suite (CHECKPOINT_RDD_BLOCK_ID_NOT_
+    * FOUND on the next dedup-cluster query). Plain persisted RDDs
+    * always recompute from lineage, so sweeping them is safe even if a
+    * memo cache still holds the frame. */
   private def releasePinnedBlocks(spark: SparkSession): Unit =
     try spark.sparkContext.getPersistentRDDs.values
+      .filter(r => !r.isCheckpointed)
       .foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
 

@@ -976,24 +976,29 @@ object TextOps extends QueryPack {
        |           FROM cc GROUP BY node)""".stripMargin
 
   /** Spark-side component labels over the MinHash candidate pairs:
-    * (doc_id, cluster_id = component-minimum doc_id). */
-  /** Label-view cache: the star-contraction loop materializes its result
-    * via per-round checkpoints, so the returned frame is a handle to
-    * computed data, not a lazy plan — reusing it across the queries that
-    * share the view (q_dedup_cluster, q_cluster_rep) skips the whole CC
-    * loop the second time, exactly like the Tables relation cache. In
-    * production this sharing IS the maintained labels table
-    * ([[graft.streaming.DedupClusterView]]); per-(session, dir) keys keep
-    * specs on other fixtures isolated. */
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((s, dir),
+    * (doc_id, cluster_id = component-minimum doc_id), served from a
+    * build-once ON-DISK artifact (r16). The r15 shape memoized the
+    * star-contraction result frame in-JVM — a handle whose plan ends in
+    * lineage-truncated checkpoint blocks, i.e. state that something
+    * else's unpersist can silently destroy (the r16 bench sweep did
+    * exactly that: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second
+    * dedup-cluster query). The artifact is the production story anyway:
+    * the maintained labels table ([[graft.streaming.DedupClusterView]])
+    * IS a table on shared storage, and every consumer (q_dedup_cluster,
+    * q_cluster_rep, q_dedup_verdict, any session or JVM) reads plain
+    * parquet; the CC loop's checkpoint round state becomes garbage the
+    * moment the build returns. */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.IndexStore.artifact(dir, "dedupcluster-v1",
+      Seq("documents")) { out =>
       ConnectedComponents.labels(
         Tables.documents(s, dir).select(col("doc_id").as("id")),
         minhashPairs(s, dir))
-        .select(col("id").as("doc_id"), col("cluster_id")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .write.parquet(s"$out/labels")
+    }
+    s.read.parquet(s"$art/labels")
+  }
 
   /** Duplicate CLUSTERING: the transitive closure q_neardup_prune
     * deliberately skips — every doc labeled with its connected
