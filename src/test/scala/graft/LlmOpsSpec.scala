@@ -1048,12 +1048,19 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("one-pass MinHashSig expression equals the explode+aggregate twin, shuffle-free") {
-    val expr = TextOps.minhashSignatures(spark, sf)
+    // r16: the dir-based entry point serves the staged minhashsig
+    // artifact, so the plan-shape assertions pin the EXPRESSION form
+    // (the build's kernel); the served artifact must still equal the
+    // independently-derived twin value-for-value
+    val expr = TextOps.minhashSignaturesFrom(Tables.documents(spark, sf))
     val agg = TextOps.minhashSignaturesAgg(spark, sf)
     assert(expr.exceptAll(agg).isEmpty && agg.exceptAll(expr).isEmpty)
     assertBoostOnlyShuffles(expr)
     val p = expr.queryExecution.executedPlan.toString
     assert(p.contains("graft_minhash_sig"), p)
+    val served = TextOps.minhashSignatures(spark, sf)
+    assert(served.exceptAll(agg).isEmpty && agg.exceptAll(served).isEmpty,
+      "staged signature artifact diverges from the expression twin")
   }
 
   test("one-pass SimHash60 expression equals the explode+aggregate twin, shuffle-free") {

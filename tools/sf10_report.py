@@ -49,6 +49,9 @@ ARTIFACT_QUERIES = {
     "q_semantic_dedup_seeded", "q_bm25", "q_lexical_health",
     "q_hybrid_rrf", "q_hybrid_rrf_ann", "q_mmr_rerank",
     "q_ngram_jaccard", "q_ngram_containment",
+    "q_minhash_dedup", "q_minhash_est", "q_neardup_capped",
+    "q_neardup_prune", "q_dedup_cluster", "q_cluster_rep",
+    "q_dedup_verdict", "q_contam_ngram", "q_contamination",
 }
 
 
