@@ -35,10 +35,17 @@ object Bench {
     * components label state mid-suite (CHECKPOINT_RDD_BLOCK_ID_NOT_
     * FOUND on the next dedup-cluster query). Plain persisted RDDs
     * always recompute from lineage, so sweeping them is safe even if a
-    * memo cache still holds the frame. */
+    * memo cache still holds the frame. `isLocallyCheckpointed` is
+    * checked separately (ADVICE r16): an RDD marked via
+    * `localCheckpoint(eager = false)` reports `isCheckpointed = false`
+    * until first materialization, but unpersisting it breaks the
+    * LATER materialization the mark promises — the exact
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND class the checkpoint skip
+    * exists for. */
   private def releasePinnedBlocks(spark: SparkSession): Unit =
     try spark.sparkContext.getPersistentRDDs.values
-      .filter(r => !r.isCheckpointed)
+      .filter(r => !r.isCheckpointed &&
+        !org.apache.spark.rdd.graft.RddState.isLocallyCheckpointed(r))
       .foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
 
@@ -343,9 +350,50 @@ object Bench {
       }.nextOption().getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
+  private def jsonKey(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** One IndexStore builds-journal record (raw stage/note JSON kept as
+    * written — the journal and this capture share the format). */
+  private final case class BuildRec(artifact: String, kind: String,
+    secs: Double, stages: String, notes: String, tEndMs: Long)
+
+  /** The journal records appended after `offset` bytes — the builds
+    * THIS run paid, wherever in the run they executed (timed run,
+    * untimed warm pass, or plan-metrics pass). */
+  private def journalSince(offset: Long): Seq[BuildRec] =
+    try {
+      val p = IndexStore.buildsJournal
+      if (!java.nio.file.Files.exists(p)) Nil
+      else {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        if (bytes.length <= offset) Nil
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          new String(bytes, offset.toInt, (bytes.length - offset).toInt,
+            "UTF-8")
+            .split('\n').toSeq.filter(_.nonEmpty)
+            .flatMap { line =>
+              try {
+                val n = om.readTree(line)
+                Some(BuildRec(n.get("artifact").asText(),
+                  n.get("kind").asText(), n.get("build_secs").asDouble(),
+                  n.get("stages").toString, n.get("notes").toString,
+                  n.get("t_end_ms").asLong()))
+              } catch { case _: Throwable => None }
+            }
+        }
+      }
+    } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val journalStart: Long =
+      try {
+        val p = IndexStore.buildsJournal
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      } catch { case _: Throwable => 0L }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -397,9 +445,18 @@ object Bench {
       //     became permanent) — so any collection is followed by one
       //     UNTIMED warm pass that repays the evictions off the clock.
       releasePinnedBlocks(spark)
-      if (gcIfPressured()) {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      }
+      // the warm pass's wall is RECORDED (ADVICE r16): when it lands on
+      // a query whose fingerprint-keyed artifact is still cold, it pays
+      // the one-time build off the clock — the wall (plus the
+      // artifact_builds journal fold below) keeps that cost visible in
+      // the capture regardless of heap state
+      val qStartMs = System.currentTimeMillis()
+      val warm =
+        if (gcIfPressured()) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          Some((System.nanoTime() - t0) / 1e9)
+        } else None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -407,7 +464,7 @@ object Bench {
       }
       // third, untimed pass: plan-shape counters (VERDICT r6 item 8)
       val m = planMetrics(spark, fn, sfDir)
-      (name, fn, times, m, loadQ)
+      (name, fn, times, m, loadQ, warm, (qStartMs, System.currentTimeMillis()))
     }
     // IN-RUN NOISE GATE (VERDICT r12 item 5): the official capture box
     // is loaded (r12 loadavg 1.7→2.3); a query whose best-of-2 wall is
@@ -424,7 +481,7 @@ object Bench {
     def samePlan(now: (Long, Long, Long), p: (Long, Long, Long)): Boolean =
       now._1 >= 0 && p._1 >= 0 && now._1 == p._1 && now._2 == p._2 &&
         math.abs(now._3 - p._3) <= math.max(p._3 / 100, 64L)
-    val results = timed.map { case (name, fn, times, m, loadQ) =>
+    val results = timed.map { case (name, fn, times, m, loadQ, warm, win) =>
       val planNow = m._1
       val rerun = prior.get(name) match {
         case Some((pSec, pPlan))
@@ -448,27 +505,50 @@ object Bench {
         case _ => Nil
       }
       val all = times ++ rerun
-      (name, all.min, all, m, loadQ, rerun.length)
+      (name, all.min, all, m, loadQ, rerun.length, warm, win)
     }
     val loadAfter = os.getSystemLoadAverage
     def f(d: Double) = "%.4f".format(d)
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, ts, _, _, _) =>
+    val runs = results.map { case (k, _, ts, _, _, _, _, _) =>
       s"\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val mets = results.map { case (k, _, _, ((sc, sr, sb), (jc, jr, jb)), _, _) =>
+    val mets = results.map { case (k, _, _, ((sc, sr, sb), (jc, jr, jb)), _, _, _, _) =>
       s"\"" + k + s"""":{"scan_rows":$sc,"shuffle_records":$sr,"shuffle_bytes":$sb,""" +
         s""""job_scan_rows":$jc,"job_shuffle_records":$jr,"job_shuffle_bytes":$jb}"""
     }.mkString("{", ",", "}")
     // noise-gate annotations: which queries were re-run (count), and
     // the loadavg sampled as each query started
     val reruns = results.filter(_._6 > 0)
-      .map { case (k, _, _, _, _, n) => s"\"" + k + "\":" + n }
+      .map { case (k, _, _, _, _, n, _, _) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val loadQ = results.map { case (k, _, _, _, l, _) =>
+    val loadQ = results.map { case (k, _, _, _, l, _, _, _) =>
       s"\"" + k + "\":" + "%.2f".format(l)
     }.mkString("{", ",", "}")
+    // untimed warm-pass walls (ADVICE r16): a cold artifact build paid
+    // off the clock must stay visible in the capture
+    val warmRuns = results.flatMap { case (k, _, _, _, _, _, w, _) =>
+      w.map(sec => s"\"" + k + "\":" + f(sec))
+    }.mkString("{", ",", "}")
+    // artifact builds paid during THIS run, from the IndexStore journal
+    // (VERDICT r16 #2): keyed by ARTIFACT, each with its per-stage
+    // walls + notes and the query whose window paid it — so cold-build
+    // costs are never attributed to whichever consumer ran first
+    val artifactBuilds = {
+      val windows = results.map { case (k, _, _, _, _, _, _, (a, b)) =>
+        (k, a, b)
+      }
+      journalSince(journalStart).map { rec =>
+        val payer = windows.find { case (_, a, b) =>
+          rec.tEndMs >= a && rec.tEndMs <= b
+        }.map(_._1).getOrElse("")
+        s"${jsonKey(rec.artifact)}:{" +
+          s""""kind":${jsonKey(rec.kind)},"build_secs":${f(rec.secs)},""" +
+          s""""stages":${rec.stages},"notes":${rec.notes},""" +
+          s""""during_query":${jsonKey(payer)}}"""
+      }.mkString("{", ",", "}")
+    }
     val total = results.map(_._2).sum
     // reference-comparable single-socket ingest (best-of-2, rows/s)
     val ingest = math.max(cdcIngestRate(100000), cdcIngestRate(100000))
@@ -509,7 +589,7 @@ object Bench {
       s""""catchup_1m_serial_rows_per_sec":${r0(catchup1mSer)},""" +
       s""""catchup_1m_plan_connections":$deepConns"""
     val common = s""""loadavg":{"before":${f(loadBefore)},"after":${f(loadAfter)}},"cpus":$cpus,"sf":"$sfDir""""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"reruns":$reruns,"loadavg_per_query":$loadQ,$rates,$common}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"plan_metrics":$mets,"reruns":$reruns,"warm_runs":$warmRuns,"artifact_builds":$artifactBuilds,"loadavg_per_query":$loadQ,$rates,$common}"""
     // Full payload (per-query runs + plan counters, ~15 KB) goes to a
     // FILE: the driver's bench capture keeps only a stdout tail, and a
     // 15 KB line loses its head to the truncation (BENCH_r08/r09
@@ -532,7 +612,7 @@ object Bench {
     }
     println(full)
     val top = results.sortBy(-_._2).take(30)
-      .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + f(v) }
+      .map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.length},"queries":$top,"reruns":$reruns,$rates,$common,"detail_file":"bench_out.json"}""")

@@ -603,13 +603,11 @@ object Similarity extends QueryPack {
       // auditable gate).
       // per-stage wall logging: the cold build is the dominant single
       // cost of the sf10 audit — operating it means knowing which stage
-      // pays (the same logging a production index build ships with)
-      def staged[T](tag: String)(f: => T): T = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[ndgate] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        r
-      }
+      // pays (the same logging a production index build ships with);
+      // IndexStore.stage also records the walls into the build journal
+      // the capture folds in by artifact name (VERDICT r16 #2)
+      def staged[T](tag: String)(f: => T): T = graft.IndexStore.stage(tag)(f)
+      graft.IndexStore.note("n_vecs", n)
       // The band table is materialized ONCE, already partitioned AND
       // sorted by the join key, so the self-join is CO-LOCATED: both
       // sides scan the same cached relation whose outputPartitioning /
@@ -883,18 +881,38 @@ object Similarity extends QueryPack {
     * deterministic (spec-pinned on a planted fixture where the plain
     * sharded gate provably misses a cross-shard duplicate and this
     * pass recovers it). */
-  def neardupShardedWithReps(e0: DataFrame, shard: Column, nShards: Int,
-      nVecs: Long): DataFrame = {
-    val within = neardupShardedPairs(e0, shard, nShards, nVecs)
-    val dominated = within.select(col("vec_b").as("vec_id")).distinct()
-    val reps = e0.join(dominated, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("embedding"))
-    val nReps = reps.count()
+  /** The escalation's own admission guard: the representative set runs
+    * ONE global single-family gate, so it is bound by the same
+    * [[NdMaxUnshardedVecs]] cap as any family — a corpus whose shard
+    * key co-locates so poorly that the dedup-surviving reps still
+    * exceed the cap must re-shard hierarchically, not silently degrade
+    * (boundary spec-pinned alongside [[requireUnsharded]]'s). */
+  private[graft] def requireRepsWithinCap(nReps: Long): Unit =
     require(nReps <= NdMaxUnshardedVecs,
       s"representative set of $nReps vectors still exceeds the " +
         s"single-family bound ($NdMaxUnshardedVecs) — the corpus needs a " +
         "better co-locating shard key or a hierarchical re-shard before " +
         "the cross-shard pass")
+
+  def neardupShardedWithReps(e0: DataFrame, shard: Column, nShards: Int,
+      nVecs: Long): DataFrame =
+    neardupShardedWithRepsFrom(e0,
+      neardupShardedPairs(e0, shard, nShards, nVecs), shard, nVecs)
+
+  /** [[neardupShardedWithReps]] against an ALREADY-COMPUTED within-shard
+    * pair frame — the artifact build's path (the sharded gate's own
+    * artifact supplies the pairs; only the escalation runs here). */
+  def neardupShardedWithRepsFrom(e0: DataFrame, within: DataFrame,
+      shard: Column, nVecs: Long): DataFrame = {
+    val dominated = within.select(col("vec_b").as("vec_id")).distinct()
+    val reps = e0.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    // the count is an ACTION: it executes the dominated anti-join, so
+    // the stage wall is real work, not lazy-plan construction
+    val nReps = graft.IndexStore.stage("reps")(reps.count())
+    graft.IndexStore.note("n_reps", nReps)
+    graft.IndexStore.note("n_vecs", nVecs)
+    requireRepsWithinCap(nReps)
     val kept = neardupKeptPairs(reps, ndBits(nReps), nReps)
     val shards = e0.select(col("vec_id"), shard.as("shard"))
     val e = e0.select(col("vec_id"), col("embedding"),
@@ -1003,14 +1021,24 @@ object Similarity extends QueryPack {
     // gate IS the 100 TB path, and a pipeline gates a corpus once — the
     // verified pair set is a fingerprint-keyed artifact, read back as
     // plain parquet on every invocation
-    val art = graft.IndexStore.artifact(dir, "ndshard-v1", Seq("embeddings")) {
-      out =>
-        val e0 = Tables.embeddings(s, dir)
-        neardupShardedPairsBuild(e0, hashShard(NdDeclaredShards),
-          NdDeclaredShards, e0.count())(_.write.parquet(s"$out/ver"))
-    }
-    s.read.parquet(s"$art/ver").orderBy("vec_a", "vec_b")
+    s.read.parquet(s"${ndShardDir(s, dir)}/ver").orderBy("vec_a", "vec_b")
   }
+
+  /** The sharded gate's build-once artifact — shared by the declared
+    * sharded query AND the representative escalation (whose first
+    * stage IS the within-shard gate; recomputing it per consumer would
+    * double the escalation's cold build for a pair set that already
+    * sits on disk). */
+  private def ndShardDir(s: SparkSession, dir: String): String =
+    graft.IndexStore.artifact(dir, "ndshard-v1", Seq("embeddings")) { out =>
+      val e0 = Tables.embeddings(s, dir)
+      val n = e0.count()
+      graft.IndexStore.note("n_vecs", n)
+      graft.IndexStore.stage("ver") {
+        neardupShardedPairsBuild(e0, hashShard(NdDeclaredShards),
+          NdDeclaredShards, n)(_.write.parquet(s"$out/ver"))
+      }
+    }
 
   /** The representative CROSS-SHARD escalation as a declared, fully
     * oracle-matched query (VERDICT r15 #2 — the recall story for every
@@ -1095,12 +1123,24 @@ object Similarity extends QueryPack {
       |ORDER BY vec_a, vec_b""".stripMargin.trim)
   ) { (s, dir) =>
     // build-once like its siblings: a pipeline escalates a corpus once;
-    // the flagged pair set is a fingerprint-keyed artifact
+    // the flagged pair set is a fingerprint-keyed artifact. The
+    // within-shard stage READS the sharded gate's own artifact
+    // ([[ndShardDir]] — built here if this query runs first; the nested
+    // build journals its own record, so attribution stays per-artifact)
+    // instead of re-running the whole sharded gate inside this build.
     val art = graft.IndexStore.artifact(dir, "ndshardreps-v1",
       Seq("embeddings")) { out =>
       val e0 = Tables.embeddings(s, dir)
-      neardupShardedWithReps(e0, hashShard(NdDeclaredShards),
-        NdDeclaredShards, e0.count()).write.parquet(s"$out/ver")
+      // resolving the sharded artifact may PAY its build here (first
+      // consumer) — the stage wall makes that visible; the nested build
+      // journals its own per-stage record either way
+      val within = graft.IndexStore.stage("within") {
+        s.read.parquet(s"${ndShardDir(s, dir)}/ver")
+      }
+      graft.IndexStore.stage("rep_gate") {
+        neardupShardedWithRepsFrom(e0, within, hashShard(NdDeclaredShards),
+          e0.count()).write.parquet(s"$out/ver")
+      }
     }
     s.read.parquet(s"$art/ver").orderBy("vec_a", "vec_b")
   }
@@ -2172,12 +2212,16 @@ object Similarity extends QueryPack {
     // q_sim_ivf reads it instead of re-routing the corpus per run — the
     // n^1.5 term the sf10 audit measured as 25x/decade)
     graft.IndexStore.artifact(dir, "pqvec-v3", Seq("embeddings")) { out =>
+      import graft.IndexStore.stage
       // Par.boost: the build is the corpus's heaviest map-side compute
       // (routing cosines + residual slices + PQ encode per vector) —
       // single-file fixtures otherwise run it on one core (the r14
       // sf10 audit measured the cold build over an hour; minutes boosted)
       val e = Par.boost(Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding")))
+      val n = e.count()
+      graft.IndexStore.note("n_vecs", n)
+      graft.IndexStore.note("n_cells", ivfCells(n).toLong)
       // ONE routing pass feeds both layouts, staged through its own
       // parquet write and READ BACK — not localCheckpoint: checkpointed
       // blocks are non-evictable and pinned in the JVM long after the
@@ -2186,21 +2230,51 @@ object Similarity extends QueryPack {
       // ndgate build measured that near-serial). The parquet round-trip
       // unpins, re-splits by maxPartitionBytes, and the routing still
       // computes exactly once (VERDICT r15 #4).
-      ivfCellOf(e, ivfCentroids(e)).write.parquet(s"$out/cellof")
+      stage("cellof") {
+        ivfCellOf(e, ivfCentroids(e)).write.parquet(s"$out/cellof")
+      }
       val cellOf = s.read.parquet(s"$out/cellof")
-      val cbRaw = pqCodebooks(e)
+      val cbRaw = stage("train_raw")(pqCodebooks(e))
       pqCodebookRows(s, cbRaw).write.parquet(s"$out/codebooks_raw")
-      pqCodes(e, cbRaw).join(cellOf, "vec_id")
-        .write.partitionBy("cell_id").parquet(s"$out/codes_raw")
-      ivfCellMeansFx(e, cellOf).write.parquet(s"$out/cells")
+      stage("encode_raw") {
+        // repartition by cell BEFORE the partitioned write: without it
+        // every task writes a file into every cell directory —
+        // tasks × cells files (3600 at the sf10 geometry, 24×150) of a
+        // few hundred rows each, paid again by every probed read's
+        // listing + footer pass. One narrow shuffle of the (vec_id, s,
+        // j, cell_id) codes buys one file per cell — the bucketed
+        // layout a 100 TB build would write anyway. Cells are balanced
+        // by construction (~3√n rows each), so no writer skews.
+        pqCodes(e, cbRaw).join(cellOf, "vec_id")
+          .repartition(col("cell_id"))
+          .write.partitionBy("cell_id").parquet(s"$out/codes_raw")
+      }
+      stage("cells") {
+        ivfCellMeansFx(e, cellOf).write.parquet(s"$out/cells")
+      }
       val cmeans = s.read.parquet(s"$out/cells")
-      val cbRes = pqCodebooksFx(pqResFixedPoint(e, cellOf, cmeans),
-        corpusN = Some(e.count()))
+      // the residual fixed-point frame feeds BOTH the residual training
+      // and the residual encode — stage it through parquet ONCE (the
+      // full-vector fixed-point projection + routing/mean joins +
+      // subspace explode otherwise run twice) and discard the staging
+      // table before publish; the artifact keeps only the compact
+      // codes/codebooks/means
+      stage("resfx") {
+        pqResFixedPoint(e, cellOf, cmeans)
+          .write.parquet(s"$out/staging-resfx")
+      }
+      val resFx = s.read.parquet(s"$out/staging-resfx")
+      val cbRes = stage("train_res")(pqCodebooksFx(resFx, corpusN = Some(n)))
       pqCodebookRows(s, cbRes).write.parquet(s"$out/codebooks_res")
-      pqAssign(pqResFixedPoint(e, cellOf, cmeans), cbRes)
-        .select(col("vec_id"), col("s"), col("j"))
-        .join(cellOf, "vec_id")
-        .write.partitionBy("cell_id").parquet(s"$out/index_res")
+      stage("encode_res") {
+        // same one-file-per-cell layout as codes_raw
+        pqAssign(resFx, cbRes)
+          .select(col("vec_id"), col("s"), col("j"))
+          .join(cellOf, "vec_id")
+          .repartition(col("cell_id"))
+          .write.partitionBy("cell_id").parquet(s"$out/index_res")
+      }
+      graft.IndexStore.deleteSubtree(s"$out/staging-resfx")
     }
 
   private def pqCodebookRows(s: SparkSession,

@@ -19,4 +19,5 @@ object ListenerBus {
     * — surface it, don't swallow). */
   def drain(sc: SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
 }

@@ -496,6 +496,16 @@ class LlmOpsSpec extends SparkSpec {
       Similarity.neardupShardedPairs(e0, col("vec_id") % 2, 2,
         Similarity.NdMaxUnshardedVecs * 4)
     }
+    // the representative escalation's OWN cap (VERDICT r16 #3): the rep
+    // set runs one global family, so exactly the cap is admissible and
+    // one past it must refuse toward hierarchical re-sharding
+    Similarity.requireRepsWithinCap(Similarity.NdMaxUnshardedVecs)
+    val exReps = intercept[IllegalArgumentException] {
+      Similarity.requireRepsWithinCap(Similarity.NdMaxUnshardedVecs + 1)
+    }
+    assert(exReps.getMessage.contains("hierarchical re-shard"),
+      s"rep-cap refusal must point at the re-shard path: " +
+        exReps.getMessage)
   }
 
   test("sharded gate: within-shard pairs are exactly the single-family " +

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Assemble BENCH_r13_sf10.json: the sf1->sf10 growth audit for the
+"""Assemble BENCH_r{N}_sf10.json: the sf1->sf10 growth audit for the
 dedup/ANN/retrieval subset (VERDICT r12 item 8).
 
 Inputs: two raw graft.Bench captures (bench_out.json format) taken with
@@ -9,8 +9,17 @@ per-family growth; the audit passes when each family's growth exponent
 is <= the sf0.1->sf1 exponent measured in BENCH_r12_sf1.json (the
 scale-aware geometries must keep bending the curve DOWN, not up).
 
-Usage: python3 tools/sf10_report.py <sf1_capture.json> <sf10_capture.json>
-           <oracle_note> [out=BENCH_r13_sf10.json]
+Cold builds are keyed BY ARTIFACT (VERDICT r16 #2): graft.Bench folds
+the IndexStore builds journal into each capture as `artifact_builds`,
+so a shared artifact's one-time cost is attributed to the artifact
+that paid it — not to whichever consumer query ran first. The legacy
+query-keyed first-run heuristic stays for continuity.
+
+Usage:
+  python3 tools/sf10_report.py <sf1_capture.json> <sf10_capture.json>
+      <oracle_note> <out.json> [refcheck.json]
+      [--prior BENCH_r{N-1}_sf10.json]
+      [--shardreps-sf10 shardreps_capture.json]
 """
 import json
 import sys
@@ -43,6 +52,7 @@ FAMILIES = {
 # build" misattributes ordinary warmup to build cost (ADVICE r15).
 ARTIFACT_QUERIES = {
     "q_embed_neardup_lsh", "q_neardup_gate_stats", "q_neardup_sharded",
+    "q_neardup_shard_reps",
     "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq", "q_sim_ivfpq_res",
     "q_sim_ivfpq_rerank", "q_sim_hamming", "q_index_health",
     "q_probe_sweep", "q_ann_recall", "q_semantic_dedup",
@@ -68,18 +78,36 @@ def cold_builds(capture):
             and r[0] > 1.0 and r[0] > 3 * final[q]}
 
 
+def artifact_builds(capture):
+    """The journal-folded per-ARTIFACT build records — authoritative
+    cold-build pricing (per-stage walls + notes + the query whose
+    window paid the build), independent of run-index heuristics."""
+    return capture.get("artifact_builds", {})
+
+
 def main():
-    cap1 = json.load(open(sys.argv[1]))
-    cap10 = json.load(open(sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {}
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            flags[a.lstrip("-")] = next(it)
+    cap1 = json.load(open(args[0]))
+    cap10 = json.load(open(args[1]))
     sf1 = cap1["queries"]
     sf10 = cap10["queries"]
-    oracle_note = sys.argv[3]
-    out = sys.argv[4] if len(sys.argv) > 4 else "BENCH_r14_sf10.json"
+    oracle_note = args[2]
+    out = args[3] if len(args) > 3 else "BENCH_sf10.json"
     # optional: graft.RefCheck's one-line JSON (the independent plain-Scala
     # exact-equality checks for the oracle-blind families, VERDICT r13 #6)
-    refcheck = json.load(open(sys.argv[5])) if len(sys.argv) > 5 else None
+    refcheck = json.load(open(args[4])) if len(args) > 4 else None
     # optional: a prior round's sf10 report to diff family growth against
-    prior = json.load(open(sys.argv[6])) if len(sys.argv) > 6 else None
+    prior = json.load(open(flags["prior"])) if "prior" in flags else None
+    # optional: the ISOLATED q_neardup_shard_reps capture at sf10
+    # (VERDICT r17 #3 — measured outside the 44-query audit because its
+    # build embeds a second global gate over ~n reps)
+    shardreps = (json.load(open(flags["shardreps-sf10"]))
+                 if "shardreps-sf10" in flags else None)
     # carry the deterministic plan counters per query at BOTH decades
     # (VERDICT r15 #3: without them, a flagged family regression cannot
     # be adjudicated between box variance — ±20-60% measured on this VM
@@ -111,8 +139,18 @@ def main():
         "growth_10x_data": round(total10 / total1, 2),
         "cold_builds_sf1": cold_builds(cap1),
         "cold_builds_sf10": cold_builds(cap10),
+        "artifact_builds_sf1": artifact_builds(cap1),
+        "artifact_builds_sf10": artifact_builds(cap10),
         "families": fam_rows,
     }
+    if shardreps is not None:
+        q = "q_neardup_shard_reps"
+        doc["shard_reps_sf10"] = {
+            "cold": (shardreps.get("runs", {}).get(q) or [None])[0],
+            "warm": shardreps.get("queries", {}).get(q),
+            "plan": shardreps.get("plan_metrics", {}).get(q),
+            "artifact_builds": artifact_builds(shardreps),
+        }
     if refcheck is not None:
         doc["refcheck"] = refcheck.get("refcheck", refcheck)
     if prior is not None:
@@ -124,6 +162,12 @@ def main():
                                        and v["growth_10x_data"] is not None
                                        and v["growth_10x_data"] > pg * 1.15)}
         doc["growth_diff_vs_prior"] = diff
+        # the members of regressed families, for the runner's ISOLATED
+        # adjudication re-run (VERDICT r16 #4; tools/adjudicate.py folds
+        # the re-run back in as variance | plan-shift per family)
+        doc["regressed_queries"] = sorted({
+            n for fam, d in diff.items() if d["regressed"]
+            for n in FAMILIES[fam] if n in sf1 and n in sf10})
     json.dump(doc, open(out, "w"), indent=1)
     print(f"{out}: total {total1:.1f}s -> {total10:.1f}s "
           f"({total10 / total1:.2f}x for 10x data)")
@@ -140,6 +184,16 @@ def main():
     for tag in ("cold_builds_sf1", "cold_builds_sf10"):
         if doc[tag]:
             print(f"  {tag}: {doc[tag]}")
+    for tag in ("artifact_builds_sf1", "artifact_builds_sf10"):
+        for name, b in doc[tag].items():
+            print(f"  {tag}: {name} {b.get('build_secs')}s "
+                  f"stages={b.get('stages')} notes={b.get('notes')} "
+                  f"during={b.get('during_query')}")
+    if doc.get("shard_reps_sf10"):
+        print(f"  shard_reps_sf10: {doc['shard_reps_sf10']}")
+    if doc.get("regressed_queries"):
+        print(f"  REGRESSED (adjudication re-run needed): "
+              f"{','.join(doc['regressed_queries'])}")
 
 
 if __name__ == "__main__":
