@@ -1512,7 +1512,12 @@ object TextOps extends QueryPack {
   private def bm25ArtifactDir(s: SparkSession, dir: String): String =
     graft.IndexStore.artifact(dir, "bm25", Seq("documents")) { out =>
       import graft.IndexStore.stage
-      val docs = Tables.documents(s, dir)
+      // Par.boost: the postings explode (trigram shingling + hashing,
+      // ~dl rows out per doc) is heavy per-row compute BEFORE the
+      // groupBy's exchange — a single-file fixture otherwise runs the
+      // whole corpus's shingling on one core (r17 probe: 95.9 s of the
+      // 97.7 s sf10 cold build was this stage, ~1 core busy)
+      val docs = Par.boost(Tables.documents(s, dir))
       // one corpus explode+agg feeds both writes: stage through the
       // postings parquet and read it back for the df agg — NOT
       // localCheckpoint, whose non-evictable blocks stay pinned in the
