@@ -71,11 +71,22 @@ object BenchStream {
     }
     def f(d: Double) = "%.3f".format(d)
     def batchSecs(ts: Seq[Double]) = "[" + ts.map(f).mkString(",") + "]"
+    // Optional comma-separated SECTION filter (diagnostic isolation —
+    // a flagged soak metric must be re-measurable in a fresh JVM
+    // without paying the whole 15-min soak; the recorded per-round
+    // capture always runs all sections). Names: cdc_sink,
+    // curation_view, dedup_cluster_view, neardup_stream,
+    // semantic_dedup, bm25, hybrid (incl. mmr), rerank (incl.
+    // index_health).
+    val onlySections = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def sectionOn(name: String): Boolean =
+      onlySections.forall(_.contains(name))
 
     // ---------------------------------------------------- s_cdc_sink
     // the 10x changelog: 1M events as (sequence, event_type, id, value)
     // upserts keyed by user id — CdcSink merges + swaps per micro-batch
-    locally {
+    if (sectionOn("cdc_sink")) locally {
       val rows = graft.Tables.events(spark, sfDir)
         .select(col("event_id").cast("long"), col("event_type"),
           col("user_id").cast("long"), col("value").cast("double"))
@@ -103,7 +114,7 @@ object BenchStream {
     // ------------------------------------------------ s_curation_view
     // recompute-per-batch maintained verdict table over the doc log:
     // per-batch cost grows with TOTAL docs — the measured recompute curve
-    locally {
+    if (sectionOn("curation_view")) locally {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"),
           col("source"), col("n_chars").cast("long"))
@@ -131,7 +142,7 @@ object BenchStream {
 
     // -------------------------------------------- s_dedup_cluster_view
     // recluster-per-batch over the accumulated edge log
-    locally {
+    if (sectionOn("dedup_cluster_view")) locally {
       val docsDf = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val pairs = graft.operators.TextOps.minhashPairsFrom(docsDf)
@@ -159,7 +170,7 @@ object BenchStream {
     // corpus-shaped LSH bucket state at 10x docs; bounds asserted
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    locally {
+    if (sectionOn("neardup_stream")) locally {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)].collect()
@@ -197,7 +208,7 @@ object BenchStream {
 
     // ------------------------------- s_semantic_dedup (tws/RocksDB)
     // per-cell member codes at 10x vectors; bounds asserted
-    locally {
+    if (sectionOn("semantic_dedup")) locally {
       val e = graft.Tables.embeddings(spark, sfDir)
       val n = e.count()
       val k = graft.operators.Similarity.semDedupK(n)
@@ -243,7 +254,7 @@ object BenchStream {
     // the lexical retrieval lifecycle at 10x: ingest the corpus into
     // the maintained index, then serve a query stream from the
     // maintained artifacts — per-batch ingest cost and serving rate
-    locally {
+    if (sectionOn("bm25")) locally {
       val docs = graft.Tables.documents(spark, sfDir)
       val rows = docs.select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)].collect()
@@ -338,7 +349,7 @@ object BenchStream {
     // ------------------------------------- s_hybrid_search (r11)
     // hybrid serving at 10x: both legs per arriving query — the
     // lexical served index + the residual compressed ADC index
-    locally {
+    if (sectionOn("hybrid")) locally {
       val docs = graft.Tables.documents(spark, sfDir)
       val e = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
@@ -468,7 +479,7 @@ object BenchStream {
     // ------------------------------------- s_rerank_monitor + s_index_health (r11)
     // the index-ops sidecars: online agreement metrology over the served
     // compressed index, and the ingest-maintained health monoids
-    locally {
+    if (sectionOn("rerank")) locally {
       val e = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
       val ((cells, cbs, idx), artifactSecs) =
