@@ -46,6 +46,11 @@ JAVA_FLAGS="-Xmx32g --add-opens=java.base/java.lang=ALL-UNNAMED \
 [ -d target/sf1 ]  || python3 tools/gen_sf1.py
 [ -d target/sf10 ] || python3 tools/gen_sf10.py
 
+# reclaim stale artifact trees up front (regenerated/retired corpora:
+# the fingerprint key already makes them unreachable, this frees the
+# disk — each sf10 gate build leaves tens of GB of parquet candidates)
+java $JAVA_FLAGS -cp "$CP" graft.IndexTool sweep
+
 # NOTE: Bench's LAST stdout line is a compact top-30 summary; the full
 # per-query capture is written to bench_out.json — copy THAT (the
 # subset loses queries past the compact line's top-30 cap).
