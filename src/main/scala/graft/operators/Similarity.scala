@@ -1540,20 +1540,32 @@ object Similarity extends QueryPack {
     }
 
   /** Assignment against an EXPLICIT centroid frame (cid, cv, cn2) — the
-    * general form [[kmeansIterate]] feeds re-estimated centroids into. */
-  def assignTo(qz: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = qz.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), col("qv"), col("qn2"),
+    * general form [[kmeansIterate]] feeds re-estimated centroids into.
+    *
+    * One-pass argmin (r17): `min(struct(dist, cid, qv, qn2))` per
+    * vec_id. The struct ordering compares `dist` first and tie-breaks
+    * to the smallest `cid` — exactly the old min-distance pre-pass +
+    * MIN(cid) contract — and `dist` is EXACT integer arithmetic over
+    * the int8 codes, so the comparison has no float-equality hazard;
+    * (dist, cid) is unique per (vec_id) row, so the min row is fully
+    * determined before the trailing qv/qn2 fields (constant per vec_id
+    * either way) ever compare. The previous shape shuffled the
+    * (corpus × K) scored frame THREE times — min-agg, equi-join of
+    * scored against its own minima, re-agg — with the qv arrays riding
+    * every exchange; this shape is a single partial-aggregated groupBy:
+    * each map task reduces its K candidate rows per vector to one
+    * struct BEFORE the exchange, so exactly one corpus-sized shuffle
+    * survives at any scale. */
+  def assignTo(qz: DataFrame, cents: DataFrame): DataFrame =
+    qz.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
         (col("qn2") + col("cn2") - lit(2) * dotInt(col("qv"), col("cv")))
-          .as("dist"))
-    val mind = scored.groupBy("vec_id").agg(min("dist").as("md"))
-    scored.as("s")
-      .join(mind.as("m"),
-        col("s.vec_id") === col("m.vec_id") && col("s.dist") === col("m.md"))
-      .groupBy(col("s.vec_id").as("vec_id"))
-      .agg(min(col("s.cid")).as("cid"), min(col("m.md")).as("md"),
-        first(col("s.qv")).as("qv"), first(col("s.qn2")).as("qn2"))
-  }
+          .as("md"),
+        col("cid"), col("qv"), col("qn2")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min(col("sc")).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid"), col("sc.md").as("md"),
+        col("sc.qv").as("qv"), col("sc.qn2").as("qn2"))
 
   /** The Lloyd iteration behind q_kmeans_step, reusable at any K (the
     * centroid frame is whatever `centroidIds` selects). */
