@@ -69,8 +69,12 @@ object Multimodal extends QueryPack {
   def mediaPngFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+    // Par.boost: the PNG encode (javax.imageio, one image per row) is
+    // heavy per-row compute BEFORE any exchange — a single-file fixture
+    // otherwise encodes the whole corpus on one core
+    Par.boost(Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+      costFactor = 32)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
@@ -137,6 +141,41 @@ object Multimodal extends QueryPack {
   def audioNSamples(docId: Long): Int = 64 + (docId % 192).toInt
   def audioSample(docId: Long, i: Int): Int = ((docId * 31 + i * 7) % 251).toInt
 
+  /** The WAVE file writer SPI, resolved ONCE per JVM (r17): every
+    * `AudioSystem.write` call walks the provider registry, whose lookup
+    * is synchronized JVM-globally — 32 concurrent decode tasks convoy
+    * on that lock (the media boost made the WAV pair SLOWER 32-way
+    * than single-task until this was lifted). `java.util.ServiceLoader`
+    * over the public `javax.sound.sampled.spi` types is the documented
+    * resolution path; the cached instance is stateless and the write it
+    * performs is byte-identical to `AudioSystem.write`. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+  }
+
+  /** The WAVE file reader SPI, resolved once per JVM — the read-side
+    * twin of [[wavWriter]] (`AudioSystem.getAudioInputStream` pays the
+    * same synchronized registry walk per payload). */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWav(8000f, Array[Byte](0))
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala
+      .find { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(sys.error("no WAVE AudioFileReader provider"))
+  }
+
   /** Encode a real RIFF/WAVE container: 8-bit unsigned mono PCM through
     * javax.sound.sampled (pure JDK, headless-safe — container IO only,
     * no audio device). */
@@ -147,7 +186,7 @@ object Multimodal extends QueryPack {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
     val out = new java.io.ByteArrayOutputStream(samples.length + 64)
-    javax.sound.sampled.AudioSystem.write(
+    wavWriter.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
@@ -158,7 +197,7 @@ object Multimodal extends QueryPack {
     * Throws on undecodable payloads (same quarantine-loudly stance as
     * [[decodeImage]]). */
   def decodeAudio(content: Array[Byte]): (Int, Long, Int) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val rate = ais.getFormat.getSampleRate.toInt
     val frames = ais.getFrameLength
@@ -184,7 +223,14 @@ object Multimodal extends QueryPack {
   def mediaWavFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    // Par.boost: PCM synthesis + WAV encode per row, ahead of any
+    // exchange (the single-file one-core trap, graft.operators.Par).
+    // Boost BEFORE the projection: the synth cost scales with the doc,
+    // so the unpruned stats are the honest weight — column pruning
+    // still pushes the doc_id-only Project below the added exchange,
+    // so only 8-byte rows ever ship
+    Par.boost(Tables.documents(s, dir), costFactor = 32)
+      .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { docId =>
@@ -325,7 +371,11 @@ object Multimodal extends QueryPack {
   def mediaGifFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    // Par.boost: per-frame raster synthesis + GIF/LZW encode per row,
+    // ahead of any exchange (the single-file one-core trap). Boosted
+    // before the projection for the same stats reason as the WAV twin
+    Par.boost(Tables.documents(s, dir), costFactor = 32)
+      .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { docId =>
@@ -567,7 +617,7 @@ object Multimodal extends QueryPack {
     * the same data-chunk scan as [[decodeAudio]]'s peak. */
   val SilenceFloor = 32
   def decodeAudioEnergy(content: Array[Byte]): (Int, Long, Long, Long) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val rate = ais.getFormat.getSampleRate.toInt
     val frames = ais.getFrameLength

@@ -58,11 +58,22 @@ object Par {
     * Streaming frames pass through untouched: micro-batch sources pick
     * their own split counts per trigger, and `.rdd` is not defined on
     * an unstarted stream. */
-  def boost(df: DataFrame): DataFrame = {
+  /** `costFactor` declares how much heavier this producer's per-row
+    * compute is than ordinary row handling, for inputs whose BYTES are
+    * a poor proxy for their WORK: the media kernels synthesize and
+    * parse a whole PNG/WAV/GIF container from an 8-byte doc_id, so
+    * their planned stats (~12 B/row after pruning) undercount the work
+    * by orders of magnitude and the byte-sized floor splits a 32-core
+    * session 4 ways. The factor scales the stats before the floor
+    * divides them — declared per call site, next to the kernel whose
+    * cost it prices; the parallelism cap still bounds the result, so a
+    * large factor can never oversplit. */
+  def boost(df: DataFrame, costFactor: Int = 1): DataFrame = {
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (bytes / BoostBytesPerPartition).min(BigInt(p)).toInt
+    val target =
+      (bytes * costFactor / BoostBytesPerPartition).min(BigInt(p)).toInt
     if (target <= 1) return df
     // rdd.getNumPartitions plans the frame (metadata-only for scans)
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
