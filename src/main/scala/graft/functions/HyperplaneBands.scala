@@ -122,6 +122,26 @@ object HyperplaneBands {
       salt: String): ArrayData = {
     val dim = a.numElements()
     val s = signs(bands * bits, dim, salt)
+    // Hoist the element reads out of the plane loop: the near-dup gate's
+    // sf10 family is ndBands(21)·21 ≈ 8.7k planes, so the old
+    // planes×dim inner loop paid an ArrayData virtual dispatch
+    // (isNullAt + getFloat/getDouble on an Unsafe row slice) per FMA —
+    // ~560k dispatches per vector where only `dim` (64) reads of the
+    // input exist. One primitive copy per row turns the hot loop into
+    // pure double[]×double[] arithmetic. Null elements contribute
+    // exactly as before: the old code skipped them (acc unchanged); the
+    // copy stores 0.0, and acc += 0.0·(±1) = ±0.0 leaves every partial
+    // sum bit-identical except a ±0.0 sign that `acc > 0` cannot see —
+    // the emitted keys are unchanged, so the DuckDB plane-family match
+    // ([[planeSign]] parity) is untouched.
+    val v = new Array[Double](dim)
+    var e = 0
+    while (e < dim) {
+      v(e) =
+        if (a.isNullAt(e)) 0.0
+        else if (isFloat) a.getFloat(e).toDouble else a.getDouble(e)
+      e += 1
+    }
     val keys = new Array[Long](bands)
     var band = 0
     var plane = 0
@@ -133,10 +153,7 @@ object HyperplaneBands {
         var acc = 0.0
         var i = 0
         while (i < dim) {
-          if (!a.isNullAt(i)) {
-            val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-            acc += v * s(base + i)
-          }
+          acc += v(i) * s(base + i)
           i += 1
         }
         key = (key << 1) | (if (acc > 0) 1L else 0L)

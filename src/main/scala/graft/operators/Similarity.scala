@@ -610,28 +610,31 @@ object Similarity extends QueryPack {
       graft.IndexStore.note("n_vecs", n)
       // The band table is materialized ONCE, already partitioned AND
       // sorted by the join key, so the self-join is CO-LOCATED: both
-      // sides scan the same cached relation whose outputPartitioning /
-      // outputOrdering satisfy the sort-merge join's requirements — no
-      // exchange, no per-side sort, and the hyperplane family
-      // (ndBands(bits)·bits planes ≈ 560k FMA/vector at the sf10
-      // geometry, the build's dominant compute) is evaluated once
-      // instead of once per side (the sides differ by alias + hint, so
-      // exchange reuse never applied; measured 193.6 s → see below).
-      // This is the bucketed-self-join shape a 100 TB run gets from
-      // writing the band table bucketed by (band, key); the in-build
-      // cache is its single-JVM equivalent, unpersisted before the
-      // sketch stage so nothing outlives the build (VERDICT r15 #4
-      // discipline — evictable cache, not a lineage-truncated pin).
+      // sides scan the same materialized relation whose
+      // outputPartitioning / outputOrdering satisfy the sort-merge
+      // join's requirements — no exchange, no per-side sort, and the
+      // hyperplane family (ndBands(bits)·bits planes ≈ 560k FMA/vector
+      // at the sf10 geometry) is evaluated once instead of once per
+      // side (the sides differ by alias + hint, so exchange reuse
+      // never applied; measured 193.6 s → see below). This is the
+      // bucketed-self-join shape a 100 TB run gets from writing the
+      // band table bucketed by (band, key); the in-build checkpoint is
+      // its single-JVM equivalent ([[checkpointForSelfJoin]] — a
+      // DataFrame persist paid a per-value columnar compression pass
+      // that WAS the bands stage: 60-80% of its sf10 wall), released
+      // before the sketch stage so nothing outlives the build
+      // (VERDICT r15 #4 discipline).
       import graft.functions.HyperplaneBands.bandKeys
-      val bands = Par.boost(e0)
-        .select(col("vec_id"),
-          posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
-        .toDF("vec_id", "band", "key")
-        .repartition(col("band"), col("key"))
-        .sortWithinPartitions("band", "key")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = staged("bands") {
+        checkpointForSelfJoin(Par.boost(e0)
+          .select(col("vec_id"),
+            posexplode(bandKeys(col("embedding"), ndBands(bits), bits)))
+          .toDF("vec_id", "band", "key")
+          .repartition(selfJoinParts(s, n * ndBands(bits)),
+            col("band"), col("key"))
+          .sortWithinPartitions("band", "key"))
+      }
       try {
-        staged("bands")(bands.count())
         staged("cand") {
           bands.select(col("band"), col("key"), col("vec_id").as("vec_a"))
             .join(bands.select(col("band"), col("key"),
@@ -640,7 +643,7 @@ object Similarity extends QueryPack {
             .select("vec_a", "vec_b").distinct()
             .write.parquet(s"$out/cand")
         }
-      } finally { bands.unpersist(blocking = false); () }
+      } finally releaseBuildCheckpoint(bands)
       val candR = s.read.parquet(s"$out/cand")
       staged("kept") {
         sketchFilterPairs(candR, ndSketch(e0), n).write.parquet(s"$out/kept")
@@ -841,23 +844,70 @@ object Similarity extends QueryPack {
       useShj = nVecs * ndBands(bits) <= NdShjMaxBandRows)
   }
 
+  /** Materializes a partitioned+sorted frame for a co-located self-join
+    * via an EAGER `localCheckpoint`, NOT `persist`: a DataFrame persist
+    * re-encodes every row through the in-memory COLUMNAR cache builder,
+    * and its per-value compressibility-stats pass
+    * (`CompressibleColumnBuilder.gatherCompressibilityStats/appendFrom`)
+    * was 60-80% of the ndgate `bands` stage wall at sf10 — 83M band
+    * rows × 3 columns through a megamorphic per-value loop (r18 thread
+    * dumps; guide §7.3). The checkpoint stores the shuffle-sorted
+    * UnsafeRows AS-IS (one `copy()` per row, no columnar re-encode),
+    * and the resulting `LogicalRDD` carries the physical plan's
+    * outputPartitioning AND outputOrdering, so the downstream
+    * sort-merge self-join stays exchange-free and sort-free — the same
+    * co-location the cache bought, minus the cache build.
+    * [[releaseBuildCheckpoint]] drops the blocks deterministically —
+    * nothing outlives the build (Bench's unpersist sweep deliberately
+    * skips locally-checkpointed RDDs, so the build must release its
+    * own). Plain `Dataset.localCheckpoint` would NOT work here: under
+    * AQE it snapshots `outputPartitioning` before the adaptive plan
+    * finalizes — `UnknownPartitioning` — and the self-join re-pays
+    * exchange+sort per side; [[CheckpointShim]] reads the layout from
+    * the final plan after materialization. */
+  private def checkpointForSelfJoin(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointShim.localCheckpointKeepLayout(df)
+
+  /** Partition count for the materialized band table — EXPLICIT so the
+    * repartition is exempt from AQE coalescing: a coalesced exchange's
+    * `CoalescedHashPartitioning` fails EnsureRequirements'
+    * co-partitioning check across the self-join's two `LogicalRDD`
+    * instances (r18 plan check: both sides re-paid Exchange+Sort), while
+    * a user-pinned count keeps plain `hashpartitioning(band, key, N)`
+    * and the join plans exchange-free and sort-free on both sides.
+    * Sized from the band-row VOLUME (≈ one partition per 64 MB of
+    * 32-byte UnsafeRows), floored at the session parallelism — the
+    * same input-derived, core-count-capped discipline as [[Par.boost]],
+    * so the count grows with the corpus and never pins a local-mode
+    * constant on a cluster. */
+  private def selfJoinParts(s: SparkSession, bandRows: Long): Int = {
+    val p = s.sparkContext.defaultParallelism
+    math.max(p, (bandRows * 32L / (64L << 20)).toInt)
+  }
+
+  /** Deterministic release of [[checkpointForSelfJoin]]'s blocks: the
+    * checkpointed rows live on the `LogicalRDD`'s backing RDD (NOT in
+    * the CacheManager — `Dataset.unpersist` is a no-op for them). */
+  private def releaseBuildCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.CheckpointShim.release(df)
+
   /** [[neardupShardedPairs]] for a BUILD that consumes the pairs exactly
     * once (the artifact writers): the band table is materialized
-    * partitioned + sorted on the join key and cached, so the self-join
-    * is co-located — no per-side exchange, no per-side sort, and the
-    * hyperplane family is computed once instead of once per side (the
-    * ndgate build's shape, which took its sf10 cold candidate stage
-    * 193.6 → 12.7 s on this box). The cache is dropped before return —
-    * nothing outlives the build. */
+    * partitioned + sorted on the join key ([[checkpointForSelfJoin]]),
+    * so the self-join is co-located — no per-side exchange, no per-side
+    * sort, and the hyperplane family is computed once instead of once
+    * per side (the ndgate build's shape, which took its sf10 cold
+    * candidate stage 193.6 → 12.7 s on this box). The checkpoint is
+    * dropped before return — nothing outlives the build. */
   def neardupShardedPairsBuild(e0: DataFrame, shard: Column, nShards: Int,
       nVecs: Long)(consume: DataFrame => Unit): Unit = {
     val bits = shardedBits(nShards, nVecs)
-    val bands = shardedBands(e0, shard, bits)
-      .repartition(col("shard"), col("band"), col("key"))
-      .sortWithinPartitions("shard", "band", "key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = selfJoinParts(e0.sparkSession, nVecs * ndBands(bits))
+    val bands = checkpointForSelfJoin(shardedBands(e0, shard, bits)
+      .repartition(parts, col("shard"), col("band"), col("key"))
+      .sortWithinPartitions("shard", "band", "key"))
     try consume(shardedPairsFrom(bands, e0, nVecs, useShj = false))
-    finally { bands.unpersist(blocking = false); () }
+    finally releaseBuildCheckpoint(bands)
   }
 
   /** The representative-based CROSS-SHARD escalation of
@@ -1943,11 +1993,16 @@ object Similarity extends QueryPack {
     val kind = if (seeded) "semasg-par-v1" else "semasg-first-v1"
     graft.IndexStore.artifact(dir, kind, Seq("embeddings")) { out =>
       val e = Par.boost(Tables.embeddings(s, dir))
-      val k = semDedupK(e.count())
+      val n = e.count()
+      val k = semDedupK(n)
+      graft.IndexStore.note("n_vecs", n)
+      graft.IndexStore.note("k_cells", k.toLong)
       val asg =
         if (seeded) cellAssignSeeded(e, seedsPar(e, k).select(col("vec_id")))
         else cellAssign(e, k)
-      asg.select(col("vec_id"), col("cid")).write.parquet(s"$out/asg")
+      graft.IndexStore.stage("asg") {
+        asg.select(col("vec_id"), col("cid")).write.parquet(s"$out/asg")
+      }
     }
   }
 
@@ -3218,9 +3273,12 @@ object Similarity extends QueryPack {
     * every IndexStore artifact gets. */
   private def hamArtifactDir(s: SparkSession, dir: String): String =
     graft.IndexStore.artifact(dir, "ham-v1", Seq("embeddings")) { out =>
-      hammingCodes(Par.boost(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"))))
-        .write.parquet(s"$out/codes")
+      graft.IndexStore.stage("codes") {
+        hammingCodes(Par.boost(Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"))))
+          .write.parquet(s"$out/codes")
+      }
+      graft.IndexStore.note("codes", s.read.parquet(s"$out/codes").count())
     }
   // memo keyed by the RESOLVED artifact path (embeds the corpus
   // fingerprint, recomputed per lookup) — a regenerated fixture gets a
