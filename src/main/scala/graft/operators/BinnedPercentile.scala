@@ -45,8 +45,22 @@ import org.apache.spark.sql.functions._
   * the scans are embarrassingly parallel and the buffer is fatal, so
   * the scans win. The one-pass sketch twin for when exactness is
   * negotiable stays `q_quantile_hist`.
+  *
+  * r18: the level-2 scan is SKIPPED adaptively when the level-1
+  * histogram shows every candidate bucket under
+  * [[ExactDirectMaxBucketRows]] — the exact step then ranks inside the
+  * level-1 buckets directly (2 scans). Same doubles either way; the
+  * 3-scan shape remains the path for buckets past the sort budget.
   */
 object BinnedPercentile {
+
+  /** Largest level-1 candidate bucket (rows) the exact step will sort
+    * DIRECTLY, skipping the level-2 narrowing scan: 2^22 rows × ~16 B
+    * of (key, value) ≈ 64 MB of per-bucket sort state — one healthy
+    * spillable sort task. Below it, scan 2 only re-derives what scan 3
+    * resolves anyway; above it, the full two-level narrowing runs
+    * unchanged (the priced r7 bounded-memory trade). */
+  private val ExactDirectMaxBucketRows = 1L << 22
 
   /** Pinned intermediates per construction, keyed by the RESULT frame
     * (identity — DataFrames don't define value equality). Weak keys: a
@@ -91,7 +105,9 @@ object BinnedPercentile {
     * image); the defaults give 2^16 and 2^12 subdivisions, and tiny
     * widths force the exact step broadly (the spec's stress shape). */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], b1Bits: Int = 16, b2Bits: Int = 12): DataFrame = {
+      ps: Seq[Double], b1Bits: Int = 16, b2Bits: Int = 12,
+      exactDirectMaxBucketRows: Long = ExactDirectMaxBucketRows)
+      : DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     require(b1Bits > 0 && b2Bits > 0 && b1Bits + b2Bits < 64)
     val keyed = df
@@ -150,55 +166,93 @@ object BinnedPercentile {
     val loc1 = hist1.join(broadcast(needed), col("g") === col("ng") &&
         col("nr") >= col("cb1") && col("nr") < col("cb1") + col("c1"))
       .select(col("g"), col("nr").as("r"), col("b1"),
-        (col("nr") - col("cb1")).as("r1"), col("kmn1"), col("kmx1"),
-        col("vmn1"))
+        (col("nr") - col("cb1")).as("r1"), col("c1"), col("kmn1"),
+        col("kmx1"), col("vmn1"))
     val done1 = loc1.where(col("kmn1") === col("kmx1"))
       .select(col("g"), col("r"), col("vmn1").as("rv"))
     val todo1 = loc1.where(col("kmn1") =!= col("kmx1"))
 
-    // ---- scan 2: level-2 histogram over candidate buckets only
-    val cand1 = todo1.select("g", "b1").distinct()
-    val b2keyed = keyed.join(broadcast(cand1), Seq("g", "b1"))
-      .withColumn("b2", b2of)
-    val hist2 = pin(b2keyed.groupBy("g", "b1", "b2")
-      .agg(count(lit(1)).as("c2"),
-        min(struct(col("kv").as("k"), col("v").as("a"))).as("smn"),
-        max(struct(col("kv").as("k"), col("v").as("a"))).as("smx"))
-      .select(col("g"), col("b1"), col("b2"), col("c2"),
-        col("smn").getField("k").as("kmn2"), col("smn").getField("a").as("vmn2"),
-        col("smx").getField("k").as("kmx2"))
-      .withColumn("cb2", sum("c2").over(
-        Window.partitionBy("g", "b1").orderBy("b2")) - col("c2")))
-    val t1k = todo1.select(col("g").as("tg"), col("r").as("tr"),
-      col("b1").as("tb1"), col("r1").as("tr1"))
-    val loc2 = hist2.join(broadcast(t1k), col("g") === col("tg") &&
-        col("b1") === col("tb1") &&
-        col("tr1") >= col("cb2") && col("tr1") < col("cb2") + col("c2"))
-      .select(col("g"), col("tr").as("r"), col("b1"), col("b2"),
-        (col("tr1") - col("cb2")).as("r2"), col("kmn2"), col("kmx2"),
-        col("vmn2"))
-    val done2 = loc2.where(col("kmn2") === col("kmx2"))
-      .select(col("g"), col("r"), col("vmn2").as("rv"))
-    val todo2 = loc2.where(col("kmn2") =!= col("kmx2"))
+    // ADAPTIVE LEVEL-2 SKIP (r18, guide §1.2 "don't compute things you
+    // throw away"): the level-2 histogram exists ONLY to shrink the
+    // exact step's per-bucket sort from O(n/2^b1Bits) to
+    // O(n/2^(b1+b2)) rows. Whether that shrink is needed is knowable
+    // NOW, from the pinned level-1 histogram: the largest candidate
+    // bucket's row count. When every candidate bucket already fits the
+    // exact step's per-task sort budget, scan 2 is a full pass over
+    // the data that resolves nothing scan 3 couldn't — skip straight
+    // to the exact step on the level-1 buckets (2 scans instead of 3).
+    // The decision input is one aggregate over the TINY cached
+    // histogram (driver-side metadata, O(groups × percentiles) rows),
+    // the same kind of runtime stats decision AQE makes. Scale-safe:
+    // past the budget (≈64 MB of sort state per bucket — and the sort
+    // SPILLS, the bound is a wall-clock guard, not a memory-safety
+    // one) the original 3-scan narrowing runs unchanged, so the
+    // O(groups × buckets) shuffled-state bound holds at any size.
+    val maxCandRows: Long = {
+      val r = todo1.agg(max("c1")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
-    // ---- scan 3: exact — rank survivors inside their level-2 bucket
-    // (rows sharing b1Bits+b2Bits leading key bits; the sort spills
-    // instead of buffering, and the key order IS Double.compare order)
-    val cand2 = todo2.select("g", "b1", "b2").distinct()
-    val fin = keyed.withColumn("b2", b2of)
-      .join(broadcast(cand2), Seq("g", "b1", "b2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("g", "b1", "b2").orderBy("kv")).cast("long") - 1)
-    val t2k = todo2.select(col("g").as("tg"), col("r").as("tr"),
-      col("b1").as("tb1"), col("b2").as("tb2"), col("r2").as("tr2"))
-    val done3 = fin.join(broadcast(t2k), col("g") === col("tg") &&
-        col("b1") === col("tb1") && col("b2") === col("tb2") &&
-        col("rn") === col("tr2"))
-      .select(col("g"), col("tr").as("r"), col("v").as("rv"))
+    val (rankVals, pinned) = if (maxCandRows <= exactDirectMaxBucketRows) {
+      // ---- scan 2 (direct exact): rank survivors inside their LEVEL-1
+      // bucket — same arithmetic as the level-2 exact step with
+      // b2 dropped: rows sharing the top b1Bits key bits, spillable
+      // per-bucket sort ordered by the key itself, rank == r1.
+      val cand1 = todo1.select("g", "b1").distinct()
+      val fin1 = keyed.join(broadcast(cand1), Seq("g", "b1"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g", "b1").orderBy("kv")).cast("long") - 1)
+      val t1k = todo1.select(col("g").as("tg"), col("r").as("tr"),
+        col("b1").as("tb1"), col("r1").as("tr1"))
+      val done3 = fin1.join(broadcast(t1k), col("g") === col("tg") &&
+          col("b1") === col("tb1") && col("rn") === col("tr1"))
+        .select(col("g"), col("tr").as("r"), col("v").as("rv"))
+      (pin(done1.unionAll(done3)), Seq(hist1, ranks))
+    } else {
+      // ---- scan 2: level-2 histogram over candidate buckets only
+      val cand1 = todo1.select("g", "b1").distinct()
+      val b2keyed = keyed.join(broadcast(cand1), Seq("g", "b1"))
+        .withColumn("b2", b2of)
+      val hist2 = pin(b2keyed.groupBy("g", "b1", "b2")
+        .agg(count(lit(1)).as("c2"),
+          min(struct(col("kv").as("k"), col("v").as("a"))).as("smn"),
+          max(struct(col("kv").as("k"), col("v").as("a"))).as("smx"))
+        .select(col("g"), col("b1"), col("b2"), col("c2"),
+          col("smn").getField("k").as("kmn2"), col("smn").getField("a").as("vmn2"),
+          col("smx").getField("k").as("kmx2"))
+        .withColumn("cb2", sum("c2").over(
+          Window.partitionBy("g", "b1").orderBy("b2")) - col("c2")))
+      val t1k = todo1.select(col("g").as("tg"), col("r").as("tr"),
+        col("b1").as("tb1"), col("r1").as("tr1"))
+      val loc2 = hist2.join(broadcast(t1k), col("g") === col("tg") &&
+          col("b1") === col("tb1") &&
+          col("tr1") >= col("cb2") && col("tr1") < col("cb2") + col("c2"))
+        .select(col("g"), col("tr").as("r"), col("b1"), col("b2"),
+          (col("tr1") - col("cb2")).as("r2"), col("kmn2"), col("kmx2"),
+          col("vmn2"))
+      val done2 = loc2.where(col("kmn2") === col("kmx2"))
+        .select(col("g"), col("r"), col("vmn2").as("rv"))
+      val todo2 = loc2.where(col("kmn2") =!= col("kmx2"))
 
-    // O(G × ranks) rows; consumed twice (lo/hi sides) — scan 3 must not
-    // run twice
-    val rankVals = pin(done1.unionAll(done2).unionAll(done3))
+      // ---- scan 3: exact — rank survivors inside their level-2 bucket
+      // (rows sharing b1Bits+b2Bits leading key bits; the sort spills
+      // instead of buffering, and the key order IS Double.compare order)
+      val cand2 = todo2.select("g", "b1", "b2").distinct()
+      val fin = keyed.withColumn("b2", b2of)
+        .join(broadcast(cand2), Seq("g", "b1", "b2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g", "b1", "b2").orderBy("kv")).cast("long") - 1)
+      val t2k = todo2.select(col("g").as("tg"), col("r").as("tr"),
+        col("b1").as("tb1"), col("b2").as("tb2"), col("r2").as("tr2"))
+      val done3 = fin.join(broadcast(t2k), col("g") === col("tg") &&
+          col("b1") === col("tb1") && col("b2") === col("tb2") &&
+          col("rn") === col("tr2"))
+        .select(col("g"), col("tr").as("r"), col("v").as("rv"))
+
+      // O(G × ranks) rows; consumed twice (lo/hi sides) — scan 3 must
+      // not run twice
+      (pin(done1.unionAll(done2).unionAll(done3)), Seq(hist1, ranks, hist2))
+    }
 
     // NOTE on release: everything the RESULT's plan reads is in `ranks`
     // + `rankVals`, but unpersisting the histogram scaffolding here
@@ -234,7 +288,7 @@ object BinnedPercentile {
             (col("hi").cast("double") - col("h")) * col("vlo") +
             (col("h") - col("lo").cast("double")) * col("vhi"))
           .as("value"))
-    pinnedByResult.put(result, Seq(hist1, ranks, hist2, rankVals))
+    pinnedByResult.put(result, pinned :+ rankVals)
     result
   }
 

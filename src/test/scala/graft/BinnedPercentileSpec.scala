@@ -95,39 +95,69 @@ class BinnedPercentileSpec extends SparkSpec {
     compare(rows.toDF("g0", "v0"), "g0", "v0")
   }
 
-  test("release() after materialization frees the four pinned " +
-      "intermediates without any recompute cascade (ADVICE r8)") {
+  test("release() after materialization frees the pinned " +
+      "intermediates without any recompute cascade (ADVICE r8) — " +
+      "3 pins on the direct path, 4 on the forced narrowing path") {
     import spark.implicits._
     val sc = spark.sparkContext
-    val cachedBefore = sc.getPersistentRDDs.size
-    val df = Seq.tabulate(200)(i => (s"g${i % 4}", i.toDouble))
-      .toDF("g0", "v0")
-    val res = graft.operators.BinnedPercentile
-      .perGroup(df, "g0", "v0", Seq(0.25, 0.5, 0.9))
-    // construction pins four frames (eager)
-    assert(sc.getPersistentRDDs.size >= cachedBefore + 4,
-      s"expected 4 new cache entries, have ${sc.getPersistentRDDs.size}")
-    val got = res.collect() // the owning query materializes
-    assert(got.length == 4 * 3)
+    // (expected pins, forced threshold): default threshold → direct
+    // path (hist1, ranks, rankVals); threshold 0 → every candidate
+    // bucket "too big" → the 3-scan narrowing (adds hist2)
+    for ((expectPins, thr) <- Seq((3, 1L << 22), (4, 0L))) {
+      val cachedBefore = sc.getPersistentRDDs.size
+      val df = Seq.tabulate(200)(i => (s"g${i % 4}", i.toDouble))
+        .toDF("g0", "v0")
+      val res = graft.operators.BinnedPercentile
+        .perGroup(df, "g0", "v0", Seq(0.25, 0.5, 0.9),
+          exactDirectMaxBucketRows = thr)
+      // construction pins eagerly
+      assert(sc.getPersistentRDDs.size >= cachedBefore + expectPins,
+        s"expected $expectPins new cache entries, have " +
+          s"${sc.getPersistentRDDs.size - cachedBefore}")
+      val got = res.collect() // the owning query materializes
+      assert(got.length == 4 * 3)
 
-    // release must unpersist WITHOUT running jobs (reverse dependency
-    // order means the CacheManager never re-caches a dependent) — a
-    // recompute cascade here would show up as job starts
-    val jobs = new java.util.concurrent.atomic.AtomicLong
-    val counter = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      // release must unpersist WITHOUT running jobs (reverse dependency
+      // order means the CacheManager never re-caches a dependent) — a
+      // recompute cascade here would show up as job starts
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      sc.addSparkListener(counter)
+      try {
+        assert(graft.operators.BinnedPercentile.release(res) == expectPins)
+        // idempotent: a second release finds nothing
+        assert(graft.operators.BinnedPercentile.release(res) == 0)
+        org.apache.spark.sql.graft.ListenerBus.drain(sc)
+        assert(jobs.get() == 0, s"release ran ${jobs.get()} Spark jobs")
+      } finally sc.removeSparkListener(counter)
+      assert(sc.getPersistentRDDs.size == cachedBefore,
+        s"cache entries leaked: ${sc.getPersistentRDDs.size} vs $cachedBefore")
     }
-    sc.addSparkListener(counter)
-    try {
-      assert(graft.operators.BinnedPercentile.release(res) == 4)
-      // idempotent: a second release finds nothing
-      assert(graft.operators.BinnedPercentile.release(res) == 0)
-      org.apache.spark.sql.graft.ListenerBus.drain(sc)
-      assert(jobs.get() == 0, s"release ran ${jobs.get()} Spark jobs")
-    } finally sc.removeSparkListener(counter)
-    assert(sc.getPersistentRDDs.size == cachedBefore,
-      s"cache entries leaked: ${sc.getPersistentRDDs.size} vs $cachedBefore")
+  }
+
+  test("adaptive level-2 skip (r18): the direct exact path and the " +
+      "forced 3-scan narrowing produce bit-identical values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(3000)(i =>
+      (s"g${i % 3}", rnd.nextDouble() * 1e6 - 5e5)) ++
+      Seq.fill(200)(("g0", 7.25)) // ties straddling rank boundaries
+    val df = rows.toDF("g0", "v0")
+    def vals(thr: Long) = graft.operators.BinnedPercentile
+      .perGroup(df, "g0", "v0", ps, exactDirectMaxBucketRows = thr)
+      .collect().map(r => (r.getAs[Any]("g"), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val direct = vals(1L << 22) // every bucket under the budget → direct
+    val narrow = vals(0L)       // forced 3-scan narrowing
+    assert(direct.keySet == narrow.keySet)
+    val diffs = narrow.collect {
+      case (k, want) if java.lang.Double.compare(want, direct(k)) != 0 =>
+        s"$k: narrowing=$want direct=${direct(k)}"
+    }
+    assert(diffs.isEmpty, s"paths diverge:\n${diffs.mkString("\n")}")
   }
 }
