@@ -81,12 +81,13 @@ object Corpus extends QueryPack {
     // runs on the scan's partitioning — one core on single-file fixtures
     val w = Par.boost(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // codegen'd strided window pass ([[graft.functions.WordNgrams]],
+    // keepPartial — the trailing short chunk, exactly the old
+    // slice-truncation); same chunks in the same positions
     val c = w
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), ceil(size(col("t")) / lit(ChunkTokens.toDouble)).cast("int")),
-          i => array_join(
-            slice(col("t"), (i - 1) * ChunkTokens + 1, lit(ChunkTokens)), " "))))
+        posexplode(graft.functions.WordNgrams.wordNgrams(col("t"),
+          ChunkTokens, ChunkTokens, keepPartial = true)))
       .select(col("doc_id"), (col("pos") + 1).as("ord"), col("col").as("chunk"))
     // SALTED join back (r6, after AqeSkewSpec proved the alternative
     // impossible): AQE's skew-split cannot re-read a join side whose
@@ -168,16 +169,23 @@ object Corpus extends QueryPack {
     val art = graft.IndexStore.artifact(dir, "contamng-v1",
       Seq("documents")) { out =>
       // Par.boost: ~40 n-grams exploded + hashed per doc, pre-shuffle
-      Par.boost(Tables.documents(s, dir))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .where(size(col("t")) >= ContamNgram)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), size(col("t")) - (ContamNgram - 1)),
-            i => array_join(slice(col("t"), i, lit(ContamNgram)), " "))).as("ngs"))
-        .select(col("doc_id"), xxhash64(col("ngs")).as("ng"))
-        .distinct()
-        .write.parquet(s"$out/g")
+      graft.IndexStore.stage("g") {
+        // codegen'd window pass ([[graft.functions.WordNgrams]] — the
+        // old transform/slice/array_join lambda was interpreted per
+        // window and dominated this build's one stage)
+        Par.boost(Tables.documents(s, dir))
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= ContamNgram)
+          .select(col("doc_id"),
+            explode(graft.functions.WordNgrams.wordNgrams(col("t"),
+              ContamNgram)).as("ngs"))
+          .select(col("doc_id"), xxhash64(col("ngs")).as("ng"))
+          .distinct()
+          .write.parquet(s"$out/g")
+      }
+      // footer metadata — free; the distinct (doc, ngram-hash) volume is
+      // the build's whole cost driver
+      graft.IndexStore.note("g_rows", s.read.parquet(s"$out/g").count())
     }
     val g = s.read.parquet(s"$art/g")
     val bench = g.where(col("doc_id") % ContamBenchMod === 0)
@@ -249,12 +257,14 @@ object Corpus extends QueryPack {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val base = w.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    // codegen'd window pass ([[graft.functions.WordNgrams]]); xxhash64
+    // moves outside the old interpreted lambda — same hash per window
     val win = w.where(size(col("t")) >= SpanTokens)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("t")) - (SpanTokens - 1)),
-          i => xxhash64(array_join(slice(col("t"), i, lit(SpanTokens)), " ")))))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("s"))
+        posexplode(graft.functions.WordNgrams.wordNgrams(col("t"),
+          SpanTokens)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        xxhash64(col("col")).as("s"))
     val df = win.groupBy("s").agg(count(lit(1)).as("df"))
     val nw = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
     val hot = win.join(df.where(col("df") >= 2), "s")

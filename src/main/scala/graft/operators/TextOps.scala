@@ -37,18 +37,22 @@ object TextOps extends QueryPack {
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT) % $P"
 
-  /** Word 3-shingles of the space-split tokens (guarded for <3 tokens). */
-  private def shingled(docs: DataFrame): DataFrame =
+  /** Word 3-shingles of the space-split tokens (guarded for <3 tokens).
+    * Windows come from the codegen'd [[graft.functions.WordNgrams]] —
+    * the old `transform(sequence(…))` HOF built every window through an
+    * interpreted lambda (CodegenFallback), the dominant per-row cost of
+    * the shingle artifact build. */
+  private def shingled(docs: DataFrame): DataFrame = {
+    import graft.functions.WordNgrams.wordNgrams
     // Par.boost: shingling explodes ~40 rows/doc from a per-doc
-    // transform — on a single-file fixture the whole explosion runs on
-    // one core before the downstream aggregation's shuffle
+    // window pass — on a single-file fixture the whole explosion runs
+    // on one core before the downstream aggregation's shuffle
     Par.boost(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) >= 3
-           THEN transform(sequence(1, size(toks)-2),
-                          i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))
-           ELSE array('') END"""))).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("toks")) >= 3, wordNgrams(col("toks"), 3))
+          .otherwise(array(lit(""))))).as("sh"))
       .where(col("sh") =!= "")
+  }
   private val shingleSqlCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -102,8 +106,11 @@ object TextOps extends QueryPack {
     // pipeline persists; 500k docs × 17 longs ≈ 68 MB parquet at sf10.
     val art = graft.IndexStore.artifact(dir, "minhashsig-v1",
       Seq("documents")) { out =>
-      minhashSignaturesFrom(Tables.documents(s, dir))
-        .write.parquet(s"$out/sig")
+      graft.IndexStore.stage("sig") {
+        minhashSignaturesFrom(Tables.documents(s, dir))
+          .write.parquet(s"$out/sig")
+      }
+      graft.IndexStore.note("sig_rows", s.read.parquet(s"$out/sig").count())
     }
     s.read.parquet(s"$art/sig")
   }
@@ -442,9 +449,12 @@ object TextOps extends QueryPack {
     * architecture as the BM25 postings and PQ code artifacts. */
   private def shingleArtifactDir(s: SparkSession, dir: String): String =
     graft.IndexStore.artifact(dir, "shingle-v1", Seq("documents")) { out =>
-      shingled(Tables.documents(s, dir))
-        .select(col("doc_id"), h60(col("sh")).as("h"))
-        .write.parquet(s"$out/sh")
+      graft.IndexStore.stage("sh") {
+        shingled(Tables.documents(s, dir))
+          .select(col("doc_id"), h60(col("sh")).as("h"))
+          .write.parquet(s"$out/sh")
+      }
+      graft.IndexStore.note("sh_rows", s.read.parquet(s"$out/sh").count())
     }
 
   /** The staged shingle table `(doc_id, h)` for a corpus path. */
@@ -778,15 +788,19 @@ object TextOps extends QueryPack {
          |ORDER BY lang, pred_lang""".stripMargin
     }
   ) { (s, dir) =>
+    import graft.functions.LexiconCounts.lexCounts
     val toks = split(col("text"), " ")
-    // Par.boost: five lexicon filters over every token of every doc,
-    // all ahead of the tiny confusion-matrix aggregation
-    val scored = lexicons.foldLeft(
+    // Par.boost: five lexicon scores over every token of every doc,
+    // all ahead of the tiny confusion-matrix aggregation. The scores
+    // come from ONE codegen'd token pass ([[LexiconCounts]]) — the old
+    // five `filter` HOFs were interpreted CodegenFallbacks and were
+    // the family's per-row wall (VERDICT r17 #2).
+    val scored = lexicons.zipWithIndex.foldLeft(
       Par.boost(Tables.documents(s, dir))
-        .select(col("doc_id"), col("lang"), toks.as("toks"))) {
-      case (df, (l, ws)) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($set)))"))
+        .select(col("doc_id"), col("lang"),
+          lexCounts(toks, lexicons.map(_._2)).as("lc"))) {
+      case (df, ((l, _), i)) =>
+        df.withColumn(s"s_$l", col("lc").getItem(i))
     }
     val m = greatest(lexicons.map(l => col(s"s_${l._1}")): _*)
     val pred = lexicons.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
@@ -829,7 +843,9 @@ object TextOps extends QueryPack {
       col("doc_id"), col("n_chars"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-      expr("size(filter(toks, x -> x IN ('the','a','and','of','to')))")
+      // one codegen'd token pass (the q_lang_id interpreted-HOF fix)
+      graft.functions.LexiconCounts.lexCounts(col("toks"),
+          Seq(Seq("the", "a", "and", "of", "to"))).getItem(0)
         .cast("long").as("n_stop"))
     m.select(
         col("doc_id"), col("n_tokens"),
@@ -964,8 +980,9 @@ object TextOps extends QueryPack {
       .where(size(col("l")) >= 3)
       .select(col("doc_id"),
         (size(col("l")) - 2).cast("long").as("n_shingles"),
-        size(array_distinct(expr(
-          "transform(sequence(0, size(l)-3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))")))
+        // codegen'd window pass (the [[graft.functions.WordNgrams]]
+        // interpreted-HOF replacement; same windows, same distinct)
+        size(array_distinct(graft.functions.WordNgrams.wordNgrams(col("l"), 3)))
           .cast("long").as("n_unique"))
     val ratio = lit(1).cast("double") -
       col("n_unique").cast("double") / col("n_shingles")
@@ -1010,11 +1027,14 @@ object TextOps extends QueryPack {
   def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val art = graft.IndexStore.artifact(dir, "dedupcluster-v1",
       Seq("documents")) { out =>
-      ConnectedComponents.labels(
-        Tables.documents(s, dir).select(col("doc_id").as("id")),
-        minhashPairs(s, dir))
-        .select(col("id").as("doc_id"), col("cluster_id"))
-        .write.parquet(s"$out/labels")
+      graft.IndexStore.stage("labels") {
+        ConnectedComponents.labels(
+          Tables.documents(s, dir).select(col("doc_id").as("id")),
+          minhashPairs(s, dir))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .write.parquet(s"$out/labels")
+      }
+      graft.IndexStore.note("labels", s.read.parquet(s"$out/labels").count())
     }
     s.read.parquet(s"$art/labels")
   }
@@ -1114,11 +1134,15 @@ object TextOps extends QueryPack {
         slice(col("toks"), lit(1), (size(col("toks")) / 2).cast("int")).as("f"),
         expr("slice(toks, CAST(size(toks) DIV 2 AS INT) + 1, " +
           "size(toks) - CAST(size(toks) DIV 2 AS INT))").as("s"))
+    // one codegen'd token pass per half ([[LexiconCounts]] — same
+    // interpreted-HOF replacement as q_lang_id)
     def scored(df: DataFrame, half: String): DataFrame =
-      lexicons.foldLeft(df) { case (d, (l, ws)) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        d.withColumn(s"${half}_$l",
-          expr(s"size(filter($half, t -> t IN ($set)))"))
+      lexicons.zipWithIndex.foldLeft(
+        df.withColumn(s"${half}_lc",
+          graft.functions.LexiconCounts.lexCounts(col(half),
+            lexicons.map(_._2)))) {
+        case (d, ((l, _), i)) =>
+          d.withColumn(s"${half}_$l", col(s"${half}_lc").getItem(i))
       }
     def pred(p: String) = {
       val m = greatest(lexicons.map(l => col(s"${p}_${l._1}")): _*)
@@ -1240,11 +1264,12 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("rn"))
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= ContamNgram)
+    // codegen'd window pass ([[graft.functions.WordNgrams]]); the hash
+    // moves OUTSIDE the old interpreted lambda — same values
     val g = w.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), size(col("t")) - (ContamNgram - 1)),
-        i => xxhash64(array_join(slice(col("t"), i, lit(ContamNgram)), " "))))
-        .as("ng"))
+        explode(graft.functions.WordNgrams.wordNgrams(col("t"), ContamNgram))
+          .as("ngs"))
+      .select(col("doc_id"), xxhash64(col("ngs")).as("ng"))
       .distinct()
     val bench = g.where(col("doc_id") % ContamBenchMod === 0)
       .select("ng").distinct()
@@ -1459,10 +1484,8 @@ object TextOps extends QueryPack {
     val hs = t.where(size(col("l")) >= 3)
       .select(col("doc_id"),
         greatest(size(col("l")) - 2, lit(0)).cast("long").as("dl"),
-        explode(expr(
-          """transform(sequence(1, size(l)-2),
-             i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
-          .as("sh"))
+        // codegen'd window pass ([[graft.functions.WordNgrams]])
+        explode(graft.functions.WordNgrams.wordNgrams(col("l"), 3)).as("sh"))
       .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
     // the postings table feeds THREE consumers (candidate side, df agg,
     // query-term side) whose differing pushed filters defeat exchange
@@ -1685,10 +1708,8 @@ object TextOps extends QueryPack {
     val hs = t.where(size(col("l")) >= 3)
       .select(col("doc_id"),
         greatest(size(col("l")) - 2, lit(0)).cast("long").as("dl"),
-        explode(expr(
-          """transform(sequence(1, size(l)-2),
-             i -> concat_ws(' ', element_at(l,i), element_at(l,i+1), element_at(l,i+2)))"""))
-          .as("sh"))
+        // codegen'd window pass ([[graft.functions.WordNgrams]])
+        explode(graft.functions.WordNgrams.wordNgrams(col("l"), 3)).as("sh"))
       .select(col("doc_id"), col("dl"), h60(col("sh")).as("h"))
     hs.groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
   }

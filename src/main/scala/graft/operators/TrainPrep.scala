@@ -162,20 +162,30 @@ object TrainPrep extends QueryPack {
     val art = graft.IndexStore.artifact(dir, "contam7-v1",
       Seq("documents")) { out =>
       // Par.boost: pre-shuffle hashing (graft.operators.Par's rationale)
+      graft.IndexStore.stage("sh") {
       Par.boost(Tables.documents(s, dir))
         .select(col("doc_id"), split(col("text"), " ").as("l"))
         .where(size(col("l")) >= 7)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """transform(sequence(0, size(l)-7),
-            |  i -> substr(md5(concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3],
-            |                            l[i+4], l[i+5], l[i+6])), 1, 15))"""
-            .stripMargin))).as("hx"))
+        // codegen'd window pass ([[graft.functions.WordNgrams]]); md5
+        // moves outside the old interpreted lambda. The per-doc
+        // distinct now runs over the 7-gram STRINGS instead of their
+        // md5-hex images — identical row set unless two distinct
+        // 7-grams of one doc collide in the 60-bit md5 prefix, and even
+        // then the query output (COUNT(DISTINCT bench doc_id) per train
+        // doc over an equi-join on h) is invariant to per-doc h
+        // duplicates, so the declared result is unconditionally
+        // unchanged.
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordNgrams.wordNgrams(col("l"), 7))).as("ngs"))
+        .select(col("doc_id"), substring(md5(col("ngs")), 1, 15).as("hx"))
         // store the 60-bit hash as an 8-byte LONG, not the 15-char hex
         // string: hex→decimal is injective at this width, so joins and
         // distincts are equivalence-preserving, and the artifact + the
         // join's shuffle carry half the bytes
         .select(col("doc_id"), conv(col("hx"), 16, 10).cast("long").as("h"))
         .write.parquet(s"$out/sh")
+      }
+      graft.IndexStore.note("sh_rows", s.read.parquet(s"$out/sh").count())
     }
     val sh = s.read.parquet(s"$art/sh")
     val bench = sh.where(col("doc_id") % 50 === 0)
