@@ -310,6 +310,14 @@ object Bench {
     * spike as a regression. */
   private def loadPrior(sfDir: String, cpus: String)
       : Map[String, (Double, (Long, Long, Long))] =
+    loadPrior(sfDir, cpus, anyCpus = false)
+
+  /** [[loadPrior]] with `anyCpus = true` accepts the newest matching-SF
+    * capture at ANY core count — the scaling mode's top-N selector,
+    * which must pick the same query set at every core count or the
+    * cpus-8 and cpus-32 legs measure different queries. */
+  private def loadPrior(sfDir: String, cpus: String, anyCpus: Boolean)
+      : Map[String, (Double, (Long, Long, Long))] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val sfTag = sfDir.replaceAll(".*sf", "") // "0.1" from ".../sf0.1"
@@ -325,7 +333,8 @@ object Bench {
             if (root0.has("parsed") && !root0.get("parsed").isNull)
               root0.get("parsed")
             else root0
-          val okCpus = root.has("cpus") && root.get("cpus").asText() == cpus
+          val okCpus = anyCpus ||
+            (root.has("cpus") && root.get("cpus").asText() == cpus)
           val okSf = root.has("sf") &&
             root.get("sf").asText().replaceAll(".*sf", "") == sfTag
           if (!okCpus || !okSf || !root.has("queries")) None
@@ -420,6 +429,45 @@ object Bench {
     // driver never sets it, so the recorded bench always covers all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // SCALING MODE (VERDICT r17 #5; opt-in, additions-only — the
+    // driver never sets it, so the recorded contract is byte-identical
+    // when the env is unset): the default path's per-query constant
+    // (~0.15-0.25 s: construction, 2 timed runs, plan-metrics pass,
+    // sweep) swamps sf0.1 walls, so every driver cpus-8 vs cpus-32
+    // ratio reads ≈1 regardless of the queries' real scaling. With
+    // SPARK_GRAFT_SCALING_TOPN=N, Bench instead times the N slowest
+    // queries of the newest same-SF capture (matched at ANY core
+    // count, so the cpus-8 and cpus-32 legs pick the SAME set), one
+    // warm pass + one timed run each, no plan-metrics pass and no CDC
+    // sections — the minimal per-query constant — and prints one
+    // "metric":"scaling_topn" JSON line (also bench_scaling_out.json).
+    val scalingTopN = sys.env.get("SPARK_GRAFT_SCALING_TOPN")
+      .flatMap(_.toIntOption)
+    if (scalingTopN.isDefined) {
+      val pri = loadPrior(sfDir, cpus, anyCpus = true)
+      val names = pri.toSeq.sortBy(-_._2._1).take(scalingTopN.get)
+        .map(_._1).filter(SparkEntry.queries.contains)
+      val walls = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        releasePinnedBlocks(spark)
+        // untimed warm pass: artifact builds + JIT off the clock — the
+        // mode measures steady-state compute scaling, not cold cost
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      def fs(d: Double) = "%.4f".format(d)
+      val qs = walls.map { case (k, v) => "\"" + k + "\":" + fs(v) }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"scaling_topn","value":${fs(walls.map(_._2).sum)},"unit":"sec","n_queries":${walls.length},"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_scaling_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+      spark.stop()
+      println(line)
+      return
+    }
     // SPARK_GRAFT_REVERSE=1 runs the suite in REVERSE alphabetical
     // order — the run-position bisect for late-run slowdowns (VERDICT
     // r15 #1d): if the slow set moves with the position, the cause is

@@ -346,6 +346,71 @@ object BenchStream {
         "leaderboard_rows_expected" -> (qrows1k.length * 5).toString)
     }
 
+    // ------------------------------ s_index_growth (VERDICT r17 #7)
+    // Maintenance cost per batch as the maintained index GROWS: feed
+    // the corpus through each view TWICE (second pass with offset ids
+    // — the index is 2× when it ends), and compare the mean wall of
+    // each pass's LAST quartile of batches. A growth_ratio near 1
+    // means per-batch maintenance is index-size-independent (the
+    // append-only design claim); a ratio ≫1 names a maintenance stage
+    // that reads the whole maintained state per batch.
+    if (sectionOn("index_growth")) locally {
+      def tailMean(ts: Seq[Double]): Double = {
+        val q = ts.takeRight(math.max(1, ts.length / 4))
+        q.sum / q.length
+      }
+      // --- bm25 twin
+      val docs = graft.Tables.documents(spark, sfDir)
+      val rows = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val off = rows.iterator.map(_._1).max + 1
+      val bdir = s"$work/bm25growth"
+      val bin = MemoryStream[(Long, String)](spark)
+      val bq = bin.toDF().toDF("doc_id", "text")
+        .writeStream.option("checkpointLocation", s"$bdir/ckpt")
+        .foreachBatch(graft.streaming.Bm25IndexView.writer(s"$bdir/index"))
+        .start()
+      def ingestB(idOff: Long): Seq[Double] = rows.grouped(10000).map { c =>
+        bin.addData(c.map { case (id, t) => (id + idOff, t) }.toIndexedSeq)
+        timeIt(bq.processAllAvailable())._2
+      }.toSeq
+      val (b1, b2) = try (ingestB(0), ingestB(off)) finally bq.stop()
+      section("bm25_index_growth",
+        "docs_per_pass" -> rows.length.toString,
+        "batch_secs_1x" -> batchSecs(b1),
+        "batch_secs_2x" -> batchSecs(b2),
+        "tail_mean_1x" -> f(tailMean(b1)),
+        "tail_mean_2x" -> f(tailMean(b2)),
+        "growth_ratio" -> f(tailMean(b2) / tailMean(b1)))
+      // --- vector twin (same ingest-twice shape over VecIndexView)
+      val evs = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val eoff = evs.iterator.map(_._1).max + 1
+      val (cells, cbs, _) = graft.operators.Similarity.pqResArtifacts(
+        graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")))
+      val vdir = s"$work/vecgrowth"
+      val vin = MemoryStream[(Long, Seq[Float])](spark)
+      val vq = vin.toDF().toDF("vec_id", "embedding")
+        .writeStream.option("checkpointLocation", s"$vdir/ckpt")
+        .foreachBatch(
+          graft.streaming.VecIndexView.writer(s"$vdir/index", cells, cbs))
+        .start()
+      def ingestV(idOff: Long): Seq[Double] = evs.grouped(10000).map { c =>
+        vin.addData(c.map { case (id, e) => (id + idOff, e) }.toIndexedSeq)
+        timeIt(vq.processAllAvailable())._2
+      }.toSeq
+      val (v1, v2) = try (ingestV(0), ingestV(eoff)) finally vq.stop()
+      section("vec_index_growth",
+        "vecs_per_pass" -> evs.length.toString,
+        "batch_secs_1x" -> batchSecs(v1),
+        "batch_secs_2x" -> batchSecs(v2),
+        "tail_mean_1x" -> f(tailMean(v1)),
+        "tail_mean_2x" -> f(tailMean(v2)),
+        "growth_ratio" -> f(tailMean(v2) / tailMean(v1)))
+    }
+
     // ------------------------------------- s_hybrid_search (r11)
     // hybrid serving at 10x: both legs per arriving query — the
     // lexical served index + the residual compressed ADC index
