@@ -903,9 +903,13 @@ object Similarity extends QueryPack {
       nVecs: Long)(consume: DataFrame => Unit): Unit = {
     val bits = shardedBits(nShards, nVecs)
     val parts = selfJoinParts(e0.sparkSession, nVecs * ndBands(bits))
-    val bands = checkpointForSelfJoin(shardedBands(e0, shard, bits)
-      .repartition(parts, col("shard"), col("band"), col("key"))
-      .sortWithinPartitions("shard", "band", "key"))
+    // staged separately so a build journal splits the band
+    // materialization from the pipelined cand+sketch+verify pass
+    val bands = graft.IndexStore.stage("bands") {
+      checkpointForSelfJoin(shardedBands(e0, shard, bits)
+        .repartition(parts, col("shard"), col("band"), col("key"))
+        .sortWithinPartitions("shard", "band", "key"))
+    }
     try consume(shardedPairsFrom(bands, e0, nVecs, useShj = false))
     finally releaseBuildCheckpoint(bands)
   }

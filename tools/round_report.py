@@ -54,23 +54,20 @@ def main():
 
     sf10 = load(f"BENCH_r{rnd}_sf10.json")
     if sf10:
-        t1 = sf10.get("sf1_total_sec")
-        t10 = sf10.get("sf10_total_sec")
+        t1 = sf10.get("sf1_total")
+        t10 = sf10.get("sf10_total")
         if t1 and t10:
             out.append(f"- **sf10 subset audit** (`BENCH_r{rnd}_sf10.json`): "
-                       f"sf1 {t1:.1f} s -> sf10 {t10:.1f} s = "
-                       f"**{t10 / t1:.2f}x/decade**")
-        fams = sf10.get("family_growth") or {}
+                       f"sf1 {t1:.1f} s -> sf10 {t10:.1f} s warm = "
+                       f"**{sf10.get('growth_10x_data')}x/decade**")
+        fams = sf10.get("families") or {}
         if fams:
             worst = sorted(fams.items(),
-                           key=lambda kv: -(kv[1] if isinstance(kv[1], (int, float))
-                                            else kv[1].get("growth", 0)))
-            def g(v):
-                return v if isinstance(v, (int, float)) else v.get("growth", 0)
-            out.append("  - family growth (x/decade): " + ", ".join(
-                f"{k} {g(v):.2f}" for k, v in worst))
-        for key in ("cold_builds_sf1", "cold_builds_sf10",
-                    "artifact_builds_sf1", "artifact_builds_sf10"):
+                           key=lambda kv: -kv[1].get("growth_10x_data", 0))
+            out.append("  - family sf10 secs (growth x/decade): " + ", ".join(
+                f"{k} {v.get('sf10_secs')} ({v.get('growth_10x_data')})"
+                for k, v in worst))
+        for key in ("artifact_builds_sf1", "artifact_builds_sf10"):
             blk = sf10.get(key)
             if isinstance(blk, dict) and blk:
                 tot = sum(v.get("build_secs", 0) for v in blk.values()
@@ -81,23 +78,27 @@ def main():
                 out.append(f"  - {key}: total {tot:.1f} s — " + ", ".join(
                     f"{v.get('kind', k)} {v.get('build_secs', 0):.1f}"
                     for k, v in rows[:8] if isinstance(v, dict)))
+        sr = sf10.get("shard_reps_sf10")
+        if isinstance(sr, dict):
+            out.append(f"  - shard_reps_sf10: {json.dumps(sr)[:220]}")
 
-    for cpus in (32, 8):
-        sc = load(f"BENCH_r{rnd}_scaling_c{cpus}.json")
-        if sc:
-            out.append(f"- **Scaling leg cpus{cpus}** "
-                       f"(`BENCH_r{rnd}_scaling_c{cpus}.json`, sf={sc.get('sf')}):"
-                       f" total {sc['value']:.1f} s / {sc.get('n_queries')} queries")
-    s32 = load(f"BENCH_r{rnd}_scaling_c32.json")
-    s8 = load(f"BENCH_r{rnd}_scaling_c8.json")
-    if s32 and s8:
-        ratios = {k: s8["queries"][k] / v
-                  for k, v in s32["queries"].items()
-                  if k in s8.get("queries", {}) and v > 0}
-        if ratios:
-            top = sorted(ratios.items(), key=lambda kv: -kv[1])
-            out.append("  - cpus8/cpus32 wall ratios (core ratio 4): " +
-                       ", ".join(f"{k} {v:.2f}" for k, v in top))
+    for tag in ("", "_sf10"):
+        s32 = load(f"BENCH_r{rnd}_scaling{tag}_c32.json") if tag else \
+            load(f"BENCH_r{rnd}_scaling_c32.json")
+        s8 = load(f"BENCH_r{rnd}_scaling{tag}_c8.json") if tag else \
+            load(f"BENCH_r{rnd}_scaling_c8.json")
+        if s32 and s8:
+            out.append(f"- **Scaling legs{tag or ' (sf1)'}** "
+                       f"(`BENCH_r{rnd}_scaling{tag}_c{{32,8}}.json`, "
+                       f"sf={s32.get('sf')}): c32 {s32['value']:.1f} s, "
+                       f"c8 {s8['value']:.1f} s / {s32.get('n_queries')} queries")
+            ratios = {k: s8["queries"][k] / v
+                      for k, v in s32["queries"].items()
+                      if k in s8.get("queries", {}) and v > 0}
+            if ratios:
+                top = sorted(ratios.items(), key=lambda kv: -kv[1])
+                out.append("  - cpus8/cpus32 wall ratios (core ratio 4): " +
+                           ", ".join(f"{k} {v:.2f}" for k, v in top))
 
     stream = load(f"BENCH_r{rnd}_stream.json")
     if stream:
